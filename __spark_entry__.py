@@ -1,38 +1,380 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-extraction pipeline; ``queries`` exposes each
+implemented operator from SURVEY.md §2 (plus the training-data operator set)
+over the driver's synthetic tables, with matching DuckDB ``oracle_sql``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Flagship: full KG-construction pipeline (ingest → detectors → triples) on a
+# corpus synthesized from the documents table, with a user-KB overlay rule
+# demonstrating the broadcast rule dimension.
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.kb.loader import KnowledgeBase, deep_merge_config
+    from dr_source_spark.operators.analyze import run_detectors
+    from dr_source_spark.operators.triples import findings_to_triples
+    from dr_source_spark.sources.corpus import ingest_source_files
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    files = docs.select(
+        F.lit("testdata").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".cfg")).alias("path"),
+        F.lit("sf0.001").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+    kb = load_kb()
+    overlay = {
+        "CORPUS_SIGNAL": {
+            "description": "Demo rule over the synthetic corpus.",
+            "cwe": "CWE-000",
+            "severity": "LOW",
+            "general_regex_patterns": [
+                {"id": "DOC-SPARK-001", "message": "Mentions spark.", "pattern": r"(?i)\bspark\b"}
+            ],
+        }
+    }
+    kb = KnowledgeBase(deep_merge_config(kb.rules, overlay))
+    ckb = compile_kb(kb)
+
+    ingested = ingest_source_files(files)
+    findings = run_detectors(ingested, ckb)
+    return findings_to_triples(findings, run_id="smoke")
+
+
+# --------------------------------------------------------------------------
+# queries() / oracle_sql()
+# --------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).alias("sum_base_price"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       max(l_shipdate) AS max_shipdate
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _a6_dedup(spark, sf_dir):
+    from dr_source_spark.operators.relational import dedup_findings_salted  # noqa: F401  (salted variant tested in pytest)
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event"), F.count("*").alias("dup_count"))
+    )
+
+
+_A6_SQL = """
+SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS dup_count
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def _a8_summary(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_A8_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def _scan_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    prev = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type").distinct()
+    curr = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type").distinct()
+    return curr, prev
+
+
+def _a9_diff_new(spark, sf_dir):
+    from dr_source_spark.operators.relational import scan_diff
+
+    curr, prev = _scan_sets(spark, sf_dir)
+    return scan_diff(curr, prev, ["user_id", "event_type"])["new"]
+
+
+_A9_NEW_SQL = """
+SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 1
+EXCEPT
+SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0
+"""
+
+
+def _a9_diff_persistent(spark, sf_dir):
+    from dr_source_spark.operators.relational import scan_diff
+
+    curr, prev = _scan_sets(spark, sf_dir)
+    return scan_diff(curr, prev, ["user_id", "event_type"])["persistent"]
+
+
+_A9_PERSISTENT_SQL = """
+SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 1
+INTERSECT
+SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0
+"""
+
+
+def _a10_latest(spark, sf_dir):
+    from dr_source_spark.operators.relational import latest_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = latest_per_group(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+    return out.select("user_id", F.col("event_id").alias("latest_event"), F.col("ts").alias("latest_ts"))
+
+
+_A10_SQL = """
+SELECT user_id, event_id AS latest_event, ts AS latest_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def _b1_regex_match(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(r"(?i)\bspark\b"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_B1_SQL = r"""
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE regexp_matches(text, '(?i)\bspark\b') GROUP BY lang
+"""
+
+
+def _b1_regex_hits(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.regexp_count(F.col("text"), F.lit("spark")).cast("long").alias("n_hits")
+    ).filter(F.col("n_hits") > 0)
+
+
+_B1_HITS_SQL = r"""
+SELECT doc_id, CAST(length(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_hits
+FROM documents WHERE length(regexp_extract_all(text, 'spark')) > 0
+"""
+
+
+def _join_region_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+_JOIN_SQL = """
+SELECT r_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _dedup_exact(spark, sf_dir):
+    from dr_source_spark.training.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def _dedup_minhash(spark, sf_dir):
+    from dr_source_spark.training.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8).withColumn(
+        "seed", F.col("seed").cast("long")
+    )
+
+
+_DEDUP_MINHASH_SQL = r"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+), seeds AS (SELECT unnest(range(8)) AS seed)
+SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS minhash
+FROM words CROSS JOIN seeds GROUP BY doc_id, seed
+"""
+
+
+def _text_tokens(spark, sf_dir):
+    from dr_source_spark.training.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_TOKENS_SQL = r"""
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+
+def _lang_profile(spark, sf_dir):
+    from dr_source_spark.training.text import lang_profile
+
+    return lang_profile(_t(spark, sf_dir, "documents"))
+
+
+_LANG_PROFILE_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from dr_source_spark.training.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(list_dot_product(q.q_vec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, n_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM scored
+) WHERE rank <= 3
+"""
+
+
+def _where_used(spark, sf_dir):
+    # A11 usage query shape on documents: docs mentioning 'customer' but not
+    # 'table' (whole-word rlike + negative filter = usage minus declaration).
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(r"\bcustomer\b"))
+        .filter(~F.col("text").rlike(r"\btable\b"))
+        .select("doc_id", "lang")
+    )
+
+
+_WHERE_USED_SQL = r"""
+SELECT doc_id, lang FROM documents
+WHERE regexp_matches(text, '\bcustomer\b') AND NOT regexp_matches(text, '\btable\b')
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "a6_dedup_groups": _a6_dedup,
+        "a8_run_summary": _a8_summary,
+        "a9_scan_diff_new": _a9_diff_new,
+        "a9_scan_diff_persistent": _a9_diff_persistent,
+        "a10_latest_per_group": _a10_latest,
+        "a11_where_used": _where_used,
+        "b1_regex_match": _b1_regex_match,
+        "b1_regex_hits": _b1_regex_hits,
+        "join_region_revenue": _join_region_revenue,
+        "topk_orders": _topk_orders,
+        "dedup_exact_text": _dedup_exact,
+        "dedup_minhash_signatures": _dedup_minhash,
+        "text_token_count": _text_tokens,
+        "text_lang_profile": _lang_profile,
+        "ann_cosine_topk": _ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "a6_dedup_groups": _A6_SQL,
+        "a8_run_summary": _A8_SQL,
+        "a9_scan_diff_new": _A9_NEW_SQL,
+        "a9_scan_diff_persistent": _A9_PERSISTENT_SQL,
+        "a10_latest_per_group": _A10_SQL,
+        "a11_where_used": _WHERE_USED_SQL,
+        "b1_regex_match": _B1_SQL,
+        "b1_regex_hits": _B1_HITS_SQL,
+        "join_region_revenue": _JOIN_SQL,
+        "topk_orders": _TOPK_SQL,
+        "dedup_exact_text": _DEDUP_EXACT_SQL,
+        "dedup_minhash_signatures": _DEDUP_MINHASH_SQL,
+        "text_token_count": _TEXT_TOKENS_SQL,
+        "text_lang_profile": _LANG_PROFILE_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+    }

@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover the engine's three workload families:
+  * kg_extract        — full pipeline (ingest → fused detector UDF → triples)
+                        over a corpus synthesized deterministically from the
+                        documents table (detector throughput dominates);
+  * relational ops    — TPC-H-ish aggregates/joins/windows (Catalyst path);
+  * training ops      — dedup (exact/minhash-LSH), ANN top-k, text profile.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _corpus(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.select(
+        F.lit("bench").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".cfg")).alias("path"),
+        F.lit("bench").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def bench_kg_extract(spark):
+    from dr_source_spark.pipeline import extract
+
+    res = extract(spark, _corpus(spark), run_id="bench")
+    return res.triples.count()
+
+
+def bench_detector_scan(spark):
+    """Detector tier alone (regex over every doc) — files/sec driver."""
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.operators.analyze import run_detectors
+    from dr_source_spark.sources.corpus import ingest_source_files
+
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    files = ingest_source_files(_corpus(spark))
+    return run_detectors(files, ckb, tiers=("regex",)).count()
+
+
+def main():
+    from dr_source_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="dr_source_spark_bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+
+    relational = [
+        "q1_pricing_summary",
+        "join_region_revenue",
+        "a10_latest_per_group",
+        "a9_scan_diff_new",
+        "b1_regex_match",
+    ]
+    training = [
+        "dedup_exact_text",
+        "dedup_minhash_signatures",
+        "ann_cosine_topk",
+        "text_lang_profile",
+    ]
+    qmap = entrymod.queries()
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # warm the JVM/py worker pool once (not timed)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timed("kg_extract", lambda: bench_kg_extract(spark))
+    timed("detector_scan", lambda: bench_detector_scan(spark))
+    for name in relational + training:
+        timed(name, lambda n=name: qmap[n](spark, SF_DIR).write.format("noop").mode("overwrite").save())
+
+    n_files = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": int(CPUS),
+        "corpus_files": n_files,
+        "files_per_sec_detector": round(n_files / timings["detector_scan"], 2) if timings.get("detector_scan") else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""The analyze stage: every detector tier fused into ONE Arrow-batched pass
+over the corpus (`mapInPandas`), so each file's content crosses the
+JVM→Python boundary exactly once and is parsed at most once per language.
+
+Scale design (SURVEY.md §4 R6/R9/R10):
+
+* The KB is compiled once on the driver and shipped as a Spark broadcast;
+  regex/pattern compilation is memoized per executor process.
+* Input is repartitioned by hash(repo, path) so one mega-repo never pins a
+  single task (callers can also bucket by repo-size, see plans.skew).
+* Output rows carry only narrow columns — the wide ``content`` column dies
+  inside this stage (column pruning: we select exactly what we need first).
+* Finding dedup on the reference identity key (path, line, type, message)
+  happens inside the UDF per file — the key is file-local by construction
+  (reference scanner.py:176-180 global set is equivalent because the key
+  embeds the path), so NO shuffle is needed for dedup at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FINDINGS_FULL = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("vuln_type", StringType(), False),
+        StructField("message", StringType(), False),
+        StructField("severity", StringType(), False),
+        StructField("line", IntegerType(), False),
+        StructField("plugin", StringType(), False),
+        StructField("trace", ArrayType(StringType()), True),
+        StructField("rule_id", StringType(), True),
+        StructField("cwe", StringType(), True),
+        StructField("variable", StringType(), True),
+        StructField("sink", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("base_type", StringType(), True),
+    ]
+)
+
+_COLS = [f.name for f in FINDINGS_FULL.fields]
+
+
+def _analyze_one(
+    repo: str,
+    path: str,
+    commit: str,
+    ext: str,
+    content: str,
+    ckb,
+    fn_index: Optional[Dict[str, Any]],
+    tiers: tuple,
+    timeout_s: float = 0.0,
+) -> List[Dict[str, Any]]:
+    """All findings for one file, reference plugin order: regex tier (the
+    catch-all), then the language AST tier, then the pattern tier; dedup on
+    (line, vuln_type, message) first-wins (scanner.py:176-180)."""
+    from ..detectors import pattern_match, python_taint, regex_scan
+
+    findings: List[Dict[str, Any]] = []
+    import time
+
+    deadline = time.monotonic() + timeout_s if timeout_s > 0 else None
+
+    def expired() -> bool:
+        return deadline is not None and time.monotonic() > deadline
+
+    try:
+        if "regex" in tiers:
+            findings += regex_scan.analyze_regex(content, ext, ckb)
+        if "ast" in tiers and not expired():
+            if ext == ".py":
+                findings += python_taint.analyze_python(content, ckb.taint.get("python", []), fn_index=fn_index)
+            elif ext in (".java",):
+                from ..detectors import java_taint
+
+                findings += java_taint.analyze_java(content, ckb.taint.get("java", []), fn_index=fn_index)
+            elif ext in (".js", ".jsx", ".ts", ".tsx"):
+                from ..detectors import js_taint
+
+                findings += js_taint.analyze_js(content, ckb.taint.get("javascript", []), fn_index=fn_index)
+            elif ext in (".php", ".phtml", ".php4", ".php5"):
+                from ..detectors import php_taint
+
+                findings += php_taint.analyze_php(content, ckb.taint.get("php", []))
+            elif ext in (".rb", ".rake", ".gemspec"):
+                from ..detectors import ruby_taint
+
+                findings += ruby_taint.analyze_ruby(content, ckb.taint.get("ruby", []))
+        if "pattern" in tiers and not expired():
+            findings += pattern_match.analyze_pattern(content, ext, ckb)
+    except Exception:  # reference plugins swallow per-file errors (scanner.py:183-185)
+        pass
+
+    if expired():
+        # reference: timed-out file contributes nothing (scanner.py:186-188)
+        return []
+
+    seen = set()
+    out = []
+    for f in findings:
+        key = (f["line"], f["vuln_type"], f["message"])
+        if key in seen:
+            continue
+        seen.add(key)
+        f = dict(f)
+        f["repo"], f["path"], f["commit"] = repo, path, commit
+        f["cwe"] = ckb.cwe_by_type.get(f.pop("base_type", None) or "", None)
+        f["base_type"] = f["vuln_type"].split(" (")[0]
+        out.append(f)
+    return out
+
+
+def run_detectors(
+    files_df: DataFrame,
+    ckb,
+    fn_index_broadcast=None,
+    tiers: tuple = ("regex", "ast", "pattern"),
+    per_file_timeout_s: float = 0.0,
+    repartition: Optional[int] = None,
+) -> DataFrame:
+    """files_df must carry (repo, path, commit, ext, content)."""
+    from ..deploy import ensure_shipped
+
+    spark = files_df.sparkSession
+    ensure_shipped(spark)
+    ckb_bc = spark.sparkContext.broadcast(ckb)
+
+    narrow = files_df.select("repo", "path", "commit", "ext", "content")
+    if repartition:
+        narrow = narrow.repartition(repartition, "repo", "path")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ckb_local = ckb_bc.value
+        fn_index = fn_index_broadcast.value if fn_index_broadcast is not None else None
+        for pdf in batches:
+            rows: List[Dict[str, Any]] = []
+            for repo, path, commit, ext, content in zip(
+                pdf["repo"], pdf["path"], pdf["commit"], pdf["ext"], pdf["content"]
+            ):
+                if content is None:
+                    continue
+                rows.extend(
+                    _analyze_one(repo, path, commit, ext or "", content, ckb_local, fn_index, tiers, per_file_timeout_s)
+                )
+            yield (
+                pd.DataFrame(rows, columns=_COLS)
+                if rows
+                else pd.DataFrame({c: pd.Series([], dtype="object") for c in _COLS})
+            )
+
+    return narrow.mapInPandas(process, FINDINGS_FULL)

@@ -1,0 +1,134 @@
+"""Job 1 — the project symbol index (cross-file function defs).
+
+The reference builds a single in-memory dict during a sequential pre-pass
+(core/scanner.py:131-155, core/project_index.py:14-29, last-registered
+definition wins). Here it is a DataFrame job: a `mapInPandas` def-extractor
+over the corpus, a window to apply the last-wins rule, and a driver-side
+collect + broadcast of the (small) surviving snippet table.
+
+Scale notes: at 10^12 files a full index does not fit in a broadcast. The
+shipped strategy is (a) restrict the index to names that actually appear as
+call targets (`restrict_to_names`), computed by a cheap relational pre-pass,
+and (b) fall back to a broadcast-join of def snippets onto caller partitions
+when even that exceeds the broadcast budget. Depth-3 call simulation
+(reference max_depth, taint_visitor.py:20) keeps traversal local — no
+iterative cross-executor graph joins are needed for parity.
+
+Only Java and JavaScript plugins register an index in the reference
+(java/plugin.py:44-71, javascript/plugin.py:37-61; the Python plugin defines
+no ``index`` hook — SURVEY.md §2B B7), so parity indexing covers those two;
+``include_python=True`` opts into the extension.
+"""
+
+from __future__ import annotations
+
+import ast
+from typing import Any, Dict, Iterator, List, Optional, Set
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schema import PROJECT_INDEX
+
+_INDEX_COLS = [f.name for f in PROJECT_INDEX.fields]
+
+
+def _python_defs(content: str) -> List[Dict[str, Any]]:
+    try:
+        tree = ast.parse(content)
+    except (SyntaxError, ValueError):
+        return []
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            try:
+                src = ast.get_source_segment(content, node) or ast.unparse(node)
+            except Exception:
+                continue
+            out.append({"name": node.name, "def_source": src, "params": [a.arg for a in node.args.args]})
+    return out
+
+
+def _java_defs(content: str) -> List[Dict[str, Any]]:
+    from ..parsers.javaparse import extract_method_defs
+
+    return extract_method_defs(content)
+
+
+def _js_defs(content: str) -> List[Dict[str, Any]]:
+    from ..parsers.jsparse import extract_function_defs
+
+    return extract_function_defs(content)
+
+
+def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> DataFrame:
+    """→ PROJECT_INDEX DataFrame with the last-wins rule applied."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    langs = ["java", "javascript"] + (["python"] if include_python else [])
+    narrow = files_df.filter(F.col("lang").isin(langs)).select("repo", "path", "lang", "content")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for repo, path, lang, content in zip(pdf["repo"], pdf["path"], pdf["lang"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    if lang == "python":
+                        defs = _python_defs(content)
+                    elif lang == "java":
+                        defs = _java_defs(content)
+                    else:
+                        defs = _js_defs(content)
+                except Exception:
+                    defs = []
+                for i, d in enumerate(defs):
+                    rows.append(
+                        {
+                            "name": d["name"],
+                            "repo": repo,
+                            "path": path,
+                            "lang": lang,
+                            "def_source": d["def_source"],
+                            "params": d["params"],
+                            "order_id": i,
+                        }
+                    )
+            yield (
+                pd.DataFrame(rows, columns=_INDEX_COLS)
+                if rows
+                else pd.DataFrame({c: pd.Series([], dtype="object") for c in _INDEX_COLS})
+            )
+
+    raw = narrow.mapInPandas(extract, PROJECT_INDEX)
+    # Last-registered wins (reference project_index.py:24-26): registration
+    # order is walk order — we use (path, order_id) as the deterministic
+    # equivalent and keep the lexicographically-last registration.
+    w = Window.partitionBy("name").orderBy(F.desc("path"), F.desc("order_id"))
+    return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def restrict_to_names(index_df: DataFrame, names: Set[str]) -> DataFrame:
+    return index_df.filter(F.col("name").isin(list(names)))
+
+
+def broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int = 500_000):
+    """Collect the surviving defs and broadcast as a plain dict
+    {name → {path, lang, def_source, params}} for O(1) lookups inside the
+    detector UDFs. Caps at max_entries as a safety valve (callers should
+    restrict_to_names first at scale)."""
+    rows = index_df.limit(max_entries).collect()
+    table: Dict[str, Dict[str, Any]] = {}
+    for r in rows:
+        table[r["name"]] = {
+            "path": r["path"],
+            "repo": r["repo"],
+            "lang": r["lang"],
+            "def_source": r["def_source"],
+            "params": list(r["params"] or []),
+        }
+    return spark.sparkContext.broadcast(table)

@@ -1,0 +1,64 @@
+"""End-to-end extraction pipeline (the reference's `dr_source <path>` scan
+lifecycle, SURVEY.md §3, re-expressed as two Spark jobs):
+
+  read corpus → ingest (sha256/lang/ignore) →
+  [job 1] symbol index (cross-file defs) → broadcast →
+  [job 2] fused detector pass (regex+ast+pattern tiers, one mapInPandas) →
+  findings → triples/nodes/edges → write parquet/Iceberg + lineage metrics.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .kb import compile_kb, load_kb
+from .operators.analyze import run_detectors
+from .operators.index_build import build_symbol_index, broadcast_index
+from .operators.triples import findings_to_triples, triples_to_nodes_edges
+from .sources.corpus import ingest_source_files
+
+
+@dataclass
+class ExtractionResult:
+    findings: DataFrame
+    triples: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    run_id: str
+
+
+def extract(
+    spark: SparkSession,
+    source_files: DataFrame,
+    kb_path: Optional[str] = None,
+    enable_interfile: bool = True,
+    per_file_timeout_s: float = 0.0,
+    run_id: Optional[str] = None,
+    repartition: Optional[int] = None,
+) -> ExtractionResult:
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+    kb = load_kb(explicit_path=kb_path)
+    ckb = compile_kb(kb)
+
+    files = ingest_source_files(source_files)
+    files = files.persist()  # read once, feed both jobs
+
+    fn_index_bc = None
+    if enable_interfile:
+        index_df = build_symbol_index(files)
+        fn_index_bc = broadcast_index(spark, index_df)
+
+    findings = run_detectors(
+        files,
+        ckb,
+        fn_index_broadcast=fn_index_bc,
+        per_file_timeout_s=per_file_timeout_s,
+        repartition=repartition,
+    )
+    triples = findings_to_triples(findings, run_id=run_id)
+    nodes, edges = triples_to_nodes_edges(triples)
+    return ExtractionResult(findings, triples, nodes, edges, run_id)
