@@ -269,10 +269,14 @@ class PyTaintEngine(ast.NodeVisitor):
         """Bind tainted actuals to formals and walk the callee body
         (cross-file hop; reference python/taint_visitor.py:192-212)."""
         import os
+        import textwrap
 
+        # pad so callee line numbers are absolute in the defining file
+        # (reference keeps the original ast node, project_index registration)
+        pad = "\n" * max(0, int(entry.get("def_line", 1)) - 1)
         try:
-            f_def = ast.parse(entry["def_source"]).body[0]
-        except (SyntaxError, IndexError):
+            f_def = ast.parse(pad + textwrap.dedent(entry["def_source"])).body[0]
+        except (SyntaxError, IndexError, ValueError):
             return
         if not isinstance(f_def, (ast.FunctionDef, ast.AsyncFunctionDef)):
             return

@@ -47,7 +47,7 @@ def _python_defs(content: str) -> List[Dict[str, Any]]:
                 src = ast.get_source_segment(content, node) or ast.unparse(node)
             except Exception:
                 continue
-            out.append({"name": node.name, "def_source": src, "params": [a.arg for a in node.args.args]})
+            out.append({"name": node.name, "def_source": src, "def_line": node.lineno, "params": [a.arg for a in node.args.args]})
     return out
 
 
@@ -94,6 +94,7 @@ def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> Dat
                             "path": path,
                             "lang": lang,
                             "def_source": d["def_source"],
+                            "def_line": d.get("def_line", 1),
                             "params": d["params"],
                             "order_id": i,
                         }
@@ -129,6 +130,7 @@ def broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int =
             "repo": r["repo"],
             "lang": r["lang"],
             "def_source": r["def_source"],
+            "def_line": r["def_line"] or 1,
             "params": list(r["params"] or []),
         }
     return spark.sparkContext.broadcast(table)

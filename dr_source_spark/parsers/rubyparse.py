@@ -1,0 +1,350 @@
+"""Minimal structural Ruby parser (node vocabulary of the reference Ruby
+taint visitor: plugins/ruby/taint_visitor.py:124-158 — methods, assignments,
+calls with and without parentheses, element references `a[:k]`, interpolated
+strings, do/brace blocks).
+
+In Ruby every `a.b` is a call node (tree-sitter has no member-access), so
+dotted access parses to {"t": "rcall", recv, name, args} here too.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+Node = Dict[str, Any]
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<nl>\n)
+  | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+  | (?P<sym>:[A-Za-z_][A-Za-z0-9_]*[?!]?)
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<id>@{0,2}\$?[A-Za-z_][A-Za-z0-9_]*[?!]?)
+  | (?P<p2><<~|<<-|==|!=|<=|>=|&&|\|\||=>|::|\+=|-=|<<|\*\*)
+  | (?P<p1>[{}()\[\].,=<>+\-*/%!&|^?])
+    """,
+    re.VERBOSE,
+)
+
+_OPENERS = {"def", "class", "module", "if", "unless", "while", "until", "case", "begin", "do", "for"}
+
+
+def _tokens(src: str) -> List[Tuple[str, str, int]]:
+    toks = []
+    line = 1
+    for m in _TOKEN_RE.finditer(src):
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "nl":
+            line += 1
+            toks.append(("nl", "\n", line - 1))
+            continue
+        if kind == "comment":
+            continue
+        toks.append((kind, text, line))
+    return toks
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks = [t for t in toks]
+        self.i = 0
+
+    def peek(self, off=0, skip_nl=False):
+        j = self.i + off
+        if skip_nl:
+            while j < len(self.toks) and self.toks[j][0] == "nl":
+                j += 1
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def skip_nl(self):
+        while self.peek() is not None and self.peek()[0] == "nl":
+            self.next()
+
+    def at(self, text, off=0):
+        t = self.peek(off)
+        return t is not None and t[1] == text
+
+
+def parse_ruby(src: str) -> Node:
+    p = _P(_tokens(src))
+    stmts = _stmts(p, stop={"end"})
+    return {"t": "program", "stmts": stmts, "line": 1}
+
+
+def _stmts(p: _P, stop: set) -> List[Node]:
+    out: List[Node] = []
+    while True:
+        p.skip_nl()
+        t = p.peek()
+        if t is None:
+            return out
+        if t[0] == "id" and t[1] in stop:
+            return out
+        s = _stmt(p)
+        if s is not None:
+            out.append(s)
+
+
+def _stmt(p: _P) -> Optional[Node]:
+    t = p.peek()
+    if t is None:
+        return None
+    kind, text, line = t
+    if kind == "id":
+        if text in ("class", "module"):
+            p.next()
+            while p.peek() is not None and p.peek()[0] != "nl":
+                p.next()  # name / superclass
+            body = _stmts(p, stop={"end"})
+            p.next()  # 'end'
+            return {"t": "container", "stmts": body, "line": line}
+        if text == "def":
+            p.next()
+            name_tok = p.next()
+            name = name_tok[1] if name_tok else "?"
+            params: List[str] = []
+            if p.at("("):
+                p.next()
+                while p.peek() is not None and not p.at(")"):
+                    tok = p.next()
+                    if tok[0] == "id":
+                        params.append(tok[1])
+                p.next()
+            else:
+                while p.peek() is not None and p.peek()[0] != "nl":
+                    tok = p.next()
+                    if tok[0] == "id":
+                        params.append(tok[1])
+            body = _stmts(p, stop={"end"})
+            p.next()  # end
+            return {"t": "method", "name": name, "params": params, "body": {"t": "block", "stmts": body, "line": line}, "line": line}
+        if text in ("if", "unless", "while", "until", "case"):
+            p.next()
+            cond = _expr(p)
+            body = _stmts(p, stop={"end", "else", "elsif", "when"})
+            branches = [body]
+            while p.peek() is not None and p.peek()[1] in ("else", "elsif", "when"):
+                p.next()
+                if p.peek() is not None and p.peek()[0] != "nl":
+                    _expr(p)  # branch condition (walked? keep simple: parse+drop)
+                branches.append(_stmts(p, stop={"end", "else", "elsif", "when"}))
+            p.next()  # end
+            all_stmts = [s for b in branches for s in b]
+            return {"t": "ctrl", "cond": [cond] if cond else [], "body": {"t": "container", "stmts": all_stmts, "line": line}, "line": line}
+        if text in ("begin",):
+            p.next()
+            body = _stmts(p, stop={"end", "rescue", "ensure"})
+            while p.peek() is not None and p.peek()[1] in ("rescue", "ensure"):
+                p.next()
+                body += _stmts(p, stop={"end", "rescue", "ensure"})
+            p.next()
+            return {"t": "container", "stmts": body, "line": line}
+        if text in ("return", "puts", "print", "p", "raise") and text != "puts":
+            pass  # fallthrough: treated as calls/expressions below
+        if text in ("require", "require_relative", "attr_accessor", "attr_reader", "private", "public"):
+            # skip to end of line
+            while p.peek() is not None and p.peek()[0] != "nl":
+                p.next()
+            return None
+        if text == "return":
+            p.next()
+            e = None
+            if p.peek() is not None and p.peek()[0] != "nl":
+                e = _expr(p)
+            return {"t": "ret", "e": e, "line": line}
+        if text == "end":
+            p.next()
+            return None
+    e = _expr(p, stmt_level=True)
+    if e is None:
+        p.next()
+        return None
+    # do-block attached?
+    nxt = p.peek(skip_nl=False)
+    if nxt is not None and nxt[1] == "do":
+        p.next()
+        if p.at("|"):
+            p.next()
+            while p.peek() is not None and not p.at("|"):
+                p.next()
+            p.next()
+        body = _stmts(p, stop={"end"})
+        p.next()
+        return {"t": "exprstmt", "e": e, "doblock": {"t": "doblock", "stmts": body, "line": line}, "line": line}
+    return {"t": "exprstmt", "e": e, "line": line}
+
+
+_BIN = [{"||"}, {"&&"}, {"==", "!=", "<", ">", "<=", ">=", "=~"}, {"+", "-", "<<"}, {"*", "/", "%", "**"}]
+
+
+def _expr(p: _P, level: int = -1, stmt_level: bool = False) -> Optional[Node]:
+    if level == -1:
+        left = _expr(p, 0, stmt_level)
+        if left is not None and p.at("="):
+            line = left["line"]
+            p.next()
+            right = _expr(p, -1)
+            return {"t": "assign", "target": left, "value": right, "line": line}
+        return left
+    if level >= len(_BIN):
+        return _postfix(p, stmt_level)
+    left = _expr(p, level + 1, stmt_level)
+    while True:
+        t = p.peek()
+        if left is None or t is None or t[1] not in _BIN[level]:
+            return left
+        p.next()
+        right = _expr(p, level + 1)
+        if right is None:
+            return left
+        left = {"t": "binary", "op": t[1], "l": left, "r": right, "line": left["line"]}
+
+
+_ARG_START = ("str", "sym", "num")
+
+
+def _postfix(p: _P, stmt_level: bool = False) -> Optional[Node]:
+    node = _primary(p)
+    if node is None:
+        return None
+    while True:
+        t = p.peek()
+        if t is None:
+            break
+        if t[1] == "." or t[1] == "::" or t[1] == "&.":
+            p.next()
+            m = p.peek()
+            if m is None or m[0] != "id":
+                break
+            p.next()
+            args = None
+            if p.at("("):
+                args = _parens_args(p)
+            node = {"t": "rcall", "recv": node, "name": m[1], "args": args or [], "paren": args is not None, "line": node["line"]}
+        elif t[1] == "[":
+            p.next()
+            idx = _expr(p)
+            while p.peek() is not None and not p.at("]"):
+                p.next()
+            p.next()
+            node = {"t": "index", "obj": node, "idx": idx, "line": node["line"]}
+        elif t[1] == "(" and node["t"] == "name":
+            args = _parens_args(p)
+            node = {"t": "rcall", "recv": None, "name": node["id"], "args": args, "paren": True, "line": node["line"]}
+        else:
+            break
+    # paren-less args at statement level: `logger.info "..."` / `puts x`
+    if stmt_level and node["t"] in ("rcall", "name"):
+        nxt = p.peek()
+        if nxt is not None and nxt[0] != "nl" and (
+            nxt[0] in _ARG_START or (nxt[0] == "id" and nxt[1] not in _OPENERS and nxt[1] not in ("end", "then"))
+        ):
+            args = [
+            ]
+            while True:
+                e = _expr(p)
+                if e is None:
+                    break
+                args.append(e)
+                if not p.at(","):
+                    break
+                p.next()
+            if node["t"] == "name":
+                node = {"t": "rcall", "recv": None, "name": node["id"], "args": args, "paren": False, "line": node["line"]}
+            else:
+                if not node["args"]:
+                    node = dict(node, args=args, paren=False)
+    return node
+
+
+def _parens_args(p: _P) -> List[Node]:
+    p.next()  # '('
+    args: List[Node] = []
+    while True:
+        p.skip_nl()
+        if p.peek() is None or p.at(")"):
+            break
+        e = _expr(p)
+        if e is None:
+            p.next()
+            continue
+        args.append(e)
+        p.skip_nl()
+        if not p.at(","):
+            break
+        p.next()
+    if p.at(")"):
+        p.next()
+    return args
+
+
+_INTERP_RE = re.compile(r"\#\{([^{}]*)\}")
+
+
+def _primary(p: _P) -> Optional[Node]:
+    t = p.peek()
+    if t is None:
+        return None
+    kind, text, line = t
+    if kind == "str":
+        p.next()
+        quote = text[0]
+        val = text[1:-1]
+        parts: List[Node] = []
+        interp = False
+        if quote == '"' and "#{" in val:
+            interp = True
+            for m in _INTERP_RE.finditer(val):
+                inner = m.group(1)
+                sub = parse_ruby(inner)
+                for s in sub["stmts"]:
+                    if s.get("t") == "exprstmt":
+                        parts.append(s["e"])
+        return {"t": "lit", "kind": "str", "val": val, "interp": interp, "parts": parts, "line": line}
+    if kind == "sym":
+        p.next()
+        return {"t": "lit", "kind": "sym", "val": text, "line": line}
+    if kind == "num":
+        p.next()
+        return {"t": "lit", "kind": "num", "val": text, "line": line}
+    if kind == "id":
+        p.next()
+        if text in ("true", "false", "nil"):
+            return {"t": "lit", "kind": "bool", "val": text, "line": line}
+        if text in _OPENERS or text == "end":
+            return None
+        return {"t": "name", "id": text, "line": line}
+    if text == "(":
+        p.next()
+        e = _expr(p)
+        while p.peek() is not None and not p.at(")"):
+            p.next()
+        p.next()
+        return e
+    if text == "[":
+        p.next()
+        items = []
+        while p.peek() is not None and not p.at("]"):
+            e = _expr(p)
+            if e is not None:
+                items.append(e)
+            if not p.at(","):
+                break
+            p.next()
+        if p.at("]"):
+            p.next()
+        return {"t": "arraylit", "items": items, "line": line}
+    if text in ("!", "-", "*", "&"):
+        p.next()
+        e = _expr(p, len(_BIN) - 1)
+        return {"t": "unary", "op": text, "e": e, "line": line} if e else None
+    p.next()
+    return None

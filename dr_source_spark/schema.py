@@ -83,6 +83,7 @@ PROJECT_INDEX = StructType(
         StructField("path", StringType(), False),
         StructField("lang", StringType(), False),
         StructField("def_source", StringType(), True),  # re-parsed in executors
+        StructField("def_line", IntegerType(), True),  # 1-based line of the def in its file
         StructField("params", ArrayType(StringType()), True),
         StructField("order_id", LongType(), True),  # registration order for last-wins
     ]
