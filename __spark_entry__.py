@@ -275,6 +275,97 @@ FROM words CROSS JOIN seeds GROUP BY doc_id, seed
 """
 
 
+def _dedup_lsh_candidates(spark, sf_dir):
+    from dr_source_spark.training.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=8, bands=4)
+
+
+_DEDUP_LSH_SQL = r"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+), seeds AS (SELECT unnest(range(8)) AS seed),
+sigs AS (
+  SELECT doc_id, seed, CAST(seed // 2 AS INT) AS band,
+         min(md5(seed::VARCHAR || ':' || w)) AS minhash
+  FROM words CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band_sigs AS (
+  SELECT doc_id, band,
+         string_agg(seed::VARCHAR || ':' || minhash, '|' ORDER BY seed::VARCHAR || ':' || minhash) AS band_sig
+  FROM sigs GROUP BY doc_id, band
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM band_sigs l JOIN band_sigs r
+  ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+"""
+
+
+def _dedup_jaccard(spark, sf_dir):
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard(docs, minhash_lsh_candidates(docs, num_hashes=8, bands=4))
+
+
+_DEDUP_JACCARD_SQL = r"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+), seeds AS (SELECT unnest(range(8)) AS seed),
+sigs AS (
+  SELECT doc_id, seed, CAST(seed // 2 AS INT) AS band,
+         min(md5(seed::VARCHAR || ':' || w)) AS minhash
+  FROM words CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band_sigs AS (
+  SELECT doc_id, band,
+         string_agg(seed::VARCHAR || ':' || minhash, '|' ORDER BY seed::VARCHAR || ':' || minhash) AS band_sig
+  FROM sigs GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM band_sigs l JOIN band_sigs r
+    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN words a ON a.doc_id = p.doc_a JOIN words b ON b.doc_id = p.doc_b AND a.w = b.w
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard
+FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id = i.doc_b
+"""
+
+
+def _dedup_simhash(spark, sf_dir):
+    # no SQL oracle: xxhash64 is Spark-specific → driver rows-only check
+    from dr_source_spark.training.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    # no SQL oracle: seeded hyperplanes are generated driver-side
+    from dr_source_spark.training.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def _kg_extract_triples(spark, sf_dir):
+    # flagship pipeline over the synthesized code corpus; rows-only check
+    # (detector tiers are procedural, not SQL-expressible)
+    from dr_source_spark.pipeline import extract
+    from dr_source_spark.sources.synth import synth_code_corpus
+
+    corpus = synth_code_corpus(_t(spark, sf_dir, "documents"))
+    return extract(spark, corpus, run_id="driver").triples
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -353,9 +444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _topk_orders,
         "dedup_exact_text": _dedup_exact,
         "dedup_minhash_signatures": _dedup_minhash,
+        "dedup_lsh_candidates": _dedup_lsh_candidates,
+        "dedup_jaccard_verify": _dedup_jaccard,
+        "dedup_simhash": _dedup_simhash,
         "text_token_count": _text_tokens,
         "text_lang_profile": _lang_profile,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "kg_extract_triples": _kg_extract_triples,
     }
 
 
@@ -374,6 +470,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_SQL,
         "dedup_exact_text": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _DEDUP_MINHASH_SQL,
+        "dedup_lsh_candidates": _DEDUP_LSH_SQL,
+        "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
+        # dedup_simhash, ann_lsh_topk, kg_extract_triples: intentionally no
+        # oracle (engine-specific hash / driver-side seeded planes /
+        # procedural detectors) → driver rows-only check
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_lang_profile": _LANG_PROFILE_SQL,
         "ann_cosine_topk": _ANN_SQL,

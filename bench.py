@@ -24,19 +24,17 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def _corpus(spark):
-    from pyspark.sql import functions as F
+    """Deterministic code corpus derived from the documents table — one
+    source file per document, cycling all language tiers, heavy-tailed
+    repo sizes (sources/synth.py)."""
+    from dr_source_spark.sources.synth import synth_code_corpus
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    return docs.select(
-        F.lit("bench").alias("repo"),
-        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".cfg")).alias("path"),
-        F.lit("bench").alias("commit"),
-        F.lit(None).cast("string").alias("lang"),
-        F.col("text").alias("content"),
-    )
+    return synth_code_corpus(docs)
 
 
 def bench_kg_extract(spark):
+    """Full pipeline: ingest → symbol index → fused detectors → triples."""
     from dr_source_spark.pipeline import extract
 
     res = extract(spark, _corpus(spark), run_id="bench")
@@ -44,14 +42,14 @@ def bench_kg_extract(spark):
 
 
 def bench_detector_scan(spark):
-    """Detector tier alone (regex over every doc) — files/sec driver."""
+    """Fused detector stage alone (all tiers) — the files/sec driver."""
     from dr_source_spark.kb import compile_kb, load_kb
     from dr_source_spark.operators.analyze import run_detectors
     from dr_source_spark.sources.corpus import ingest_source_files
 
     ckb = compile_kb(load_kb(project_dir="/nonexistent"))
     files = ingest_source_files(_corpus(spark))
-    return run_detectors(files, ckb, tiers=("regex",)).count()
+    return run_detectors(files, ckb).count()
 
 
 def main():

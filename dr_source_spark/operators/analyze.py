@@ -142,6 +142,13 @@ def run_detectors(
     narrow = files_df.select("repo", "path", "commit", "ext", "content")
     if repartition:
         narrow = narrow.repartition(repartition, "repo", "path")
+    else:
+        # A small/compacted corpus can arrive as fewer splits than cores —
+        # the CPU-bound detector stage must never be narrower than the
+        # cluster. At real scale (many input splits) this is a no-op.
+        target = spark.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < target:
+            narrow = narrow.repartition(target, "repo", "path")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ckb_local = ckb_bc.value

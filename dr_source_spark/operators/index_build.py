@@ -70,6 +70,9 @@ def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> Dat
     ensure_shipped(files_df.sparkSession)
     langs = ["java", "javascript"] + (["python"] if include_python else [])
     narrow = files_df.filter(F.col("lang").isin(langs)).select("repo", "path", "lang", "content")
+    target = files_df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "repo", "path")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

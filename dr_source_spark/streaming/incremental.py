@@ -1,0 +1,55 @@
+"""Incremental extraction via Structured Streaming.
+
+The reference's only incremental story is re-scan + SQLite set-diff
+(SURVEY.md §2A A9). At scale the natural shape is a stream over corpus
+snapshots: ``readStream`` on the source_files table (new parquet files =
+new commits), ``foreachBatch`` running the same detector stage, appending
+findings; the checkpoint directory gives exactly-once per input file and a
+crash-resume story that composes with the lineage table.
+
+``trigger(availableNow=True)`` drains everything currently available and
+stops — the batch-job shape that still keeps streaming checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import SOURCE_FILES
+from ..sources.corpus import ingest_source_files
+
+
+def incremental_extract(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ckb,
+    fn_index_broadcast=None,
+    await_termination: bool = True,
+):
+    """Stream new source_files parquet from ``source_dir`` → findings parquet.
+
+    Each micro-batch runs the fused detector stage. Re-running after new
+    files land processes only the delta (streaming file-source ledger).
+    """
+    from ..operators.analyze import run_detectors
+
+    stream = spark.readStream.schema(SOURCE_FILES).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files = ingest_source_files(batch_df)
+        findings = run_detectors(files, ckb, fn_index_broadcast=fn_index_broadcast)
+        findings.write.mode("append").parquet(f"{output_dir}/findings")
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

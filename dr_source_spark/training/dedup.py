@@ -42,14 +42,26 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 8) -> DataFrame:
     Hash family: md5(seed || ':' || word) — portable across engines (the
     DuckDB oracle computes the identical signature), uniform enough for
     Jaccard estimation. min() over hex strings = min over the hash family.
+
+    Plan shape: repartition the (narrow) doc rows first — a small corpus
+    often arrives as one parquet split and the md5 work would otherwise run
+    in a single task; all k mins are computed in ONE aggregate pass (k
+    expressions, no seed explode) and unpivoted with stack().
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    return (
-        documents.select("doc_id", F.explode(_words()).alias("word"))
-        .select("doc_id", "word", F.explode(seeds).alias("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("word")))).alias("minhash"))
+    sc = documents.sparkSession.sparkContext
+    words = (
+        documents.repartition(sc.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_words()).alias("word"))
     )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("word")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    stack_expr = "stack({n}, {cols}) as (seed, minhash)".format(
+        n=num_hashes, cols=", ".join(f"CAST({i} AS INT), m{i}" for i in range(num_hashes))
+    )
+    return per_doc.select("doc_id", F.expr(stack_expr))
 
 
 def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 8, bands: int = 4) -> DataFrame:
@@ -98,7 +110,10 @@ def ngram_jaccard(documents: DataFrame, candidates: DataFrame) -> DataFrame:
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word xxhash64 values (JVM-side; bit votes via
     aggregate over exploded words)."""
-    words = documents.select("doc_id", F.explode(_words()).alias("word"))
+    sc = documents.sparkSession.sparkContext
+    words = documents.repartition(sc.defaultParallelism, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("word")
+    )
     hashed = words.withColumn("h", F.xxhash64("word"))
     one = F.lit(1).cast("long")
     bit_cols = [

@@ -50,7 +50,12 @@ def brute_force_topk(
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    cand = embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    sc = embeddings.sparkSession.sparkContext
+    # spread the big side — a single parquet split would otherwise compute
+    # every dot product in one task
+    cand = embeddings.repartition(sc.defaultParallelism, id_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
     scored = (
         cand.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
         .withColumn("sim", F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6))

@@ -1,0 +1,84 @@
+"""Resume-from-checkpoint (lineage) and incremental streaming extraction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dr_source_spark.kb import compile_kb, load_kb
+from dr_source_spark.operators.lineage import completed_splits, extract_with_lineage, read_findings
+from dr_source_spark.sources.corpus import ingest_source_files
+from dr_source_spark.sources.synth import synth_code_corpus
+
+
+@pytest.fixture(scope="module")
+def ckb():
+    return compile_kb(load_kb(project_dir="/nonexistent"))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return ingest_source_files(synth_code_corpus(docs)).cache()
+
+
+def test_interrupted_run_resumes_without_duplicates(spark, ckb, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lineage_out"))
+    # phase 1: "interrupted" after 2 of 4 batches
+    run1 = extract_with_lineage(spark, corpus, ckb, out, "runA", num_splits=8, num_batches=4, max_batches=2)
+    assert run1.batches_run == 2
+    done_mid = completed_splits(spark, f"{out}/lineage", "runA")
+    assert 0 < len(done_mid) < 8
+
+    # phase 2: resume — only remaining splits processed
+    run2 = extract_with_lineage(spark, corpus, ckb, out, "runA", num_splits=8, num_batches=4)
+    assert run2.splits_done == 8
+
+    # coverage: findings equal a single-shot clean run, no duplicates
+    got = read_findings(spark, out, "runA")
+    clean_out = str(tmp_path_factory.mktemp("lineage_clean"))
+    extract_with_lineage(spark, corpus, ckb, clean_out, "runB", num_splits=8, num_batches=1)
+    want = read_findings(spark, clean_out, "runB")
+    key = ["path", "line", "vuln_type", "message"]
+    assert got.count() == want.count()
+    assert got.select(key).exceptAll(want.select(key)).count() == 0
+
+
+def test_rerun_completed_run_is_noop(spark, ckb, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lineage_noop"))
+    extract_with_lineage(spark, corpus, ckb, out, "runC", num_splits=4, num_batches=2)
+    again = extract_with_lineage(spark, corpus, ckb, out, "runC", num_splits=4, num_batches=2)
+    assert again.batches_run == 0  # nothing pending
+
+
+def test_lineage_counts_match_findings(spark, ckb, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lineage_counts"))
+    extract_with_lineage(spark, corpus, ckb, out, "runD", num_splits=4, num_batches=1)
+    lin = spark.read.parquet(f"{out}/lineage").filter(F.col("run_id") == "runD")
+    assert lin.agg(F.sum("files")).first()[0] == corpus.count()
+    assert lin.agg(F.sum("findings")).first()[0] == read_findings(spark, out, "runD").count()
+
+
+def test_streaming_incremental_picks_up_new_files(spark, ckb, tmp_path_factory):
+    from dr_source_spark.streaming.incremental import incremental_extract
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = synth_code_corpus(docs.filter("doc_id < 30"))
+    first.write.mode("append").parquet(src)
+    incremental_extract(spark, src, out, ckpt, ckb)
+    n1 = spark.read.parquet(f"{out}/findings").count()
+    assert n1 > 0
+
+    # new snapshot lands → only the delta is processed
+    second = synth_code_corpus(docs.filter("doc_id >= 30 and doc_id < 60"), commit="bench2")
+    second.write.mode("append").parquet(src)
+    incremental_extract(spark, src, out, ckpt, ckb)
+    findings = spark.read.parquet(f"{out}/findings")
+    n2 = findings.count()
+    assert n2 > n1
+    # no duplicates: every (commit, path, line, vuln, message) unique
+    assert findings.dropDuplicates(["commit", "path", "line", "vuln_type", "message"]).count() == n2
