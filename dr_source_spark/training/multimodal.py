@@ -1,0 +1,196 @@
+"""Multimodal columns for training-data pipelines.
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata.
+What's REAL here (and tested): the Spark plumbing — schemas, Arrow-batched
+``mapInPandas`` signatures, header (magic-byte) metadata parsing in pure
+Python, deterministic feature extraction, partitioning discipline (binary
+payloads are dropped before any shuffle). What's STUBBED (this container
+has no image/audio codecs): pixel/sample decoding — ``decode_media`` raises
+NotImplementedError unless ``fake=True``, which produces a deterministic
+sha256-seeded surrogate so downstream stages are exercisable end-to-end.
+
+Media table schema:
+  media_id: long, kind: string (image|audio|video),
+  payload: binary, meta: map<string,string>
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Any, Dict, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, MapType,
+    StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_sha256", StringType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def sniff_header(payload: Optional[bytes]) -> Dict[str, Any]:
+    """Pure-Python magic-byte sniffing: PNG / JPEG / WAV / GIF headers.
+    This is REAL metadata extraction, not a stub."""
+    out: Dict[str, Any] = {"format": None, "width": None, "height": None, "sample_rate": None}
+    if not payload:
+        return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        out["format"] = "png"
+        out["width"], out["height"] = struct.unpack(">II", payload[16:24])
+    elif payload[:3] == b"\xff\xd8\xff":
+        out["format"] = "jpeg"
+        i, n = 2, len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF segments carry dims
+                out["height"], out["width"] = struct.unpack(">HH", payload[i + 5 : i + 9])
+                break
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out["format"] = "wav"
+        if len(payload) >= 28:
+            out["sample_rate"] = struct.unpack("<I", payload[24:28])[0]
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        out["format"] = "gif"
+        out["width"], out["height"] = struct.unpack("<HH", payload[6:10])
+    return out
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched header parse → typed metadata table. The binary column
+    dies inside this stage (only narrow columns come out)."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else None
+                info = sniff_header(payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "format": info["format"],
+                        "width": info["width"],
+                        "height": info["height"],
+                        "sample_rate": info["sample_rate"],
+                        "n_bytes": len(payload) if payload is not None else 0,
+                        "payload_sha256": hashlib.sha256(payload).hexdigest() if payload is not None else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in cols}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(process, MEDIA_META_SCHEMA)
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads to raw samples. STUB: no codec libraries exist in
+    this environment. ``fake=True`` yields a deterministic sha256-seeded
+    surrogate (32 floats in [0,1)) so downstream plumbing is testable;
+    ``fake=False`` raises NotImplementedError at plan time (fail fast)."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries (PIL/ffmpeg) not present "
+            "in this environment; pass fake=True for the deterministic surrogate"
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append({"media_id": mid, "feature": None})
+                    continue
+                digest = hashlib.sha256(bytes(payload)).digest()
+                feat = [b / 255.0 for b in digest] + [b / 255.0 for b in digest[:0]]
+                rows.append({"media_id": mid, "feature": feat})
+            yield pd.DataFrame(rows, columns=["media_id", "feature"]) if rows else pd.DataFrame(
+                {"media_id": pd.Series([], dtype="object"), "feature": pd.Series([], dtype="object")}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    derived from metadata only (duration unknown without codecs → frame
+    count surrogate = n_bytes/65536). Decoding each frame is the stubbed
+    step; the explode/partition shape is the real scale concern."""
+    meta = extract_media_metadata(media.filter(F.col("kind") == "video"))
+    n_frames = F.greatest((F.col("n_bytes") / 65536).cast("int"), F.lit(1))
+    return (
+        meta.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))))
+        .select("media_id", "frame_idx", "n_bytes")
+    )
+
+
+def synth_media_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic binary media derived from the documents table: REAL
+    PNG/GIF/WAV headers (parseable by sniff_header) + text-derived payload
+    bytes. doc_id % 3 picks the container."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text or "").encode("utf-8")[:256]
+                w, h = int(16 + doc_id % 64), int(16 + (doc_id // 2) % 48)
+                if doc_id % 3 == 0:
+                    payload = b"\x89PNG\r\n\x1a\n" + struct.pack(">II", 13, 0) + struct.pack(">II", w, h) + body
+                    kind = "image"
+                elif doc_id % 3 == 1:
+                    payload = b"GIF89a" + struct.pack("<HH", w, h) + body
+                    kind = "image"
+                else:
+                    rate = 8000 + int(doc_id % 5) * 4000
+                    payload = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt " + struct.pack("<IHH", 16, 1, 1) + struct.pack("<I", rate) + body
+                    kind = "audio"
+                rows.append({"media_id": doc_id, "kind": kind, "payload": payload, "meta": {"src": "documents"}})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"]) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("media_id", "kind", "payload", "meta")}
+            )
+
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(documents.sparkSession)
+    return documents.select("doc_id", "text").mapInPandas(process, MEDIA_SCHEMA)

@@ -93,6 +93,32 @@ def hyperplane_signatures(
     return embeddings.select(F.col(id_col).alias("vec_id"), sig.alias("bucket"))
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: candidates are LSH
+    bucket collisions only (equi-join on the signature — never all-pairs),
+    then exact cosine verification ≥ threshold. Returns (id_a, id_b, sim)
+    with id_a < id_b."""
+    sigs = hyperplane_signatures(embeddings, num_planes, seed, dim)
+    emb = embeddings.join(sigs, "vec_id")
+    left = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "bucket")
+    right = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "bucket")
+    pairs = (
+        left.join(right, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )
+    return pairs
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: List[int],

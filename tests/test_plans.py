@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the plans must be the plans we'd want at
+100 TB — filters/columns pushed into the parquet scan, small dims broadcast,
+aggregates partial+final inside whole-stage codegen, top-k as
+TakeOrderedAndProject. Guards against regressions that only show up as
+silent slowdowns at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_and_column_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1997-09-01").select("l_returnflag", "l_quantity")
+    plan = _optimized(q)
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    # filter pushed to the scan
+    assert "isnotnull(l_shipdate" in scan_line and "l_shipdate" in scan_line.split("DataFilters")[1][:120]
+    # column pruning: scan projects exactly the 3 needed columns
+    cols = scan_line.split("[")[1].split("]")[0]
+    assert {c.split("#")[0] for c in cols.split(",")} == {"l_quantity", "l_returnflag", "l_shipdate"}
+
+
+def test_small_dims_are_broadcast(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["join_region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_final_aggregation_codegen(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["q1_pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "SortAggregate" not in plan  # decimal sums stay hash-aggregable
+
+
+def test_topk_uses_take_ordered(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_detector_stage_prunes_content_early(spark, fixture_corpus):
+    """The wide content column must not survive past the detector UDF."""
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.operators.analyze import run_detectors
+    from dr_source_spark.sources.corpus import ingest_source_files
+
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    findings = run_detectors(ingest_source_files(fixture_corpus), ckb)
+    assert "content" not in findings.columns
+    # everything ABOVE the detector UDF in the plan is content-free: the
+    # wide column dies inside the mapInPandas stage
+    from dr_source_spark.operators.triples import findings_to_triples
+
+    plan = _plan(findings_to_triples(findings))
+    above_udf = plan.split("MapInPandas")[0]
+    assert "content#" not in above_udf
+    assert "MapInPandas" in plan
+
+
+def test_scan_diff_uses_hash_joins_not_cartesian(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["a9_scan_diff_new"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_near_dup_join_is_equi_on_bucket(spark):
+    from dr_source_spark.training.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_near_duplicates(emb, threshold=0.5, num_planes=6)
+    plan = _plan(pairs)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b and r.sim >= 0.5 for r in rows)
