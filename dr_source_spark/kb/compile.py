@@ -94,6 +94,22 @@ class TaintSpec:
     sources: List[str]
     sinks: List[Tuple[str, Optional[List[int]]]]
     sanitizers: List[str]
+    # screening tokens: a sink can only match if one of these literal
+    # strings occurs in the file text (sink names are method identifiers
+    # taken from source text in every tier's matcher) — lets the analyze
+    # stage skip whole category walks with zero semantic risk.
+    sink_tokens: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if not self.sink_tokens:
+            toks = []
+            for name, _args in self.sinks:
+                seg = name.split(".")[-1]
+                # strip member-access prefixes other dialects use
+                seg = seg.split("::")[-1].split("->")[-1]
+                if seg and seg not in toks:
+                    toks.append(seg)
+            self.sink_tokens = tuple(toks)
 
 
 @dataclass

@@ -54,6 +54,36 @@ FINDINGS_FULL = StructType(
 _COLS = [f.name for f in FINDINGS_FULL.fields]
 
 
+# Java framework mapper sinks fire during EVERY category pass
+# (detectors/java_taint.py) — if any of these appear, no java category can
+# be screened out.
+_JAVA_FRAMEWORK_TOKENS = (
+    "query", "update", "execute", "getWriter", "getOutputStream",
+    "createQuery", "createNativeQuery", "createSelectionQuery", "createMutationQuery",
+)
+
+
+def _screen_specs(specs, content: str) -> list:
+    """Category screening: a taint category can only produce hits if one of
+    its sink identifiers occurs literally in the file text (sink matching
+    compares method names lifted from the source in every tier). Pure
+    substring checks — zero semantic risk, typically skips most of the
+    ~10-20 category walks per file."""
+    return [s for s in specs if any(t in content for t in s.sink_tokens)]
+
+
+def _can_screen(lang: str, fn_index: Optional[Dict[str, Any]]) -> bool:
+    """Screening looks at THIS file's text only; a tier that may simulate
+    indexed callees (whose sinks live in other files) must not be screened."""
+    if fn_index is None or not fn_index:
+        return True
+    if lang in ("java", "javascript"):
+        return False
+    if lang == "python":
+        return not any(e.get("lang") == "python" for e in fn_index.values())
+    return True  # php/ruby never consult the index
+
+
 def _analyze_one(
     repo: str,
     path: str,
@@ -83,23 +113,32 @@ def _analyze_one(
             findings += regex_scan.analyze_regex(content, ext, ckb)
         if "ast" in tiers and not expired():
             if ext == ".py":
-                findings += python_taint.analyze_python(content, ckb.taint.get("python", []), fn_index=fn_index)
+                specs = ckb.taint.get("python", [])
+                if _can_screen("python", fn_index):
+                    specs = _screen_specs(specs, content)
+                findings += python_taint.analyze_python(content, specs, fn_index=fn_index)
             elif ext in (".java",):
                 from ..detectors import java_taint
 
-                findings += java_taint.analyze_java(content, ckb.taint.get("java", []), fn_index=fn_index)
+                specs = ckb.taint.get("java", [])
+                if _can_screen("java", fn_index) and not any(t in content for t in _JAVA_FRAMEWORK_TOKENS):
+                    specs = _screen_specs(specs, content)
+                findings += java_taint.analyze_java(content, specs, fn_index=fn_index)
             elif ext in (".js", ".jsx", ".ts", ".tsx"):
                 from ..detectors import js_taint
 
-                findings += js_taint.analyze_js(content, ckb.taint.get("javascript", []), fn_index=fn_index)
+                specs = ckb.taint.get("javascript", [])
+                if _can_screen("javascript", fn_index):
+                    specs = _screen_specs(specs, content)
+                findings += js_taint.analyze_js(content, specs, fn_index=fn_index)
             elif ext in (".php", ".phtml", ".php4", ".php5"):
                 from ..detectors import php_taint
 
-                findings += php_taint.analyze_php(content, ckb.taint.get("php", []))
+                findings += php_taint.analyze_php(content, _screen_specs(ckb.taint.get("php", []), content))
             elif ext in (".rb", ".rake", ".gemspec"):
                 from ..detectors import ruby_taint
 
-                findings += ruby_taint.analyze_ruby(content, ckb.taint.get("ruby", []))
+                findings += ruby_taint.analyze_ruby(content, _screen_specs(ckb.taint.get("ruby", []), content))
         if "pattern" in tiers and not expired():
             findings += pattern_match.analyze_pattern(content, ext, ckb)
     except Exception:  # reference plugins swallow per-file errors (scanner.py:183-185)
