@@ -203,6 +203,35 @@ FROM documents WHERE length(regexp_extract_all(text, 'spark')) > 0
 """
 
 
+_CORPUS_RULES = [
+    ("CORPUS-SPARK-1", r"(?i)\bspark\b", "LOW"),
+    ("CORPUS-JOINMERGE-2", r"join .* merge", "MEDIUM"),
+    ("CORPUS-VECTOR-3", r"\bvector\b", "LOW"),
+]
+
+
+def _b1_regex_relational(spark, sf_dir):
+    # B1 as a pure-relational broadcast rule-dimension join (JVM RLIKE with a
+    # pattern COLUMN — the same plan shape as operators/regex_relational.py)
+    docs = _t(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(_CORPUS_RULES, "rule_id string, pattern string, severity string")
+    return (
+        docs.crossJoin(F.broadcast(rules))
+        .filter(F.expr("text RLIKE pattern"))
+        .select("doc_id", "rule_id", "severity")
+    )
+
+
+_B1_RELATIONAL_SQL = r"""
+WITH rules(rule_id, pattern, severity) AS (VALUES
+  ('CORPUS-SPARK-1', '(?i)\bspark\b', 'LOW'),
+  ('CORPUS-JOINMERGE-2', 'join .* merge', 'MEDIUM'),
+  ('CORPUS-VECTOR-3', '\bvector\b', 'LOW'))
+SELECT doc_id, rule_id, severity
+FROM documents, rules WHERE regexp_matches(text, pattern)
+"""
+
+
 def _join_region_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -440,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_where_used": _where_used,
         "b1_regex_match": _b1_regex_match,
         "b1_regex_hits": _b1_regex_hits,
+        "b1_regex_relational": _b1_regex_relational,
         "join_region_revenue": _join_region_revenue,
         "topk_orders": _topk_orders,
         "dedup_exact_text": _dedup_exact,
@@ -466,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "a11_where_used": _WHERE_USED_SQL,
         "b1_regex_match": _B1_SQL,
         "b1_regex_hits": _B1_HITS_SQL,
+        "b1_regex_relational": _B1_RELATIONAL_SQL,
         "join_region_revenue": _JOIN_SQL,
         "topk_orders": _TOPK_SQL,
         "dedup_exact_text": _DEDUP_EXACT_SQL,

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .kb import compile_kb, load_kb
 from .operators.analyze import run_detectors
@@ -58,6 +59,14 @@ def extract(
         fn_index_broadcast=fn_index_bc,
         per_file_timeout_s=per_file_timeout_s,
         repartition=repartition,
+    )
+    # run-level metrics ride on the DataFrame (collected by whatever action
+    # materializes it; complements the per-split lineage table)
+    findings = findings.observe(
+        f"metrics_{run_id}",
+        F.count(F.lit(1)).alias("n_findings"),
+        # observe() forbids DISTINCT aggregates → HLL sketch
+        F.approx_count_distinct(F.col("path")).alias("n_files_with_findings"),
     )
     triples = findings_to_triples(findings, run_id=run_id)
     nodes, edges = triples_to_nodes_edges(triples)
