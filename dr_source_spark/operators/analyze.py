@@ -170,8 +170,13 @@ def run_detectors(
     tiers: tuple = ("regex", "ast", "pattern"),
     per_file_timeout_s: float = 0.0,
     repartition: Optional[int] = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """files_df must carry (repo, path, commit, ext, content)."""
+    """files_df must carry (repo, path, commit, ext, content).
+
+    use_arrow: mapInArrow path (default) — skips the pandas object-array
+    round-trip on both sides of the UDF (the detectors consume plain Python
+    strings either way); mapInPandas kept as the fallback."""
     from ..deploy import ensure_shipped
 
     spark = files_df.sparkSession
@@ -189,19 +194,52 @@ def run_detectors(
         if narrow.rdd.getNumPartitions() < target:
             narrow = narrow.repartition(target, "repo", "path")
 
+    def _rows_for_batch(cols, ckb_local, fn_index) -> List[Dict[str, Any]]:
+        rows: List[Dict[str, Any]] = []
+        for repo, path, commit, ext, content in zip(*cols):
+            if content is None:
+                continue
+            rows.extend(
+                _analyze_one(repo, path, commit, ext or "", content, ckb_local, fn_index, tiers, per_file_timeout_s)
+            )
+        return rows
+
+    if use_arrow:
+        import pyarrow as pa
+
+        arrow_schema = pa.schema(
+            [
+                pa.field("repo", pa.string()), pa.field("path", pa.string()),
+                pa.field("commit", pa.string()), pa.field("vuln_type", pa.string()),
+                pa.field("message", pa.string()), pa.field("severity", pa.string()),
+                pa.field("line", pa.int32()), pa.field("plugin", pa.string()),
+                pa.field("trace", pa.list_(pa.string())), pa.field("rule_id", pa.string()),
+                pa.field("cwe", pa.string()), pa.field("variable", pa.string()),
+                pa.field("sink", pa.string()), pa.field("source", pa.string()),
+                pa.field("base_type", pa.string()),
+            ]
+        )
+
+        def process_arrow(batches):
+            ckb_local = ckb_bc.value
+            fn_index = fn_index_broadcast.value if fn_index_broadcast is not None else None
+            for batch in batches:
+                cols = [batch.column(i).to_pylist() for i in range(5)]
+                rows = _rows_for_batch(cols, ckb_local, fn_index)
+                arrays = [pa.array([r[f.name] for r in rows], type=f.type) for f in arrow_schema]
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        return narrow.mapInArrow(process_arrow, FINDINGS_FULL)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ckb_local = ckb_bc.value
         fn_index = fn_index_broadcast.value if fn_index_broadcast is not None else None
         for pdf in batches:
-            rows: List[Dict[str, Any]] = []
-            for repo, path, commit, ext, content in zip(
-                pdf["repo"], pdf["path"], pdf["commit"], pdf["ext"], pdf["content"]
-            ):
-                if content is None:
-                    continue
-                rows.extend(
-                    _analyze_one(repo, path, commit, ext or "", content, ckb_local, fn_index, tiers, per_file_timeout_s)
-                )
+            rows = _rows_for_batch(
+                (pdf["repo"], pdf["path"], pdf["commit"], pdf["ext"], pdf["content"]),
+                ckb_local,
+                fn_index,
+            )
             yield (
                 pd.DataFrame(rows, columns=_COLS)
                 if rows

@@ -120,6 +120,27 @@ def restrict_to_names(index_df: DataFrame, names: Set[str]) -> DataFrame:
     return index_df.filter(F.col("name").isin(list(names)))
 
 
+def restrict_index_to_called_names(index_df: DataFrame, files_df: DataFrame) -> DataFrame:
+    """Scale path for the broadcast budget: keep only defs whose name
+    actually appears as a call target somewhere in the corpus.
+
+    The candidate extraction is relational (regexp_extract_all of
+    `identifier(` shapes, exploded + distinct) — a superset of real call
+    sites, so restriction never drops a def the detectors could resolve.
+    At 10^12 files the distinct-names side is a shuffle of short strings;
+    the semi-join keeps the broadcast small."""
+    called = (
+        files_df.filter(F.col("lang").isin("java", "javascript", "python"))
+        .select(
+            F.explode(
+                F.expr(r"regexp_extract_all(content, '([A-Za-z_$][A-Za-z0-9_$]*)\\s*\\(', 1)")
+            ).alias("name")
+        )
+        .distinct()
+    )
+    return index_df.join(called, "name", "left_semi")
+
+
 def broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int = 500_000):
     """Collect the surviving defs and broadcast as a plain dict
     {name → {path, lang, def_source, params}} for O(1) lookups inside the

@@ -50,7 +50,9 @@ def extract(
 
     fn_index_bc = None
     if enable_interfile:
-        index_df = build_symbol_index(files)
+        from .operators.index_build import restrict_index_to_called_names
+
+        index_df = restrict_index_to_called_names(build_symbol_index(files), files)
         fn_index_bc = broadcast_index(spark, index_df)
 
     findings = run_detectors(
