@@ -68,9 +68,10 @@ def test_detector_stage_prunes_content_early(spark, fixture_corpus):
     from dr_source_spark.operators.triples import findings_to_triples
 
     plan = _plan(findings_to_triples(findings))
-    above_udf = plan.split("MapInPandas")[0]
+    udf_node = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
+    above_udf = plan.split(udf_node)[0]
     assert "content#" not in above_udf
-    assert "MapInPandas" in plan
+    assert udf_node in plan
 
 
 def test_scan_diff_uses_hash_joins_not_cartesian(spark):
