@@ -385,6 +385,26 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def _scalar_trace_roundtrip(spark, sf_dir):
+    # the reference flattens traces with ' -> ' for storage and re-splits on
+    # read (scanner.py:209, db.py:246-248) — the split/concat_ws scalar pair
+    docs = _t(spark, sf_dir, "documents")
+    joined = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " -> ")
+    return docs.select(
+        "doc_id",
+        joined.alias("trace_flat"),
+        F.size(F.split(joined, " -> ")).cast("long").alias("n_hops"),
+    )
+
+
+_SCALAR_TRACE_SQL = """
+SELECT doc_id,
+       array_to_string(string_split(text, ' ')[1:5], ' -> ') AS trace_flat,
+       CAST(length(string_split(array_to_string(string_split(text, ' ')[1:5], ' -> '), ' -> ')) AS BIGINT) AS n_hops
+FROM documents
+"""
+
+
 def _kg_extract_triples(spark, sf_dir):
     # flagship pipeline over the synthesized code corpus; rows-only check
     # (detector tiers are procedural, not SQL-expressible)
@@ -479,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "text_token_count": _text_tokens,
         "text_lang_profile": _lang_profile,
+        "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "kg_extract_triples": _kg_extract_triples,
@@ -508,5 +529,6 @@ def oracle_sql() -> dict[str, str]:
         # procedural detectors) → driver rows-only check
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_lang_profile": _LANG_PROFILE_SQL,
+        "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
     }
