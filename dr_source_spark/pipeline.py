@@ -52,7 +52,11 @@ def extract(
     if enable_interfile:
         from .operators.index_build import restrict_index_to_called_names
 
-        index_df = restrict_index_to_called_names(build_symbol_index(files), files)
+        index_df = build_symbol_index(files).persist()
+        # the called-names pre-pass re-scans every file's content — worth it
+        # only when the raw index would strain the broadcast budget
+        if index_df.count() > 50_000:
+            index_df = restrict_index_to_called_names(index_df, files)
         fn_index_bc = broadcast_index(spark, index_df)
 
     findings = run_detectors(
