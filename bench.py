@@ -76,10 +76,16 @@ def main():
 
     timings = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, runs: int = 2):
+        # best-of-N: masks first-action warmup and box noise (the single
+        # shared sandbox box hosts other jobs)
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # warm the JVM/py worker pool once (not timed)
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()

@@ -29,15 +29,27 @@ def incremental_extract(
     ckb,
     fn_index_broadcast=None,
     await_termination: bool = True,
+    dedup_across_batches: bool = False,
 ):
     """Stream new source_files parquet from ``source_dir`` → findings parquet.
 
     Each micro-batch runs the fused detector stage. Re-running after new
     files land processes only the delta (streaming file-source ledger).
+
+    dedup_across_batches: stateful streaming dropDuplicates on
+    (repo, path, content) identity — a file re-shipped unchanged in a later
+    snapshot is analyzed once; state lives in the checkpoint (the streaming
+    analog of the lineage anti-join).
     """
+    from pyspark.sql import functions as F
+
     from ..operators.analyze import run_detectors
 
     stream = spark.readStream.schema(SOURCE_FILES).parquet(source_dir)
+    if dedup_across_batches:
+        stream = stream.withColumn("_sha", F.sha2(F.col("content"), 256)).dropDuplicates(
+            ["repo", "path", "_sha"]
+        ).drop("_sha")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         files = ingest_source_files(batch_df)

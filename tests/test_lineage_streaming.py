@@ -82,3 +82,24 @@ def test_streaming_incremental_picks_up_new_files(spark, ckb, tmp_path_factory):
     assert n2 > n1
     # no duplicates: every (commit, path, line, vuln, message) unique
     assert findings.dropDuplicates(["commit", "path", "line", "vuln_type", "message"]).count() == n2
+
+
+def test_streaming_stateful_dedup_across_batches(spark, ckb, tmp_path_factory):
+    from dr_source_spark.streaming.incremental import incremental_extract
+
+    src = str(tmp_path_factory.mktemp("sdedup_src"))
+    out = str(tmp_path_factory.mktemp("sdedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("sdedup_ckpt"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter("doc_id < 30")
+    corpus = synth_code_corpus(docs)
+    corpus.write.mode("append").parquet(src)
+    incremental_extract(spark, src, out, ckpt, ckb, dedup_across_batches=True)
+    n1 = spark.read.parquet(f"{out}/findings").count()
+    assert n1 > 0
+
+    # the SAME files land again in a later snapshot → stateful dropDuplicates
+    # suppresses re-analysis entirely
+    corpus.write.mode("append").parquet(src)
+    incremental_extract(spark, src, out, ckpt, ckb, dedup_across_batches=True)
+    assert spark.read.parquet(f"{out}/findings").count() == n1
