@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator (applyInPandasWithState) and
+deep inter-file call chains (depth 2-3 across three files)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_repo_risk_ledger_crossings(spark, tmp_path_factory):
+    from dr_source_spark.operators.analyze import FINDINGS_FULL
+    from dr_source_spark.streaming.stateful import repo_risk_ledger
+
+    src = str(tmp_path_factory.mktemp("ledger_src"))
+    ckpt = str(tmp_path_factory.mktemp("ledger_ckpt"))
+    out = str(tmp_path_factory.mktemp("ledger_out"))
+
+    def mk(repo, sev, n):
+        return [
+            (repo, f"f{i}.py", "c", "T (AST Taint)", f"m{i}", sev, 1, "p", [], None, None, None, None, None, "T")
+            for i in range(n)
+        ]
+
+    # batch 1: repoA scores 3 HIGHs = 12 → crosses 1,2,4,8
+    spark.createDataFrame(mk("repoA", "HIGH", 3), FINDINGS_FULL).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(FINDINGS_FULL).parquet(src)
+    q = (
+        repo_risk_ledger(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    crossed = sorted(r.threshold_crossed for r in rows if r.repo == "repoA")
+    assert crossed == [1.0, 2.0, 4.0, 8.0]
+
+    # batch 2: +2 LOW (score 14) → crosses nothing; +1 CRITICAL later run
+    spark.createDataFrame(mk("repoA", "LOW", 2), FINDINGS_FULL).write.mode("append").parquet(src)
+    q = (
+        repo_risk_ledger(spark.readStream.schema(FINDINGS_FULL).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows2 = spark.read.parquet(out).collect()
+    assert sorted(r.threshold_crossed for r in rows2 if r.repo == "repoA") == [1.0, 2.0, 4.0, 8.0]
+    # cumulative state survived the restart (score 14 recorded, next=16)
+    spark.createDataFrame(mk("repoA", "CRITICAL", 1), FINDINGS_FULL).write.mode("append").parquet(src)
+    q = (
+        repo_risk_ledger(spark.readStream.schema(FINDINGS_FULL).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows3 = spark.read.parquet(out).collect()
+    assert sorted(r.threshold_crossed for r in rows3 if r.repo == "repoA") == [1.0, 2.0, 4.0, 8.0, 16.0]
+
+
+def test_interfile_depth_chain_java(spark):
+    """A→B→C across three files: taint crosses two index hops (depth ≤ 3,
+    reference max_depth semantics)."""
+    from dr_source_spark.detectors.java_taint import analyze_java
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.parsers.javaparse import extract_method_defs
+
+    a = """import javax.servlet.http.HttpServletRequest;
+public class A {
+    public void doGet(HttpServletRequest request) throws Exception {
+        String v = request.getParameter("x");
+        hopOne(v);
+    }
+}"""
+    b = """public class B {
+    public void hopOne(String s1) throws Exception {
+        hopTwo(s1);
+    }
+}"""
+    c = """import java.sql.Statement;
+public class C {
+    Statement stmt;
+    public void hopTwo(String s2) throws Exception {
+        stmt.executeQuery(s2);
+    }
+}"""
+    idx = {}
+    for name, src in (("B.java", b), ("C.java", c), ("A.java", a)):
+        for d in extract_method_defs(src):
+            idx[d["name"]] = {"path": name, "lang": "java", "def_source": d["def_source"],
+                              "def_line": d["def_line"], "params": d["params"]}
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    findings = analyze_java(a, ckb.taint["java"], fn_index=idx)
+    sqli = [f for f in findings if f["base_type"] == "SQL_INJECTION"]
+    assert sqli, "depth-2 chain not detected"
+    trace = " | ".join(sqli[0]["trace"])
+    assert "in B.java" in trace and "in C.java" in trace
