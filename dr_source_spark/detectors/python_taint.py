@@ -231,6 +231,10 @@ class PyTaintEngine(ast.NodeVisitor):
         self.untaint(path)
 
     def visit_Call(self, node: ast.Call) -> None:
+        self._handle_call_node(node)
+        self.generic_visit(node)
+
+    def _handle_call_node(self, node: ast.Call) -> None:
         fn = _call_path(node)
         matched = None
         if fn in self.sink_args:
@@ -263,7 +267,6 @@ class PyTaintEngine(ast.NodeVisitor):
                 entry = self.fn_index.get(fn) if hasattr(self.fn_index, "get") else None
                 if entry and entry.get("lang") == "python":
                     self._simulate(node, entry, fn)
-        self.generic_visit(node)
 
     def _simulate(self, call: ast.Call, entry: Dict[str, Any], fn: str) -> None:
         """Bind tainted actuals to formals and walk the callee body
@@ -331,6 +334,60 @@ def find_django_mass_assignment(tree: ast.AST) -> List[Dict[str, Any]]:
     return out
 
 
+class _MultiWalk:
+    """Drive K category engines through ONE AST traversal.
+
+    Semantics-preserving fusion of the reference's per-category re-walk
+    (SURVEY.md §4 R6): every engine sees the identical pre-order event
+    stream `ast.NodeVisitor` would produce — node handler first, children
+    after, function scopes popped on exit — while the (shared) traversal
+    cost is paid once. Engines keep fully independent scope/const state;
+    call simulation recursion stays inside each engine.
+    """
+
+    def __init__(self, engines: List["PyTaintEngine"]):
+        self.engines = engines
+
+    def walk(self, node: ast.AST) -> None:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for e in self.engines:
+                e.local_fns[node.name] = node
+                e.scopes.append({})
+                e.consts.append({})
+                for arg in node.args.args:
+                    if any(p in arg.arg.lower() for p in PII_NAMES):
+                        e.taint(
+                            arg.arg,
+                            {
+                                "source": f"Sensitive parameter: {arg.arg}",
+                                "trace": [f"Sensitive data in parameter {arg.arg} at line {node.lineno}"],
+                            },
+                        )
+            self._children(node)
+            for e in self.engines:
+                e.consts.pop()
+                e.scopes.pop()
+            return
+        if isinstance(node, ast.Assign):
+            if node.targets:
+                path = _attr_path(node.targets[0])
+                if path:
+                    for e in self.engines:
+                        e._assign(path, node.value, node.lineno)
+            self._children(node)
+            return
+        if isinstance(node, ast.Call):
+            for e in self.engines:
+                e._handle_call_node(node)
+            self._children(node)
+            return
+        self._children(node)
+
+    def _children(self, node: ast.AST) -> None:
+        for child in ast.iter_child_nodes(node):
+            self.walk(child)
+
+
 PLUGIN_NAME = "Python AST Analyzer"  # part of finding identity
 
 
@@ -339,9 +396,10 @@ def analyze_python(
     taint_specs: List[TaintSpec],
     fn_index: Optional[Any] = None,
 ) -> List[Dict[str, Any]]:
-    """All Python-tier findings for one file: structural pass, then one
-    taint walk per eligible category over a single parse (parse-once fusion
-    of the reference's per-category re-parse, SURVEY.md §4 R6)."""
+    """All Python-tier findings for one file: structural pass, then ALL
+    eligible category engines driven through one parse + one walk
+    (parse-once + walk-once fusion of the reference's per-category
+    re-parse/re-walk, SURVEY.md §4 R6)."""
     try:
         tree = ast.parse(content)
     except (SyntaxError, ValueError, RecursionError, MemoryError):
@@ -365,12 +423,13 @@ def analyze_python(
             }
         )
 
-    for spec in taint_specs:
-        engine = PyTaintEngine(spec, fn_index=fn_index)
-        try:
-            engine.visit(tree)
-        except RecursionError:
-            continue
+    engines = [PyTaintEngine(spec, fn_index=fn_index) for spec in taint_specs]
+    try:
+        _MultiWalk(engines).walk(tree)
+    except RecursionError:
+        engines = []
+    for engine in engines:
+        spec = engine.spec
         for hit in engine.hits:
             findings.append(
                 {
