@@ -66,15 +66,67 @@ def latest_per_group(df: DataFrame, group: Sequence[str], order: List) -> DataFr
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def where_used(files_df: DataFrame, class_name: str) -> DataFrame:
-    """A11 — usage query: Java/JSP files whose content references
+def where_used(files_df: DataFrame, class_name: str, ast_confirm: bool = False) -> DataFrame:
+    """A11 — usage query: Java files whose content references
     ``class_name`` as a whole word, excluding the declaring file
-    (reference core/usage.py:9-70; declaration = 'class <Name>')."""
+    (reference core/usage.py:9-70; declaration = 'class <Name>').
+
+    ast_confirm=True adds the reference's second phase: parse the (already
+    rlike-filtered, tiny) candidate set and require a structural reference —
+    a type usage, constructor call, or member receiver named ``class_name``
+    — so string/comment mentions don't count. Predicate pushdown does the
+    heavy lifting; the parser only ever sees candidates."""
     word = rf"\b{class_name}\b"
     decl = rf"\bclass\s+{class_name}\b"
-    return (
+    candidates = (
         files_df.filter(F.col("lang").isin("java"))
         .filter(F.col("content").rlike(word))
         .filter(~F.col("content").rlike(decl))
-        .select("repo", "path", "commit")
+    )
+    if not ast_confirm:
+        return candidates.select("repo", "path", "commit")
+
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+
+    def confirm(batches):
+        import pandas as pd
+
+        from ..parsers.javaparse import parse_java
+
+        def references(node, out):
+            if not isinstance(node, dict):
+                return
+            t = node.get("t")
+            if t == "name" and node.get("id") == class_name:
+                out.append(True)
+            if t == "new":
+                ctor = node.get("ctor") or {}
+                if ctor.get("t") == "name" and ctor.get("id") == class_name:
+                    out.append(True)
+            for v in node.values():
+                if isinstance(v, dict):
+                    references(v, out)
+                elif isinstance(v, list):
+                    for x in v:
+                        references(x, out)
+
+        for pdf in batches:
+            rows = []
+            for repo, path, commit, content in zip(pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]):
+                try:
+                    program = parse_java(content)
+                except Exception:
+                    continue
+                hits: list = []
+                references(program, hits)
+                if hits:
+                    rows.append({"repo": repo, "path": path, "commit": commit})
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit"]) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("repo", "path", "commit")}
+            )
+
+    return candidates.select("repo", "path", "commit", "content").mapInPandas(
+        confirm, "repo string, path string, commit string"
     )

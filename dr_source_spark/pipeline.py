@@ -30,6 +30,13 @@ class ExtractionResult:
     nodes: DataFrame
     edges: DataFrame
     run_id: str
+    _cached: Optional[DataFrame] = None
+
+    def cleanup(self) -> None:
+        """Release the cached input after the outputs are materialized
+        (long-lived sessions running many extractions)."""
+        if self._cached is not None:
+            self._cached.unpersist()
 
 
 def extract(
@@ -76,4 +83,4 @@ def extract(
     )
     triples = findings_to_triples(findings, run_id=run_id)
     nodes, edges = triples_to_nodes_edges(triples)
-    return ExtractionResult(findings, triples, nodes, edges, run_id)
+    return ExtractionResult(findings, triples, nodes, edges, run_id, _cached=files)

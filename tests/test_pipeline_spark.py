@@ -98,3 +98,25 @@ def test_where_used(spark, fixture_corpus):
     used = {r.path for r in where_used(files, "DatabaseHelper").collect()}
     assert "inter_file/java/Controller.java" in used
     assert "inter_file/java/DatabaseHelper.java" not in used
+
+
+def test_where_used_ast_confirmation(spark):
+    from dr_source_spark.operators.relational import where_used
+    from dr_source_spark.sources.corpus import ingest_source_files
+
+    df = spark.createDataFrame(
+        [
+            ("r", "Uses.java", "c", None,
+             "public class Uses { DatabaseHelper h = new DatabaseHelper(); }"),
+            ("r", "OnlyComment.java", "c", None,
+             "public class OnlyComment { String s = \"x\"; } // DatabaseHelper mentioned in comment only"),
+            ("r", "StringOnly.java", "c", None,
+             'public class StringOnly { String s = "DatabaseHelper"; }'),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    files = ingest_source_files(df)
+    loose = {r.path for r in where_used(files, "DatabaseHelper").collect()}
+    assert loose == {"Uses.java", "OnlyComment.java", "StringOnly.java"}
+    confirmed = {r.path for r in where_used(files, "DatabaseHelper", ast_confirm=True).collect()}
+    assert confirmed == {"Uses.java"}
