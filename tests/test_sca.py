@@ -45,3 +45,15 @@ def test_sca_findings_join(spark, deps_corpus):
     f = out[0]
     assert f.vuln_type == "VULNERABLE_DEPENDENCY" and f.severity == "HIGH"
     assert "OSV-TEST-1" in f.message
+
+
+def test_catalog_parquet_roundtrip(spark, tmp_path_factory):
+    from dr_source_spark.sources.catalog import read_table, write_table
+
+    out = str(tmp_path_factory.mktemp("catalog")) + "/t"
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("k", (F.col("id") % 2).cast("string"))
+    write_table(df, out, mode="overwrite", partition_by=["k"])
+    back = read_table(spark, out)
+    assert back.count() == 10 and set(back.columns) == {"id", "k"}
