@@ -79,7 +79,7 @@ def where_used(files_df: DataFrame, class_name: str, ast_confirm: bool = False) 
     word = rf"\b{class_name}\b"
     decl = rf"\bclass\s+{class_name}\b"
     candidates = (
-        files_df.filter(F.col("lang").isin("java"))
+        files_df.filter((F.col("lang") == "java") | F.col("path").endswith(".jsp"))
         .filter(F.col("content").rlike(word))
         .filter(~F.col("content").rlike(decl))
     )
