@@ -171,19 +171,27 @@ def run_detectors(
     per_file_timeout_s: float = 0.0,
     repartition: Optional[int] = None,
     use_arrow: bool = True,
+    fn_index_from_column: bool = False,
 ) -> DataFrame:
     """files_df must carry (repo, path, commit, ext, content).
 
     use_arrow: mapInArrow path (default) — skips the pandas object-array
     round-trip on both sides of the UDF (the detectors consume plain Python
-    strings either way); mapInPandas kept as the fallback."""
+    strings either way); mapInPandas kept as the fallback.
+
+    fn_index_from_column: read each row's ``called_defs`` map (attached by
+    operators/index_join.attach_called_defs) instead of a global broadcast —
+    the inter-file path that needs no driver collect at any corpus scale."""
     from ..deploy import ensure_shipped
 
     spark = files_df.sparkSession
     ensure_shipped(spark)
     ckb_bc = spark.sparkContext.broadcast(ckb)
 
-    narrow = files_df.select("repo", "path", "commit", "ext", "content")
+    cols = ["repo", "path", "commit", "ext", "content"]
+    if fn_index_from_column:
+        cols.append("called_defs")
+    narrow = files_df.select(*cols)
     if repartition:
         narrow = narrow.repartition(repartition, "repo", "path")
     else:
@@ -194,8 +202,27 @@ def run_detectors(
         if narrow.rdd.getNumPartitions() < target:
             narrow = narrow.repartition(target, "repo", "path")
 
+    def _norm_map(cell) -> Optional[Dict[str, Any]]:
+        if cell is None:
+            return None
+        if isinstance(cell, dict):
+            return {k: dict(v) if not isinstance(v, dict) else v for k, v in cell.items()}
+        # arrow MapArray.to_pylist yields [(key, value), ...]
+        return {k: dict(v) if not isinstance(v, dict) else v for k, v in cell}
+
     def _rows_for_batch(cols, ckb_local, fn_index) -> List[Dict[str, Any]]:
         rows: List[Dict[str, Any]] = []
+        if fn_index_from_column:
+            for repo, path, commit, ext, content, defs in zip(*cols):
+                if content is None:
+                    continue
+                rows.extend(
+                    _analyze_one(
+                        repo, path, commit, ext or "", content, ckb_local,
+                        _norm_map(defs), tiers, per_file_timeout_s,
+                    )
+                )
+            return rows
         for repo, path, commit, ext, content in zip(*cols):
             if content is None:
                 continue
@@ -220,11 +247,13 @@ def run_detectors(
             ]
         )
 
+        n_in_cols = 6 if fn_index_from_column else 5
+
         def process_arrow(batches):
             ckb_local = ckb_bc.value
             fn_index = fn_index_broadcast.value if fn_index_broadcast is not None else None
             for batch in batches:
-                cols = [batch.column(i).to_pylist() for i in range(5)]
+                cols = [batch.column(i).to_pylist() for i in range(n_in_cols)]
                 rows = _rows_for_batch(cols, ckb_local, fn_index)
                 arrays = [pa.array([r[f.name] for r in rows], type=f.type) for f in arrow_schema]
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
@@ -235,11 +264,10 @@ def run_detectors(
         ckb_local = ckb_bc.value
         fn_index = fn_index_broadcast.value if fn_index_broadcast is not None else None
         for pdf in batches:
-            rows = _rows_for_batch(
-                (pdf["repo"], pdf["path"], pdf["commit"], pdf["ext"], pdf["content"]),
-                ckb_local,
-                fn_index,
-            )
+            in_cols = [pdf["repo"], pdf["path"], pdf["commit"], pdf["ext"], pdf["content"]]
+            if fn_index_from_column:
+                in_cols.append(pdf["called_defs"])
+            rows = _rows_for_batch(tuple(in_cols), ckb_local, fn_index)
             yield (
                 pd.DataFrame(rows, columns=_COLS)
                 if rows

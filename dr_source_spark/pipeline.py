@@ -44,10 +44,15 @@ def extract(
     source_files: DataFrame,
     kb_path: Optional[str] = None,
     enable_interfile: bool = True,
+    interfile_mode: str = "broadcast",  # 'broadcast' | 'join'
     per_file_timeout_s: float = 0.0,
     run_id: Optional[str] = None,
     repartition: Optional[int] = None,
 ) -> ExtractionResult:
+    """interfile_mode='join' attaches each file's reachable defs via
+    distributed joins (operators/index_join.py) instead of a driver-side
+    collect+broadcast — the path for corpora whose symbol index exceeds any
+    broadcast budget."""
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     kb = load_kb(explicit_path=kb_path)
     ckb = compile_kb(kb)
@@ -56,7 +61,13 @@ def extract(
     files = files.persist()  # read once, feed both jobs
 
     fn_index_bc = None
-    if enable_interfile:
+    fn_index_from_column = False
+    if enable_interfile and interfile_mode == "join":
+        from .operators.index_join import attach_called_defs
+
+        files = attach_called_defs(files, build_symbol_index(files))
+        fn_index_from_column = True
+    elif enable_interfile:
         from .operators.index_build import restrict_index_to_called_names
 
         index_df = build_symbol_index(files).persist()
@@ -72,6 +83,7 @@ def extract(
         fn_index_broadcast=fn_index_bc,
         per_file_timeout_s=per_file_timeout_s,
         repartition=repartition,
+        fn_index_from_column=fn_index_from_column,
     )
     # run-level metrics ride on the DataFrame (collected by whatever action
     # materializes it; complements the per-split lineage table)
