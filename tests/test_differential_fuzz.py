@@ -47,6 +47,10 @@ line = st.one_of(
     st.tuples(st.sampled_from(SINKS), st.sampled_from(VAR_NAMES)).map(lambda t: f"{t[0]}({t[1]})"),
     st.tuples(st.sampled_from(SINKS), st.sampled_from(VAR_NAMES)).map(lambda t: f"{t[0]}(arg={t[1]})"),
     st.tuples(st.sampled_from(SINKS), st.sampled_from(CONSTS)).map(lambda t: f"{t[0]}({t[1]})"),
+    # pattern-tier bait: self comparisons (flagged) and 1 == 1 (excluded)
+    st.sampled_from(VAR_NAMES).map(lambda v: f"flag = {v} == {v}"),
+    st.just("flag = 1 == 1"),
+    st.tuples(st.sampled_from(VAR_NAMES), st.sampled_from(VAR_NAMES)).map(lambda t: f"flag = {t[0]} == {t[1]}"),
 )
 
 program = st.lists(line, min_size=2, max_size=12).map("\n".join)
@@ -68,11 +72,12 @@ import sys, os, json
 sys.path.insert(0, "/tmp/refstubs"); sys.path.insert(0, "/root/reference")
 from dr_source.plugins.regex.plugin import RegexAnalyzer
 from dr_source.plugins.python.plugin import PythonAstAnalyzer
-regex = RegexAnalyzer(); pyast = PythonAstAnalyzer()
+from dr_source.plugins.pattern.plugin import PatternAnalyzer
+regex = RegexAnalyzer(); pyast = PythonAstAnalyzer(); pat = PatternAnalyzer()
 out = {{}}
 for fn in sorted(os.listdir({d!r})):
     fp = os.path.join({d!r}, fn)
-    fs = list(regex.analyze(fp)) + list(pyast.analyze(fp))
+    fs = list(regex.analyze(fp)) + list(pyast.analyze(fp)) + list(pat.analyze(fp))
     seen, ded = set(), []
     for f in fs:
         k = (f.line_number, f.vulnerability_type, f.message)
