@@ -1,0 +1,126 @@
+"""Deep differential fuzz: N random structured Python programs (control
+flow, nested defs, try/except, f-strings, field access, PII params) run
+through the live reference's runnable tiers AND this engine; finding tuples
+must match exactly. Round-1 result: 1000/1000 identical (seed 20260816).
+
+Usage: python tools/deep_diff_fuzz.py [N] [seed]
+"""
+
+import json
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dr_source_spark.kb import compile_kb, load_kb
+from dr_source_spark.operators.analyze import _analyze_one
+from tools.reference_anchor import ensure_stubs
+
+SOURCES = ["request.args.get('x')", "request.form.get('y')", "request.json", "input()"]
+SINKS = ["os.system", "cursor.execute", "eval", "requests.get", "logging.info",
+         "pickle.loads", "render_template_string", "redirect", "getattr"]
+SANS = ["int", "escape", "bool"]
+VARS = ["data", "cmd", "q", "user_token", "password_field", "value", "tmp", "email_addr", "obj.field"]
+CONSTS = ['"SELECT 1"', '"echo hi"', "42", '"a" + "b"', "None", "True"]
+
+
+def main(n: int = 1000, seed: int = 20260816) -> None:
+    ensure_stubs()
+    rng = random.Random(seed)
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+
+    def stmt():
+        k = rng.randrange(12)
+        v, w = rng.choice(VARS), rng.choice(VARS)
+        return [
+            lambda: f"{v} = {rng.choice(SOURCES)}",
+            lambda: f"{v} = {rng.choice(CONSTS)}",
+            lambda: f"{v} = {rng.choice(SANS)}({w})",
+            lambda: f"{v} = {w}",
+            lambda: f'{v} = f"x {{{w}}} y"',
+            lambda: f'{v} = "p" + {w}',
+            lambda: f"{rng.choice(SINKS)}({w})",
+            lambda: f"{rng.choice(SINKS)}(a={w})",
+            lambda: f"flag = {v} == {v}",
+            lambda: f"flag = {v} == {w}",
+            lambda: f"{v} = {w}.strip()",
+            lambda: f"{rng.choice(SINKS)}({rng.choice(CONSTS)})",
+        ][k]()
+
+    def block(depth, count):
+        lines = []
+        for _ in range(count):
+            r = rng.random()
+            if r < 0.15 and depth < 2:
+                lines.append("if cond:")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 4))]
+                if rng.random() < 0.5:
+                    lines.append("else:")
+                    lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
+            elif r < 0.25 and depth < 2:
+                lines.append(f"def fn{rng.randrange(5)}(password_arg, x):")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 4))]
+            elif r < 0.32 and depth < 2:
+                lines.append("try:")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
+                lines += ["except Exception:", "    pass"]
+            else:
+                lines.append(stmt())
+        return lines
+
+    programs = []
+    while len(programs) < n:
+        src = "cond = True\n" + "\n".join(block(0, rng.randrange(3, 14)))
+        try:
+            compile(src, "<f>", "exec")
+        except SyntaxError:
+            continue
+        programs.append(src)
+
+    d = tempfile.mkdtemp(prefix="deepfuzz_")
+    for i, s in enumerate(programs):
+        with open(os.path.join(d, f"p{i:04d}.py"), "w") as f:
+            f.write(s)
+
+    code = f"""
+import sys, os, json
+sys.path.insert(0, "/tmp/refstubs"); sys.path.insert(0, "/root/reference")
+from dr_source.plugins.regex.plugin import RegexAnalyzer
+from dr_source.plugins.python.plugin import PythonAstAnalyzer
+from dr_source.plugins.pattern.plugin import PatternAnalyzer
+regex = RegexAnalyzer(); pyast = PythonAstAnalyzer(); pat = PatternAnalyzer()
+out = {{}}
+for fn in sorted(os.listdir({d!r})):
+    fp = os.path.join({d!r}, fn)
+    fs = list(regex.analyze(fp)) + list(pyast.analyze(fp)) + list(pat.analyze(fp))
+    seen, ded = set(), []
+    for f in fs:
+        k = (f.line_number, f.vulnerability_type, f.message)
+        if k in seen: continue
+        seen.add(k)
+        ded.append([f.line_number, f.vulnerability_type, f.message, f.severity, f.trace])
+    out[fn] = ded
+print(json.dumps(out))
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp")
+    ref = json.loads(res.stdout.strip().splitlines()[-1])
+    bad = 0
+    for i, src in enumerate(programs):
+        want = {(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in ref[f"p{i:04d}.py"]}
+        got = {
+            (f["line"], f["vuln_type"], f["message"], f["severity"], tuple(f["trace"]))
+            for f in _analyze_one("r", "p.py", "c", ".py", src, ckb, None, ("regex", "ast", "pattern"))
+        }
+        if got != want:
+            bad += 1
+            if bad <= 3:
+                print("DIVERGE:\n", src[:300], "\n ref-only:", sorted(want - got)[:3], "\n ours-only:", sorted(got - want)[:3])
+    print(f"programs={len(programs)} divergent={bad}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1000, int(sys.argv[2]) if len(sys.argv) > 2 else 20260816)
