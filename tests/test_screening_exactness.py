@@ -1,0 +1,58 @@
+"""Category screening must be a pure optimization: for every corpus file
+and every language tier, findings with the screened spec list equal
+findings with the full spec list."""
+
+import os
+
+import pytest
+
+from dr_source_spark.detectors.java_taint import analyze_java
+from dr_source_spark.detectors.js_taint import analyze_js
+from dr_source_spark.detectors.php_taint import analyze_php
+from dr_source_spark.detectors.python_taint import analyze_python
+from dr_source_spark.detectors.ruby_taint import analyze_ruby
+from dr_source_spark.kb import compile_kb, load_kb
+from dr_source_spark.operators.analyze import _JAVA_FRAMEWORK_TOKENS, _screen_specs
+
+
+def _production_screen(lang, specs, content):
+    """The exact screening decision operators/analyze.py makes (incl. the
+    Java framework-mapper carve-out — mapper sinks fire in EVERY category,
+    so no java category may be dropped when a framework token appears)."""
+    if lang == "java" and any(t in content for t in _JAVA_FRAMEWORK_TOKENS):
+        return specs
+    return _screen_specs(specs, content)
+
+ROOT = "/root/reference/tests/test_code"
+CKB = compile_kb(load_kb(project_dir="/nonexistent"))
+
+_TIERS = {
+    ".py": ("python", lambda c, s: analyze_python(c, s)),
+    ".java": ("java", lambda c, s: analyze_java(c, s)),
+    ".js": ("javascript", lambda c, s: analyze_js(c, s)),
+    ".php": ("php", lambda c, s: analyze_php(c, s)),
+    ".rb": ("ruby", lambda c, s: analyze_ruby(c, s)),
+}
+
+
+def _key(f):
+    return (f["line"], f["vuln_type"], f["message"], f["severity"], tuple(f["trace"]))
+
+
+def _all_fixture_files():
+    for dirpath, _dirs, files in os.walk(ROOT):
+        for fn in sorted(files):
+            ext = os.path.splitext(fn)[1]
+            if ext in _TIERS:
+                yield os.path.join(dirpath, fn), ext
+
+
+@pytest.mark.parametrize("fp,ext", list(_all_fixture_files()), ids=lambda x: os.path.basename(str(x)))
+def test_screened_equals_full(fp, ext):
+    if not isinstance(fp, str) or not fp.endswith(ext):
+        pytest.skip("param pairing artifact")
+    lang, analyze = _TIERS[ext]
+    content = open(fp, encoding="utf-8", errors="ignore").read()
+    full = {_key(f) for f in analyze(content, CKB.taint[lang])}
+    screened = {_key(f) for f in analyze(content, _production_screen(lang, CKB.taint[lang], content))}
+    assert full == screened
