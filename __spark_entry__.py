@@ -59,7 +59,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
     ingested = ingest_source_files(files)
     findings = run_detectors(ingested, ckb)
-    return findings_to_triples(findings, run_id="smoke")
+    triples = findings_to_triples(findings, run_id="smoke")
+    # storage form: traces flatten to ' -> '-joined strings (reference
+    # scanner.py:209) — also keeps every driver-visible column scalar
+    return triples.withColumn("trace", F.array_join("trace", " -> "))
 
 
 # --------------------------------------------------------------------------
@@ -405,14 +408,33 @@ FROM documents
 """
 
 
-def _kg_extract_triples(spark, sf_dir):
-    # flagship pipeline over the synthesized code corpus; rows-only check
-    # (detector tiers are procedural, not SQL-expressible)
+def _kg_triples(spark, sf_dir):
     from dr_source_spark.pipeline import extract
     from dr_source_spark.sources.synth import synth_code_corpus
 
     corpus = synth_code_corpus(_t(spark, sf_dir, "documents"))
-    return extract(spark, corpus, run_id="driver").triples
+    return extract(spark, corpus, run_id="driver")
+
+
+def _kg_extract_triples(spark, sf_dir):
+    # flagship pipeline over the synthesized code corpus. Oracle: the corpus
+    # is template-deterministic, so the expected triples are derivable in SQL
+    # from `documents` alone (sources/synth.py:kg_triples_oracle_sql; the
+    # constants are exhaustively verified per corpus word by
+    # tests/test_kg_oracle_completeness.py). Trace flattens to the
+    # reference's ' -> ' storage form (scanner.py:209) so every returned
+    # column is scalar/hashable.
+    return _kg_triples(spark, sf_dir).triples.withColumn(
+        "trace", F.array_join("trace", " -> ")
+    )
+
+
+def _kg_graph_edges(spark, sf_dir):
+    return _kg_triples(spark, sf_dir).edges
+
+
+def _kg_graph_nodes(spark, sf_dir):
+    return _kg_triples(spark, sf_dir).nodes
 
 
 def _text_tokens(spark, sf_dir):
@@ -503,10 +525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "kg_extract_triples": _kg_extract_triples,
+        "kg_graph_edges": _kg_graph_edges,
+        "kg_graph_nodes": _kg_graph_nodes,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from dr_source_spark.sources import synth as _kg_sql
+
     return {
         "q1_pricing_summary": _Q1_SQL,
         "a6_dedup_groups": _A6_SQL,
@@ -524,9 +550,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _DEDUP_MINHASH_SQL,
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
-        # dedup_simhash, ann_lsh_topk, kg_extract_triples: intentionally no
-        # oracle (engine-specific hash / driver-side seeded planes /
-        # procedural detectors) → driver rows-only check
+        "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
+        "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
+        "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_lang_profile": _LANG_PROFILE_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,

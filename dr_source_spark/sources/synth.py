@@ -96,6 +96,139 @@ DEBUG = True
 ]
 
 
+# ---------------------------------------------------------------------------
+# Expected pipeline output per template — the flagship's SQL oracle.
+#
+# Because every synthesized file is a fixed template with only {N} (= doc_id)
+# and {W} (= sanitized 3rd corpus word) substituted, the full extract()
+# pipeline emits a CONSTANT triple set per template, parameterized by N/W.
+# tests/test_kg_oracle_completeness.py proves this exhaustively: it runs the
+# real detector stack over every distinct W value present in the driver
+# corpora (all SFs share the same 30-word vocabulary) and asserts the finding
+# set equals these constants — so the DuckDB oracle below derives the exact
+# expected output from the documents table without running any detector.
+#
+# Row format: (frag_t, pred, obj_t, line, trace_t); subj = repo:path@commit
+# + frag. {N}/{W} are substitution points.
+# ---------------------------------------------------------------------------
+
+_T_JAVA = "Tainted by getParameter at line 5 -> Propagated to q{N} at line 6"
+_T_PY = "Tainted by request.args.get at line 5"
+_T_JS = "Tainted by req.query.{W} at line 4"
+_T_PHP = "Tainted by $_GET[] at line 2 -> Propagated to $q{N} at line 3"
+_T_RB = "Tainted by params at line 3"
+
+EXPECTED_TRIPLES = {
+    0: ("src/App{N}.java", [
+        ("", "HAS_VULN", "CWE-89", 7, _T_JAVA),
+        ("#var:q{N}", "FLOWS_TO", "executeQuery@L7", 7, _T_JAVA),
+        ("#var:q{N}", "TAINTED_BY", "Tainted by getParameter at line 5", 7, _T_JAVA),
+    ]),
+    1: ("src/app{N}.py", [
+        ("", "HAS_VULN", "CWE-78", 6, _T_PY),
+        ("#var:cmd{N}", "FLOWS_TO", "os.system@L6", 6, _T_PY),
+        ("#var:cmd{N}", "TAINTED_BY", _T_PY, 6, _T_PY),
+    ]),
+    2: ("src/app{N}.js", [
+        ("", "HAS_VULN", "CWE-78", 5, _T_JS),
+        ("#var:p{N}", "FLOWS_TO", "eval@L5", 5, _T_JS),
+        ("#var:p{N}", "TAINTED_BY", _T_JS, 5, _T_JS),
+    ]),
+    3: ("src/page{N}.php", [
+        ("", "HAS_VULN", "CWE-89", 4, _T_PHP),
+        ("#var:$q{N}", "FLOWS_TO", "mysqli_query@L4", 4, _T_PHP),
+        ("#var:$q{N}", "TAINTED_BY", "Tainted by $_GET[] at line 2", 4, _T_PHP),
+    ]),
+    4: ("src/ctl{N}.rb", [
+        ("", "HAS_VULN", "CWE-78", 4, _T_RB),
+        ("#var:v{N}", "FLOWS_TO", "system@L4", 4, _T_RB),
+        ("#var:v{N}", "TAINTED_BY", _T_RB, 4, _T_RB),
+    ]),
+    5: ("conf/settings{N}.ini", [
+        ("", "HAS_VULN", "CWE-16", 4, ""),
+        ("", "HAS_VULN", "CWE-798", 2, ""),
+        ("#L2", "MATCHES_RULE", "SEC-GENERIC-001", 2, ""),
+        ("#L4", "MATCHES_RULE", "CFG-PY-DEBUG", 4, ""),
+    ]),
+}
+
+
+def render_template(tpl_idx: int, doc_id: int, word: str) -> tuple[str, str]:
+    """(path, content) for one synthesized file — the pure-Python twin of the
+    Spark expression in synth_code_corpus, used by the completeness test."""
+    _lang, path_tpl, content_tpl = _TEMPLATES[tpl_idx]
+    sid = str(doc_id)
+    return (
+        path_tpl.replace("§N§", sid),
+        content_tpl.replace("§W§", word).replace("§N§", sid),
+    )
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def kg_triples_oracle_sql(run_id: str = "driver", commit: str = "bench") -> str:
+    """DuckDB SQL deriving the flagship extract() triples from `documents`."""
+    rows = []
+    for tpl, (path_t, triples) in EXPECTED_TRIPLES.items():
+        for frag_t, pred, obj_t, line, trace_t in triples:
+            rows.append(
+                f"({tpl}, {_sq(path_t)}, {_sq(frag_t)}, {_sq(pred)}, "
+                f"{_sq(obj_t)}, {line}, {_sq(trace_t)})"
+            )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS n,
+         regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),
+                        '[^A-Za-z0-9_]', 'x', 'g') AS w,
+         'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
+         CAST(doc_id % 6 AS INT) AS tpl
+  FROM documents
+),
+expected(tpl, path_t, frag_t, pred, obj_t, line, trace_t) AS (VALUES
+  {values})
+SELECT d.repo || ':' || replace(replace(e.path_t, '{{N}}', d.n), '{{W}}', d.w)
+         || '@{commit}'
+         || replace(replace(e.frag_t, '{{N}}', d.n), '{{W}}', d.w) AS subj,
+       e.pred,
+       replace(replace(e.obj_t, '{{N}}', d.n), '{{W}}', d.w) AS obj,
+       e.line,
+       replace(replace(e.trace_t, '{{N}}', d.n), '{{W}}', d.w) AS trace,
+       '{run_id}' AS run_id
+FROM docs d JOIN expected e ON e.tpl = d.tpl
+"""
+
+
+def kg_edges_oracle_sql(run_id: str = "driver", commit: str = "bench") -> str:
+    """Edges table oracle: distinct (src, pred, dst, line) over the triples."""
+    return (
+        "SELECT DISTINCT subj AS src, pred, obj AS dst, line FROM (\n"
+        + kg_triples_oracle_sql(run_id, commit)
+        + "\n)"
+    )
+
+
+def kg_nodes_oracle_sql(run_id: str = "driver", commit: str = "bench") -> str:
+    """Nodes table oracle: distinct subj∪obj with the kind classification of
+    operators/triples.py:triples_to_nodes_edges (same precedence order)."""
+    return f"""
+WITH t AS ({kg_triples_oracle_sql(run_id, commit)}),
+ids AS (SELECT subj AS node_id FROM t UNION SELECT obj FROM t)
+SELECT node_id,
+       CASE WHEN regexp_matches(node_id, '#var:') THEN 'entity'
+            WHEN regexp_matches(node_id, '#L[0-9]+$') THEN 'file_line'
+            WHEN regexp_matches(node_id, '^CWE-') THEN 'cwe'
+            WHEN regexp_matches(node_id, '@L[0-9]+$') THEN 'sink'
+            WHEN regexp_matches(node_id, ':.*@') THEN 'file'
+            ELSE 'rule' END AS kind,
+       node_id AS label
+FROM ids
+"""
+
+
 def synth_code_corpus(documents: DataFrame, commit: str = "bench", copies: int = 1) -> DataFrame:
     """documents(doc_id, text, ...) → source_files, ``copies`` files per
     document (doc_key = doc_id*copies + c keeps ids unique/deterministic)."""

@@ -1,0 +1,80 @@
+"""Proof that the flagship SQL oracle's per-template constants are exact.
+
+The kg_extract_triples oracle (sources/synth.py:kg_triples_oracle_sql)
+asserts the full extract() pipeline emits EXPECTED_TRIPLES for every
+synthesized file, with only {N}/{W} substituted. That holds only if no
+corpus word W can change the detector output (e.g. a W that matches an
+extra regex rule, or breaks a parser). This test runs the REAL detector
+stack (no Spark) over every distinct W value present in the driver corpora
+— all SFs share one 30-word vocabulary — for several doc ids, and asserts
+the finding-derived triples equal the constants exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pytest
+
+from dr_source_spark.kb import compile_kb, load_kb
+from dr_source_spark.operators.analyze import _analyze_one
+from dr_source_spark.sources.synth import EXPECTED_TRIPLES, render_template
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def corpus_words() -> list[str]:
+    con = duckdb.connect()
+    words: set[str] = set()
+    for d in SF_DIRS:
+        rows = con.execute(
+            "SELECT DISTINCT regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),"
+            " '[^A-Za-z0-9_]', 'x', 'g') FROM "
+            f"'{d}/documents.parquet'"
+        ).fetchall()
+        words.update(r[0] for r in rows)
+    return sorted(words)
+
+
+def triples_of(findings, file_uri: str) -> Counter:
+    out: Counter = Counter()
+    for f in findings:
+        line = f["line"]
+        trace = " -> ".join(f.get("trace") or [])
+        if f.get("cwe"):
+            out[(file_uri, "HAS_VULN", f["cwe"], line, trace)] += 1
+        if f.get("rule_id"):
+            out[(f"{file_uri}#L{line}", "MATCHES_RULE", f["rule_id"], line, trace)] += 1
+        if f.get("variable") and f.get("source"):
+            out[(f"{file_uri}#var:{f['variable']}", "TAINTED_BY", f["source"], line, trace)] += 1
+        if f.get("variable") and f.get("sink"):
+            out[(f"{file_uri}#var:{f['variable']}", "FLOWS_TO", f"{f['sink']}@L{line}", line, trace)] += 1
+    return out
+
+
+def expected_counter(tpl: int, doc_id: int, word: str, path: str) -> Counter:
+    n = str(doc_id)
+    file_uri = f"r:{path}@bench"
+    out: Counter = Counter()
+    for frag_t, pred, obj_t, line, trace_t in EXPECTED_TRIPLES[tpl][1]:
+        sub = lambda s: s.replace("{N}", n).replace("{W}", word)  # noqa: E731
+        out[(file_uri + sub(frag_t), pred, sub(obj_t), line, sub(trace_t))] += 1
+    return out
+
+
+@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def test_every_corpus_word_yields_the_oracle_constants(doc_id):
+    ckb = compile_kb(load_kb())
+    words = corpus_words()
+    assert words, "corpus vocabulary must be non-empty"
+    for tpl in EXPECTED_TRIPLES:
+        for w in words:
+            path, content = render_template(tpl, doc_id, w)
+            ext = "." + path.rsplit(".", 1)[1]
+            findings = _analyze_one(
+                "r", path, "bench", ext, content, ckb, None, ("regex", "ast", "pattern")
+            )
+            got = triples_of(findings, f"r:{path}@bench")
+            want = expected_counter(tpl, doc_id, w, path)
+            assert got == want, f"tpl={tpl} w={w!r}: {got ^ want}"
