@@ -307,20 +307,22 @@ FROM words CROSS JOIN seeds GROUP BY doc_id, seed
 """
 
 
-def _dedup_lsh_candidates(spark, sf_dir):
-    from dr_source_spark.training.dedup import minhash_lsh_candidates
+# scale-safe LSH banding (training/dedup.py defaults): r=8 puts the S-curve
+# threshold near Jaccard 0.7; max_cluster caps viral duplicate groups.
+_LSH_HASHES, _LSH_BANDS, _LSH_CAP = 112, 14, 1000
 
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=8, bands=4)
-
-
-_DEDUP_LSH_SQL = r"""
-WITH words AS (
+_WORDS_CTE = r"""words AS (
   SELECT DISTINCT doc_id, w FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
   ) WHERE w <> ''
-), seeds AS (SELECT unnest(range(8)) AS seed),
+)"""
+
+
+def _lsh_pairs_ctes(num_hashes: int = _LSH_HASHES, bands: int = _LSH_BANDS, cap: int = _LSH_CAP) -> str:
+    r = num_hashes // bands
+    return f"""WITH {_WORDS_CTE}, seeds AS (SELECT unnest(range({num_hashes})) AS seed),
 sigs AS (
-  SELECT doc_id, seed, CAST(seed // 2 AS INT) AS band,
+  SELECT doc_id, seed, CAST(seed // {r} AS INT) AS band,
          min(md5(seed::VARCHAR || ':' || w)) AS minhash
   FROM words CROSS JOIN seeds GROUP BY doc_id, seed
 ),
@@ -328,41 +330,35 @@ band_sigs AS (
   SELECT doc_id, band,
          string_agg(seed::VARCHAR || ':' || minhash, '|' ORDER BY seed::VARCHAR || ':' || minhash) AS band_sig
   FROM sigs GROUP BY doc_id, band
-)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM band_sigs l JOIN band_sigs r
-  ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
-"""
+),
+kept AS (
+  SELECT band, band_sig FROM band_sigs GROUP BY band, band_sig HAVING count(*) <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM band_sigs l
+  JOIN kept k ON l.band = k.band AND l.band_sig = k.band_sig
+  JOIN band_sigs r ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+)"""
+
+
+def _dedup_lsh_candidates(spark, sf_dir):
+    from dr_source_spark.training.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_LSH_SQL = _lsh_pairs_ctes() + "\nSELECT doc_a, doc_b FROM pairs"
 
 
 def _dedup_jaccard(spark, sf_dir):
     from dr_source_spark.training.dedup import minhash_lsh_candidates, ngram_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard(docs, minhash_lsh_candidates(docs, num_hashes=8, bands=4))
+    return ngram_jaccard(docs, minhash_lsh_candidates(docs))
 
 
-_DEDUP_JACCARD_SQL = r"""
-WITH words AS (
-  SELECT DISTINCT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
-  ) WHERE w <> ''
-), seeds AS (SELECT unnest(range(8)) AS seed),
-sigs AS (
-  SELECT doc_id, seed, CAST(seed // 2 AS INT) AS band,
-         min(md5(seed::VARCHAR || ':' || w)) AS minhash
-  FROM words CROSS JOIN seeds GROUP BY doc_id, seed
-),
-band_sigs AS (
-  SELECT doc_id, band,
-         string_agg(seed::VARCHAR || ':' || minhash, '|' ORDER BY seed::VARCHAR || ':' || minhash) AS band_sig
-  FROM sigs GROUP BY doc_id, band
-),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM band_sigs l JOIN band_sigs r
-    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
-),
+_DEDUP_JACCARD_SQL = _lsh_pairs_ctes() + """,
 counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS i
@@ -375,17 +371,69 @@ FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id =
 
 
 def _dedup_simhash(spark, sf_dir):
-    # no SQL oracle: xxhash64 is Spark-specific → driver rows-only check
     from dr_source_spark.training.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def _simhash_sql() -> str:
+    # portable md5-nibble simhash — mirrors training/dedup.py:simhash exactly
+    votes = []
+    for p in range(16):
+        for k in range(4):
+            d = f"(strpos('0123456789abcdef', substr(md5(w), {p + 1}, 1)) - 1)"
+            votes.append(
+                f"sum(CASE WHEN (({d} >> {3 - k}) & 1) = 1 THEN 1 ELSE -1 END) AS v{p}_{k}"
+            )
+    nibbles = []
+    for p in range(16):
+        val = " + ".join(f"(CASE WHEN v{p}_{k} > 0 THEN {1 << (3 - k)} ELSE 0 END)" for k in range(4))
+        nibbles.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    return (
+        f"WITH {_WORDS_CTE},\n"
+        f"votes AS (SELECT doc_id, {', '.join(votes)} FROM words GROUP BY doc_id)\n"
+        f"SELECT doc_id, {' || '.join(nibbles)} AS simhash FROM votes"
+    )
+
+
 def _ann_lsh_topk(spark, sf_dir):
-    # no SQL oracle: seeded hyperplanes are generated driver-side
+    # multi-table sign-LSH with portable md5-derived ±1 planes — the oracle
+    # embeds the identical literal planes and reproduces buckets exactly
     from dr_source_spark.training.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def _ann_lsh_sql() -> str:
+    from dr_source_spark.training.similarity import rademacher_planes
+
+    num_tables, planes_per_table, seed, dim, k = 16, 4, 42, 64, 3  # lsh_bucketed_topk defaults
+    tables = []
+    for t in range(num_tables):
+        bits = []
+        for plane in rademacher_planes(planes_per_table, dim, seed * 10_000 + t):
+            lit = "[" + ", ".join(str(x) for x in plane) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)")
+        tables.append(f"SELECT vec_id, {t} AS tbl, {' || '.join(bits)} AS bucket FROM e")
+    sig_union = "\nUNION ALL\n".join(tables)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS ({sig_union}),
+q AS (SELECT vec_id AS q_id, tbl, bucket FROM sig WHERE vec_id IN (0,1,2,3,4)),
+pairs AS (
+  SELECT DISTINCT q.q_id, s.vec_id AS n_id
+  FROM sig s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.q_id
+),
+scored AS (
+  SELECT p.q_id, p.n_id,
+         round(list_dot_product(qe.v, ne.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS sim
+  FROM pairs p JOIN e qe ON qe.vec_id = p.q_id JOIN e ne ON ne.vec_id = p.n_id
+)
+SELECT q_id, n_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def _scalar_trace_roundtrip(spark, sf_dir):
@@ -550,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _DEDUP_MINHASH_SQL,
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
@@ -557,4 +606,5 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_profile": _LANG_PROFILE_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
     }

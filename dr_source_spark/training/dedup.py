@@ -64,18 +64,52 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 8) -> DataFrame:
     return per_doc.select("doc_id", F.expr(stack_expr))
 
 
-def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 8, bands: int = 4) -> DataFrame:
-    """LSH banding: docs sharing any band signature become candidate pairs.
-    Returns (doc_a, doc_b) with doc_a < doc_b. Join is equi on (band,
-    band_sig) — broadcast-free, shuffle on narrow keys only."""
+def _band_signatures(documents: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes).withColumn(
         "band", (F.col("seed") / rows_per_band).cast("int")
     )
-    band_sigs = (
+    return (
         sigs.groupBy("doc_id", "band")
         .agg(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash")))).alias("band_sig"))
     )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 112,
+    bands: int = 14,
+    max_cluster: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+    Returns (doc_a, doc_b) with doc_a < doc_b. Join is equi on (band,
+    band_sig) — broadcast-free, shuffle on narrow keys only.
+
+    Scale parameters: rows-per-band r = num_hashes/bands. The defaults
+    (112/14 → r=8) put the S-curve threshold near Jaccard ≈ 0.7 —
+    P(candidate) = 1-(1-s^8)^14 is ~1.0 at s=0.9, 0.56 at s=0.7, 5% at
+    s=0.5 — so the candidate set tracks the true near-duplicate pairs
+    instead of degenerating toward all-pairs (r=2 collides at s² per band:
+    at corpus scale that is a quadratic blowup).
+
+    max_cluster caps the per-(band, band_sig) group size: a viral duplicate
+    cluster of g docs would otherwise emit g(g-1)/2 pairs from a single
+    band group (10^12 pairs for a million-doc cluster). Groups above the
+    cap are dropped — deterministically, so oracles can reproduce the
+    output — and surfaced by ``lsh_oversized_clusters`` for observability;
+    such clusters are near-identical text and are handled by the cheaper
+    exact-dedup pass. The group count uses a map-side partial aggregate
+    (narrow keys), so a hot signature never pins one task before the cap.
+    Set max_cluster=0 to disable."""
+    band_sigs = _band_signatures(documents, num_hashes, bands)
+    if max_cluster:
+        kept = (
+            band_sigs.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_cluster)
+            .select("band", "band_sig")
+        )
+        band_sigs = band_sigs.join(kept, ["band", "band_sig"], "left_semi")
     left = band_sigs.alias("l")
     right = band_sigs.alias("r")
     pairs = (
@@ -84,6 +118,23 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 8, bands: int
         .distinct()
     )
     return pairs
+
+
+def lsh_oversized_clusters(
+    documents: DataFrame,
+    num_hashes: int = 112,
+    bands: int = 14,
+    max_cluster: int = 1000,
+) -> DataFrame:
+    """The (band, band_sig, n_docs) groups that minhash_lsh_candidates drops
+    under ``max_cluster`` — materialize alongside the candidates so the drop
+    is an observable metric, never silent truncation."""
+    return (
+        _band_signatures(documents, num_hashes, bands)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_cluster)
+    )
 
 
 def ngram_jaccard(documents: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -107,23 +158,47 @@ def ngram_jaccard(documents: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word xxhash64 values (JVM-side; bit votes via
-    aggregate over exploded words)."""
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over portable md5 word hashes, returned as a 16-char
+    hex string (JVM-side; bit votes via aggregate over exploded words).
+
+    The word hash is the md5 hex digest's first 16 nibbles — the same
+    portable family minhash_signatures uses — so any ANSI-SQL engine
+    reproduces the signature bit-for-bit (no xxhash64, no signed-64 sign-bit
+    ambiguity). Output nibble p (1-based, most-significant first) is the
+    majority vote of input nibble p across the document's distinct words;
+    ties vote 0."""
     sc = documents.sparkSession.sparkContext
     words = documents.repartition(sc.defaultParallelism, "doc_id").select(
         "doc_id", F.explode(_words()).alias("word")
     )
-    hashed = words.withColumn("h", F.xxhash64("word"))
-    one = F.lit(1).cast("long")
-    bit_cols = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(bits)
+    hashed = words.withColumn("h", F.md5("word"))
+    # 16 nibbles × 4 bits: vote v(p,k) over bit (3-k) of hex digit p
+    digit = [F.conv(F.substring(F.col("h"), p, 1), 16, 10).cast("int") for p in range(1, 17)]
+    vote_cols = [
+        F.sum(
+            F.when(F.shiftright(digit[p], 3 - k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{p}_{k}")
+        for p in range(16)
+        for k in range(4)
     ]
-    votes = hashed.groupBy("doc_id").agg(*bit_cols)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        # bit 63 lands on the sign bit — the signature is a signed 64-bit
-        # value, consistent as long as producers/consumers agree.
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", sig.alias("simhash"))
+    votes = hashed.groupBy("doc_id").agg(*vote_cols)
+    nibbles = []
+    for p in range(16):
+        val = sum(
+            (F.when(F.col(f"v{p}_{k}") > 0, F.lit(1 << (3 - k))).otherwise(F.lit(0)))
+            for k in range(4)
+        )
+        nibbles.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+    return votes.select("doc_id", F.concat(*nibbles).alias("simhash"))
+
+
+def simhash_hamming(a, b):
+    """Hamming distance between two 16-nibble hex simhash columns (JVM-side:
+    per-nibble XOR popcount via bit_count)."""
+    dist = F.lit(0)
+    for p in range(1, 17):
+        da = F.conv(F.substring(a, p, 1), 16, 10).cast("int")
+        db = F.conv(F.substring(b, p, 1), 16, 10).cast("int")
+        dist = dist + F.bit_count(da.bitwiseXOR(db))
+    return dist

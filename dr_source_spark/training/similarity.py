@@ -68,6 +68,24 @@ def brute_force_topk(
     )
 
 
+def rademacher_planes(num_planes: int, dim: int = 64, seed: int = 42) -> List[List[float]]:
+    """Deterministic sign-random-projection hyperplanes with ±1 entries,
+    derived from md5 (a portable, engine-independent source of pseudo-random
+    bits): entry (j, d) is +1 iff the first md5 nibble of "seed:j:d" is even.
+    Rademacher entries are a valid LSH family for cosine (Charikar sim-hash
+    with sign projections), and the construction is reproducible by any
+    engine with md5 — the DuckDB oracle embeds the identical literal planes."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     num_planes: int = 8,
@@ -76,17 +94,10 @@ def hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH signature (deterministic seeded planes generated
-    driver-side with a tiny LCG — no numpy required on executors)."""
-    def lcg(state: int):
-        while True:
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            yield (state >> 33) / float(1 << 31) - 1.0  # [-1, 1)
-
-    gen = lcg(seed)
-    planes = [[next(gen) for _ in range(dim)] for _ in range(num_planes)]
+    """Random-hyperplane LSH signature over deterministic md5-derived ±1
+    planes (portable: oracles reproduce the buckets bit-for-bit)."""
     sig = F.lit("")
-    for p in planes:
+    for p in rademacher_planes(num_planes, dim, seed):
         plane_col = F.array(*[F.lit(x) for x in p])
         bit = F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit("1")).otherwise(F.lit("0"))
         sig = F.concat(sig, bit)
@@ -119,25 +130,60 @@ def embedding_near_duplicates(
     return pairs
 
 
+def multitable_signatures(
+    embeddings: DataFrame,
+    num_tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-construction LSH: L independent hash tables of b planes each →
+    long-format (vec_id, tbl, bucket). A neighbor is a candidate if it
+    collides in ANY table — P(candidate) = 1-(1-p^b)^L, the standard recall
+    lever for sign-LSH. Emitted via a single projection + explode (one pass
+    over the vectors; no per-table scans)."""
+    entries = []
+    for t in range(num_tables):
+        sig = F.lit("")
+        for p in rademacher_planes(planes_per_table, dim, seed * 10_000 + t):
+            plane_col = F.array(*[F.lit(x) for x in p])
+            bit = F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            sig = F.concat(sig, bit)
+        entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*entries)).alias("tb")
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: List[int],
     k: int = 3,
-    num_planes: int = 8,
+    num_tables: int = 16,
+    planes_per_table: int = 4,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates."""
-    sigs = hyperplane_signatures(embeddings, num_planes, seed, dim)
+    """Approximate top-k: score only candidates colliding with the query in
+    at least one of the L hash tables (equi-join on (tbl, bucket) — never
+    all-pairs). Defaults hold recall@k ≥ 0.9 vs brute_force_topk on the
+    driver embeddings (tests/test_training_ops.py gate); at larger corpus
+    scale raise planes_per_table to shrink buckets and num_tables to hold
+    recall. Planes are portable md5-derived ±1 vectors, so the DuckDB
+    oracle reproduces the buckets exactly."""
+    sigs = multitable_signatures(embeddings, num_tables, planes_per_table, seed, dim)
     emb = embeddings.join(sigs, "vec_id")
     queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), F.col("bucket")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "tbl", "bucket"
     )
-    cand = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"), F.col("bucket"))
+    cand = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"), "tbl", "bucket")
     scored = (
-        cand.join(F.broadcast(queries), ["bucket"])
+        cand.join(F.broadcast(queries), ["tbl", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("sim", F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "n_id", F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"))
+        .distinct()  # a pair colliding in several tables scores once
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (

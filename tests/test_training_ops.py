@@ -66,11 +66,63 @@ def test_simhash_near_identical(spark):
         "doc_id long, text string",
     )
     sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert all(len(s) == 16 for s in sigs.values())  # portable hex form
 
     def hamming(a, b):
-        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
 
     assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_simhash_hamming_column_matches_python(spark):
+    from dr_source_spark.training.dedup import simhash, simhash_hamming
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df)
+    a = sigs.filter(F.col("doc_id") == 1).select(F.col("simhash").alias("sa"))
+    b = sigs.filter(F.col("doc_id") == 2).select(F.col("simhash").alias("sb"))
+    row = a.crossJoin(b).select(
+        "sa", "sb", simhash_hamming(F.col("sa"), F.col("sb")).alias("d")
+    ).first()
+    assert row.d == bin(int(row.sa, 16) ^ int(row.sb, 16)).count("1")
+
+
+def test_lsh_cluster_cap_drops_viral_group_observably(spark):
+    from dr_source_spark.training.dedup import lsh_oversized_clusters, minhash_lsh_candidates
+
+    # 12 identical docs = one viral cluster (66 pairs), plus one true pair
+    rows = [(i, "viral duplicate cluster text") for i in range(12)]
+    rows += [(100, "unique pair of documents"), (101, "unique pair of documents")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_candidates(df, num_hashes=16, bands=2, max_cluster=0)
+    capped = minhash_lsh_candidates(df, num_hashes=16, bands=2, max_cluster=10)
+    assert {(r.doc_a, r.doc_b) for r in capped.collect()} == {(100, 101)}
+    assert uncapped.count() == 66 + 1
+    # the drop is observable, never silent
+    dropped = lsh_oversized_clusters(df, num_hashes=16, bands=2, max_cluster=10).collect()
+    assert {r.n_docs for r in dropped} == {12}
+
+
+def test_lsh_scale_defaults_shrink_candidates_at_equal_recall(docs):
+    """Round-2 banding (112/14, r=8) must emit far fewer candidates than the
+    round-1 defaults (8/4, r=2) while still catching every known duplicate."""
+    from dr_source_spark.training.dedup import minhash_lsh_candidates
+
+    base = docs.limit(60).select("doc_id", "text")
+    # known duplicates: exact copies shifted into a disjoint id space
+    copies = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = base.unionByName(copies)
+    known = {(r.doc_id, r.doc_id + 1_000_000) for r in base.collect()}
+
+    old = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(corpus, num_hashes=8, bands=4).collect()}
+    new = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(corpus).collect()}
+    assert known <= old and known <= new  # equal (full) recall on true dups
+    assert len(new) < len(old)
 
 
 def test_brute_force_topk_self_excluded(emb):
@@ -86,9 +138,21 @@ def test_brute_force_topk_self_excluded(emb):
 def test_lsh_topk_subset_of_bucket(emb):
     from dr_source_spark.training.similarity import lsh_bucketed_topk
 
-    out = lsh_bucketed_topk(emb, query_ids=[0, 1, 2], k=3, num_planes=4)
+    out = lsh_bucketed_topk(emb, query_ids=[0, 1, 2], k=3, planes_per_table=4)
     rows = out.collect()
     assert all(r.n_id != r.q_id for r in rows)
+
+
+def test_lsh_topk_recall_gate_vs_brute_force(emb):
+    """Approximate top-k is falsifiable: recall@k vs the exact baseline must
+    hold ≥ 0.9 at the default table/plane configuration."""
+    from dr_source_spark.training.similarity import brute_force_topk, lsh_bucketed_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, query_ids=qids, k=3).collect()}
+    approx = {(r.q_id, r.n_id) for r in lsh_bucketed_topk(emb, query_ids=qids, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@3 = {recall}"
 
 
 def test_quality_and_tokens(docs):
