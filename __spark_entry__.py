@@ -214,14 +214,21 @@ _CORPUS_RULES = [
 
 
 def _b1_regex_relational(spark, sf_dir):
-    # B1 as a pure-relational broadcast rule-dimension join (JVM RLIKE with a
-    # pattern COLUMN — the same plan shape as operators/regex_relational.py)
+    # B1 as a pure-relational plan (same shape as
+    # operators/regex_relational.py): the rule set is known at plan time, so
+    # each pattern is a LITERAL rlike branch — foldable, compiled once by the
+    # JVM — emitted as an array of matching rule structs and exploded.
     docs = _t(spark, sf_dir, "documents")
-    rules = spark.createDataFrame(_CORPUS_RULES, "rule_id string, pattern string, severity string")
-    return (
-        docs.crossJoin(F.broadcast(rules))
-        .filter(F.expr("text RLIKE pattern"))
-        .select("doc_id", "rule_id", "severity")
+    branches = [
+        F.when(
+            F.col("text").rlike(pattern),
+            F.struct(F.lit(rule_id).alias("rule_id"), F.lit(severity).alias("severity")),
+        )
+        for rule_id, pattern, severity in _CORPUS_RULES
+    ]
+    matched = F.filter(F.array(*branches), lambda m: m.isNotNull())
+    return docs.select("doc_id", F.explode(matched).alias("m")).select(
+        "doc_id", F.col("m.rule_id").alias("rule_id"), F.col("m.severity").alias("severity")
     )
 
 

@@ -63,6 +63,15 @@ _JAVA_FRAMEWORK_TOKENS = (
 )
 
 
+def _input_file_count(df: DataFrame) -> int:
+    """Driver-side metadata only — never triggers a job or an RDD plan
+    conversion. In-memory relations report 0."""
+    try:
+        return len(df.inputFiles())
+    except Exception:
+        return 0
+
+
 def _screen_specs(specs, content: str) -> list:
     """Category screening: a taint category can only produce hits if one of
     its sink identifiers occurs literally in the file text (sink matching
@@ -84,6 +93,9 @@ def _can_screen(lang: str, fn_index: Optional[Dict[str, Any]]) -> bool:
     return True  # php/ruby never consult the index
 
 
+TIER_ERROR_PLUGIN = "__tier_error__"
+
+
 def _analyze_one(
     repo: str,
     path: str,
@@ -94,13 +106,31 @@ def _analyze_one(
     fn_index: Optional[Dict[str, Any]],
     tiers: tuple,
     timeout_s: float = 0.0,
+    emit_errors: bool = False,
 ) -> List[Dict[str, Any]]:
-    """All findings for one file, reference plugin order: regex tier (the
-    catch-all), then the language AST tier, then the pattern tier; dedup on
-    (line, vuln_type, message) first-wins (scanner.py:176-180)."""
+    """All findings for one file, reference plugin order: extension-specific
+    plugins first (AST tier, then the pattern matcher), then the '.*'
+    catch-all regex tier (scanner.py:163-164 builds extension_map[ext] +
+    extension_map['.*']; tier order is unobservable through the dedup below
+    because the tiers' vuln_type/message namespaces are disjoint, but it IS
+    observable under a timeout). Dedup on (line, vuln_type, message)
+    first-wins (scanner.py:176-180).
+
+    Timeout/error semantics match the reference scanner loop: each tier is
+    isolated (a failing plugin only loses its own findings,
+    scanner.py:183-185), and when the deadline expires the findings already
+    accumulated are KEPT — the alarm only skips the remaining plugins
+    (scanner.py:165-188: earlier plugins' findings are already appended).
+    Checks happen between tiers, not mid-tier, so granularity is one tier.
+
+    emit_errors=True additionally appends one sentinel row (plugin =
+    TIER_ERROR_PLUGIN) per swallowed tier failure or timeout, so parse
+    failures are observable at corpus scale instead of silent finding loss;
+    off by default for exact reference parity."""
     from ..detectors import pattern_match, python_taint, regex_scan
 
     findings: List[Dict[str, Any]] = []
+    errors: List[Dict[str, Any]] = []
     import time
 
     deadline = time.monotonic() + timeout_s if timeout_s > 0 else None
@@ -108,45 +138,54 @@ def _analyze_one(
     def expired() -> bool:
         return deadline is not None and time.monotonic() > deadline
 
-    try:
-        if "regex" in tiers:
-            findings += regex_scan.analyze_regex(content, ext, ckb)
-        if "ast" in tiers and not expired():
-            if ext == ".py":
-                specs = ckb.taint.get("python", [])
-                if _can_screen("python", fn_index):
-                    specs = _screen_specs(specs, content)
-                findings += python_taint.analyze_python(content, specs, fn_index=fn_index)
-            elif ext in (".java",):
-                from ..detectors import java_taint
+    def _ast_tier() -> List[Dict[str, Any]]:
+        if ext == ".py":
+            specs = ckb.taint.get("python", [])
+            if _can_screen("python", fn_index):
+                specs = _screen_specs(specs, content)
+            return python_taint.analyze_python(
+                content, specs, fn_index=fn_index, raise_parse_errors=emit_errors
+            )
+        if ext == ".java":
+            from ..detectors import java_taint
 
-                specs = ckb.taint.get("java", [])
-                if _can_screen("java", fn_index) and not any(t in content for t in _JAVA_FRAMEWORK_TOKENS):
-                    specs = _screen_specs(specs, content)
-                findings += java_taint.analyze_java(content, specs, fn_index=fn_index)
-            elif ext in (".js", ".jsx", ".ts", ".tsx"):
-                from ..detectors import js_taint
+            specs = ckb.taint.get("java", [])
+            if _can_screen("java", fn_index) and not any(t in content for t in _JAVA_FRAMEWORK_TOKENS):
+                specs = _screen_specs(specs, content)
+            return java_taint.analyze_java(content, specs, fn_index=fn_index)
+        if ext in (".js", ".jsx", ".ts", ".tsx"):
+            from ..detectors import js_taint
 
-                specs = ckb.taint.get("javascript", [])
-                if _can_screen("javascript", fn_index):
-                    specs = _screen_specs(specs, content)
-                findings += js_taint.analyze_js(content, specs, fn_index=fn_index)
-            elif ext in (".php", ".phtml", ".php4", ".php5"):
-                from ..detectors import php_taint
+            specs = ckb.taint.get("javascript", [])
+            if _can_screen("javascript", fn_index):
+                specs = _screen_specs(specs, content)
+            return js_taint.analyze_js(content, specs, fn_index=fn_index)
+        if ext in (".php", ".phtml", ".php4", ".php5"):
+            from ..detectors import php_taint
 
-                findings += php_taint.analyze_php(content, _screen_specs(ckb.taint.get("php", []), content))
-            elif ext in (".rb", ".rake", ".gemspec"):
-                from ..detectors import ruby_taint
+            return php_taint.analyze_php(content, _screen_specs(ckb.taint.get("php", []), content))
+        if ext in (".rb", ".rake", ".gemspec"):
+            from ..detectors import ruby_taint
 
-                findings += ruby_taint.analyze_ruby(content, _screen_specs(ckb.taint.get("ruby", []), content))
-        if "pattern" in tiers and not expired():
-            findings += pattern_match.analyze_pattern(content, ext, ckb)
-    except Exception:  # reference plugins swallow per-file errors (scanner.py:183-185)
-        pass
-
-    if expired():
-        # reference: timed-out file contributes nothing (scanner.py:186-188)
+            return ruby_taint.analyze_ruby(content, _screen_specs(ckb.taint.get("ruby", []), content))
         return []
+
+    tier_fns = []
+    if "ast" in tiers:
+        tier_fns.append(("ast", _ast_tier))
+    if "pattern" in tiers:
+        tier_fns.append(("pattern", lambda: pattern_match.analyze_pattern(content, ext, ckb)))
+    if "regex" in tiers:
+        tier_fns.append(("regex", lambda: regex_scan.analyze_regex(content, ext, ckb)))
+
+    for tier_name, fn in tier_fns:
+        if expired():
+            errors.append({"tier": tier_name, "err": "timeout: remaining tiers skipped"})
+            break
+        try:
+            findings += fn()
+        except Exception as e:  # per-plugin isolation (scanner.py:183-185)
+            errors.append({"tier": tier_name, "err": f"{type(e).__name__}: {e}"})
 
     seen = set()
     out = []
@@ -160,6 +199,20 @@ def _analyze_one(
         f["cwe"] = ckb.cwe_by_type.get(f.pop("base_type", None) or "", None)
         f["base_type"] = f["vuln_type"].split(" (")[0]
         out.append(f)
+
+    if emit_errors:
+        for e in errors:
+            out.append(
+                {
+                    "repo": repo, "path": path, "commit": commit,
+                    "vuln_type": "__TIER_ERROR__",
+                    "message": f"{e['tier']}: {e['err']}"[:500],
+                    "severity": "INFO", "line": 0,
+                    "plugin": TIER_ERROR_PLUGIN, "trace": [],
+                    "rule_id": None, "cwe": None, "variable": None,
+                    "sink": None, "source": None, "base_type": "__TIER_ERROR__",
+                }
+            )
     return out
 
 
@@ -172,6 +225,7 @@ def run_detectors(
     repartition: Optional[int] = None,
     use_arrow: bool = True,
     fn_index_from_column: bool = False,
+    emit_tier_errors: bool = False,
 ) -> DataFrame:
     """files_df must carry (repo, path, commit, ext, content).
 
@@ -181,7 +235,11 @@ def run_detectors(
 
     fn_index_from_column: read each row's ``called_defs`` map (attached by
     operators/index_join.attach_called_defs) instead of a global broadcast —
-    the inter-file path that needs no driver collect at any corpus scale."""
+    the inter-file path that needs no driver collect at any corpus scale.
+
+    emit_tier_errors: append one sentinel row (plugin = TIER_ERROR_PLUGIN)
+    per swallowed tier failure/timeout so parse failures become an
+    observable metric at corpus scale (pipeline.extract splits them off)."""
     from ..deploy import ensure_shipped
 
     spark = files_df.sparkSession
@@ -197,9 +255,12 @@ def run_detectors(
     else:
         # A small/compacted corpus can arrive as fewer splits than cores —
         # the CPU-bound detector stage must never be narrower than the
-        # cluster. At real scale (many input splits) this is a no-op.
+        # cluster. Decided from driver-side file metadata (len(inputFiles):
+        # no Spark job, no df.rdd plan conversion); an in-memory relation
+        # reports zero input files and also repartitions. At real scale
+        # (more input files than cores) this is a no-op.
         target = spark.sparkContext.defaultParallelism
-        if narrow.rdd.getNumPartitions() < target:
+        if _input_file_count(narrow) < target:
             narrow = narrow.repartition(target, "repo", "path")
 
     def _norm_map(cell) -> Optional[Dict[str, Any]]:
@@ -219,7 +280,7 @@ def run_detectors(
                 rows.extend(
                     _analyze_one(
                         repo, path, commit, ext or "", content, ckb_local,
-                        _norm_map(defs), tiers, per_file_timeout_s,
+                        _norm_map(defs), tiers, per_file_timeout_s, emit_tier_errors,
                     )
                 )
             return rows
@@ -227,7 +288,10 @@ def run_detectors(
             if content is None:
                 continue
             rows.extend(
-                _analyze_one(repo, path, commit, ext or "", content, ckb_local, fn_index, tiers, per_file_timeout_s)
+                _analyze_one(
+                    repo, path, commit, ext or "", content, ckb_local, fn_index,
+                    tiers, per_file_timeout_s, emit_tier_errors,
+                )
             )
         return rows
 

@@ -43,9 +43,11 @@ def canonicalize_findings(
             F.min("_c").alias("_c"), F.count("*").alias("n_variants")
         )
     else:
-        salted = df.select(*keys, canon).withColumn(
-            "_salt", F.pmod(F.xxhash64(*keys), F.lit(salt_buckets))
-        )
+        from .skew import row_salt
+
+        # row-varying salt: a key-derived salt is constant per key and
+        # would leave the hot key on a single reducer (see skew.row_salt)
+        salted = df.select(*keys, canon).withColumn("_salt", row_salt(salt_buckets))
         partial = salted.groupBy(*keys, "_salt").agg(
             F.min("_c").alias("_c"), F.count("*").alias("_n")
         )

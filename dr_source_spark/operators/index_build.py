@@ -71,7 +71,9 @@ def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> Dat
     langs = ["java", "javascript"] + (["python"] if include_python else [])
     narrow = files_df.filter(F.col("lang").isin(langs)).select("repo", "path", "lang", "content")
     target = files_df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
+    from .analyze import _input_file_count
+
+    if _input_file_count(narrow) < target:
         narrow = narrow.repartition(target, "repo", "path")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,9 +111,14 @@ def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> Dat
             )
 
     raw = narrow.mapInPandas(extract, PROJECT_INDEX)
-    # Last-registered wins (reference project_index.py:24-26): registration
-    # order is walk order — we use (path, order_id) as the deterministic
-    # equivalent and keep the lexicographically-last registration.
+    # Last-registered wins (reference project_index.py:24-26). DELIBERATE
+    # DEVIATION: the reference's registration order is os.walk visit order —
+    # filesystem-dependent and irreproducible on a distributed read — so we
+    # use (path, order_id) lexicographic order as the deterministic
+    # equivalent and keep the lexicographically-last registration. When the
+    # same symbol is defined in multiple files the simulated callee can
+    # therefore differ from a given reference run; within one file the
+    # order_id tiebreak matches the reference exactly.
     w = Window.partitionBy("name").orderBy(F.desc("path"), F.desc("order_id"))
     return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
@@ -141,12 +148,19 @@ def restrict_index_to_called_names(index_df: DataFrame, files_df: DataFrame) -> 
     return index_df.join(called, "name", "left_semi")
 
 
-def broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int = 500_000):
-    """Collect the surviving defs and broadcast as a plain dict
-    {name → {path, lang, def_source, params}} for O(1) lookups inside the
-    detector UDFs. Caps at max_entries as a safety valve (callers should
-    restrict_to_names first at scale)."""
-    rows = index_df.limit(max_entries).collect()
+def try_broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int = 500_000):
+    """Collect up to max_entries+1 surviving defs in ONE job (no separate
+    count() pre-check) and broadcast as a plain dict {name → {path, lang,
+    def_source, params}} for O(1) lookups inside the detector UDFs.
+
+    Returns None when the index exceeds the budget — never a silently
+    truncated broadcast (an arbitrary subset of defs would make inter-file
+    findings disappear with no signal). Callers restrict the index
+    (restrict_index_to_called_names) or switch to join mode
+    (operators/index_join.attach_called_defs)."""
+    rows = index_df.limit(max_entries + 1).collect()
+    if len(rows) > max_entries:
+        return None
     table: Dict[str, Dict[str, Any]] = {}
     for r in rows:
         table[r["name"]] = {
@@ -158,3 +172,15 @@ def broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int =
             "params": list(r["params"] or []),
         }
     return spark.sparkContext.broadcast(table)
+
+
+def broadcast_index(spark: SparkSession, index_df: DataFrame, max_entries: int = 500_000):
+    """try_broadcast_index that raises instead of returning None — for
+    callers with no fallback path."""
+    bc = try_broadcast_index(spark, index_df, max_entries)
+    if bc is None:
+        raise ValueError(
+            f"symbol index exceeds the broadcast budget ({max_entries} entries): "
+            "restrict_index_to_called_names first, or use interfile_mode='join'"
+        )
+    return bc

@@ -25,10 +25,14 @@ def dedup_findings_salted(
     key: Sequence[str] = ("path", "line", "vuln_type", "message"),
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """A6 under heavy key skew (mega-repos): two-phase salted dedup — salt
-    the groupBy key, drop duplicates per salted group, then a final dedup on
-    the true key. Phase 1 spreads a hot key over `salt_buckets` reducers."""
-    salted = findings.withColumn("_salt", F.pmod(F.hash(*[F.col(c) for c in key]), F.lit(salt_buckets)))
+    """A6 under heavy key skew (mega-repos): two-phase salted dedup — a
+    ROW-varying salt (see skew.row_salt: a key-derived salt would be
+    constant per key and spread nothing), drop duplicates per salted group,
+    then a final dedup on the true key. Phase 1 spreads a hot key over up
+    to `salt_buckets` reducers."""
+    from .skew import row_salt
+
+    salted = findings.withColumn("_salt", row_salt(salt_buckets))
     phase1 = salted.dropDuplicates(list(key) + ["_salt"])
     return phase1.dropDuplicates(list(key)).drop("_salt")
 

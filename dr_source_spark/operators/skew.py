@@ -57,10 +57,23 @@ def repartition_by_size_buckets(
     return salted.repartition(num_partitions, "repo", "_salt").drop("_salt", "bucket")
 
 
+def row_salt(salt_buckets: int):
+    """A ROW-varying salt column for two-phase skewed aggregations.
+
+    The salt must vary across rows of the SAME key — a salt derived from the
+    grouping key (hash(key) % buckets) is constant per key, so every row of
+    a hot key still lands on one reducer and the 'salting' is a no-op.
+    monotonically_increasing_id is consecutive within a partition, so modulo
+    spreads a hot key's rows evenly over `salt_buckets` partial groups; any
+    salt value yields the same final result, so the nondeterminism across
+    retries is harmless for the min/count/sum phase-2 merges used here."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+
+
 def salted_group_count(df: DataFrame, key_cols, salt_buckets: int = 16) -> DataFrame:
     """Two-phase count per key under skew: salted partial counts, then the
     final unsalted sum (hot keys spread over `salt_buckets` reducers)."""
     keys = list(key_cols)
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*keys), F.lit(salt_buckets)))
+    salted = df.withColumn("_salt", row_salt(salt_buckets))
     partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias("n"))

@@ -30,6 +30,10 @@ class ExtractionResult:
     nodes: DataFrame
     edges: DataFrame
     run_id: str
+    # per-file tier failures/timeouts the reference would swallow silently
+    # (scanner.py:183-188) — surfaced as a DataFrame (repo, path, commit,
+    # message) so parse-failure loss is observable at corpus scale
+    tier_errors: Optional[DataFrame] = None
     _cached: Optional[DataFrame] = None
 
     def cleanup(self) -> None:
@@ -68,14 +72,23 @@ def extract(
         files = attach_called_defs(files, build_symbol_index(files))
         fn_index_from_column = True
     elif enable_interfile:
-        from .operators.index_build import restrict_index_to_called_names
+        from .operators.index_build import restrict_index_to_called_names, try_broadcast_index
 
         index_df = build_symbol_index(files).persist()
-        # the called-names pre-pass re-scans every file's content — worth it
-        # only when the raw index would strain the broadcast budget
-        if index_df.count() > 50_000:
-            index_df = restrict_index_to_called_names(index_df, files)
-        fn_index_bc = broadcast_index(spark, index_df)
+        # ONE collect decides: ≤50k defs broadcast directly (the common
+        # case costs one job, no count() pre-pass); otherwise restrict to
+        # names that appear as call targets (re-scans content — worth it
+        # only past the budget); if even that overflows, fall back to join
+        # mode rather than silently truncating the index.
+        fn_index_bc = try_broadcast_index(spark, index_df, max_entries=50_000)
+        if fn_index_bc is None:
+            restricted = restrict_index_to_called_names(index_df, files)
+            fn_index_bc = try_broadcast_index(spark, restricted, max_entries=500_000)
+        if fn_index_bc is None:
+            from .operators.index_join import attach_called_defs
+
+            files = attach_called_defs(files, index_df)
+            fn_index_from_column = True
 
     findings = run_detectors(
         files,
@@ -84,7 +97,15 @@ def extract(
         per_file_timeout_s=per_file_timeout_s,
         repartition=repartition,
         fn_index_from_column=fn_index_from_column,
+        emit_tier_errors=True,
     )
+    from .operators.analyze import TIER_ERROR_PLUGIN
+
+    tier_errors = (
+        findings.filter(F.col("plugin") == TIER_ERROR_PLUGIN)
+        .select("repo", "path", "commit", "message")
+    )
+    findings = findings.filter(F.col("plugin") != TIER_ERROR_PLUGIN)
     # run-level metrics ride on the DataFrame (collected by whatever action
     # materializes it; complements the per-split lineage table)
     findings = findings.observe(
@@ -95,4 +116,6 @@ def extract(
     )
     triples = findings_to_triples(findings, run_id=run_id)
     nodes, edges = triples_to_nodes_edges(triples)
-    return ExtractionResult(findings, triples, nodes, edges, run_id, _cached=files)
+    return ExtractionResult(
+        findings, triples, nodes, edges, run_id, tier_errors=tier_errors, _cached=files
+    )

@@ -67,12 +67,19 @@ def corpus_from_dir(
     return spark.createDataFrame(rows, SOURCE_FILES)
 
 
-def ingest_source_files(df: DataFrame) -> DataFrame:
+def ingest_source_files(df: DataFrame, apply_ignore_rules: bool = True) -> DataFrame:
     """Ingest stage: derive ``ext``/``lang``, the sha256 invariant column and
     size, and apply the ignore filter relationally (JVM-side, codegen).
 
     ``sha2(content, 256)`` hashes the UTF-8 bytes of the normalized content
     string — the per-row invariant vs the reference corpus.
+
+    DELIBERATE DEVIATION: apply_ignore_rules=True enforces the reference's
+    *intended* dir/extension ignore semantics (core/scanner.py:41-50); the
+    reference's actual dir-skip loop is a no-op bug (scanner.py:108-110), so
+    a live reference run DOES scan node_modules/vendor/dist/etc. Pass
+    apply_ignore_rules=False to reproduce that observed behavior on corpora
+    that contain such directories (the parity fixtures never do).
     """
     ext_expr = F.regexp_extract(F.col("path"), r"(\.[^./\\]+)$", 1)
     df = (
@@ -92,6 +99,8 @@ def ingest_source_files(df: DataFrame) -> DataFrame:
         .withColumn("size_bytes", F.octet_length(F.col("content")).cast("long"))
     )
 
+    if not apply_ignore_rules:
+        return df
     ignored_ext = ~F.col("ext").isin(IGNORED_EXTENSIONS)
     # intended dir rule: no path segment equals an ignored dir name
     seg_pattern = "(^|/)(" + "|".join(d.replace(".", r"\.") for d in IGNORED_DIRS) + ")(/)"

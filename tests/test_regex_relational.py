@@ -28,9 +28,14 @@ def test_relational_equals_udf_tier(both):
     assert {_key(r) for r in udf_tier.collect()} == {_key(r) for r in rel_tier.collect()}
 
 
-def test_relational_plan_is_jvm_only(both):
+def test_relational_plan_is_jvm_only_with_foldable_patterns(both):
     _udf_tier, rel_tier = both
     plan = rel_tier._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "PythonUDF" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # no join at all: the rule set is evaluated as literal RLIKE branches in
+    # one projection, so the JVM compiles each pattern once per plan
+    assert "Join" not in plan
     assert "Generate explode" in plan or "Generate posexplode" in plan
+    # patterns appear as literals, not as a pattern column
+    assert "RLIKE line_text" not in plan
+    assert plan.count("RLIKE") >= 10

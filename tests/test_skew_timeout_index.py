@@ -42,13 +42,99 @@ def test_per_file_timeout_drops_findings(spark, fixture_corpus):
 
     ckb = compile_kb(load_kb(project_dir="/nonexistent"))
     files = ingest_source_files(fixture_corpus)
-    # an impossible budget: every file's AST tier hits the deadline → the
-    # timed-out file contributes nothing (reference scanner.py:186-188),
-    # but the regex tier (before the first deadline check) already ran —
-    # so the reference-exact semantics is all-or-nothing per file
+    # an impossible budget: the deadline has expired before the FIRST tier
+    # starts, so every tier is skipped and the file contributes nothing —
+    # matching the reference when the alarm fires inside the first plugin
     n_normal = run_detectors(files, ckb).count()
     n_timeout = run_detectors(files, ckb, per_file_timeout_s=1e-9).count()
     assert n_timeout == 0 < n_normal
+
+
+def test_timeout_keeps_findings_from_completed_tiers(monkeypatch):
+    """Reference semantics (scanner.py:165-188): findings appended by plugins
+    that completed before the alarm are KEPT; only remaining plugins are
+    skipped. Simulated with a fake clock: each expired() check advances time
+    by 1s, so a 1.5s budget lets exactly the first tier (AST) run."""
+    import time as time_mod
+
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.operators.analyze import _analyze_one
+
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    content = (
+        "import os\nfrom flask import request\n"
+        "def h():\n    c = request.args.get('x')\n    os.system(c)\n"
+        "password = 'supersecretvalue'\n"
+    )
+    full = _analyze_one("r", "a.py", "c", ".py", content, ckb, None, ("ast", "pattern", "regex"))
+    ast_only = [f for f in full if f["plugin"] != "General Regex Analyzer"]
+    regex_part = [f for f in full if f["plugin"] == "General Regex Analyzer"]
+    assert ast_only and regex_part  # both tiers genuinely fire on this file
+
+    ticks = iter(range(100))
+    monkeypatch.setattr(time_mod, "monotonic", lambda: float(next(ticks)))
+    # deadline = t0(=0) + 1.5; checks before ast (t=1, ok), pattern (t=2,
+    # expired) → AST findings kept, pattern+regex skipped
+    partial = _analyze_one(
+        "r", "a.py", "c", ".py", content, ckb, None, ("ast", "pattern", "regex"), timeout_s=1.5
+    )
+    keyf = lambda f: (f["line"], f["vuln_type"], f["message"])  # noqa: E731
+    assert {keyf(f) for f in partial} == {keyf(f) for f in ast_only}
+
+
+def test_tier_errors_are_observable_not_silent(spark):
+    """A file whose AST tier crashes (unparseable under a taint walk) still
+    yields regex findings, and extract() surfaces the failure as a
+    tier_errors row instead of silent finding loss."""
+    from dr_source_spark.pipeline import extract
+
+    files = spark.createDataFrame(
+        [
+            # invalid python (SyntaxError in the AST tier) with a regex hit
+            ("r", "bad.py", "c", None, "def broken(:\npassword = 'supersecretvalue'\n"),
+            ("r", "ok.py", "c", None, "import os\nx = 1\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    res = extract(spark, files, run_id="errs")
+    errs = res.tier_errors.collect()
+    assert any(r.path == "bad.py" and r.message.startswith("ast:") for r in errs)
+    # the regex tier still ran on the broken file (per-tier isolation)
+    assert res.findings.filter(
+        (F.col("path") == "bad.py") & (F.col("plugin") == "General Regex Analyzer")
+    ).count() > 0
+    # findings stream carries no sentinel rows
+    assert res.findings.filter(F.col("vuln_type") == "__TIER_ERROR__").count() == 0
+
+
+def test_salted_helpers_actually_spread_hot_keys(spark):
+    """The salt must vary per ROW of a hot key (a key-derived salt is
+    constant per key and spreads nothing)."""
+    from dr_source_spark.operators.skew import row_salt
+
+    hot = spark.range(0, 1000).select(F.lit("hot_key").alias("k"), F.col("id"))
+    n_salts = hot.select(row_salt(16).alias("s")).distinct().count()
+    assert n_salts > 1
+
+
+def test_broadcast_index_overflow_raises_not_truncates(spark):
+    from dr_source_spark.operators.index_build import (
+        broadcast_index,
+        build_symbol_index,
+        try_broadcast_index,
+    )
+    from dr_source_spark.sources.corpus import ingest_source_files
+
+    df = spark.createDataFrame(
+        [("r", f"f{i}.js", "c", None, f"function fn{i}(a) {{ return a; }}") for i in range(8)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_symbol_index(ingest_source_files(df))
+    assert try_broadcast_index(spark, idx, max_entries=4) is None
+    with pytest.raises(ValueError, match="broadcast budget"):
+        broadcast_index(spark, idx, max_entries=4)
+    bc = broadcast_index(spark, idx, max_entries=100)
+    assert len(bc.value) == 8
 
 
 def test_symbol_index_last_wins(spark):
