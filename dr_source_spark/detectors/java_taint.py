@@ -216,94 +216,38 @@ class JavaTaintEngine:
             return "source", name
         return None, None
 
-    # -- walk -------------------------------------------------------------------
+    # -- per-node state transitions (traversal lives in _Walker) ---------------
 
-    def run(self, program: Dict) -> None:
-        for cls in program.get("classes", []):
-            self._visit_class(cls)
-
-    def _visit_class(self, cls: Dict) -> None:
-        # pre-register methods (reference taint_visitor.py:120-126): calls
-        # textually before a method's definition still resolve.
-        for m in cls.get("methods", []):
-            self.functions[m["name"]] = m
-        members = sorted(
-            cls.get("fields", []) + cls.get("methods", []) + cls.get("inner", []),
-            key=lambda n: n.get("line", 0),
-        )
-        for member in members:
-            if member["t"] == "method":
-                self._visit_method(member)
-            elif member["t"] == "class":
-                self._visit_class(member)
-            else:
-                self._visit_stmt(member)
-
-    def _visit_method(self, m: Dict) -> None:
-        push = not self.skip_first_scope
+    def _push_scope(self) -> bool:
         if self.skip_first_scope:
             self.skip_first_scope = False
-        if push:
-            self.scopes.append({})
-            self.consts.append({})
-        for p in m["params"]:
-            if any(x in p["name"].lower() for x in PII_NAMES):
+            return False
+        self.scopes.append({})
+        self.consts.append({})
+        return True
+
+    def _pop_scope(self, pushed: bool) -> None:
+        if pushed:
+            self.consts.pop()
+            self.scopes.pop()
+
+    def _enter_param(self, p: Dict) -> None:
+        if any(x in p["name"].lower() for x in PII_NAMES):
+            self.taint(
+                p["name"],
+                {"source": f"Sensitive parameter: {p['name']}",
+                 "trace": [f"Sensitive data in parameter {p['name']} at line {p['line']}"]},
+            )
+        for ann in p.get("annotations", []):
+            tail = ann.split(".")[-1]
+            mapper = "SpringBootMapper" if tail in SPRING_ANNOTATIONS else (
+                "JaxRsMapper" if tail in JAXRS_ANNOTATIONS else None
+            )
+            if mapper:
                 self.taint(
                     p["name"],
-                    {"source": f"Sensitive parameter: {p['name']}",
-                     "trace": [f"Sensitive data in parameter {p['name']} at line {p['line']}"]},
+                    {"source": "Framework", "trace": [f"Tainted by {mapper} at line {p['line']}"]},
                 )
-            for ann in p.get("annotations", []):
-                tail = ann.split(".")[-1]
-                mapper = "SpringBootMapper" if tail in SPRING_ANNOTATIONS else (
-                    "JaxRsMapper" if tail in JAXRS_ANNOTATIONS else None
-                )
-                if mapper:
-                    self.taint(
-                        p["name"],
-                        {"source": "Framework", "trace": [f"Tainted by {mapper} at line {p['line']}"]},
-                    )
-        self._visit_block(m["body"])
-        if push:
-            self.consts.pop()
-            self.scopes.pop()
-
-    def _visit_block(self, block: Dict) -> None:
-        push = not self.skip_first_scope
-        if self.skip_first_scope:
-            self.skip_first_scope = False
-        if push:
-            self.scopes.append({})
-            self.consts.append({})
-        for s in block.get("stmts", []):
-            self._visit_stmt(s)
-        if push:
-            self.consts.pop()
-            self.scopes.pop()
-
-    def _visit_stmt(self, s: Optional[Dict]) -> None:
-        if s is None:
-            return
-        t = s["t"]
-        if t == "block":
-            self._visit_block(s)
-        elif t == "vardecl":
-            if s.get("value") is not None:
-                self._assign(s["name"], s["value"], s["line"])
-                self._visit_expr(s["value"])
-        elif t == "declgroup":
-            for d in s["decls"]:
-                self._visit_stmt(d)
-        elif t == "ctrl":
-            for c in s.get("cond", []):
-                self._visit_expr(c)
-            self._visit_stmt(s.get("body"))
-        elif t == "ret":
-            self._visit_expr(s.get("e"))
-        elif t == "exprstmt":
-            self._visit_expr(s.get("e"))
-        elif t == "method":
-            self._visit_method(s)
 
     def _assign(self, path: str, value: Dict, line: int) -> None:
         kind, name = self._classify(value, var_name=path)
@@ -324,40 +268,6 @@ class JavaTaintEngine:
                 self.taint(path, {"source": info["source"], "trace": info["trace"] + [f"Propagated to {path} at line {line}"]})
                 return
         self.untaint(path)
-
-    def _visit_expr(self, e: Optional[Dict]) -> None:
-        if e is None or not isinstance(e, dict):
-            return
-        t = e["t"]
-        if t == "assign":
-            p = _path(e["target"])
-            if p and e.get("value") is not None:
-                self._assign(p, e["value"], e["line"])
-            self._visit_expr(e["target"])
-            self._visit_expr(e.get("value"))
-        elif t == "call":
-            self._handle_call(e)
-            self._visit_expr(e["callee"]["obj"] if e["callee"]["t"] == "member" else e["callee"])
-            for a in e["args"]:
-                self._visit_expr(a)
-        elif t == "binary":
-            self._visit_expr(e["l"])
-            self._visit_expr(e["r"])
-        elif t == "unary":
-            self._visit_expr(e["e"])
-        elif t == "new":
-            for a in e["args"]:
-                self._visit_expr(a)
-        elif t == "index":
-            self._visit_expr(e["obj"])
-            self._visit_expr(e["idx"])
-        elif t == "ternary":
-            self._visit_expr(e["c"])
-            self._visit_expr(e["a"])
-            self._visit_expr(e["b"])
-        elif t == "template":
-            for part in e["parts"]:
-                self._visit_expr(part)
 
     def _handle_call(self, call: Dict) -> None:
         method = _call_method_name(call)
@@ -440,7 +350,7 @@ class JavaTaintEngine:
             # taint_visitor.py:247) — transitive local chains do not resolve,
             # only project-index callees do.
             sub = JavaTaintEngine(self.spec, self.fn_index, self.depth + 1, seed_scope=seeded)
-            sub._visit_block(func["body"])
+            _Walker([sub]).visit_block(func["body"])
             self.hits.extend(sub.hits)
 
     def _simulate_remote(self, call: Dict, entry: Dict[str, Any], method: str) -> None:
@@ -460,8 +370,124 @@ class JavaTaintEngine:
         seeded = self._bind_args(call, [p["name"] for p in func["params"]], loc)
         if seeded:
             sub = JavaTaintEngine(self.spec, self.fn_index, self.depth + 1, seed_scope=seeded)
-            sub._visit_block(func["body"])
+            _Walker([sub]).visit_block(func["body"])
             self.hits.extend(sub.hits)
+
+
+class _Walker:
+    """ONE traversal of the parsed program driving N per-category engines in
+    lockstep (the fusion the Python tier already does with _MultiWalk): the
+    AST is visited once per FILE instead of once per category. Each engine
+    keeps its own scope/taint/const state; the walker only owns structure.
+    Semantics-preserving because engines never interact and the reference
+    walks each category over the identical node sequence."""
+
+    def __init__(self, engines: List["JavaTaintEngine"]):
+        self.engines = engines
+
+    def run(self, program: Dict) -> None:
+        for cls in program.get("classes", []):
+            self.visit_class(cls)
+
+    def _push(self) -> List[bool]:
+        return [e._push_scope() for e in self.engines]
+
+    def _pop(self, pushed: List[bool]) -> None:
+        for e, p in zip(self.engines, pushed):
+            e._pop_scope(p)
+
+    def visit_class(self, cls: Dict) -> None:
+        # pre-register methods (reference taint_visitor.py:120-126): calls
+        # textually before a method's definition still resolve.
+        for m in cls.get("methods", []):
+            for e in self.engines:
+                e.functions[m["name"]] = m
+        members = sorted(
+            cls.get("fields", []) + cls.get("methods", []) + cls.get("inner", []),
+            key=lambda n: n.get("line", 0),
+        )
+        for member in members:
+            if member["t"] == "method":
+                self.visit_method(member)
+            elif member["t"] == "class":
+                self.visit_class(member)
+            else:
+                self.visit_stmt(member)
+
+    def visit_method(self, m: Dict) -> None:
+        pushed = self._push()
+        for p in m["params"]:
+            for e in self.engines:
+                e._enter_param(p)
+        self.visit_block(m["body"])
+        self._pop(pushed)
+
+    def visit_block(self, block: Dict) -> None:
+        pushed = self._push()
+        for s in block.get("stmts", []):
+            self.visit_stmt(s)
+        self._pop(pushed)
+
+    def visit_stmt(self, s: Optional[Dict]) -> None:
+        if s is None:
+            return
+        t = s["t"]
+        if t == "block":
+            self.visit_block(s)
+        elif t == "vardecl":
+            if s.get("value") is not None:
+                for e in self.engines:
+                    e._assign(s["name"], s["value"], s["line"])
+                self.visit_expr(s["value"])
+        elif t == "declgroup":
+            for d in s["decls"]:
+                self.visit_stmt(d)
+        elif t == "ctrl":
+            for c in s.get("cond", []):
+                self.visit_expr(c)
+            self.visit_stmt(s.get("body"))
+        elif t == "ret":
+            self.visit_expr(s.get("e"))
+        elif t == "exprstmt":
+            self.visit_expr(s.get("e"))
+        elif t == "method":
+            self.visit_method(s)
+
+    def visit_expr(self, e: Optional[Dict]) -> None:
+        if e is None or not isinstance(e, dict):
+            return
+        t = e["t"]
+        if t == "assign":
+            p = _path(e["target"])
+            if p and e.get("value") is not None:
+                for eng in self.engines:
+                    eng._assign(p, e["value"], e["line"])
+            self.visit_expr(e["target"])
+            self.visit_expr(e.get("value"))
+        elif t == "call":
+            for eng in self.engines:
+                eng._handle_call(e)
+            self.visit_expr(e["callee"]["obj"] if e["callee"]["t"] == "member" else e["callee"])
+            for a in e["args"]:
+                self.visit_expr(a)
+        elif t == "binary":
+            self.visit_expr(e["l"])
+            self.visit_expr(e["r"])
+        elif t == "unary":
+            self.visit_expr(e["e"])
+        elif t == "new":
+            for a in e["args"]:
+                self.visit_expr(a)
+        elif t == "index":
+            self.visit_expr(e["obj"])
+            self.visit_expr(e["idx"])
+        elif t == "ternary":
+            self.visit_expr(e["c"])
+            self.visit_expr(e["a"])
+            self.visit_expr(e["b"])
+        elif t == "template":
+            for part in e["parts"]:
+                self.visit_expr(part)
 
 
 PLUGIN_NAME = "Java AST Analyzer (Tree-sitter)"  # reference plugin display name
@@ -472,20 +498,21 @@ def analyze_java(
     taint_specs: List[TaintSpec],
     fn_index: Optional[Dict[str, Any]] = None,
 ) -> List[Dict[str, Any]]:
-    """All Java AST-tier findings for one file: parse once, one taint walk
-    per eligible category (reference re-parses per category; fusion is
-    semantics-preserving, SURVEY.md §4 R6)."""
+    """All Java AST-tier findings for one file: parse once, ONE fused walk
+    driving all eligible category engines (reference re-parses AND re-walks
+    per category; fusion is semantics-preserving, SURVEY.md §4 R6)."""
     try:
         program = parse_java(content)
     except (RecursionError, MemoryError):
         return []
+    engines = [JavaTaintEngine(spec, fn_index=fn_index) for spec in taint_specs]
+    try:
+        _Walker(engines).run(program)
+    except RecursionError:
+        engines = []
     findings: List[Dict[str, Any]] = []
-    for spec in taint_specs:
-        engine = JavaTaintEngine(spec, fn_index=fn_index)
-        try:
-            engine.run(program)
-        except RecursionError:
-            continue
+    for engine in engines:
+        spec = engine.spec
         for hit in engine.hits:
             findings.append(
                 {

@@ -173,62 +173,35 @@ class JsTaintEngine:
             return "source", name
         return None, None
 
-    # -- walk --------------------------------------------------------------
+    # -- per-node state transitions (traversal lives in _JsWalker) ----------
 
-    def run(self, program: Dict) -> None:
-        # program is NOT a scope node (reference scope list) — top-level
-        # statements live in the global scope.
-        for s in program.get("stmts", []):
-            self._visit_stmt(s)
-
-    def _visit_block(self, block: Dict) -> None:
-        push = not self.skip_first_scope
+    def _push_scope(self) -> bool:
         if self.skip_first_scope:
             self.skip_first_scope = False
-        if push:
-            self.scopes.append({})
-            self.consts.append({})
-        for s in block.get("stmts", []):
-            self._visit_stmt(s)
-        if push:
+            return False
+        self.scopes.append({})
+        self.consts.append({})
+        return True
+
+    def _pop_scope(self, pushed: bool) -> None:
+        if pushed:
             self.consts.pop()
             self.scopes.pop()
 
-    def _visit_function(self, fn: Dict) -> None:
-        if fn.get("name"):
-            self.functions[fn["name"]] = fn
+    def _push_scope_raw(self) -> None:
+        # function-entry scope: unconditional (skip_first only applies to
+        # the seeded top-level block of a sub-simulation)
         self.scopes.append({})
         self.consts.append({})
-        self._visit_block(fn["body"])
+
+    def _pop_scope_raw(self) -> None:
         self.consts.pop()
         self.scopes.pop()
 
-    def _visit_stmt(self, s: Optional[Dict]) -> None:
-        if s is None:
-            return
-        t = s["t"]
-        if t == "block":
-            self._visit_block(s)
-        elif t == "func":
-            self._visit_function(s)
-        elif t == "classjs":
-            for m in s["methods"]:
-                self._visit_function(m)
-        elif t == "vardecl":
-            if s.get("name") and s.get("value") is not None:
-                self._assign(s["name"], s["value"], s["line"])
-            self._visit_expr(s.get("value"))
-        elif t == "declgroup":
-            for d in s["decls"]:
-                self._visit_stmt(d)
-        elif t == "ctrl":
-            for c in s.get("cond", []):
-                self._visit_expr(c)
-            self._visit_stmt(s.get("body"))
-        elif t == "ret":
-            self._visit_expr(s.get("e"))
-        elif t == "exprstmt":
-            self._visit_expr(s.get("e"))
+    def _prop_assign(self, prop: str, value: Dict, line: int) -> None:
+        # property-assignment sink (el.innerHTML = tainted)
+        if prop in self.sink_args:
+            self._check_node(value, prop, line)
 
     def _assign(self, path: str, value: Dict, line: int) -> None:
         kind, name = self._classify(value, var_name=path)
@@ -248,59 +221,6 @@ class JsTaintEngine:
                 self.taint(path, {"source": info["source"], "trace": info["trace"] + [f"Propagated to {path} at line {line}"]})
                 return
         self.untaint(path)
-
-    def _visit_expr(self, e: Optional[Any]) -> None:
-        if e is None or not isinstance(e, dict):
-            return
-        t = e["t"]
-        if t == "assign":
-            target = e["target"]
-            p = _path(target)
-            if p and e.get("value") is not None:
-                self._assign(p, e["value"], e["line"])
-            elif target["t"] == "member" and e.get("value") is not None:
-                # property-assignment sink (el.innerHTML = tainted)
-                if target["prop"] in self.sink_args:
-                    self._check_node(e["value"], target["prop"], e["line"])
-            self._visit_expr(e.get("value"))
-        elif t == "call":
-            self._handle_call(e)
-            callee = e["callee"]
-            self._visit_expr(callee["obj"] if callee["t"] == "member" else callee)
-            for a in e["args"]:
-                self._visit_expr(a)
-        elif t == "binary":
-            self._visit_expr(e["l"])
-            self._visit_expr(e["r"])
-        elif t == "unary":
-            self._visit_expr(e["e"])
-        elif t == "new":
-            for a in e["args"]:
-                self._visit_expr(a)
-        elif t == "index":
-            self._visit_expr(e["obj"])
-            self._visit_expr(e["idx"])
-        elif t == "ternary":
-            self._visit_expr(e["c"])
-            self._visit_expr(e["a"])
-            self._visit_expr(e["b"])
-        elif t == "template":
-            for part in e["parts"]:
-                self._visit_expr(part)
-        elif t == "objlit":
-            for _k, v in e["props"]:
-                self._visit_expr(v)
-        elif t == "arraylit":
-            for v in e["items"]:
-                self._visit_expr(v)
-        elif t in ("arrow", "funcexpr"):
-            if t == "funcexpr" and e.get("name"):
-                self.functions[e["name"]] = e
-            self.scopes.append({})
-            self.consts.append({})
-            self._visit_block(e["body"])
-            self.consts.pop()
-            self.scopes.pop()
 
     def _handle_call(self, call: Dict) -> None:
         name = _path(call["callee"]) or ""
@@ -359,7 +279,7 @@ class JsTaintEngine:
         seeded = self._bind(call, f_def.get("params", []), fn, loc)
         if seeded:
             sub = JsTaintEngine(self.spec, self.fn_index, self.depth + 1, seed_scope=seeded)
-            sub._visit_block(f_def["body"])
+            _JsWalker([sub]).visit_block(f_def["body"])
             self.hits.extend(sub.hits)
 
     def _simulate_remote(self, call: Dict, entry: Dict[str, Any], fn: str) -> None:
@@ -377,6 +297,120 @@ class JsTaintEngine:
         self._simulate(call, f_def, fn, entry["path"])
 
 
+class _JsWalker:
+    """ONE traversal driving N per-category engines in lockstep — the same
+    fusion as the Python tier's _MultiWalk and java_taint._Walker."""
+
+    def __init__(self, engines: List["JsTaintEngine"]):
+        self.engines = engines
+
+    def run(self, program: Dict) -> None:
+        # program is NOT a scope node (reference scope list) — top-level
+        # statements live in the global scope.
+        for s in program.get("stmts", []):
+            self.visit_stmt(s)
+
+    def visit_block(self, block: Dict) -> None:
+        pushed = [e._push_scope() for e in self.engines]
+        for s in block.get("stmts", []):
+            self.visit_stmt(s)
+        for e, p in zip(self.engines, pushed):
+            e._pop_scope(p)
+
+    def visit_function(self, fn: Dict) -> None:
+        if fn.get("name"):
+            for e in self.engines:
+                e.functions[fn["name"]] = fn
+        for e in self.engines:
+            e._push_scope_raw()
+        self.visit_block(fn["body"])
+        for e in self.engines:
+            e._pop_scope_raw()
+
+    def visit_stmt(self, s: Optional[Dict]) -> None:
+        if s is None:
+            return
+        t = s["t"]
+        if t == "block":
+            self.visit_block(s)
+        elif t == "func":
+            self.visit_function(s)
+        elif t == "classjs":
+            for m in s["methods"]:
+                self.visit_function(m)
+        elif t == "vardecl":
+            if s.get("name") and s.get("value") is not None:
+                for e in self.engines:
+                    e._assign(s["name"], s["value"], s["line"])
+            self.visit_expr(s.get("value"))
+        elif t == "declgroup":
+            for d in s["decls"]:
+                self.visit_stmt(d)
+        elif t == "ctrl":
+            for c in s.get("cond", []):
+                self.visit_expr(c)
+            self.visit_stmt(s.get("body"))
+        elif t == "ret":
+            self.visit_expr(s.get("e"))
+        elif t == "exprstmt":
+            self.visit_expr(s.get("e"))
+
+    def visit_expr(self, e: Optional[Any]) -> None:
+        if e is None or not isinstance(e, dict):
+            return
+        t = e["t"]
+        if t == "assign":
+            target = e["target"]
+            p = _path(target)
+            if p and e.get("value") is not None:
+                for eng in self.engines:
+                    eng._assign(p, e["value"], e["line"])
+            elif target["t"] == "member" and e.get("value") is not None:
+                for eng in self.engines:
+                    eng._prop_assign(target["prop"], e["value"], e["line"])
+            self.visit_expr(e.get("value"))
+        elif t == "call":
+            for eng in self.engines:
+                eng._handle_call(e)
+            callee = e["callee"]
+            self.visit_expr(callee["obj"] if callee["t"] == "member" else callee)
+            for a in e["args"]:
+                self.visit_expr(a)
+        elif t == "binary":
+            self.visit_expr(e["l"])
+            self.visit_expr(e["r"])
+        elif t == "unary":
+            self.visit_expr(e["e"])
+        elif t == "new":
+            for a in e["args"]:
+                self.visit_expr(a)
+        elif t == "index":
+            self.visit_expr(e["obj"])
+            self.visit_expr(e["idx"])
+        elif t == "ternary":
+            self.visit_expr(e["c"])
+            self.visit_expr(e["a"])
+            self.visit_expr(e["b"])
+        elif t == "template":
+            for part in e["parts"]:
+                self.visit_expr(part)
+        elif t == "objlit":
+            for _k, v in e["props"]:
+                self.visit_expr(v)
+        elif t == "arraylit":
+            for v in e["items"]:
+                self.visit_expr(v)
+        elif t in ("arrow", "funcexpr"):
+            if t == "funcexpr" and e.get("name"):
+                for eng in self.engines:
+                    eng.functions[e["name"]] = e
+            for eng in self.engines:
+                eng._push_scope_raw()
+            self.visit_block(e["body"])
+            for eng in self.engines:
+                eng._pop_scope_raw()
+
+
 PLUGIN_NAME = "JavaScript AST Analyzer (Tree-sitter)"
 
 
@@ -385,17 +419,20 @@ def analyze_js(
     taint_specs: List[TaintSpec],
     fn_index: Optional[Dict[str, Any]] = None,
 ) -> List[Dict[str, Any]]:
+    """Parse once, ONE fused walk for all eligible categories (the reference
+    re-parses and re-walks per category)."""
     try:
         program = parse_js(content)
     except (RecursionError, MemoryError):
         return []
+    engines = [JsTaintEngine(spec, fn_index=fn_index) for spec in taint_specs]
+    try:
+        _JsWalker(engines).run(program)
+    except RecursionError:
+        engines = []
     findings: List[Dict[str, Any]] = []
-    for spec in taint_specs:
-        engine = JsTaintEngine(spec, fn_index=fn_index)
-        try:
-            engine.run(program)
-        except RecursionError:
-            continue
+    for engine in engines:
+        spec = engine.spec
         for hit in engine.hits:
             findings.append(
                 {

@@ -135,48 +135,37 @@ class PhpTaintEngine:
             return "source", name
         return None, None
 
-    # -- walk ------------------------------------------------------------------
+    # -- per-node state transitions (traversal lives in _PhpWalker) -----------
 
-    def run(self, program: Dict) -> None:
-        for s in program.get("stmts", []):
-            self._visit_stmt(s)
+    def _push_scope_raw(self) -> None:
+        # scope push on function_definition (taint_visitor.py:115-119)
+        self.scopes.append({})
+        self.consts.append({})
 
-    def _visit_stmt(self, s: Optional[Dict]) -> None:
-        if s is None:
-            return
-        t = s["t"]
-        if t == "block":
-            for x in s["stmts"]:
-                self._visit_stmt(x)
-        elif t == "func":
-            # scope push on function_definition (taint_visitor.py:115-119)
-            self.scopes.append({})
-            self.consts.append({})
-            for x in s["body"]["stmts"]:
-                self._visit_stmt(x)
-            self.consts.pop()
-            self.scopes.pop()
-        elif t == "echo":
-            if "echo" in self.sink_args:
-                vuln_args = self.sink_args["echo"]
-                for idx, arg in enumerate(s["args"]):
-                    if vuln_args is not None and idx not in vuln_args:
-                        continue
-                    self._check_node(arg, "echo", s["line"])
-            for arg in s["args"]:
-                self._visit_expr(arg)
-        elif t == "include":
-            if s["kw"] in self.sink_args and s.get("arg") is not None:
-                self._check_node(s["arg"], s["kw"], s["line"])
-            self._visit_expr(s.get("arg"))
-        elif t == "ctrl":
-            for c in s.get("cond", []):
-                self._visit_expr(c)
-            self._visit_stmt(s.get("body"))
-        elif t == "ret":
-            self._visit_expr(s.get("e"))
-        elif t == "exprstmt":
-            self._visit_expr(s.get("e"))
+    def _pop_scope_raw(self) -> None:
+        self.consts.pop()
+        self.scopes.pop()
+
+    def _echo_sink(self, s: Dict) -> None:
+        if "echo" in self.sink_args:
+            vuln_args = self.sink_args["echo"]
+            for idx, arg in enumerate(s["args"]):
+                if vuln_args is not None and idx not in vuln_args:
+                    continue
+                self._check_node(arg, "echo", s["line"])
+
+    def _include_sink(self, kw: str, arg: Optional[Dict], line: int) -> None:
+        if kw in self.sink_args and arg is not None:
+            self._check_node(arg, kw, line)
+
+    def _call_sink(self, e: Dict) -> None:
+        callee = e["callee"]
+        if callee["t"] == "name" and callee["id"] in self.sink_args:
+            vuln_args = self.sink_args[callee["id"]]
+            for idx, arg in enumerate(e["args"]):
+                if vuln_args is not None and idx not in vuln_args:
+                    continue
+                self._check_node(arg, callee["id"], e["line"])
 
     def _assign(self, path: str, value: Dict, line: int) -> None:
         kind, name = self._classify(value, var_name=path)
@@ -197,50 +186,6 @@ class PhpTaintEngine:
                 return
         self.untaint(path)
 
-    def _visit_expr(self, e: Optional[Any]) -> None:
-        if e is None or not isinstance(e, dict):
-            return
-        t = e["t"]
-        if t == "assign":
-            p = _path(e["target"])
-            if p and e.get("value") is not None:
-                self._assign(p, e["value"], e["line"])
-            self._visit_expr(e.get("value"))
-        elif t == "call":
-            callee = e["callee"]
-            if callee["t"] == "name" and callee["id"] in self.sink_args:
-                vuln_args = self.sink_args[callee["id"]]
-                for idx, arg in enumerate(e["args"]):
-                    if vuln_args is not None and idx not in vuln_args:
-                        continue
-                    self._check_node(arg, callee["id"], e["line"])
-            for a in e["args"]:
-                self._visit_expr(a)
-        elif t == "includeexpr":
-            if e["kw"] in self.sink_args and e.get("arg") is not None:
-                self._check_node(e["arg"], e["kw"], e["line"])
-            self._visit_expr(e.get("arg"))
-        elif t == "mcall":
-            # member calls are NOT sinks in the reference
-            self._visit_expr(e["obj"])
-            for a in e["args"]:
-                self._visit_expr(a)
-        elif t == "binary":
-            self._visit_expr(e["l"])
-            self._visit_expr(e["r"])
-        elif t in ("unary",):
-            self._visit_expr(e["e"])
-        elif t == "new":
-            for a in e.get("args", []):
-                self._visit_expr(a)
-        elif t == "index":
-            self._visit_expr(e["obj"])
-            self._visit_expr(e["idx"])
-        elif t == "ternary":
-            self._visit_expr(e["c"])
-            self._visit_expr(e["a"])
-            self._visit_expr(e["b"])
-
     def _check_node(self, node: Dict, sink_name: str, line: int) -> None:
         if self._const_value(node) is not None:
             return  # literal args are safe (taint_visitor.py:182)
@@ -251,21 +196,108 @@ class PhpTaintEngine:
                 break
 
 
+class _PhpWalker:
+    """ONE traversal driving N per-category engines in lockstep (the same
+    fusion as the Python tier's _MultiWalk)."""
+
+    def __init__(self, engines: List["PhpTaintEngine"]):
+        self.engines = engines
+
+    def run(self, program: Dict) -> None:
+        for s in program.get("stmts", []):
+            self.visit_stmt(s)
+
+    def visit_stmt(self, s: Optional[Dict]) -> None:
+        if s is None:
+            return
+        t = s["t"]
+        if t == "block":
+            for x in s["stmts"]:
+                self.visit_stmt(x)
+        elif t == "func":
+            for e in self.engines:
+                e._push_scope_raw()
+            for x in s["body"]["stmts"]:
+                self.visit_stmt(x)
+            for e in self.engines:
+                e._pop_scope_raw()
+        elif t == "echo":
+            for e in self.engines:
+                e._echo_sink(s)
+            for arg in s["args"]:
+                self.visit_expr(arg)
+        elif t == "include":
+            for e in self.engines:
+                e._include_sink(s["kw"], s.get("arg"), s["line"])
+            self.visit_expr(s.get("arg"))
+        elif t == "ctrl":
+            for c in s.get("cond", []):
+                self.visit_expr(c)
+            self.visit_stmt(s.get("body"))
+        elif t == "ret":
+            self.visit_expr(s.get("e"))
+        elif t == "exprstmt":
+            self.visit_expr(s.get("e"))
+
+    def visit_expr(self, e: Optional[Any]) -> None:
+        if e is None or not isinstance(e, dict):
+            return
+        t = e["t"]
+        if t == "assign":
+            p = _path(e["target"])
+            if p and e.get("value") is not None:
+                for eng in self.engines:
+                    eng._assign(p, e["value"], e["line"])
+            self.visit_expr(e.get("value"))
+        elif t == "call":
+            for eng in self.engines:
+                eng._call_sink(e)
+            for a in e["args"]:
+                self.visit_expr(a)
+        elif t == "includeexpr":
+            for eng in self.engines:
+                eng._include_sink(e["kw"], e.get("arg"), e["line"])
+            self.visit_expr(e.get("arg"))
+        elif t == "mcall":
+            # member calls are NOT sinks in the reference
+            self.visit_expr(e["obj"])
+            for a in e["args"]:
+                self.visit_expr(a)
+        elif t == "binary":
+            self.visit_expr(e["l"])
+            self.visit_expr(e["r"])
+        elif t in ("unary",):
+            self.visit_expr(e["e"])
+        elif t == "new":
+            for a in e.get("args", []):
+                self.visit_expr(a)
+        elif t == "index":
+            self.visit_expr(e["obj"])
+            self.visit_expr(e["idx"])
+        elif t == "ternary":
+            self.visit_expr(e["c"])
+            self.visit_expr(e["a"])
+            self.visit_expr(e["b"])
+
+
 PLUGIN_NAME = "PHP AST Analyzer (Tree-sitter)"
 
 
 def analyze_php(content: str, taint_specs: List[TaintSpec]) -> List[Dict[str, Any]]:
+    """Parse once, ONE fused walk for all eligible categories (the reference
+    re-parses and re-walks per category)."""
     try:
         program = parse_php(content)
     except (RecursionError, MemoryError):
         return []
+    engines = [PhpTaintEngine(spec) for spec in taint_specs]
+    try:
+        _PhpWalker(engines).run(program)
+    except RecursionError:
+        engines = []
     findings: List[Dict[str, Any]] = []
-    for spec in taint_specs:
-        engine = PhpTaintEngine(spec)
-        try:
-            engine.run(program)
-        except RecursionError:
-            continue
+    for engine in engines:
+        spec = engine.spec
         for hit in engine.hits:
             findings.append(
                 {

@@ -146,43 +146,16 @@ class RubyTaintEngine:
             return "source", name
         return None, None
 
-    # -- walk -----------------------------------------------------------------
+    # -- per-node state transitions (traversal lives in _RubyWalker) ----------
 
-    def run(self, program: Dict) -> None:
-        for s in program.get("stmts", []):
-            self._visit_stmt(s)
+    def _push_scope_raw(self) -> None:
+        # scope push on method and do/brace blocks (taint_visitor.py)
+        self.scopes.append({})
+        self.consts.append({})
 
-    def _visit_stmt(self, s: Optional[Dict]) -> None:
-        if s is None:
-            return
-        t = s["t"]
-        if t in ("container", "block"):
-            for x in s["stmts"]:
-                self._visit_stmt(x)
-        elif t == "method":
-            self.scopes.append({})
-            self.consts.append({})
-            for x in s["body"]["stmts"]:
-                self._visit_stmt(x)
-            self.consts.pop()
-            self.scopes.pop()
-        elif t == "doblock":
-            self.scopes.append({})
-            self.consts.append({})
-            for x in s["stmts"]:
-                self._visit_stmt(x)
-            self.consts.pop()
-            self.scopes.pop()
-        elif t == "ctrl":
-            for c in s.get("cond", []):
-                self._visit_expr(c)
-            self._visit_stmt(s.get("body"))
-        elif t == "ret":
-            self._visit_expr(s.get("e"))
-        elif t == "exprstmt":
-            self._visit_expr(s.get("e"))
-            if s.get("doblock") is not None:
-                self._visit_stmt(s["doblock"])
+    def _pop_scope_raw(self) -> None:
+        self.consts.pop()
+        self.scopes.pop()
 
     def _assign(self, path: str, value: Dict, line: int) -> None:
         kind, name = self._classify(value, var_name=path)
@@ -202,39 +175,6 @@ class RubyTaintEngine:
                 self.taint(path, {"source": info["source"], "trace": info["trace"] + [f"Propagated to {path} at line {line}"]})
                 return
         self.untaint(path)
-
-    def _visit_expr(self, e: Optional[Any]) -> None:
-        if e is None or not isinstance(e, dict):
-            return
-        t = e["t"]
-        if t == "assign":
-            p = _path(e["target"])
-            if p and e.get("value") is not None:
-                self._assign(p, e["value"], e["line"])
-            self._visit_expr(e.get("value"))
-        elif t == "rcall":
-            self._handle_call(e)
-            self._visit_expr(e.get("recv"))
-            for a in e.get("args", []):
-                self._visit_expr(a)
-        elif t == "binary":
-            self._visit_expr(e["l"])
-            self._visit_expr(e["r"])
-        elif t == "unary":
-            self._visit_expr(e["e"])
-        elif t == "index":
-            self._visit_expr(e["obj"])
-            self._visit_expr(e["idx"])
-        elif t == "lit":
-            for part in e.get("parts", []) or []:
-                self._visit_expr(part)
-        elif t == "arraylit":
-            for v in e["items"]:
-                self._visit_expr(v)
-        elif t == "ternary":
-            self._visit_expr(e["c"])
-            self._visit_expr(e["a"])
-            self._visit_expr(e["b"])
 
     def _handle_call(self, call: Dict) -> None:
         method = call["name"]
@@ -261,21 +201,101 @@ class RubyTaintEngine:
                     break
 
 
+class _RubyWalker:
+    """ONE traversal driving N per-category engines in lockstep (the same
+    fusion as the Python tier's _MultiWalk)."""
+
+    def __init__(self, engines: List["RubyTaintEngine"]):
+        self.engines = engines
+
+    def run(self, program: Dict) -> None:
+        for s in program.get("stmts", []):
+            self.visit_stmt(s)
+
+    def _scoped(self, stmts: List[Dict]) -> None:
+        for e in self.engines:
+            e._push_scope_raw()
+        for x in stmts:
+            self.visit_stmt(x)
+        for e in self.engines:
+            e._pop_scope_raw()
+
+    def visit_stmt(self, s: Optional[Dict]) -> None:
+        if s is None:
+            return
+        t = s["t"]
+        if t in ("container", "block"):
+            for x in s["stmts"]:
+                self.visit_stmt(x)
+        elif t == "method":
+            self._scoped(s["body"]["stmts"])
+        elif t == "doblock":
+            self._scoped(s["stmts"])
+        elif t == "ctrl":
+            for c in s.get("cond", []):
+                self.visit_expr(c)
+            self.visit_stmt(s.get("body"))
+        elif t == "ret":
+            self.visit_expr(s.get("e"))
+        elif t == "exprstmt":
+            self.visit_expr(s.get("e"))
+            if s.get("doblock") is not None:
+                self.visit_stmt(s["doblock"])
+
+    def visit_expr(self, e: Optional[Any]) -> None:
+        if e is None or not isinstance(e, dict):
+            return
+        t = e["t"]
+        if t == "assign":
+            p = _path(e["target"])
+            if p and e.get("value") is not None:
+                for eng in self.engines:
+                    eng._assign(p, e["value"], e["line"])
+            self.visit_expr(e.get("value"))
+        elif t == "rcall":
+            for eng in self.engines:
+                eng._handle_call(e)
+            self.visit_expr(e.get("recv"))
+            for a in e.get("args", []):
+                self.visit_expr(a)
+        elif t == "binary":
+            self.visit_expr(e["l"])
+            self.visit_expr(e["r"])
+        elif t == "unary":
+            self.visit_expr(e["e"])
+        elif t == "index":
+            self.visit_expr(e["obj"])
+            self.visit_expr(e["idx"])
+        elif t == "lit":
+            for part in e.get("parts", []) or []:
+                self.visit_expr(part)
+        elif t == "arraylit":
+            for v in e["items"]:
+                self.visit_expr(v)
+        elif t == "ternary":
+            self.visit_expr(e["c"])
+            self.visit_expr(e["a"])
+            self.visit_expr(e["b"])
+
+
 PLUGIN_NAME = "Ruby AST Analyzer (Tree-sitter)"
 
 
 def analyze_ruby(content: str, taint_specs: List[TaintSpec]) -> List[Dict[str, Any]]:
+    """Parse once, ONE fused walk for all eligible categories (the reference
+    re-parses and re-walks per category)."""
     try:
         program = parse_ruby(content)
     except (RecursionError, MemoryError):
         return []
+    engines = [RubyTaintEngine(spec) for spec in taint_specs]
+    try:
+        _RubyWalker(engines).run(program)
+    except RecursionError:
+        engines = []
     findings: List[Dict[str, Any]] = []
-    for spec in taint_specs:
-        engine = RubyTaintEngine(spec)
-        try:
-            engine.run(program)
-        except RecursionError:
-            continue
+    for engine in engines:
+        spec = engine.spec
         for hit in engine.hits:
             findings.append(
                 {
