@@ -103,8 +103,29 @@ class ExprParser:
                 break
             ctor = {"t": "member", "obj": ctor, "prop": prop.text, "line": prop.line}
         args: List[Node] = []
+        # java array creation: new T[expr]... / new T[]{init, ...}
+        saw_array = False
+        while self.ts.at("["):
+            saw_array = True
+            self.ts.next()
+            if not self.ts.at("]"):
+                dim = self.expression()
+                if dim is not None:
+                    args.append(dim)
+            if not self.ts.eat("]"):
+                self.ts.skip_until("]")
+        if saw_array and self.ts.at("{"):
+            # array initializer — keep elements as args so taint flows through
+            self.ts.next()
+            while not self.ts.at("}") and self.ts.peek() is not None:
+                e = self.expression()
+                if e is not None:
+                    args.append(e)
+                if not self.ts.eat(","):
+                    break
+            self.ts.eat("}")
         if self.ts.at("("):
-            args = self._arg_list()
+            args = args + self._arg_list()
         node: Node = {"t": "new", "ctor": ctor, "args": args, "line": t.line}
         return self._postfix_chain(node)
 
@@ -180,11 +201,10 @@ class ExprParser:
             self.ts.next()
             return self._template(t.text, t.line)
         if t.text == "(":
-            # js: could be an arrow-function parameter list
-            if self.js:
-                arrow = self._try_arrow()
-                if arrow is not None:
-                    return arrow
+            # arrow/lambda parameter list: js `(a, b) =>`, java `(a, b) ->`
+            arrow = self._try_arrow("=>" if self.js else "->")
+            if arrow is not None:
+                return arrow
             self.ts.next()
             inner = self.expression()
             if not self.ts.eat(")"):
@@ -211,8 +231,8 @@ class ExprParser:
                 return {"t": "lit", "kind": "bool", "val": t.text, "line": t.line}
             if t.text in ("null", "undefined", "None"):
                 return {"t": "lit", "kind": "null", "val": t.text, "line": t.line}
-            # js single-param arrow: `x => ...`
-            if self.js and self.ts.at("=>"):
+            # single-param arrow/lambda: js `x => ...`, java `x -> ...`
+            if self.ts.at("=>" if self.js else "->"):
                 self.ts.next()
                 body = self._arrow_body(t.line)
                 return {"t": "arrow", "params": [t.text], "body": body, "line": t.line}
@@ -223,8 +243,9 @@ class ExprParser:
 
     # -- js helpers ------------------------------------------------------------
 
-    def _try_arrow(self) -> Optional[Node]:
-        """Lookahead for `( a, b ) =>` from a '(' position."""
+    def _try_arrow(self, arrow_tok: str = "=>") -> Optional[Node]:
+        """Lookahead for `( a, b ) =>` (js) / `( a, b ) ->` (java lambda)
+        from a '(' position."""
         save = self.ts.i
         depth = 0
         j = self.ts.i
@@ -238,7 +259,7 @@ class ExprParser:
                 if depth == 0:
                     break
             j += 1
-        if j + 1 >= len(toks) or toks[j + 1].text != "=>":
+        if j + 1 >= len(toks) or toks[j + 1].text != arrow_tok:
             return None
         line = toks[save].line
         self.ts.next()  # '('

@@ -60,6 +60,21 @@ def _skip_modifiers(ts: TokStream) -> None:
         ts.next()
 
 
+def _skip_generics(ts: TokStream) -> None:
+    """Skip a balanced `<...>` from an opening '<'. The tokenizer emits
+    composite shift tokens, so nested closers arrive as '>>'/'>>>' — count
+    every token by how many angle brackets it contributes."""
+    depth = 0
+    while ts.peek() is not None:
+        txt = ts.next().text
+        if "<" in txt and set(txt) <= set("<="):
+            depth += txt.count("<")
+        elif ">" in txt and set(txt) <= set(">="):
+            depth -= txt.count(">")
+            if depth <= 0:
+                return
+
+
 def _skip_type(ts: TokStream) -> None:
     """Consume a type: Name(.Name)*(<...>)?([])*"""
     if not ts.at_kind("id"):
@@ -72,19 +87,7 @@ def _skip_type(ts: TokStream) -> None:
                 ts.next()
             continue
         if ts.at("<"):
-            depth = 0
-            while ts.peek() is not None:
-                txt = ts.next().text
-                if txt == "<":
-                    depth += 1
-                elif txt == ">":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                elif txt == ">>":
-                    depth -= 2
-                    if depth <= 0:
-                        break
+            _skip_generics(ts)
             continue
         if ts.at("[") and ts.at("]", 1):
             ts.next()
@@ -133,8 +136,9 @@ def _member(ts: TokStream) -> Optional[Node]:
     if t.text == "{":  # initializer block
         ts.skip_balanced("{", "}")
         return None
-    if t.text == "<":  # generic method type params
-        ts.skip_balanced("<", ">")
+    if t.text == "<":  # generic method type params (nested bounds emit
+        # composite '>>' tokens — skip_balanced can't count those)
+        _skip_generics(ts)
         _skip_modifiers(ts)
     # method: [Type] name ( ... )  — constructor has no return type
     save = ts.i
@@ -230,7 +234,7 @@ def _statement(ts: TokStream) -> Optional[Node]:
             cond = None
             if ts.at("("):
                 ts.next()
-                ep = ExprParser(ts, js=False)
+                ep = ExprParser(ts, js=False, parse_block=parse_block)
                 conds = []
                 while ts.peek() is not None and not ts.at(")"):
                     e = ep.expression()
@@ -250,7 +254,7 @@ def _statement(ts: TokStream) -> Optional[Node]:
             kw = ts.next()
             e = None
             if not ts.at(";"):
-                e = ExprParser(ts, js=False).expression()
+                e = ExprParser(ts, js=False, parse_block=parse_block).expression()
             ts.eat(";")
             return {"t": "ret", "e": e, "line": kw.line}
         if t.text in ("break", "continue", "case", "default"):
@@ -261,7 +265,7 @@ def _statement(ts: TokStream) -> Optional[Node]:
         if decl is not None:
             return decl
     # expression statement
-    e = ExprParser(ts, js=False).expression()
+    e = ExprParser(ts, js=False, parse_block=parse_block).expression()
     if not ts.eat(";"):
         # tolerate missing ';' — resync at statement boundary
         while ts.peek() is not None and not ts.at(";") and not ts.at("}") and not ts.at("{"):
@@ -291,7 +295,7 @@ def _try_local_decl(ts: TokStream) -> Optional[Node]:
         name_tok = ts.next()
         value = None
         if ts.eat("="):
-            value = ExprParser(ts, js=False).expression()
+            value = ExprParser(ts, js=False, parse_block=parse_block).expression()
         decls.append({"t": "vardecl", "name": name_tok.text, "value": value, "line": name_tok.line})
         if not ts.eat(","):
             break
