@@ -505,6 +505,53 @@ FROM documents
 """
 
 
+def _text_quality(spark, sf_dir):
+    from dr_source_spark.training.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id, lang,
+       CAST(length(t) AS BIGINT) AS n_tokens,
+       round(length(text) / greatest(length(t), 1), 4) AS avg_token_len,
+       round(length(list_filter(t, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+             / greatest(length(t), 1), 4) AS stopword_ratio
+FROM toks
+"""
+
+
+def _emb_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup pairs via single-table sign-LSH bucketing
+    # (portable md5-derived planes → the oracle reproduces the buckets)
+    from dr_source_spark.training.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _emb_near_dup_sql() -> str:
+    from dr_source_spark.training.similarity import rademacher_planes
+
+    num_planes, seed, dim, threshold = 12, 42, 64, 0.3  # embedding_near_duplicates defaults + driver threshold
+    bits = []
+    for plane in rademacher_planes(num_planes, dim, seed):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {' || '.join(bits)} AS bucket FROM e)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+"""
+
+
 def _lang_profile(spark, sf_dir):
     from dr_source_spark.training.text import lang_profile
 
@@ -575,7 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_verify": _dedup_jaccard,
         "dedup_simhash": _dedup_simhash,
         "text_token_count": _text_tokens,
+        "text_quality_score": _text_quality,
         "text_lang_profile": _lang_profile,
+        "emb_near_dup_pairs": _emb_near_dup,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -610,7 +659,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "text_token_count": _TEXT_TOKENS_SQL,
+        "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_profile": _LANG_PROFILE_SQL,
+        "emb_near_dup_pairs": _emb_near_dup_sql(),
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
