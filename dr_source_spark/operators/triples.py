@@ -19,63 +19,53 @@ def file_uri(repo="repo", path="path", commit="commit"):
 
 
 def findings_to_triples(findings: DataFrame, run_id: str = "run-0") -> DataFrame:
+    """ONE pass: each finding emits its applicable predicates as an array of
+    conditional structs, nulls filtered, exploded. The previous shape — a
+    4-way union of filtered projections over the same findings DataFrame —
+    re-ran the upstream plan (the whole detector stage, when findings are
+    not cached) once per predicate; the explode keeps it to a single scan
+    at any corpus scale."""
     base = findings.withColumn("file_uri", file_uri())
     line_uri = F.concat_ws("", F.col("file_uri"), F.lit("#L"), F.col("line"))
     var_uri = F.concat_ws("", F.col("file_uri"), F.lit("#var:"), F.col("variable"))
 
-    has_vuln = (
-        base.filter(F.col("cwe").isNotNull())
-        .select(
-            F.col("file_uri").alias("subj"),
-            F.lit("HAS_VULN").alias("pred"),
-            F.col("cwe").alias("obj"),
-            F.col("line"),
-            F.col("trace"),
-        )
-    )
-    matches_rule = (
-        base.filter(F.col("rule_id").isNotNull())
-        .select(
-            line_uri.alias("subj"),
-            F.lit("MATCHES_RULE").alias("pred"),
-            F.col("rule_id").alias("obj"),
-            F.col("line"),
-            F.col("trace"),
-        )
-    )
-    tainted_by = (
-        base.filter(F.col("variable").isNotNull() & F.col("source").isNotNull())
-        .select(
-            var_uri.alias("subj"),
-            F.lit("TAINTED_BY").alias("pred"),
-            F.col("source").alias("obj"),
-            F.col("line"),
-            F.col("trace"),
-        )
-    )
-    flows_to = (
-        base.filter(F.col("variable").isNotNull() & F.col("sink").isNotNull())
-        .select(
-            var_uri.alias("subj"),
-            F.lit("FLOWS_TO").alias("pred"),
-            F.concat_ws("", F.col("sink"), F.lit("@L"), F.col("line")).alias("obj"),
-            F.col("line"),
-            F.col("trace"),
-        )
+    def entry(cond, subj, pred: str, obj):
+        return F.when(cond, F.struct(subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")))
+
+    entries = F.array(
+        entry(F.col("cwe").isNotNull(), F.col("file_uri"), "HAS_VULN", F.col("cwe")),
+        entry(F.col("rule_id").isNotNull(), line_uri, "MATCHES_RULE", F.col("rule_id")),
+        entry(
+            F.col("variable").isNotNull() & F.col("source").isNotNull(),
+            var_uri, "TAINTED_BY", F.col("source"),
+        ),
+        entry(
+            F.col("variable").isNotNull() & F.col("sink").isNotNull(),
+            var_uri, "FLOWS_TO", F.concat_ws("", F.col("sink"), F.lit("@L"), F.col("line")),
+        ),
     )
     return (
-        has_vuln.unionByName(matches_rule).unionByName(tainted_by).unionByName(flows_to)
+        base.select(
+            F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("_t"), "line", "trace"
+        )
+        .select(
+            F.col("_t.subj").alias("subj"),
+            F.col("_t.pred").alias("pred"),
+            F.col("_t.obj").alias("obj"),
+            "line",
+            "trace",
+        )
         .withColumn("run_id", F.lit(run_id))
     )
 
 
 def triples_to_nodes_edges(triples: DataFrame):
     """Canonicalized node/edge tables. distinct() is a hash-aggregate shuffle
-    on already-narrow columns; AQE coalesces the post-shuffle partitions."""
-    subj = triples.select(F.col("subj").alias("node_id"))
-    obj = triples.select(F.col("obj").alias("node_id"))
+    on already-narrow columns; AQE coalesces the post-shuffle partitions.
+    subj∪obj explodes in one scan (a union of two projections would re-run
+    the upstream plan twice when triples are not cached)."""
     nodes = (
-        subj.unionByName(obj)
+        triples.select(F.explode(F.array(F.col("subj"), F.col("obj"))).alias("node_id"))
         .distinct()
         .withColumn(
             "kind",

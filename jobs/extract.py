@@ -32,7 +32,12 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from dr_source_spark.kb import compile_kb, load_kb
-    from dr_source_spark.operators.index_build import broadcast_index, build_symbol_index
+    from dr_source_spark.operators.index_build import (
+        broadcast_index,
+        build_symbol_index,
+        restrict_index_to_called_names,
+        try_broadcast_index,
+    )
     from dr_source_spark.operators.lineage import extract_with_lineage, read_findings
     from dr_source_spark.operators.triples import findings_to_triples, triples_to_nodes_edges
     from dr_source_spark.sources.corpus import ingest_source_files, read_source_files
@@ -43,7 +48,16 @@ def main() -> None:
 
     fn_index_bc = None
     if not args.no_interfile:
-        fn_index_bc = broadcast_index(spark, build_symbol_index(files))
+        # same ladder as pipeline.extract: direct broadcast for small
+        # indexes; restrict to called names past the budget; raise (never
+        # silently truncate) if even that overflows — rerun with
+        # --no-interfile or use pipeline join mode for such corpora.
+        index_df = build_symbol_index(files).persist()
+        fn_index_bc = try_broadcast_index(spark, index_df, max_entries=50_000)
+        if fn_index_bc is None:
+            fn_index_bc = broadcast_index(
+                spark, restrict_index_to_called_names(index_df, files)
+            )
 
     run = extract_with_lineage(
         spark, files, ckb, args.output, args.run_id,
