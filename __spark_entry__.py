@@ -524,6 +524,33 @@ FROM toks
 """
 
 
+def _text_lang_id(spark, sf_dir):
+    from dr_source_spark.training.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    from dr_source_spark.training.text import LANG_MARKERS
+
+    score_cols = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS score_{lang}"
+        for lang, pat in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang, _ in LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang, _ in LANG_MARKERS
+    ) + " END"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang, _ in LANG_MARKERS)}, {case} AS lang_id FROM s
+"""
+
+
 def _emb_near_dup(spark, sf_dir):
     # embedding-cosine near-dup pairs via single-table sign-LSH bucketing
     # (portable md5-derived planes → the oracle reproduces the buckets)
@@ -623,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "text_token_count": _text_tokens,
         "text_quality_score": _text_quality,
+        "text_lang_id": _text_lang_id,
         "text_lang_profile": _lang_profile,
         "emb_near_dup_pairs": _emb_near_dup,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
@@ -660,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
+        "text_lang_id": _lang_id_sql(),
         "text_lang_profile": _LANG_PROFILE_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,

@@ -49,6 +49,37 @@ def lang_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+# Language-ID marker patterns: high-frequency function words per language
+# (public linguistic facts) + CJK codepoint range for zh. Both Java regex
+# and RE2 accept these forms, so oracles reproduce the scores exactly.
+LANG_MARKERS = [
+    ("en", r"(?i)\b(the|and|of|to|in|is|that|for|it|with)\b"),
+    ("es", r"(?i)\b(el|los|las|que|y|un|una|por|para|como)\b"),
+    ("de", r"(?i)\b(der|die|und|das|nicht|ein|eine|mit|ist|auch)\b"),
+    ("fr", r"(?i)\b(le|les|et|des|une|est|dans|pour|qui|vous)\b"),
+    ("zh", r"[\x{4e00}-\x{9fff}]"),
+]
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language identification: per-language marker-hit counts
+    (one vectorized JVM regexp_count per language — no Python), argmax with
+    a fixed precedence order for ties (the LANG_MARKERS order). Returns the
+    per-language scores alongside the decision so downstream filters can
+    threshold on confidence."""
+    scores = {lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long") for lang, pat in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    decision = None
+    for lang, _ in LANG_MARKERS:
+        cond = scores[lang] == best
+        decision = F.when(cond, F.lit(lang)) if decision is None else decision.when(cond, F.lit(lang))
+    return documents.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
+        decision.alias("lang_id"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: sha256 of normalized text
     (lower, collapsed whitespace). The exact-dedup key."""

@@ -74,6 +74,22 @@ def test_detector_stage_prunes_content_early(spark, fixture_corpus):
     assert udf_node in plan
 
 
+def test_triples_projection_is_single_pass(spark, fixture_corpus):
+    """findings→triples must scan the detector output ONCE (conditional
+    explode), never as a union of per-predicate branches — each union branch
+    re-runs the whole detector stage when findings are uncached."""
+    from dr_source_spark.pipeline import extract
+
+    res = extract(spark, fixture_corpus, run_id="plan")
+    for df in (res.triples, res.nodes, res.edges):
+        plan = _plan(df)
+        udf_node = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
+        # exactly one detector stage in the whole physical plan (the index
+        # job's MapInPandas is a separate query, not part of this plan)
+        assert plan.count(udf_node) == 1, f"detector stage ran {plan.count(udf_node)}x"
+        assert "Union" not in plan
+
+
 def test_scan_diff_uses_hash_joins_not_cartesian(spark):
     import __spark_entry__ as E
 

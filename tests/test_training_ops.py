@@ -155,6 +155,23 @@ def test_lsh_topk_recall_gate_vs_brute_force(emb):
     assert recall >= 0.9, f"recall@3 = {recall}"
 
 
+def test_lang_id_on_real_language_snippets(spark):
+    from dr_source_spark.training.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy with the sun"),
+            (2, "el perro corre por el parque y las flores son bonitas como siempre"),
+            (3, "der Hund läuft durch den Park und die Blumen sind auch schön"),
+            (4, "le chien court dans le parc et les fleurs sont belles pour vous"),
+            (5, "这是一段中文文本用来测试语言识别"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_id for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh"}
+
+
 def test_quality_and_tokens(docs):
     from dr_source_spark.training.text import quality_score, token_count
 
