@@ -40,6 +40,12 @@ JAVA_NOISE = [
     "    static class Inner{i}<K, V> {{ K k; V v; }}",
     "    public void varargs{i}(String... parts) {{ }}",
     "    public void arr{i}() {{ int[] xs{i} = new int[]{{1, 2, 3}}; }}",
+    "    @SuppressWarnings(\"unchecked\")\n    public void annarg{i}() {{ }}",
+    "    public void sw{i}(int d) {{ switch (d) {{ case 1: break; default: break; }} }}",
+    "    public String txt{i}() {{ return \"a\" + \"b\" + String.valueOf({i}); }}",
+    "    public void mref{i}() {{ Runnable r{i} = System.out::println; }}",
+    "    public void dw{i}() {{ int n{i} = 0; do {{ n{i}++; }} while (n{i} < 2); }}",
+    "    public void cast{i}(Object o) {{ String s{i} = (String) o; }}",
 ]
 
 JS_NOISE = [
@@ -53,6 +59,12 @@ JS_NOISE = [
     "for (const k{i} of [1, 2]) {{ let y{i} = k{i} ** 2; }}",
     "label{i}: for (let i{i} = 0; i{i} < 2; i{i}++) {{ if (i{i}) break label{i}; }}",
     "const re{i} = /ab+c/g;",
+    "async function af{i}() {{ const r{i} = await Promise.resolve({i}); return r{i}; }}",
+    "const n{i} = obj{i}?.deep?.value ?? 'fallback';",
+    "try {{ throw new Error('e{i}'); }} catch ({{message: m{i}}}) {{ }} finally {{ }}",
+    "switch ({i} % 2) {{ case 0: break; default: break; }}",
+    "export const ex{i} = {i};",
+    "const chain{i} = [1,2,3].map(x => x + {i}).filter(x => x > 1).reduce((a, b) => a + b, 0);",
 ]
 
 PHP_NOISE = [
@@ -66,6 +78,11 @@ PHP_NOISE = [
     "function t{i}(int ...$xs{i}): array {{ return $xs{i}; }}",
     "switch ({i} % 2) {{ case 0: $e{i} = true; break; default: $e{i} = false; }}",
     "$s{i} = \"interp {{$arr{i}['a']}} done\";",
+    "$m{i} = match({i} % 2) {{ 0 => 'even', default => 'odd' }};",
+    "$n{i} = $obj{i}?->prop ?? 'none';",
+    "$sp{i} = [...[1, 2], 3];",
+    "while (false): $w{i} = 1; endwhile;",
+    "$t{i} = $x{i} <=> $y{i};",
 ]
 
 RUBY_NOISE = [
@@ -79,6 +96,12 @@ RUBY_NOISE = [
     "z{i} = (1..{i}).select {{ |q| q.odd? }}",
     "unless false\n  w{i} = :sym{i}\nend",
     "r{i} = /pat{i}+/",
+    "sn{i} = obj{i}&.method{i}&.chain",
+    "case {i} % 2\nwhen 0 then c{i} = 'even'\nelse c{i} = 'odd'\nend",
+    "d{i} = ->(x) {{ x * {i} }}",
+    "begin\n  b{i} = 1\nrescue => e{i}\n  b{i} = 2\nensure\n  b{i} = 3\nend",
+    "pct{i} = %w[one two three]",
+    "t{i} = 1 if {i}.even?",
 ]
 
 # planted flows: (content-template, sink substring expected in a finding)
@@ -148,6 +171,33 @@ def _analyze(lang: str, src: str):
 # measured recovery floors at commit time (regression gate: a parser change
 # that silently loses more planted findings than this fails the suite)
 RECOVERY_FLOOR = {"java": 0.95, "javascript": 0.95, "php": 0.95, "ruby": 0.95}
+
+_NOISE = {"java": JAVA_NOISE, "javascript": JS_NOISE, "php": PHP_NOISE, "ruby": RUBY_NOISE}
+
+
+def _wrap(lang: str, body: str) -> str:
+    if lang == "java":
+        return (
+            "import javax.servlet.http.HttpServletRequest;\nimport java.sql.Statement;\n"
+            "import java.util.*;\npublic class App {\n" + body + "\n}\n"
+        )
+    if lang == "php":
+        return "<?php\n" + body + "\n?>\n"
+    return body + "\n"
+
+
+@pytest.mark.parametrize("lang", ["java", "javascript", "php", "ruby"])
+def test_each_noise_production_alone_preserves_the_plant(lang):
+    """Deterministic isolation: every single noise production placed before
+    the planted flow must leave it detectable — pinpoints exactly which
+    construct desyncs a parser when one does (this caught the round-2 Java
+    generics/lambda/array-initializer bugs)."""
+    plant, sink = PLANT[lang]
+    for j, noise in enumerate(_NOISE[lang]):
+        src = _wrap(lang, _fill(noise, 7) + "\n" + plant.format())
+        found = _analyze(lang, src)
+        ok = any(f.get("sink") and sink in f["sink"] for f in found)
+        assert ok, f"{lang} noise[{j}] kills the planted flow: {noise[:70]!r}"
 
 
 @pytest.mark.parametrize("lang", ["java", "javascript", "php", "ruby"])
