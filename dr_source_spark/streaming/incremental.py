@@ -65,3 +65,33 @@ def incremental_extract(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def windowed_finding_counts(
+    findings_stream: DataFrame,
+    ts_col: str = "event_ts",
+    window_dur: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window severity counts over a findings stream —
+    the late-data-tolerant rollup for continuously-arriving scan results.
+
+    ``withWatermark`` bounds state: a window's aggregate is finalized (and,
+    in append mode, emitted exactly once) when the watermark passes its end;
+    rows arriving later than ``watermark`` behind the max seen event time
+    are dropped rather than growing state forever. At corpus scale this is
+    what keeps a permanently-running ingestion query at O(active windows)
+    state instead of O(all history)."""
+    from pyspark.sql import functions as F
+
+    return (
+        findings_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur), F.col("severity"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "severity",
+            "n",
+        )
+    )

@@ -103,3 +103,64 @@ public class C {
     assert sqli, "depth-2 chain not detected"
     trace = " | ".join(sqli[0]["trace"])
     assert "in B.java" in trace and "in C.java" in trace
+
+
+def test_windowed_counts_finalize_and_drop_late_rows(spark, tmp_path_factory):
+    """Watermark semantics: a window's count is emitted once finalized, and
+    a row arriving later than the watermark allows does NOT reopen it."""
+    import datetime as dt
+
+    from dr_source_spark.streaming.incremental import windowed_finding_counts
+
+    src = str(tmp_path_factory.mktemp("win_src"))
+    ckpt = str(tmp_path_factory.mktemp("win_ckpt"))
+    out = str(tmp_path_factory.mktemp("win_out"))
+    schema = "repo string, severity string, event_ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def run():
+        q = (
+            windowed_finding_counts(
+                spark.readStream.schema(schema).parquet(src),
+                window_dur="10 minutes",
+                watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # batch 1: three HIGHs inside [10:00, 10:10)
+    spark.createDataFrame(
+        [("r", "HIGH", t0), ("r", "HIGH", t0 + dt.timedelta(minutes=3)),
+         ("r", "HIGH", t0 + dt.timedelta(minutes=9))],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+
+    # batch 2: an event at 10:25 advances the watermark to 10:15 → the
+    # [10:00, 10:10) window finalizes and is emitted
+    spark.createDataFrame([("r", "LOW", t0 + dt.timedelta(minutes=25))], schema).write.mode(
+        "append"
+    ).parquet(src)
+    rows = run()
+    win1 = [r for r in rows if r.window_start == t0]
+    assert win1 and win1[0].severity == "HIGH" and win1[0].n == 3
+
+    # batch 3: a LATE row for the finalized window (event time 10:05, far
+    # behind the 10:15 watermark) must be dropped, not re-emitted
+    spark.createDataFrame([("r", "HIGH", t0 + dt.timedelta(minutes=5))], schema).write.mode(
+        "append"
+    ).parquet(src)
+    # plus a fresh event so the batch isn't empty and watermark advances more
+    spark.createDataFrame([("r", "LOW", t0 + dt.timedelta(minutes=40))], schema).write.mode(
+        "append"
+    ).parquet(src)
+    rows = run()
+    win1 = [r for r in rows if r.window_start == t0]
+    assert len(win1) == 1 and win1[0].n == 3  # unchanged, late row dropped
