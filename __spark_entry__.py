@@ -484,6 +484,16 @@ def _kg_extract_triples(spark, sf_dir):
     )
 
 
+def _kg_canonicalize(spark, sf_dir):
+    # entity linking: the salted line-span rollup over the flagship findings
+    # (north-star canonicalization); one finding per key on this corpus, so
+    # the oracle derives canonical rows from the template constants
+    from dr_source_spark.operators.canonicalize import canonicalize_findings
+
+    out = canonicalize_findings(_kg_triples(spark, sf_dir).findings, line_span=1, salt_buckets=8)
+    return out.withColumn("trace", F.array_join("trace", " -> "))
+
+
 def _kg_graph_edges(spark, sf_dir):
     return _kg_triples(spark, sf_dir).edges
 
@@ -657,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "kg_extract_triples": _kg_extract_triples,
+        "kg_canonicalize": _kg_canonicalize,
         "kg_graph_edges": _kg_graph_edges,
         "kg_graph_nodes": _kg_graph_nodes,
     }
@@ -684,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
+        "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "text_token_count": _TEXT_TOKENS_SQL,

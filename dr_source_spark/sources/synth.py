@@ -153,6 +153,71 @@ EXPECTED_TRIPLES = {
 }
 
 
+# Full per-template finding constants (superset of the triple constants —
+# message/severity/variable/sink included), verified exhaustively per corpus
+# word by tests/test_kg_oracle_completeness.py. Row format:
+# (base_type, line, message_t, variable_t, sink, severity, trace_t).
+EXPECTED_FINDINGS = {
+    0: [("SQL_INJECTION", 7, "Sink method 'executeQuery' called with tainted variable 'q{N}'",
+         "q{N}", "executeQuery", "HIGH", _T_JAVA)],
+    1: [("COMMAND_INJECTION", 6, "Taint flow from source to sink 'os.system' via variable 'cmd{N}'",
+         "cmd{N}", "os.system", "HIGH", _T_PY)],
+    2: [("COMMAND_INJECTION", 5, "Sink method 'eval' called with tainted var 'p{N}'",
+         "p{N}", "eval", "CRITICAL", _T_JS)],
+    3: [("SQL_INJECTION", 4, "Sink function 'mysqli_query' called with tainted var '$q{N}'",
+         "$q{N}", "mysqli_query", "HIGH", _T_PHP)],
+    4: [("COMMAND_INJECTION", 4, "Sink method 'system' called with tainted var 'v{N}'",
+         "v{N}", "system", "CRITICAL", _T_RB)],
+    5: [("HARDCODED_SECRET", 2, "(SEC-GENERIC-001) Generic high-entropy password or secret.",
+         None, None, "MEDIUM", ""),
+        ("INSECURE_CONFIG", 4, "(CFG-PY-DEBUG) Debug mode enabled in Python web framework (Flask/Django).",
+         None, None, "MEDIUM", "")],
+}
+
+
+def kg_canonicalize_oracle_sql(commit: str = "bench", line_span: int = 1) -> str:
+    """Oracle for canonicalize_findings over the flagship findings: each
+    synthesized file's findings are template constants, one per
+    (repo, path, commit, base_type, line_span) key → the canonical row is
+    the finding itself with n_variants = 1."""
+    rows = []
+    for tpl, (path_t, _) in EXPECTED_TRIPLES.items():
+        for base_type, line, msg_t, var_t, sink, sev, trace_t in EXPECTED_FINDINGS[tpl]:
+            var_sql = _sq(var_t) if var_t is not None else "CAST(NULL AS VARCHAR)"
+            sink_sql = _sq(sink) if sink is not None else "CAST(NULL AS VARCHAR)"
+            rows.append(
+                f"({tpl}, {_sq(path_t)}, {_sq(base_type)}, {line}, {_sq(msg_t)}, "
+                f"{var_sql}, {sink_sql}, {_sq(sev)}, {_sq(trace_t)})"
+            )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS n,
+         regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),
+                        '[^A-Za-z0-9_]', 'x', 'g') AS w,
+         'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
+         CAST(doc_id % 6 AS INT) AS tpl
+  FROM documents
+),
+expected(tpl, path_t, base_type, line, message_t, variable_t, sink, severity, trace_t) AS (VALUES
+  {values})
+SELECT d.repo,
+       replace(replace(e.path_t, '{{N}}', d.n), '{{W}}', d.w) AS path,
+       '{commit}' AS commit,
+       e.base_type,
+       CAST(e.line // {line_span} AS BIGINT) AS line_span,
+       e.line,
+       replace(replace(e.message_t, '{{N}}', d.n), '{{W}}', d.w) AS message,
+       replace(replace(e.variable_t, '{{N}}', d.n), '{{W}}', d.w) AS variable,
+       e.sink,
+       e.severity,
+       replace(replace(e.trace_t, '{{N}}', d.n), '{{W}}', d.w) AS trace,
+       CAST(1 AS BIGINT) AS n_variants
+FROM docs d JOIN expected e ON e.tpl = d.tpl
+"""
+
+
 def render_template(tpl_idx: int, doc_id: int, word: str) -> tuple[str, str]:
     """(path, content) for one synthesized file — the pure-Python twin of the
     Spark expression in synth_code_corpus, used by the completeness test."""

@@ -19,7 +19,7 @@ import pytest
 
 from dr_source_spark.kb import compile_kb, load_kb
 from dr_source_spark.operators.analyze import _analyze_one
-from dr_source_spark.sources.synth import EXPECTED_TRIPLES, render_template
+from dr_source_spark.sources.synth import EXPECTED_FINDINGS, EXPECTED_TRIPLES, render_template
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
@@ -78,3 +78,16 @@ def test_every_corpus_word_yields_the_oracle_constants(doc_id):
             got = triples_of(findings, f"r:{path}@bench")
             want = expected_counter(tpl, doc_id, w, path)
             assert got == want, f"tpl={tpl} w={w!r}: {got ^ want}"
+            # finding-level constants (message/severity/variable/sink) — the
+            # canonicalization oracle's basis
+            sub = lambda s: s and s.replace("{N}", str(doc_id)).replace("{W}", w)  # noqa: E731
+            got_f = Counter(
+                (f["base_type"], f["line"], f["message"], f["variable"], f["sink"],
+                 f["severity"], " -> ".join(f.get("trace") or []))
+                for f in findings
+            )
+            want_f = Counter(
+                (bt, line, sub(msg), sub(var), sink, sev, sub(trace))
+                for bt, line, msg, var, sink, sev, trace in EXPECTED_FINDINGS[tpl]
+            )
+            assert got_f == want_f, f"tpl={tpl} w={w!r}: {got_f ^ want_f}"
