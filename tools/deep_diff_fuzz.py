@@ -1,7 +1,10 @@
-"""Deep differential fuzz: N random structured Python programs (control
-flow, nested defs, try/except, f-strings, field access, PII params) run
-through the live reference's runnable tiers AND this engine; finding tuples
-must match exactly. Round-1 result: 1000/1000 identical (seed 20260816).
+"""Deep differential fuzz: N random structured Python programs run through
+the live reference's runnable tiers AND this engine; finding tuples must
+match exactly. Constructs: control flow (if/for/while/try), nested defs,
+classes with PII-named method params, f-strings, ternaries, augmented
+assigns, tuple unpacks, comprehensions, lambdas, subscripts/slices, chained
+sources, dict literals, field access. Round-1 result: 1000/1000 identical;
+round 2 (widened construct set): 1500/1500 identical (seed 20260816).
 
 Usage: python tools/deep_diff_fuzz.py [N] [seed]
 """
@@ -33,9 +36,9 @@ def main(n: int = 1000, seed: int = 20260816) -> None:
     ckb = compile_kb(load_kb(project_dir="/nonexistent"))
 
     def stmt():
-        k = rng.randrange(12)
         v, w = rng.choice(VARS), rng.choice(VARS)
-        return [
+        x = rng.choice(VARS)
+        choices = [
             lambda: f"{v} = {rng.choice(SOURCES)}",
             lambda: f"{v} = {rng.choice(CONSTS)}",
             lambda: f"{v} = {rng.choice(SANS)}({w})",
@@ -48,7 +51,19 @@ def main(n: int = 1000, seed: int = 20260816) -> None:
             lambda: f"flag = {v} == {w}",
             lambda: f"{v} = {w}.strip()",
             lambda: f"{rng.choice(SINKS)}({rng.choice(CONSTS)})",
-        ][k]()
+            # round-2 construct widening
+            lambda: f"{v} = {w} if cond else {x}",
+            lambda: f"{v} += {w}" if v != "obj.field" else f"{v} = {w}",
+            lambda: f"{v}, extra = {w}, 1" if v != "obj.field" else f"{v} = {w}",
+            lambda: f"{v} = [t for t in {w}]",
+            lambda: f"{v} = (lambda a: a)({w})",
+            lambda: f"{v} = {w}[0]",
+            lambda: f"{v} = {rng.choice(SOURCES)}.strip()",
+            lambda: f"{v} = {{'k': {w}}}",
+            lambda: f"{rng.choice(SINKS)}({w}[1:])",
+            lambda: f"{v} = str({w})",
+        ]
+        return rng.choice(choices)()
 
     def block(depth, count):
         lines = []
@@ -67,6 +82,17 @@ def main(n: int = 1000, seed: int = 20260816) -> None:
                 lines.append("try:")
                 lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
                 lines += ["except Exception:", "    pass"]
+            elif r < 0.37 and depth < 2:
+                lines.append("for item in [1, 2]:")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
+            elif r < 0.41 and depth < 2:
+                lines.append("while cond:")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
+                lines.append("    break")
+            elif r < 0.45 and depth < 2:
+                lines.append(f"class K{rng.randrange(4)}:")
+                lines.append(f"    def meth{rng.randrange(4)}(self, token_param):")
+                lines += ["        " + l for l in block(depth + 1, rng.randrange(1, 3))]
             else:
                 lines.append(stmt())
         return lines
