@@ -501,6 +501,10 @@ def analyze_java(
     """All Java AST-tier findings for one file: parse once, ONE fused walk
     driving all eligible category engines (reference re-parses AND re-walks
     per category; fusion is semantics-preserving, SURVEY.md §4 R6)."""
+    if not taint_specs:
+        # all categories screened out (or none eligible): no engine could
+        # emit a hit, so skip the parse AND the walk entirely
+        return []
     try:
         program = parse_java(content)
     except (RecursionError, MemoryError):

@@ -421,6 +421,10 @@ def analyze_js(
 ) -> List[Dict[str, Any]]:
     """Parse once, ONE fused walk for all eligible categories (the reference
     re-parses and re-walks per category)."""
+    if not taint_specs:
+        # all categories screened out (or none eligible): no engine could
+        # emit a hit, so skip the parse AND the walk entirely
+        return []
     try:
         program = parse_js(content)
     except (RecursionError, MemoryError):

@@ -286,6 +286,10 @@ PLUGIN_NAME = "PHP AST Analyzer (Tree-sitter)"
 def analyze_php(content: str, taint_specs: List[TaintSpec]) -> List[Dict[str, Any]]:
     """Parse once, ONE fused walk for all eligible categories (the reference
     re-parses and re-walks per category)."""
+    if not taint_specs:
+        # all categories screened out (or none eligible): no engine could
+        # emit a hit, so skip the parse AND the walk entirely
+        return []
     try:
         program = parse_php(content)
     except (RecursionError, MemoryError):

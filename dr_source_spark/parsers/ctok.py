@@ -17,11 +17,21 @@ class Tok(NamedTuple):
     line: int
 
 
+import re as _re
+
 _PUNCT3 = (">>>", "===", "!==", "**=", "...", "<<=", ">>=")
 _PUNCT2 = (
     "==", "!=", "<=", ">=", "&&", "||", "++", "--", "+=", "-=", "*=", "/=",
     "%=", "&=", "|=", "^=", "->", "=>", "::", "<<", ">>", "??", "?.",
 )
+
+# C-speed scanners for the long-token bodies (semantics byte-identical to
+# the original per-char loops — tests/test_parser_grammar_fuzz.py includes
+# an old-vs-new equivalence gate over fixtures + fuzz programs)
+_WS = _re.compile(r"[ \t\r\f\v]+")
+_ID_BODY = _re.compile(r"[\w$]*")  # \w ≈ isalnum ∪ {_} incl. unicode letters
+_NUM_BODY = _re.compile(r"(?:[\w.]|(?<=[eE])[+-])*")
+_STR_BODY = {q: _re.compile(r"(?:\\[\s\S]|[^" + q + r"\\\n])*") for q in ("'", '"')}
 
 
 def tokenize(src: str) -> List[Tok]:
@@ -34,7 +44,7 @@ def tokenize(src: str) -> List[Tok]:
             i += 1
             continue
         if ch in " \t\r\f\v":
-            i += 1
+            i = _WS.match(src, i).end()
             continue
         # comments
         if ch == "/" and i + 1 < n:
@@ -49,24 +59,22 @@ def tokenize(src: str) -> List[Tok]:
                 line += seg.count("\n")
                 i = n if j < 0 else j + 2
                 continue
-        # strings
+        # strings — body scanned in C; quirks preserved: an unterminated
+        # string swallows the newline WITHOUT bumping the line counter, and
+        # a trailing backslash at EOF is included
         if ch in "'\"":
-            j = i + 1
-            buf = [ch]
-            while j < n:
-                c = src[j]
-                buf.append(c)
-                if c == "\\" and j + 1 < n:
-                    buf.append(src[j + 1])
-                    j += 2
-                    continue
-                if c == ch:
-                    break
-                if c == "\n":
-                    break  # unterminated — tolerate
-                j += 1
-            toks.append(Tok("str", "".join(buf), line))
-            i = j + 1
+            j = _STR_BODY[ch].match(src, i + 1).end()
+            if j < n and src[j] == "\\":  # lone trailing backslash at EOF
+                j = n
+                toks.append(Tok("str", src[i:j], line))
+                i = j
+                continue
+            if j < n:  # closing quote or tolerated newline — include it
+                toks.append(Tok("str", src[i : j + 1], line))
+                i = j + 1
+            else:  # EOF, unterminated
+                toks.append(Tok("str", src[i:j], line))
+                i = j
             continue
         if ch == "`":  # JS template literal (kept whole; interpolations re-lexed later)
             j = i + 1
@@ -91,18 +99,12 @@ def tokenize(src: str) -> List[Tok]:
             i = j + 1
             continue
         if ch.isdigit() or (ch == "." and i + 1 < n and src[i + 1].isdigit()):
-            j = i
-            while j < n and (src[j].isalnum() or src[j] in "._xXbBoOlLfFdDeE+-"):
-                if src[j] in "+-" and src[j - 1] not in "eE":
-                    break
-                j += 1
+            j = _NUM_BODY.match(src, i).end()
             toks.append(Tok("num", src[i:j], line))
             i = j
             continue
         if ch.isalpha() or ch in "_$@":
-            j = i + 1
-            while j < n and (src[j].isalnum() or src[j] in "_$"):
-                j += 1
+            j = _ID_BODY.match(src, i + 1).end()
             toks.append(Tok("id", src[i:j], line))
             i = j
             continue
