@@ -52,11 +52,17 @@ def extract(
     per_file_timeout_s: float = 0.0,
     run_id: Optional[str] = None,
     repartition: Optional[int] = None,
+    content_dedup: bool = False,
 ) -> ExtractionResult:
     """interfile_mode='join' attaches each file's reachable defs via
     distributed joins (operators/index_join.py) instead of a driver-side
     collect+broadcast — the path for corpora whose symbol index exceeds any
-    broadcast budget."""
+    broadcast budget.
+
+    content_dedup=True analyzes each distinct (ext, content) once and joins
+    findings back to every instance (operators/content_dedup.py) — the path
+    for corpora with heavy file duplication (vendored deps, forks); output
+    is finding-identical. Requires the broadcast index mode."""
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     kb = load_kb(explicit_path=kb_path)
     ckb = compile_kb(kb)
@@ -90,15 +96,21 @@ def extract(
             files = attach_called_defs(files, index_df)
             fn_index_from_column = True
 
-    findings = run_detectors(
-        files,
-        ckb,
+    detector_kwargs = dict(
         fn_index_broadcast=fn_index_bc,
         per_file_timeout_s=per_file_timeout_s,
         repartition=repartition,
         fn_index_from_column=fn_index_from_column,
         emit_tier_errors=True,
     )
+    if content_dedup:
+        from .operators.content_dedup import run_detectors_content_deduped
+
+        if fn_index_from_column:
+            raise ValueError("content_dedup requires interfile_mode='broadcast'")
+        findings = run_detectors_content_deduped(files, ckb, **detector_kwargs)
+    else:
+        findings = run_detectors(files, ckb, **detector_kwargs)
     from .operators.analyze import TIER_ERROR_PLUGIN
 
     tier_errors = (
