@@ -56,3 +56,51 @@ def test_screened_equals_full(fp, ext):
     full = {_key(f) for f in analyze(content, CKB.taint[lang])}
     screened = {_key(f) for f in analyze(content, _production_screen(lang, CKB.taint[lang], content))}
     assert full == screened
+
+
+def test_regex_line_screen_is_exact():
+    """The combined-alternation line screen must not change regex-tier
+    output: compare against a screen-free brute force over fixture files,
+    synth templates, and adversarial lines built from the rules themselves."""
+    import os
+    import re
+
+    from dr_source_spark.detectors.regex_scan import _compiled, analyze_regex
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.sources.synth import render_template
+
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+
+    def brute(content, ext):
+        from dr_source_spark.kb.compile import REGEX_LANG_MAP
+
+        rules = ckb.regex_rules_for_lang(REGEX_LANG_MAP.get(ext))
+        out = []
+        for ln, line in enumerate(content.split("\n"), 1):
+            for r in rules:
+                pat = _compiled(r.pattern)
+                if pat is not None and pat.search(line):
+                    out.append((ln, r.rule_id))
+        return out
+
+    corpora = []
+    for dirpath, _d, files in os.walk("/root/reference/tests/test_code"):
+        for fn in files:
+            with open(os.path.join(dirpath, fn), encoding="utf-8", errors="ignore") as f:
+                corpora.append((f.read(), os.path.splitext(fn)[1]))
+    for tpl in range(6):
+        path, content = render_template(tpl, 9, "token")
+        corpora.append((content, "." + path.rsplit(".", 1)[1]))
+    # adversarial: lines that literally contain rule-pattern fragments
+    frag_lines = "\n".join(
+        re.sub(r"[\\^$()\[\]{}|?*+.]", "", r.pattern)[:40] or "x"
+        for r in ckb.general_regex
+    )
+    corpora.append((frag_lines + "\npassword = 'supersecretvalue'\nDEBUG = True\n", ".ini"))
+
+    checked = 0
+    for content, ext in corpora:
+        got = [(f["line"], f["rule_id"]) for f in analyze_regex(content, ext, ckb)]
+        assert got == brute(content, ext), f"screen changed output for ext {ext}"
+        checked += 1
+    assert checked > 20
