@@ -116,6 +116,41 @@ def test_canonicalize_collapses_variants(spark):
     assert norm(plain.collect()) == norm(salted.collect())
 
 
+def test_canonicalize_multi_path_sink_end_to_end(spark):
+    """North-star scenario: the SAME sink reached via multiple taint paths
+    yields several findings on one (repo, path, base_type, line-span) key;
+    canonicalization collapses them to one canonical row with the variant
+    count — driven through the real Java detector, not synthetic rows."""
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.operators.analyze import run_detectors
+    from dr_source_spark.operators.canonicalize import canonicalize_findings
+    from dr_source_spark.sources.corpus import ingest_source_files
+
+    src = """import javax.servlet.http.HttpServletRequest;
+import java.sql.Statement;
+public class App {
+    public void handle(HttpServletRequest request, Statement statement) throws Exception {
+        String a = request.getParameter("x");
+        String b = request.getParameter("y");
+        statement.executeQuery(a);
+        statement.executeQuery(b);
+    }
+}
+"""
+    files = ingest_source_files(
+        spark.createDataFrame(
+            [("r", "App.java", "c", None, src)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    findings = run_detectors(files, ckb).filter("base_type = 'SQL_INJECTION'")
+    assert findings.count() == 2  # two distinct taint paths into the sink
+    out = canonicalize_findings(findings, line_span=10, salt_buckets=4).collect()
+    assert len(out) == 1 and out[0].n_variants == 2
+    assert out[0].variable == "a"  # deterministic min over (line, message, ...)
+
+
 def test_user_kb_overlay_through_pipeline(spark, tmp_path):
     from dr_source_spark.pipeline import extract
 
