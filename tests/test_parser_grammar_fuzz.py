@@ -216,3 +216,18 @@ def test_grammar_fuzz_no_crash_deterministic_and_recovers_plant(lang):
     rate = recovered / N_PROGRAMS
     print(f"\n{lang}: planted-flow recovery rate = {rate:.3f} over {N_PROGRAMS} programs")
     assert rate >= RECOVERY_FLOOR[lang], f"{lang} recovery {rate} below floor"
+
+
+@pytest.mark.parametrize("lang", ["java", "javascript", "php", "ruby"])
+def test_pathological_nesting_never_crashes(lang):
+    """Deeply nested expressions must degrade (RecursionError caught, [] or
+    partial results), never crash an executor batch."""
+    deep_expr = "(" * 4000 + "1" + ")" * 4000
+    bodies = {
+        "java": f"public class A {{ public void m() {{ int x = {deep_expr}; }} }}",
+        "javascript": f"const x = {deep_expr};",
+        "php": f"<?php $x = {deep_expr}; ?>",
+        "ruby": f"x = {deep_expr}",
+    }
+    out = _analyze(lang, bodies[lang])
+    assert isinstance(out, list)
