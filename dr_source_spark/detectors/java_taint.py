@@ -54,6 +54,27 @@ HIBERNATE_SINKS = {
 
 MAX_CALL_DEPTH = 3
 
+# Remote-callee parse memo: with fused walks, every category engine on every
+# calling file re-simulates the same indexed def_source — the parse is pure,
+# so one parse per executor process suffices. Bounded against adversarial
+# index churn.
+_CALLEE_MEMO: Dict[str, Any] = {}
+_CALLEE_MEMO_CAP = 2048
+
+
+def _parse_callee(wrapped: str):
+    hit = _CALLEE_MEMO.get(wrapped, False)
+    if hit is not False:
+        return hit
+    try:
+        program = parse_java(wrapped)
+    except (RecursionError, MemoryError):
+        program = None
+    if len(_CALLEE_MEMO) >= _CALLEE_MEMO_CAP:
+        _CALLEE_MEMO.clear()
+    _CALLEE_MEMO[wrapped] = program
+    return program
+
 
 def _path(node: Optional[Dict]) -> Optional[str]:
     """Dotted path for name / field-access chains (None for anything else)."""
@@ -358,9 +379,8 @@ class JavaTaintEngine:
         # file (reference keeps the original tree-sitter node, java/plugin.py:63)
         pad = "\n" * max(0, int(entry.get("def_line", 1)) - 1)
         wrapped = "class __W {" + pad + (entry.get("def_source") or "") + "\n}"
-        try:
-            program = parse_java(wrapped)
-        except (RecursionError, MemoryError):
+        program = _parse_callee(wrapped)
+        if program is None:
             return
         methods = [m for c in program["classes"] for m in c["methods"] if m["name"] == method]
         if not methods:

@@ -28,6 +28,25 @@ from ..parsers.jsparse import parse_block, parse_js
 PII_NAMES = ("password", "email", "secret", "token", "credit_card", "cc", "ssn")
 MAX_CALL_DEPTH = 3
 
+# remote-callee parse memo (see java_taint._parse_callee): the parse is
+# pure, so one parse per executor process covers every engine × caller
+_CALLEE_MEMO: Dict[str, Any] = {}
+_CALLEE_MEMO_CAP = 2048
+
+
+def _parse_callee(src: str):
+    hit = _CALLEE_MEMO.get(src, False)
+    if hit is not False:
+        return hit
+    try:
+        program = parse_js(src)
+    except (RecursionError, MemoryError):
+        program = None
+    if len(_CALLEE_MEMO) >= _CALLEE_MEMO_CAP:
+        _CALLEE_MEMO.clear()
+    _CALLEE_MEMO[src] = program
+    return program
+
 
 def _path(node: Optional[Dict]) -> Optional[str]:
     if node is None:
@@ -284,9 +303,8 @@ class JsTaintEngine:
 
     def _simulate_remote(self, call: Dict, entry: Dict[str, Any], fn: str) -> None:
         pad = "\n" * max(0, int(entry.get("def_line", 1)) - 1)
-        try:
-            program = parse_js(pad + (entry.get("def_source") or ""))
-        except (RecursionError, MemoryError):
+        program = _parse_callee(pad + (entry.get("def_source") or ""))
+        if program is None:
             return
         f_def = next(
             (s for s in program["stmts"] if s and s.get("t") == "func" and s.get("name") == fn.split(".")[-1]),
