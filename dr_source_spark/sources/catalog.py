@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         return bool(spark.conf.get("spark.sql.catalog.spark_catalog", None)) or any(
-            k.startswith("spark.sql.catalog.") for k in spark.sparkContext.getConf().getAll()[0:0]
+            k.startswith("spark.sql.catalog.") for k, _v in spark.sparkContext.getConf().getAll()
         )
     except Exception:
         return False
