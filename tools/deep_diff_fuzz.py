@@ -4,7 +4,16 @@ match exactly. Constructs: control flow (if/for/while/try), nested defs,
 classes with PII-named method params, f-strings, ternaries, augmented
 assigns, tuple unpacks, comprehensions, lambdas, subscripts/slices, chained
 sources, dict literals, field access. Round-1 result: 1000/1000 identical;
-round 2 (widened construct set): 1500/1500 identical (seed 20260816).
+round 2 (widened construct set): 1500/1500 identical (seed 20260816) and
+5000/5000 (seed 20260817) with 0 true divergences.
+
+Parity finding (round 2): the reference's trace attribution is
+PYTHONHASHSEED-dependent — on an assignment whose RHS holds multiple
+tainted identifiers it propagates from whichever identifier a Python SET
+yields first, so its own output differs between its own runs (verified
+live: seeds 0/2 vs 1/3 flip the trace). This engine picks deterministic
+document order; the harness accepts a program iff our output matches one
+of the reference's possible outputs across hash seeds 0-4.
 
 Usage: python tools/deep_diff_fuzz.py [N] [seed]
 """
@@ -131,20 +140,57 @@ for fn in sorted(os.listdir({d!r})):
     out[fn] = ded
 print(json.dumps(out))
 """
-    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp")
-    ref = json.loads(res.stdout.strip().splitlines()[-1])
-    bad = 0
+    def run_reference(extra_env=None):
+        env = dict(os.environ, **(extra_env or {}))
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp", env=env
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    ref = run_reference()
+    ours = {}
+    suspect = []
     for i, src in enumerate(programs):
-        want = {(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in ref[f"p{i:04d}.py"]}
+        fn = f"p{i:04d}.py"
+        want = {(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in ref[fn]}
         got = {
             (f["line"], f["vuln_type"], f["message"], f["severity"], tuple(f["trace"]))
             for f in _analyze_one("r", "p.py", "c", ".py", src, ckb, None, ("regex", "ast", "pattern"))
         }
+        ours[fn] = got
         if got != want:
+            suspect.append(fn)
+
+    # The reference is NONDETERMINISTIC in trace attribution: when an
+    # assignment's RHS holds multiple tainted identifiers it propagates from
+    # whichever comes first in a Python SET iteration (taint_visitor.py
+    # _get_ids_from_node returns a set; order depends on PYTHONHASHSEED, so
+    # the reference's own output differs between its own runs — verified
+    # live). Our engine picks deterministic document order. A divergence
+    # only counts if our output matches NONE of the reference's possible
+    # outputs across several hash seeds.
+    bad = 0
+    nondet = 0
+    if suspect:
+        alt_refs = [run_reference({"PYTHONHASHSEED": s}) for s in ("0", "1", "2", "3", "4")]
+        for fn in suspect:
+            candidates = [
+                {(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in alt[fn]} for alt in alt_refs
+            ]
+            if any(ours[fn] == c for c in candidates):
+                nondet += 1
+                continue
             bad += 1
             if bad <= 3:
-                print("DIVERGE:\n", src[:300], "\n ref-only:", sorted(want - got)[:3], "\n ours-only:", sorted(got - want)[:3])
-    print(f"programs={len(programs)} divergent={bad}")
+                i = int(fn[1:5])
+                want = {(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in ref[fn]}
+                print("DIVERGE:\n", programs[i][:300],
+                      "\n ref-only:", sorted(want - ours[fn])[:3],
+                      "\n ours-only:", sorted(ours[fn] - want)[:3])
+    print(
+        f"programs={len(programs)} divergent={bad} "
+        f"reference_nondeterministic_matched={nondet}"
+    )
     sys.exit(1 if bad else 0)
 
 
