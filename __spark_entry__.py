@@ -443,6 +443,31 @@ SELECT q_id, n_id, rank, sim FROM (
 """
 
 
+def _media_metadata(spark, sf_dir):
+    # multimodal plumbing end-to-end: deterministic binary media synthesized
+    # from documents (real PNG/GIF/WAV headers), Arrow-batched magic-byte
+    # metadata extraction; every projected column is SQL-derivable from
+    # doc_id/text (the blob sha256 column is dropped — constructing packed
+    # binary headers in SQL is the one non-portable piece)
+    from dr_source_spark.training.multimodal import extract_media_metadata, synth_media_corpus
+
+    media = synth_media_corpus(_t(spark, sf_dir, "documents"))
+    return extract_media_metadata(media).drop("payload_sha256")
+
+
+_MEDIA_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(16 + doc_id % 64 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(16 + (doc_id // 2) % 48 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 5) * 4000 AS INT) ELSE NULL END AS sample_rate,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 28 END
+            + least(octet_length(encode(text)), 256) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def _scalar_trace_roundtrip(spark, sf_dir):
     # the reference flattens traces with ' -> ' for storage and re-splits on
     # read (scanner.py:209, db.py:246-248) — the split/concat_ws scalar pair
@@ -663,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_lang_profile": _lang_profile,
         "emb_near_dup_pairs": _emb_near_dup,
+        "media_metadata": _media_metadata,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -703,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_sql(),
         "text_lang_profile": _LANG_PROFILE_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
+        "media_metadata": _MEDIA_METADATA_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
