@@ -527,6 +527,15 @@ def _kg_graph_nodes(spark, sf_dir):
     return _kg_triples(spark, sf_dir).nodes
 
 
+def _kg_node_degrees(spark, sf_dir):
+    # first KG sanity metric: out-degree per subject over the edges table
+    edges = _kg_triples(spark, sf_dir).edges
+    return edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.countDistinct("pred").cast("long").alias("n_preds"),
+    )
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -696,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonicalize": _kg_canonicalize,
         "kg_graph_edges": _kg_graph_edges,
         "kg_graph_nodes": _kg_graph_nodes,
+        "kg_node_degrees": _kg_node_degrees,
     }
 
 
@@ -722,6 +732,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
+        "kg_node_degrees": (
+            "SELECT src, count(*) AS out_degree, count(DISTINCT pred) AS n_preds FROM (\n"
+            + _kg_sql.kg_edges_oracle_sql()
+            + "\n) GROUP BY src"
+        ),
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "text_token_count": _TEXT_TOKENS_SQL,

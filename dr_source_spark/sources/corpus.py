@@ -34,9 +34,18 @@ IGNORED_EXTENSIONS = [
 
 def read_source_files(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
     """Scan the corpus table. Iceberg when a catalog table name is given
-    (contains no '/'), parquet path otherwise."""
+    (contains no '/'); parquet (default), ORC, JSONL, or headered CSV paths
+    otherwise — all mapped onto the SOURCE_FILES schema so every downstream
+    stage is format-agnostic. Columnar formats keep pushdown/pruning; JSONL/
+    CSV are ingest conveniences for corpus drops."""
     if fmt == "iceberg" or ("/" not in location and "." in location):
         return spark.read.format("iceberg").load(location)
+    if fmt == "orc":
+        return spark.read.orc(location)
+    if fmt in ("json", "jsonl"):
+        return spark.read.schema(SOURCE_FILES).json(location)
+    if fmt == "csv":
+        return spark.read.schema(SOURCE_FILES).option("header", True).option("multiLine", True).option("escape", '"').csv(location)
     return spark.read.parquet(location)
 
 

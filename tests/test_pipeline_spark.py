@@ -120,3 +120,40 @@ def test_where_used_ast_confirmation(spark):
     assert loose == {"Uses.java", "OnlyComment.java", "StringOnly.java"}
     confirmed = {r.path for r in where_used(files, "DatabaseHelper", ast_confirm=True).collect()}
     assert confirmed == {"Uses.java"}
+
+
+def test_source_format_round_trips(spark, tmp_path):
+    """JSONL/CSV/ORC corpus drops map onto SOURCE_FILES and produce the
+    same findings as the parquet path."""
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.operators.analyze import run_detectors
+    from dr_source_spark.sources.corpus import ingest_source_files, read_source_files
+
+    rows = [
+        ("r", "a.py", "c", None,
+         "import os\nfrom flask import request\nc = request.args.get('x')\nos.system(c)\n"),
+        ("r", "b.ini", "c", None, "password = 'supersecretvalue'\n"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    df = spark.createDataFrame(rows, schema)
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+
+    def findings_of(frame):
+        return sorted(
+            (r.path, r.line, r.vuln_type)
+            for r in run_detectors(ingest_source_files(frame), ckb).collect()
+        )
+
+    want = findings_of(df)
+    assert want  # both files fire
+
+    for fmt, writer in [
+        ("json", lambda p: df.write.mode("overwrite").json(p)),
+        ("csv", lambda p: df.write.mode("overwrite").option("header", True)
+            .option("escape", '"').csv(p)),
+        ("orc", lambda p: df.write.mode("overwrite").orc(p)),
+    ]:
+        out = str(tmp_path / fmt)
+        writer(out)
+        got = findings_of(read_source_files(spark, out, fmt=fmt))
+        assert got == want, f"{fmt} round-trip diverged"
