@@ -8,7 +8,7 @@ synthetic code corpus amplified so the job is long enough that fixed
 startup cost doesn't dominate.
 
 Usage: python tools/scaling_bench.py [--copies 12] [--sf /root/testdata/sf0.1]
-Writes/updates BENCH/BASELINE.md.
+Writes raw results to BENCH/SCALING_RAW.md (BENCH/BASELINE.md is curated by hand — do not clobber it).
 """
 
 from __future__ import annotations
@@ -84,7 +84,7 @@ def main() -> None:
         for c, r in results.items()
     )
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    md = f"""# BENCH/BASELINE — throughput & scaling evidence
+    md = f"""# BENCH/SCALING_RAW — latest tools/scaling_bench.py run (raw)
 
 Job: fused detector stage (`run_detectors`, all tiers) over the
 deterministic synthetic code corpus (`sources/synth.py`,
@@ -112,7 +112,7 @@ Arrow IPC threads measured here.
 
 Reproduce: `python tools/scaling_bench.py --copies {args.copies} --sf {args.sf}`
 """
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    with open(f"{REPO}/BENCH/SCALING_RAW.md", "w") as f:
         f.write(md)
     print(json.dumps({"results": results, "eff_4_16": round(eff_4_16, 3), "eff_8_32": round(eff_8_32, 3)}))
 
