@@ -527,6 +527,39 @@ def _kg_graph_nodes(spark, sf_dir):
     return _kg_triples(spark, sf_dir).nodes
 
 
+def _kg_severity_histogram(spark, sf_dir):
+    # A8 severity histogram (reference cli.py:244-249) over the flagship
+    # findings; oracle derives counts from the per-template finding constants
+    from dr_source_spark.operators.relational import severity_histogram
+
+    return severity_histogram(_kg_triples(spark, sf_dir).findings).withColumn(
+        "n", F.col("n").cast("long")
+    )
+
+
+def _kg_severity_histogram_sql() -> str:
+    from dr_source_spark.sources.synth import EXPECTED_FINDINGS
+
+    rows = [
+        f"({tpl}, {_sevcount(tpl, sev)}, '{sev}')"
+        for tpl in EXPECTED_FINDINGS
+        for sev in sorted({f[5] for f in EXPECTED_FINDINGS[tpl]})
+    ]
+    return f"""
+WITH per_tpl(tpl, k, severity) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % 6 AS INT) AS tpl FROM documents)
+SELECT severity, CAST(sum(k) AS BIGINT) AS n
+FROM docs JOIN per_tpl USING (tpl)
+GROUP BY severity
+"""
+
+
+def _sevcount(tpl: int, sev: str) -> int:
+    from dr_source_spark.sources.synth import EXPECTED_FINDINGS
+
+    return sum(1 for f in EXPECTED_FINDINGS[tpl] if f[5] == sev)
+
+
 def _kg_node_degrees(spark, sf_dir):
     # first KG sanity metric: out-degree per subject over the edges table
     edges = _kg_triples(spark, sf_dir).edges
@@ -706,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_edges": _kg_graph_edges,
         "kg_graph_nodes": _kg_graph_nodes,
         "kg_node_degrees": _kg_node_degrees,
+        "kg_severity_histogram": _kg_severity_histogram,
     }
 
 
@@ -739,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
+        "kg_severity_histogram": _kg_severity_histogram_sql(),
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
