@@ -30,6 +30,8 @@ _BIN_LEVELS = [
 
 _STOP_DEFAULT = {";", ",", ")", "]", "}", ":"}
 
+_BIN_PREC = {op: lvl for lvl, ops in enumerate(_BIN_LEVELS) for op in ops}
+
 
 class ExprParser:
     def __init__(self, ts: TokStream, js: bool = False, parse_block=None):
@@ -67,21 +69,41 @@ class ExprParser:
         return cond
 
     def _binary(self, level: int) -> Optional[Node]:
-        if level >= len(_BIN_LEVELS):
-            return self._unary()
-        left = self._binary(level + 1)
+        """Precedence climbing: one loop instead of a 10-level recursive
+        descent per operand (node-identical to the descent version —
+        tests/test_tokenizer_equivalence.py gates tree equality). All
+        operators here are left-associative. Java generics ambiguity:
+        `Foo<Bar>` in expression position is rare; '<' parses as binary,
+        harmless for taint. A dangling operator (missing right operand)
+        consumes the op token and keeps the left chain, matching the
+        descent behavior."""
+        left = self._unary()
+        if left is None:
+            return None
+        stack: List = []  # (op, left_operand, precedence)
+        cap = 1 << 30  # after a dangling op at prec p, only looser (< p) ops
+        # may continue — mirrors the descent impl, where the failing level
+        # returns and only ancestor levels keep consuming
         while True:
             t = self.ts.peek()
-            if left is None or t is None or t.text not in _BIN_LEVELS[level]:
-                return left
-            # java generics ambiguity: `Foo<Bar>` in expression position is
-            # rare; '<' followed by a type-looking sequence then '>' '(' could
-            # be a generic call — tolerate as binary, harmless for taint.
+            prec = _BIN_PREC.get(t.text) if t is not None else None
+            if prec is None or prec < level or prec >= cap:
+                break
+            while stack and stack[-1][2] >= prec:
+                op, l, _p = stack.pop()
+                left = {"t": "binary", "op": op, "l": l, "r": left, "line": l["line"]}
             op = self.ts.next().text
-            right = self._binary(level + 1)
+            right = self._unary()
             if right is None:
-                return left
-            left = {"t": "binary", "op": op, "l": left, "r": right, "line": left["line"]}
+                cap = prec  # dangling operator: drop it, keep the chain
+                continue
+            stack.append((op, left, prec))
+            left = right
+            cap = 1 << 30
+        while stack:
+            op, l, _p = stack.pop()
+            left = {"t": "binary", "op": op, "l": l, "r": left, "line": l["line"]}
+        return left
 
     def _unary(self) -> Optional[Node]:
         t = self.ts.peek()

@@ -152,3 +152,78 @@ def test_random_fragment_noise_identical():
     for _ in range(400):
         src = "".join(rng.choice(frags) for _ in range(rng.randrange(0, 120)))
         _assert_same(src, repr(src[:60]))
+
+
+# ---------------------------------------------------------------------------
+# expression-parser equivalence: precedence climbing vs the original
+# 10-level recursive descent (kept verbatim below) — parse TREES must be
+# identical, including the dangling-operator degradation path.
+# ---------------------------------------------------------------------------
+
+from dr_source_spark.parsers.cexpr import _BIN_LEVELS, ExprParser  # noqa: E402
+
+
+class _DescentParser(ExprParser):
+    def _binary(self, level):
+        if level >= len(_BIN_LEVELS):
+            return self._unary()
+        left = self._binary(level + 1)
+        while True:
+            t = self.ts.peek()
+            if left is None or t is None or t.text not in _BIN_LEVELS[level]:
+                return left
+            op = self.ts.next().text
+            right = self._binary(level + 1)
+            if right is None:
+                return left
+            left = {"t": "binary", "op": op, "l": left, "r": right, "line": left["line"]}
+
+
+def _parse_trees(src: str, lang: str):
+    from dr_source_spark.parsers.ctok import TokStream, tokenize as tk
+    from dr_source_spark.parsers import javaparse, jsparse
+
+    out = []
+    for cls in (ExprParser, _DescentParser):
+        import dr_source_spark.parsers.cexpr as cexpr_mod
+
+        orig = cexpr_mod.ExprParser
+        try:
+            cexpr_mod.ExprParser = cls
+            import importlib
+
+            importlib.reload(javaparse)
+            importlib.reload(jsparse)
+            if lang == "java":
+                out.append(javaparse.parse_java(src))
+            else:
+                out.append(jsparse.parse_js(src))
+        finally:
+            cexpr_mod.ExprParser = orig
+    importlib.reload(javaparse)
+    importlib.reload(jsparse)
+    return out
+
+
+def test_expr_parser_climbing_equals_descent():
+    import random
+
+    from test_parser_grammar_fuzz import gen_program
+
+    cases = []
+    for dirpath, _d, files in os.walk("/root/reference/tests/test_code"):
+        for fn in files:
+            if fn.endswith((".java", ".js")):
+                with open(os.path.join(dirpath, fn), encoding="utf-8", errors="ignore") as f:
+                    cases.append((f.read(), "java" if fn.endswith(".java") else "js"))
+    rng = random.Random(13)
+    for _ in range(40):
+        cases.append((gen_program("java", rng), "java"))
+        cases.append((gen_program("javascript", rng), "js"))
+    # malformed expressions exercising the dangling-operator path
+    for bad in ("int x = a * ] + b;", "int y = a + * b - c;", "int z = a || && b;"):
+        cases.append((f"public class A {{ void m() {{ {bad} }} }}", "java"))
+    assert len(cases) > 40
+    for src, lang in cases:
+        new, old = _parse_trees(src, lang)
+        assert new == old, f"parse tree diverged ({lang}): {src[:80]!r}"
