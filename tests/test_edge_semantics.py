@@ -203,3 +203,34 @@ def test_scalar_function_surface(spark):
     assert rows[0].flat == "h1 -> h2" and list(rows[0].back) == ["h1", "h2"]
     assert rows[0].sev == "HIGH" and rows[1].sev == "INFO"
     assert rows[1].flat == "" and list(rows[1].back) == []
+
+
+def test_fused_walk_engines_do_not_interfere():
+    """Engines run in lockstep through one traversal; permuting the spec
+    order must not change any engine's findings (no shared state leaks)."""
+    from dr_source_spark.detectors.java_taint import analyze_java
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.sources.synth import render_template
+
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    specs = ckb.taint["java"]
+    _, content = render_template(0, 3, "query")
+
+    def key(f):
+        return (f["line"], f["vuln_type"], f["message"], tuple(f["trace"]))
+
+    forward = sorted(key(f) for f in analyze_java(content, specs))
+    reverse = sorted(key(f) for f in analyze_java(content, list(reversed(specs))))
+    assert forward == reverse and forward
+
+
+def test_compiled_kb_broadcast_stays_small():
+    """The KB ships as a broadcast on every extraction — it must stay tiny
+    (the reference's YAML is ~50 KB; a bloated pickle would tax every
+    executor fetch at 1000-executor scale)."""
+    import pickle
+
+    from dr_source_spark.kb import compile_kb, load_kb
+
+    blob = pickle.dumps(compile_kb(load_kb(project_dir="/nonexistent")))
+    assert len(blob) < 512 * 1024, f"compiled KB pickle is {len(blob)} bytes"
