@@ -151,7 +151,7 @@ constructed once (its CLI re-reads the KB per plugin; being generous).
 
 Speedup vs reference: {round(ours1['files_per_sec']/ref['files_per_sec'], 2)}x at 1 core, {round(ours32['files_per_sec']/ref['files_per_sec'], 2)}x at 32 cores.
 """
-    with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
+    with open(f"{REPO}/BENCH/ANCHOR_RAW.md", "a") as f:
         f.write(table)
     print(json.dumps({"reference": ref, "ours_1core": ours1, "ours_32core": ours32}))
 
