@@ -488,12 +488,36 @@ FROM documents
 """
 
 
+# The six kg_* driver queries all consume the SAME extraction — share one
+# memoized ExtractionResult per (session, sf_dir) so the detector stage runs
+# once per suite, not once per query, and the corpus cache is released as
+# soon as findings are materialized (the round-2 "already cached" leak).
+_KG_MEMO: dict = {}
+
+
 def _kg_triples(spark, sf_dir):
     from dr_source_spark.pipeline import extract
     from dr_source_spark.sources.synth import synth_code_corpus
 
+    key = (id(spark), sf_dir)
+    hit = _KG_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for old_key, old in list(_KG_MEMO.items()):  # evict stale sessions/SFs
+        try:
+            old.findings.unpersist()
+            old.triples.unpersist()
+        except Exception:
+            pass
+        del _KG_MEMO[old_key]
     corpus = synth_code_corpus(_t(spark, sf_dir, "documents"))
-    return extract(spark, corpus, run_id="driver")
+    res = extract(spark, corpus, run_id="driver")
+    res.findings = res.findings.persist()
+    res.triples = res.triples.persist()
+    res.findings.count()  # run the detector stage once, through the cache
+    res.cleanup()  # corpus cache no longer needed — findings are cached
+    _KG_MEMO[key] = res
+    return res
 
 
 def _kg_extract_triples(spark, sf_dir):

@@ -63,13 +63,57 @@ _JAVA_FRAMEWORK_TOKENS = (
 )
 
 
-def _input_file_count(df: DataFrame) -> int:
-    """Driver-side metadata only — never triggers a job or an RDD plan
-    conversion. In-memory relations report 0."""
+def _size_as_bytes(value: str) -> int:
+    """Parse a Spark size conf string ('134217728', '128m', '1g', '512kb')."""
+    v = value.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            v, mult = v[: -len(suffix)], m
+            break
+    return int(v) * mult
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    """Cheap scan-split estimate: optimized-plan size statistics divided by
+    ``spark.sql.files.maxPartitionBytes``. Driver-side metadata only — one
+    JVM number crosses to Python (never the file-path list: enumerating
+    every input path is O(num_files) driver memory at corpus scale), and no
+    Spark job runs. Underestimates when Spark's own split packing shrinks
+    maxSplitBytes below maxPartitionBytes for small inputs — callers must
+    treat a low estimate as 'maybe under-parallel', not as the exact count."""
     try:
-        return len(df.inputFiles())
+        session = df.sparkSession
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # relations without real statistics (e.g. LocalRelation) report the
+        # defaultSizeInBytes sentinel — that's "unknown", not "huge"
+        if size >= int(session._jsparkSession.sessionState().conf().defaultSizeInBytes()):
+            return 0
+        max_bytes = _size_as_bytes(
+            session.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        return max(1, (size + max_bytes - 1) // max_bytes)
     except Exception:
         return 0
+
+
+def ensure_min_parallelism(df: DataFrame, key_cols=("repo", "path"), factor: int = 3) -> DataFrame:
+    """Widen a CPU-bound stage's input to ≥ ``factor``× cores — never narrow it.
+
+    Per-file parse cost is heavy-tailed, so exactly 1 task/core has zero
+    straggler slack; 3× cores lets fast tasks backfill behind slow files.
+    Two-step decision, both driver-cheap: a bytes-based split estimate
+    (plan statistics — no job, no path list) short-circuits the common
+    at-scale case; only when it says "maybe under-parallel" do we pay the
+    RDD plan conversion to read the ACTUAL planned split count, and we only
+    ever repartition UP — an input that already arrives wider than the
+    target (e.g. 128 natural parquet splits on a 32-core box) is left
+    alone, never collapsed."""
+    target = factor * df.sparkSession.sparkContext.defaultParallelism
+    if _estimated_splits(df) < target and df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols)
+    return df
 
 
 def _screen_specs(specs, content: str) -> list:
@@ -255,13 +299,8 @@ def run_detectors(
     else:
         # A small/compacted corpus can arrive as fewer splits than cores —
         # the CPU-bound detector stage must never be narrower than the
-        # cluster. Decided from driver-side file metadata (len(inputFiles):
-        # no Spark job, no df.rdd plan conversion); an in-memory relation
-        # reports zero input files and also repartitions. At real scale
-        # (more input files than cores) this is a no-op.
-        target = spark.sparkContext.defaultParallelism
-        if _input_file_count(narrow) < target:
-            narrow = narrow.repartition(target, "repo", "path")
+        # cluster (and wants straggler slack, see ensure_min_parallelism).
+        narrow = ensure_min_parallelism(narrow)
 
     def _norm_map(cell) -> Optional[Dict[str, Any]]:
         if cell is None:

@@ -70,11 +70,9 @@ def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> Dat
     ensure_shipped(files_df.sparkSession)
     langs = ["java", "javascript"] + (["python"] if include_python else [])
     narrow = files_df.filter(F.col("lang").isin(langs)).select("repo", "path", "lang", "content")
-    target = files_df.sparkSession.sparkContext.defaultParallelism
-    from .analyze import _input_file_count
+    from .analyze import ensure_min_parallelism
 
-    if _input_file_count(narrow) < target:
-        narrow = narrow.repartition(target, "repo", "path")
+    narrow = ensure_min_parallelism(narrow)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -90,6 +90,44 @@ def test_triples_projection_is_single_pass(spark, fixture_corpus):
         assert "Union" not in plan
 
 
+def test_detector_parallelism_widens_but_never_narrows(spark):
+    """The detector stage wants 3x cores of straggler slack (per-file parse
+    cost is heavy-tailed) — a 1-split corpus must widen to that, and an
+    input that already arrives wider (e.g. many natural parquet splits)
+    must NEVER be collapsed (the round-2 regression: an inputFiles()-count
+    trigger repartitioned 128 natural splits down to 32 tasks)."""
+    from dr_source_spark.operators.analyze import ensure_min_parallelism
+
+    target = 3 * spark.sparkContext.defaultParallelism
+    rows = [("r", f"p{i}.py", "c", ".py", "x = 1") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, ext string, content string"
+    )
+
+    widened = ensure_min_parallelism(df.coalesce(1))
+    assert widened.rdd.getNumPartitions() >= target
+
+    wide_in = df.repartition(target * 4, "repo", "path")
+    assert ensure_min_parallelism(wide_in).rdd.getNumPartitions() == target * 4
+
+
+def test_run_detectors_preserves_wide_input_partitioning(spark):
+    """mapInArrow is narrow — the findings partition count must equal the
+    (already wide) input partition count, proving run_detectors did not
+    inject a collapsing repartition."""
+    from dr_source_spark.kb import compile_kb, load_kb
+    from dr_source_spark.operators.analyze import run_detectors
+
+    target = 3 * spark.sparkContext.defaultParallelism
+    rows = [("r", f"p{i}.py", "c", ".py", "x = 1") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, ext string, content string"
+    ).repartition(target * 4, "repo", "path")
+    ckb = compile_kb(load_kb(project_dir="/nonexistent"))
+    findings = run_detectors(df, ckb)
+    assert findings.rdd.getNumPartitions() == target * 4
+
+
 def test_scan_diff_uses_hash_joins_not_cartesian(spark):
     import __spark_entry__ as E
 
