@@ -38,9 +38,12 @@ def _compiled(pattern: str) -> Optional[re.Pattern]:
 # rule could match the line before the per-rule loop runs. Exact, because
 # the screen is the union of the very same patterns (matching is .search
 # truthiness only — no group numbering to disturb). Patterns that are
-# unsafe to embed in an alternation (backrefs, named groups, non-leading
-# inline flags) stay outside the screen and are checked on every line.
-_UNSAFE_IN_ALTERNATION = re.compile(r"\\[1-9]|\(\?P[<=]|(?<!^)\(\?[a-zA-Z]+\)")
+# unsafe to embed in an alternation — backrefs, named groups, conditional
+# group references like (?(1)yes|no) (whose referenced group NUMBER shifts
+# when other rules' capture groups precede them in the combined pattern),
+# non-leading inline flags — stay outside the screen and are checked on
+# every line.
+_UNSAFE_IN_ALTERNATION = re.compile(r"\\[1-9]|\(\?P[<=]|\(\?\(|(?<!^)\(\?[a-zA-Z]+\)")
 
 _SCREEN_MEMO: Dict[tuple, tuple] = {}
 

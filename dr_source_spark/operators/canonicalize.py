@@ -45,9 +45,12 @@ def canonicalize_findings(
     else:
         from .skew import row_salt
 
-        # row-varying salt: a key-derived salt is constant per key and
-        # would leave the hot key on a single reducer (see skew.row_salt)
-        salted = df.select(*keys, canon).withColumn("_salt", row_salt(salt_buckets))
+        # row-varying salt over the full row (key + canonical struct): a
+        # key-derived salt is constant per key and would leave the hot key
+        # on a single reducer; hashing row content keeps the salt stable
+        # across stage retries (see skew.row_salt)
+        pre = df.select(*keys, canon)
+        salted = pre.withColumn("_salt", row_salt(salt_buckets, pre.columns))
         partial = salted.groupBy(*keys, "_salt").agg(
             F.min("_c").alias("_c"), F.count("*").alias("_n")
         )

@@ -27,12 +27,13 @@ def dedup_findings_salted(
 ) -> DataFrame:
     """A6 under heavy key skew (mega-repos): two-phase salted dedup — a
     ROW-varying salt (see skew.row_salt: a key-derived salt would be
-    constant per key and spread nothing), drop duplicates per salted group,
-    then a final dedup on the true key. Phase 1 spreads a hot key over up
-    to `salt_buckets` reducers."""
+    constant per key and spread nothing; a full-row content hash varies
+    and stays stable across stage retries), drop duplicates per salted
+    group, then a final dedup on the true key. Phase 1 spreads a hot key
+    over up to `salt_buckets` reducers."""
     from .skew import row_salt
 
-    salted = findings.withColumn("_salt", row_salt(salt_buckets))
+    salted = findings.withColumn("_salt", row_salt(salt_buckets, findings.columns))
     phase1 = salted.dropDuplicates(list(key) + ["_salt"])
     return phase1.dropDuplicates(list(key)).drop("_salt")
 

@@ -57,23 +57,34 @@ def repartition_by_size_buckets(
     return salted.repartition(num_partitions, "repo", "_salt").drop("_salt", "bucket")
 
 
-def row_salt(salt_buckets: int):
-    """A ROW-varying salt column for two-phase skewed aggregations.
+def row_salt(salt_buckets: int, cols):
+    """A ROW-varying, RETRY-DETERMINISTIC salt column for two-phase skewed
+    aggregations over the given columns (pass every column of the frame).
 
-    The salt must vary across rows of the SAME key — a salt derived from the
-    grouping key (hash(key) % buckets) is constant per key, so every row of
-    a hot key still lands on one reducer and the 'salting' is a no-op.
-    monotonically_increasing_id is consecutive within a partition, so modulo
-    spreads a hot key's rows evenly over `salt_buckets` partial groups; any
-    salt value yields the same final result, so the nondeterminism across
-    retries is harmless for the min/count/sum phase-2 merges used here."""
-    return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    Two requirements pull in different directions:
+
+    * The salt must vary across rows of the SAME grouping key — a salt
+      derived from the key alone (hash(key) % buckets) is constant per key,
+      so every row of a hot key still lands on one reducer and the
+      'salting' is a no-op. Hashing the FULL row varies wherever any
+      non-key column differs (for findings: path/line/message always do).
+    * The salt must be identical when a task is recomputed —
+      monotonically_increasing_id (used before round 3) changes its id
+      assignment under partial stage retry, so a reducer that already
+      fetched some map outputs could see rows move between salt groups and
+      double-count or drop them. A content hash can't move.
+
+    Residual caveat: rows that are byte-identical across ALL columns share
+    a salt, so a hot key made of exact duplicate rows is spread only by the
+    map-side partial aggregate (which collapses those duplicates to one
+    partial row per partition before the shuffle — bounded either way)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
 
 
 def salted_group_count(df: DataFrame, key_cols, salt_buckets: int = 16) -> DataFrame:
     """Two-phase count per key under skew: salted partial counts, then the
     final unsalted sum (hot keys spread over `salt_buckets` reducers)."""
     keys = list(key_cols)
-    salted = df.withColumn("_salt", row_salt(salt_buckets))
+    salted = df.withColumn("_salt", row_salt(salt_buckets, df.columns))
     partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias("n"))

@@ -32,12 +32,20 @@ IGNORED_EXTENSIONS = [
 ]
 
 
-def read_source_files(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
+def read_source_files(
+    spark: SparkSession, location: str, fmt: str = "parquet", csv_multiline: bool = False
+) -> DataFrame:
     """Scan the corpus table. Iceberg when a catalog table name is given
     (contains no '/'); parquet (default), ORC, JSONL, or headered CSV paths
     otherwise — all mapped onto the SOURCE_FILES schema so every downstream
     stage is format-agnostic. Columnar formats keep pushdown/pruning; JSONL/
-    CSV are ingest conveniences for corpus drops."""
+    CSV are ingest conveniences for corpus drops.
+
+    CSV is read SPLITTABLE by default (multiLine=False — records must not
+    contain raw embedded newlines). csv_multiline=True opts into quoted
+    embedded newlines, at the documented cost of one task per file at scale
+    (multiLine CSV is not splittable) — steer bulk source-code drops, which
+    always embed newlines, to JSONL/ORC/parquet instead."""
     if fmt == "iceberg" or ("/" not in location and "." in location):
         return spark.read.format("iceberg").load(location)
     if fmt == "orc":
@@ -45,7 +53,10 @@ def read_source_files(spark: SparkSession, location: str, fmt: str = "parquet") 
     if fmt in ("json", "jsonl"):
         return spark.read.schema(SOURCE_FILES).json(location)
     if fmt == "csv":
-        return spark.read.schema(SOURCE_FILES).option("header", True).option("multiLine", True).option("escape", '"').csv(location)
+        reader = spark.read.schema(SOURCE_FILES).option("header", True).option("escape", '"')
+        if csv_multiline:
+            reader = reader.option("multiLine", True)
+        return reader.csv(location)
     return spark.read.parquet(location)
 
 

@@ -14,10 +14,14 @@ two-phase count.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint
+
+_LSH_OBS_SEQ = itertools.count()
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -96,19 +100,27 @@ def minhash_lsh_candidates(
     cluster of g docs would otherwise emit g(g-1)/2 pairs from a single
     band group (10^12 pairs for a million-doc cluster). Groups above the
     cap are dropped — deterministically, so oracles can reproduce the
-    output — and surfaced by ``lsh_oversized_clusters`` for observability;
-    such clusters are near-identical text and are handled by the cheaper
+    output — and the drop is NEVER silent: an in-plan ``observe`` metric
+    (``lsh_cap_drops``: n_oversized_clusters / n_docs_in_oversized) rides
+    every materialization of the result — visible in the Spark UI / SQL
+    listener without the caller remembering the companion
+    ``lsh_oversized_clusters`` query, which remains the detail view. Such
+    clusters are near-identical text and are handled by the cheaper
     exact-dedup pass. The group count uses a map-side partial aggregate
     (narrow keys), so a hot signature never pins one task before the cap.
     Set max_cluster=0 to disable."""
     band_sigs = _band_signatures(documents, num_hashes, bands)
     if max_cluster:
-        kept = (
-            band_sigs.groupBy("band", "band_sig")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_cluster)
-            .select("band", "band_sig")
+        oversized = F.col("_n") > max_cluster
+        sizes = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
+        # metric names must be unique within one physical plan — suffix a
+        # per-call sequence so two candidate sets can be unioned/joined
+        sizes = sizes.observe(
+            f"lsh_cap_drops_{next(_LSH_OBS_SEQ)}",
+            F.sum(F.when(oversized, 1).otherwise(0)).alias("n_oversized_clusters"),
+            F.sum(F.when(oversized, F.col("_n")).otherwise(0)).alias("n_docs_in_oversized"),
         )
+        kept = sizes.filter(~oversized).select("band", "band_sig")
         band_sigs = band_sigs.join(kept, ["band", "band_sig"], "left_semi")
     left = band_sigs.alias("l")
     right = band_sigs.alias("r")

@@ -147,13 +147,38 @@ def test_source_format_round_trips(spark, tmp_path):
     want = findings_of(df)
     assert want  # both files fire
 
-    for fmt, writer in [
-        ("json", lambda p: df.write.mode("overwrite").json(p)),
-        ("csv", lambda p: df.write.mode("overwrite").option("header", True)
-            .option("escape", '"').csv(p)),
-        ("orc", lambda p: df.write.mode("overwrite").orc(p)),
+    for fmt, kwargs, writer in [
+        ("json", {}, lambda p: df.write.mode("overwrite").json(p)),
+        # source code embeds newlines -> CSV needs the documented
+        # multiLine opt-in (non-splittable); bulk drops go to JSONL/ORC
+        ("csv", {"csv_multiline": True}, lambda p: df.write.mode("overwrite")
+            .option("header", True).option("escape", '"').csv(p)),
+        ("orc", {}, lambda p: df.write.mode("overwrite").orc(p)),
     ]:
         out = str(tmp_path / fmt)
         writer(out)
-        got = findings_of(read_source_files(spark, out, fmt=fmt))
+        got = findings_of(read_source_files(spark, out, fmt=fmt, **kwargs))
         assert got == want, f"{fmt} round-trip diverged"
+
+
+def test_csv_default_read_is_splittable(spark, tmp_path):
+    """Default CSV ingest must plan MULTIPLE splits per file (multiLine CSV
+    pins one task per file at scale — it is opt-in, not the default)."""
+    from dr_source_spark.sources.corpus import read_source_files
+
+    rows = [("r", f"f{i}.ini", "c", "other", f"password = 'secret{i}'") for i in range(2000)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    out = str(tmp_path / "flat_csv")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).option("escape", '"').csv(out)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        df = read_source_files(spark, out, fmt="csv")
+        assert df.rdd.getNumPartitions() > 1  # one file, many splits
+        assert df.count() == 2000
+        assert df.filter(df.content == "password = 'secret7'").count() == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -58,6 +58,24 @@ def test_screened_equals_full(fp, ext):
     assert full == screened
 
 
+def test_conditional_group_rules_stay_outside_screen():
+    """A conditional group reference like (?(1)y|z) is group-NUMBER-relative:
+    embedded in the combined alternation after another rule's capture group
+    it silently evaluates the wrong group's truthiness (e.g. 'xy' matches
+    (x)?(?(1)y|z) alone, but not when (?(1)) suddenly refers to a different
+    rule's never-set group) — such rules must fall into the always-checked
+    list, never the screen."""
+    from types import SimpleNamespace
+
+    from dr_source_spark.detectors.regex_scan import _screen_for
+
+    r1 = SimpleNamespace(pattern=r"(foo)bar")
+    r2 = SimpleNamespace(pattern=r"(x)?(?(1)y|z)")
+    screen, always = _screen_for([r1, r2])
+    assert [r.pattern for r in always] == [r2.pattern]
+    assert screen is not None and screen.search("foobar")
+
+
 def test_regex_line_screen_is_exact():
     """The combined-alternation line screen must not change regex-tier
     output: compare against a screen-free brute force over fixture files,

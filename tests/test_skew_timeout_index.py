@@ -109,12 +109,20 @@ def test_tier_errors_are_observable_not_silent(spark):
 
 def test_salted_helpers_actually_spread_hot_keys(spark):
     """The salt must vary per ROW of a hot key (a key-derived salt is
-    constant per key and spreads nothing)."""
+    constant per key and spreads nothing) AND be a pure function of row
+    content, so a recomputed task under partial stage retry reproduces the
+    same salt assignment (monotonically_increasing_id would not)."""
     from dr_source_spark.operators.skew import row_salt
 
     hot = spark.range(0, 1000).select(F.lit("hot_key").alias("k"), F.col("id"))
-    n_salts = hot.select(row_salt(16).alias("s")).distinct().count()
+    n_salts = hot.select(row_salt(16, hot.columns).alias("s")).distinct().count()
     assert n_salts > 1
+    # retry determinism: the same rows through a different partitioning
+    # produce the identical (id -> salt) assignment
+    a = {r.id: r.s for r in hot.select("id", row_salt(16, hot.columns).alias("s")).collect()}
+    hot2 = hot.repartition(7)
+    b = {r.id: r.s for r in hot2.select("id", row_salt(16, hot2.columns).alias("s")).collect()}
+    assert a == b
 
 
 def test_broadcast_index_overflow_raises_not_truncates(spark):

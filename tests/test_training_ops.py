@@ -106,6 +106,18 @@ def test_lsh_cluster_cap_drops_viral_group_observably(spark):
     # the drop is observable, never silent
     dropped = lsh_oversized_clusters(df, num_hashes=16, bands=2, max_cluster=10).collect()
     assert {r.n_docs for r in dropped} == {12}
+    # ... and ALSO rides the candidates query itself as an in-plan observe
+    # metric, so callers who never run the companion query still see it
+    jqe = capped._jdf.queryExecution()
+    assert "lsh_cap_drops" in jqe.analyzed().toString()
+    it = jqe.observedMetrics().iterator()
+    metrics = {}
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2()
+    row = next(v for k, v in metrics.items() if k.startswith("lsh_cap_drops"))
+    # 2 bands x 1 viral signature each = 2 oversized clusters of 12 docs
+    assert row.getLong(0) == 2 and row.getLong(1) == 24
 
 
 def test_lsh_scale_defaults_shrink_candidates_at_equal_recall(docs):
