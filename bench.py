@@ -38,7 +38,9 @@ def bench_kg_extract(spark):
     from dr_source_spark.pipeline import extract
 
     res = extract(spark, _corpus(spark), run_id="bench")
-    return res.triples.count()
+    n = res.triples.count()
+    res.cleanup()  # release the corpus cache between best-of runs
+    return n
 
 
 def bench_detector_scan(spark):
@@ -75,20 +77,26 @@ def main():
     qmap = entrymod.queries()
 
     timings = {}
+    noise = {"runs": {}, "spread_pct": {}}
 
-    def timed(name, fn, runs: int = 2):
+    def timed(name, fn, runs: int = 2, max_runs: int = 5):
         # best-of-N: masks first-action warmup and box noise (the single
-        # shared sandbox box hosts other jobs)
-        best = None
-        for _ in range(runs):
+        # shared sandbox box hosts other jobs). Sub-second queries sit in
+        # the noise floor, so they get extra runs; the recorded spread
+        # (max/min - 1) lets a reader tell a real regression from a noisy
+        # box without re-running.
+        samples = []
+        while len(samples) < runs or (min(samples) < 1.0 and len(samples) < max_runs):
             t0 = time.monotonic()
             fn()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(min(samples), 3)
+        noise["runs"][name] = len(samples)
+        noise["spread_pct"][name] = round((max(samples) / min(samples) - 1) * 100, 1)
 
     # warm the JVM/py worker pool once (not timed)
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     timed("kg_extract", lambda: bench_kg_extract(spark))
     timed("detector_scan", lambda: bench_detector_scan(spark))
@@ -106,6 +114,11 @@ def main():
         "cpus": int(CPUS),
         "corpus_files": n_files,
         "files_per_sec_detector": round(n_files / timings["detector_scan"], 2) if timings.get("detector_scan") else None,
+        # noise indicators: box load before/after, per-query run counts and
+        # best-to-worst spread — a regression claim needs a quiet box
+        # (loadavg ~ the Spark job itself) and a small spread
+        "noise": dict(noise, loadavg_start=loadavg_start,
+                      loadavg_end=[round(x, 2) for x in os.getloadavg()]),
     }
     print(json.dumps(out))
     spark.stop()
