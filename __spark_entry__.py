@@ -593,6 +593,38 @@ def _kg_node_degrees(spark, sf_dir):
     )
 
 
+def _tier_error_rate(spark, sf_dir):
+    # A5/parse-loss observability: every 5th-ish synthesized python file is
+    # deliberately unparseable; the swallowed-tier-error stream must surface
+    # exactly those files (reference would silently lose them,
+    # scanner.py:183-185). Oracle = a pure predicate over documents.
+    from dr_source_spark.pipeline import extract
+    from dr_source_spark.sources.synth import synth_malformed_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    res = extract(spark, synth_malformed_corpus(docs), run_id="errprobe", enable_interfile=False)
+    total = docs.select(F.count("*").alias("n_files"))
+    per_tier = (
+        res.tier_errors
+        .select(F.split("message", ":").getItem(0).alias("tier"))
+        .groupBy("tier")
+        .agg(F.count("*").cast("long").alias("n_errors"))
+    )
+    return per_tier.crossJoin(total).select(
+        "tier",
+        "n_errors",
+        F.round(F.col("n_errors") / F.col("n_files"), 4).alias("error_rate"),
+    )
+
+
+_TIER_ERROR_RATE_SQL = """
+SELECT 'ast' AS tier,
+       CAST(count(*) FILTER (WHERE doc_id % 5 = 3) AS BIGINT) AS n_errors,
+       round(CAST(count(*) FILTER (WHERE doc_id % 5 = 3) AS DOUBLE) / count(*), 4) AS error_rate
+FROM documents
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -764,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_nodes": _kg_graph_nodes,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
+        "tier_error_rate": _tier_error_rate,
     }
 
 
@@ -798,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "kg_severity_histogram": _kg_severity_histogram_sql(),
+        "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

@@ -124,6 +124,12 @@ class ExprParser:
             if prop is None:
                 break
             ctor = {"t": "member", "obj": ctor, "prop": prop.text, "line": prop.line}
+        if not self.js and self.ts.at("<"):
+            # java explicit/diamond type arguments: new ArrayList<>(),
+            # new Tuple2<String, Double>(a, b) — skip so the '(' arg list
+            # parses (dropping them once desynced the statement and lost
+            # taint through ctor args; found by the real-code corpus)
+            self._skip_type_args()
         args: List[Node] = []
         # java array creation: new T[expr]... / new T[]{init, ...}
         saw_array = False
@@ -259,9 +265,29 @@ class ExprParser:
                 body = self._arrow_body(t.line)
                 return {"t": "arrow", "params": [t.text], "body": body, "line": t.line}
             return {"t": "name", "id": t.text, "line": t.line}
-        # unknown punct — consume to avoid loops
+        # unknown punct. A closing delimiter (or statement separator)
+        # belongs to the ENCLOSING construct — consuming it here once
+        # swallowed a ')' and desynced the rest of the file (the enclosing
+        # paren-expr then skip_until'd to the NEXT ')' — found by the
+        # real-code corpus). Statement-level callers guarantee progress.
+        if t.text in (")", "]", "}", ";", ",", ":"):
+            return None
         self.ts.next()
         return None
+
+    def _skip_type_args(self) -> None:
+        """Skip balanced <...> from an opening '<'; composite shift tokens
+        ('>>', '>>>') close several angles at once (see javaparse
+        _skip_generics — same counting rule)."""
+        depth = 0
+        while self.ts.peek() is not None:
+            txt = self.ts.next().text
+            if "<" in txt and set(txt) <= set("<="):
+                depth += txt.count("<")
+            elif ">" in txt and set(txt) <= set(">="):
+                depth -= txt.count(">")
+                if depth <= 0:
+                    return
 
     # -- js helpers ------------------------------------------------------------
 

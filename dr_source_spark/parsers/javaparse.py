@@ -185,17 +185,24 @@ def _params(ts: TokStream) -> List[Dict[str, Any]]:
     while ts.peek() is not None and not ts.at(")"):
         anns = _annotations(ts)
         _skip_modifiers(ts)
-        # collect tokens until ',' or ')' at depth 0; param name = last id
+        # collect tokens until ',' or ')' at depth 0; param name = last id.
+        # Composite shift tokens close several generic angles at once
+        # (Tuple2<Integer, Tuple2<Integer, Integer>> p arrives as '>>' —
+        # found by the real-code corpus), so count angle contributions per
+        # token like _skip_generics does.
         toks: List[Tok] = []
         depth = 0
         while ts.peek() is not None:
             t = ts.peek()
             if depth == 0 and t.text in (",", ")"):
                 break
-            if t.text in "(<[":
+            txt = t.text
+            if txt in ("(", "<", "["):
                 depth += 1
-            elif t.text in ")>]":
+            elif txt in (")", "]"):
                 depth -= 1
+            elif txt and set(txt) <= {">"}:
+                depth -= len(txt)
             toks.append(ts.next())
         ids = [t for t in toks if t.kind == "id"]
         if ids:

@@ -96,12 +96,17 @@ def _statement(ts: TokStream) -> Optional[Node]:
             return None
         if t.text == "class":
             return _class_decl(ts)
+    save = ts.i
     e = _expr_parser(ts).expression()
     if not ts.eat(";"):
         pass  # ASI tolerance
     if e is None:
-        if ts.peek() is not None and ts.peek().line == t.line and ts.i == 0:
-            ts.next()
+        # progress guarantee: a stray token the expression parser refuses
+        # to consume (e.g. an unmatched ')') must not loop the statement
+        # reader forever
+        if ts.i == save and ts.peek() is not None:
+            ts.next()  # parse_block never calls _statement at '}', so this
+            # only ever eats genuinely stray tokens
         return None
     return {"t": "exprstmt", "e": e, "line": e["line"]}
 

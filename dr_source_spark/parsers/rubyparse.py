@@ -75,7 +75,12 @@ class _P:
 
 def parse_ruby(src: str) -> Node:
     p = _P(_tokens(src))
-    stmts = _stmts(p, stop={"end"})
+    # top level must NOT stop at 'end': an unmatched 'end' (an opener the
+    # parser doesn't model — for-loops, heredoc bodies lexed as code) would
+    # truncate the rest of the file; _stmt consumes strays harmlessly
+    # (found by the real-code corpus: a single stray 'end' dropped every
+    # finding below it)
+    stmts = _stmts(p, stop=set())
     return {"t": "program", "stmts": stmts, "line": 1}
 
 

@@ -294,6 +294,31 @@ FROM ids
 """
 
 
+def synth_malformed_corpus(documents: DataFrame, broken_mod: int = 5, broken_rem: int = 3) -> DataFrame:
+    """documents → one Python file per doc, with docs where
+    ``doc_id % broken_mod == broken_rem`` deliberately UNPARSEABLE
+    (guaranteed SyntaxError). Drives the ``tier_error_rate`` driver query:
+    the expected ast-tier error count is a pure SQL predicate over
+    documents, so parse-loss observability itself gets a value oracle."""
+    sid = F.col("doc_id").cast("string")
+    word = F.regexp_replace(
+        F.coalesce(F.element_at(F.split(F.col("text"), " "), 3), F.lit("field")),
+        r"[^A-Za-z0-9_]", "x",
+    )
+    broken = F.concat(
+        F.lit("def broken"), sid, F.lit("(:\n    os.system(\nx = '"), word, F.lit("'\n")
+    )
+    valid = F.concat(F.lit("v"), sid, F.lit(" = \""), word, F.lit("\"\n"))
+    is_broken = F.pmod(F.col("doc_id"), F.lit(broken_mod)) == broken_rem
+    return documents.select(
+        F.lit("errprobe").alias("repo"),
+        F.concat(F.lit("src/f"), sid, F.lit(".py")).alias("path"),
+        F.lit("bench").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.when(is_broken, broken).otherwise(valid).alias("content"),
+    )
+
+
 def synth_code_corpus(documents: DataFrame, commit: str = "bench", copies: int = 1) -> DataFrame:
     """documents(doc_id, text, ...) → source_files, ``copies`` files per
     document (doc_key = doc_id*copies + c keeps ids unique/deterministic)."""
