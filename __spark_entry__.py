@@ -562,7 +562,7 @@ def _kg_severity_histogram(spark, sf_dir):
 
 
 def _kg_severity_histogram_sql() -> str:
-    from dr_source_spark.sources.synth import EXPECTED_FINDINGS
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
 
     rows = [
         f"({tpl}, {_sevcount(tpl, sev)}, '{sev}')"
@@ -571,7 +571,7 @@ def _kg_severity_histogram_sql() -> str:
     ]
     return f"""
 WITH per_tpl(tpl, k, severity) AS (VALUES {', '.join(rows)}),
-docs AS (SELECT CAST(doc_id % 6 AS INT) AS tpl FROM documents)
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents)
 SELECT severity, CAST(sum(k) AS BIGINT) AS n
 FROM docs JOIN per_tpl USING (tpl)
 GROUP BY severity

@@ -82,6 +82,21 @@ class KnowledgeBase:
         return self.detector_rules(vuln_type).get("cwe")
 
 
+def overlay_paths(
+    explicit_path: Optional[str] = None,
+    user_config_dir: Optional[str] = None,
+    project_dir: Optional[str] = None,
+) -> List[str]:
+    """The YAML overlay candidates in priority order (lowest→highest)."""
+    paths: List[str] = []
+    if user_config_dir:
+        paths.append(os.path.join(user_config_dir, "knowledge_base.yaml"))
+    paths.append(os.path.join(project_dir or os.getcwd(), ".dr_source_rules.yaml"))
+    if explicit_path:
+        paths.append(explicit_path)
+    return paths
+
+
 def load_kb(
     explicit_path: Optional[str] = None,
     user_config_dir: Optional[str] = None,
@@ -91,14 +106,7 @@ def load_kb(
     priority order (lowest→highest), merged with :func:`deep_merge_config`."""
     rules: Dict[str, Any] = copy.deepcopy(DEFAULT_RULES)
 
-    overlay_paths: List[str] = []
-    if user_config_dir:
-        overlay_paths.append(os.path.join(user_config_dir, "knowledge_base.yaml"))
-    overlay_paths.append(os.path.join(project_dir or os.getcwd(), ".dr_source_rules.yaml"))
-    if explicit_path:
-        overlay_paths.append(explicit_path)
-
-    for path in overlay_paths:
+    for path in overlay_paths(explicit_path, user_config_dir, project_dir):
         if not path or not os.path.exists(path):
             continue
         import yaml  # driver-only dependency

@@ -75,43 +75,76 @@ def _size_as_bytes(value: str) -> int:
     return int(v) * mult
 
 
-def _estimated_splits(df: DataFrame) -> int:
-    """Cheap scan-split estimate: optimized-plan size statistics divided by
-    ``spark.sql.files.maxPartitionBytes``. Driver-side metadata only — one
-    JVM number crosses to Python (never the file-path list: enumerating
-    every input path is O(num_files) driver memory at corpus scale), and no
-    Spark job runs. Underestimates when Spark's own split packing shrinks
-    maxSplitBytes below maxPartitionBytes for small inputs — callers must
-    treat a low estimate as 'maybe under-parallel', not as the exact count."""
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Optimized-plan size statistic, or None when unknown. Driver-side
+    metadata only — one JVM number crosses to Python (never the file-path
+    list: enumerating every input path is O(num_files) driver memory at
+    corpus scale), and no Spark job runs."""
     try:
         session = df.sparkSession
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         # relations without real statistics (e.g. LocalRelation) report the
         # defaultSizeInBytes sentinel — that's "unknown", not "huge"
         if size >= int(session._jsparkSession.sessionState().conf().defaultSizeInBytes()):
-            return 0
-        max_bytes = _size_as_bytes(
-            session.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        )
-        return max(1, (size + max_bytes - 1) // max_bytes)
+            return None
+        return size
     except Exception:
+        return None
+
+
+def _conf_bytes(df: DataFrame, key: str, default: str) -> int:
+    try:
+        return _size_as_bytes(df.sparkSession.conf.get(key, default))
+    except Exception:
+        return _size_as_bytes(default)
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    """Lower bound on the scan's natural split count: plan-size bytes over
+    ``spark.sql.files.maxPartitionBytes`` (Spark's own packing never makes
+    splits LARGER than maxPartitionBytes, so the true count is >= this).
+    0 = unknown."""
+    size = _plan_size_bytes(df)
+    if size is None:
         return 0
+    max_bytes = _conf_bytes(df, "spark.sql.files.maxPartitionBytes", "134217728b")
+    return max(1, (size + max_bytes - 1) // max_bytes)
 
 
-def ensure_min_parallelism(df: DataFrame, key_cols=("repo", "path"), factor: int = 3) -> DataFrame:
+def ensure_min_parallelism(df: DataFrame, key_cols=("repo", "path"), factor: int = 1) -> DataFrame:
     """Widen a CPU-bound stage's input to ≥ ``factor``× cores — never narrow it.
 
-    Per-file parse cost is heavy-tailed, so exactly 1 task/core has zero
-    straggler slack; 3× cores lets fast tasks backfill behind slow files.
-    Two-step decision, both driver-cheap: a bytes-based split estimate
-    (plan statistics — no job, no path list) short-circuits the common
-    at-scale case; only when it says "maybe under-parallel" do we pay the
-    RDD plan conversion to read the ACTUAL planned split count, and we only
-    ever repartition UP — an input that already arrives wider than the
-    target (e.g. 128 natural parquet splits on a 32-core box) is left
-    alone, never collapsed."""
+    factor=1 (exactly cores) is the MEASURED optimum for the Arrow-batched
+    detector stage: every extra task pays a python-worker round-trip +
+    Arrow stream setup, and the round-3 A/B on the sf0.1 corpus (32 cores,
+    best-of-3) was monotonic in partition count — 32 tasks 1.04s, 64 →
+    1.35s, 96 → 1.61s, 128 → 1.78s, 192 → 2.25s. Straggler slack from
+    over-partitioning only pays when single files run for seconds; callers
+    with a known heavy-tailed corpus can pass factor>1 or pre-spread with
+    skew.repartition_by_size_buckets.
+
+    Three-band decision from plan-size statistics (no job, no path list):
+
+    * big (bytes-based split lower bound >= target): leave alone — at
+      100 TB width comes from real data volume; collapsing it would
+      serialize the scan.
+    * tiny (bytes < target x openCostInBytes): repartition to target
+      unconditionally. Even a fragmented many-tiny-files input is better
+      off as exactly `target` partitions here (< openCost bytes each), and
+      skipping the plan->RDD conversion saves ~0.2-0.4 s of driver-side
+      planning PER QUERY on literal-heavy plans (measured round 3).
+    * middle band / unknown stats: pay one RDD plan conversion to read the
+      ACTUAL planned split count, and only ever repartition UP — an input
+      that already arrives wider than the target (e.g. 128 natural parquet
+      splits) is never collapsed."""
     target = factor * df.sparkSession.sparkContext.defaultParallelism
-    if _estimated_splits(df) < target and df.rdd.getNumPartitions() < target:
+    if _estimated_splits(df) >= target:
+        return df
+    size = _plan_size_bytes(df)
+    open_cost = _conf_bytes(df, "spark.sql.files.openCostInBytes", "4194304b")
+    if size is not None and size < target * open_cost:
+        return df.repartition(target, *key_cols)
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *key_cols)
     return df
 
@@ -138,6 +171,24 @@ def _can_screen(lang: str, fn_index: Optional[Dict[str, Any]]) -> bool:
 
 
 TIER_ERROR_PLUGIN = "__tier_error__"
+
+
+# one broadcast per (application, CompiledKB object): repeated queries over
+# the same KB must not re-ship it — each re-broadcast makes every python
+# worker re-deserialize the whole rule catalog on its next task (measured
+# ~0.5 s/query at 32 workers). Values hold (ckb, bc): the strong ckb ref
+# keeps id() stable for the memo's lifetime.
+_CKB_BC_MEMO: Dict[tuple, tuple] = {}
+
+
+def broadcast_ckb(spark, ckb):
+    key = (spark.sparkContext.applicationId, id(ckb))
+    hit = _CKB_BC_MEMO.get(key)
+    if hit is not None and hit[0] is ckb:
+        return hit[1]
+    bc = spark.sparkContext.broadcast(ckb)
+    _CKB_BC_MEMO[key] = (ckb, bc)
+    return bc
 
 
 def _analyze_one(
@@ -288,7 +339,7 @@ def run_detectors(
 
     spark = files_df.sparkSession
     ensure_shipped(spark)
-    ckb_bc = spark.sparkContext.broadcast(ckb)
+    ckb_bc = broadcast_ckb(spark, ckb)
 
     cols = ["repo", "path", "commit", "ext", "content"]
     if fn_index_from_column:

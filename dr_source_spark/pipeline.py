@@ -16,7 +16,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kb import compile_kb, load_kb
+from .kb import compiled_kb_cached
 from .operators.analyze import run_detectors
 from .operators.index_build import build_symbol_index, broadcast_index
 from .operators.triples import findings_to_triples, triples_to_nodes_edges
@@ -64,8 +64,9 @@ def extract(
     for corpora with heavy file duplication (vendored deps, forks); output
     is finding-identical. Requires the broadcast index mode."""
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
-    kb = load_kb(explicit_path=kb_path)
-    ckb = compile_kb(kb)
+    # mtime-cached: repeated extractions reuse one CompiledKB object, which
+    # in turn reuses one broadcast (operators/analyze.broadcast_ckb)
+    ckb = compiled_kb_cached(explicit_path=kb_path)
 
     files = ingest_source_files(source_files)
     files = files.persist()  # read once, feed both jobs

@@ -93,6 +93,59 @@ endpoint = "§W§"
 DEBUG = True
 """,
     ),
+    # --- templates 6..9: inter-file (B7), Java framework mappers (B8), and
+    # structural-Django (B9) coverage for the flagship oracle. §M§ = doc_id-1:
+    # the caller template (7) invokes the helper DEFINED IN ANOTHER DOC'S
+    # FILE (template 6, always the immediately preceding doc), so the
+    # flagship value-hash oracle now fails if the symbol-index job, the
+    # broadcast, or depth-limited call simulation breaks.
+    (
+        "java",
+        "src/DbHelper§N§.java",
+        """import java.sql.Statement;
+public class DbHelper§N§ {
+    public void runQuery§N§(Statement st, String q) throws Exception {
+        st.executeQuery(q);
+    }
+}
+""",
+    ),
+    (
+        "java",
+        "src/Ctl§N§.java",
+        """import javax.servlet.http.HttpServletRequest;
+import java.sql.Statement;
+public class Ctl§N§ {
+    public void go§N§(HttpServletRequest request, Statement statement) throws Exception {
+        String in§N§ = request.getParameter("§W§");
+        runQuery§M§(statement, in§N§);
+    }
+}
+""",
+    ),
+    (
+        "java",
+        "src/Svc§N§.java",
+        """import org.springframework.web.bind.annotation.RequestParam;
+public class Svc§N§ {
+    public void list§N§(@RequestParam String p§N§, javax.persistence.EntityManager em) {
+        String h§N§ = "FROM §W§ WHERE name = '" + p§N§ + "'";
+        em.createQuery(h§N§);
+    }
+}
+""",
+    ),
+    (
+        "python",
+        "src/forms§N§.py",
+        """from django import forms
+
+class Profile§N§Form(forms.ModelForm):
+    class Meta:
+        model = Profile§N§
+        fields = '__all__'
+""",
+    ),
 ]
 
 
@@ -152,6 +205,47 @@ EXPECTED_TRIPLES = {
     ]),
 }
 
+# Cross-file flow (template 7): the finding's variable/line come from the
+# CALLEE (DbHelper{M}.java) — constant per template because the callee shape
+# is fixed; the trace records the hand-off (reference inter-file semantics,
+# tests/test_inter_file_analysis.py:24-35).
+_T_IF = ("Tainted by getParameter at line 5 -> "
+         "Passed to runQuery{M}() in DbHelper{M}.java at line 6")
+# Framework mapper flow (template 8): @RequestParam = SpringBootMapper
+# source; em.createQuery = Hibernate mapper sink, which fires during EVERY
+# category pass (reference frameworks.py wiring — B8), one finding per
+# taint category:
+_T_FW = "Tainted by SpringBootMapper at line 3 -> Propagated to h{N} at line 4"
+_FW_CATS = [
+    ("SQL_INJECTION", "CWE-89", "HIGH"),
+    ("COMMAND_INJECTION", "CWE-78", "CRITICAL"),
+    ("SSTI", "CWE-1336", "HIGH"),
+    ("XSS", "CWE-79", "HIGH"),
+    ("SSRF", "CWE-918", "HIGH"),
+    ("OPEN_REDIRECT", "CWE-601", "MEDIUM"),
+    ("INSECURE_DESERIALIZATION", "CWE-502", "CRITICAL"),
+    ("PATH_TRAVERSAL", "CWE-22", "HIGH"),
+    ("INSECURE_TOKEN_GENERATION", "CWE-330", "HIGH"),
+    ("LOG_INJECTION", "CWE-117", "LOW"),
+    ("PII_LEAKAGE", "CWE-201", "MEDIUM"),
+]
+_FW_SINK = "SQL_INJECTION (HibernateMapper)"
+_FW_MSG = f"Sink method '{_FW_SINK}' called with tainted variable 'h{{N}}'"
+
+EXPECTED_TRIPLES[6] = ("src/DbHelper{N}.java", [])  # helper alone: no flow
+EXPECTED_TRIPLES[7] = ("src/Ctl{N}.java", [
+    ("", "HAS_VULN", "CWE-89", 4, _T_IF),
+    ("#var:q", "FLOWS_TO", "executeQuery@L4", 4, _T_IF),
+    ("#var:q", "TAINTED_BY", "Tainted by getParameter at line 5", 4, _T_IF),
+])
+EXPECTED_TRIPLES[8] = ("src/Svc{N}.java",
+    [("", "HAS_VULN", cwe, 5, _T_FW) for _cat, cwe, _sev in _FW_CATS]
+    + [("#var:h{N}", "FLOWS_TO", f"{_FW_SINK}@L5", 5, _T_FW)] * len(_FW_CATS)
+    + [("#var:h{N}", "TAINTED_BY", "Tainted by SpringBootMapper at line 3", 5, _T_FW)] * len(_FW_CATS))
+EXPECTED_TRIPLES[9] = ("src/forms{N}.py", [
+    ("", "HAS_VULN", "CWE-915", 6, ""),
+])
+
 
 # Full per-template finding constants (superset of the triple constants —
 # message/severity/variable/sink included), verified exhaustively per corpus
@@ -172,7 +266,34 @@ EXPECTED_FINDINGS = {
          None, None, "MEDIUM", ""),
         ("INSECURE_CONFIG", 4, "(CFG-PY-DEBUG) Debug mode enabled in Python web framework (Flask/Django).",
          None, None, "MEDIUM", "")],
+    6: [],
+    7: [("SQL_INJECTION", 4, "Sink method 'executeQuery' called with tainted variable 'q'",
+         "q", "executeQuery", "HIGH", _T_IF)],
+    8: [(cat, 5, _FW_MSG, "h{N}", _FW_SINK, sev, _T_FW) for cat, _cwe, sev in _FW_CATS],
+    9: [("MASS_ASSIGNMENT", 6, "Django ModelForm with fields = '__all__' is vulnerable to mass assignment.",
+         "structural", None, "HIGH", "")],
 }
+
+
+def _docs_cte() -> str:
+    """Shared oracle CTE deriving per-doc substitutions from `documents`:
+    n = doc_id, m = doc_id - 1 (the inter-file companion), w = sanitized 3rd
+    corpus word, tpl = doc_id mod #templates."""
+    return f"""docs AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS n,
+         CAST(doc_id - 1 AS VARCHAR) AS m,
+         regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),
+                        '[^A-Za-z0-9_]', 'x', 'g') AS w,
+         'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
+         CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl
+  FROM documents
+)"""
+
+
+def _sub_sql(expr: str) -> str:
+    """SQL expression substituting {N}/{W}/{M} in a template column."""
+    return "replace(replace(replace(" + expr + ", '{N}', d.n), '{W}', d.w), '{M}', d.m)"
 
 
 def kg_canonicalize_oracle_sql(commit: str = "bench", line_span: int = 1) -> str:
@@ -191,28 +312,20 @@ def kg_canonicalize_oracle_sql(commit: str = "bench", line_span: int = 1) -> str
             )
     values = ",\n  ".join(rows)
     return f"""
-WITH docs AS (
-  SELECT doc_id,
-         CAST(doc_id AS VARCHAR) AS n,
-         regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),
-                        '[^A-Za-z0-9_]', 'x', 'g') AS w,
-         'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
-         CAST(doc_id % 6 AS INT) AS tpl
-  FROM documents
-),
+WITH {_docs_cte()},
 expected(tpl, path_t, base_type, line, message_t, variable_t, sink, severity, trace_t) AS (VALUES
   {values})
 SELECT d.repo,
-       replace(replace(e.path_t, '{{N}}', d.n), '{{W}}', d.w) AS path,
+       {_sub_sql('e.path_t')} AS path,
        '{commit}' AS commit,
        e.base_type,
        CAST(e.line // {line_span} AS BIGINT) AS line_span,
        e.line,
-       replace(replace(e.message_t, '{{N}}', d.n), '{{W}}', d.w) AS message,
-       replace(replace(e.variable_t, '{{N}}', d.n), '{{W}}', d.w) AS variable,
+       {_sub_sql('e.message_t')} AS message,
+       {_sub_sql('e.variable_t')} AS variable,
        e.sink,
        e.severity,
-       replace(replace(e.trace_t, '{{N}}', d.n), '{{W}}', d.w) AS trace,
+       {_sub_sql('e.trace_t')} AS trace,
        CAST(1 AS BIGINT) AS n_variants
 FROM docs d JOIN expected e ON e.tpl = d.tpl
 """
@@ -222,11 +335,9 @@ def render_template(tpl_idx: int, doc_id: int, word: str) -> tuple[str, str]:
     """(path, content) for one synthesized file — the pure-Python twin of the
     Spark expression in synth_code_corpus, used by the completeness test."""
     _lang, path_tpl, content_tpl = _TEMPLATES[tpl_idx]
-    sid = str(doc_id)
-    return (
-        path_tpl.replace("§N§", sid),
-        content_tpl.replace("§W§", word).replace("§N§", sid),
-    )
+    sid, mid = str(doc_id), str(doc_id - 1)
+    sub = lambda s: s.replace("§W§", word).replace("§N§", sid).replace("§M§", mid)  # noqa: E731
+    return (sub(path_tpl), sub(content_tpl))
 
 
 def _sq(s: str) -> str:
@@ -244,24 +355,16 @@ def kg_triples_oracle_sql(run_id: str = "driver", commit: str = "bench") -> str:
             )
     values = ",\n  ".join(rows)
     return f"""
-WITH docs AS (
-  SELECT doc_id,
-         CAST(doc_id AS VARCHAR) AS n,
-         regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),
-                        '[^A-Za-z0-9_]', 'x', 'g') AS w,
-         'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
-         CAST(doc_id % 6 AS INT) AS tpl
-  FROM documents
-),
+WITH {_docs_cte()},
 expected(tpl, path_t, frag_t, pred, obj_t, line, trace_t) AS (VALUES
   {values})
-SELECT d.repo || ':' || replace(replace(e.path_t, '{{N}}', d.n), '{{W}}', d.w)
+SELECT d.repo || ':' || {_sub_sql('e.path_t')}
          || '@{commit}'
-         || replace(replace(e.frag_t, '{{N}}', d.n), '{{W}}', d.w) AS subj,
+         || {_sub_sql('e.frag_t')} AS subj,
        e.pred,
-       replace(replace(e.obj_t, '{{N}}', d.n), '{{W}}', d.w) AS obj,
+       {_sub_sql('e.obj_t')} AS obj,
        e.line,
-       replace(replace(e.trace_t, '{{N}}', d.n), '{{W}}', d.w) AS trace,
+       {_sub_sql('e.trace_t')} AS trace,
        '{run_id}' AS run_id
 FROM docs d JOIN expected e ON e.tpl = d.tpl
 """
@@ -319,10 +422,18 @@ def synth_malformed_corpus(documents: DataFrame, broken_mod: int = 5, broken_rem
     )
 
 
-def synth_code_corpus(documents: DataFrame, commit: str = "bench", copies: int = 1) -> DataFrame:
+def synth_code_corpus(
+    documents: DataFrame, commit: str = "bench", copies: int = 1, templates: int = 0
+) -> DataFrame:
     """documents(doc_id, text, ...) → source_files, ``copies`` files per
-    document (doc_key = doc_id*copies + c keeps ids unique/deterministic)."""
-    n_templates = len(_TEMPLATES)
+    document (doc_key = doc_id*copies + c keeps ids unique/deterministic).
+
+    templates=N restricts to the first N templates (doc_id % N selection).
+    templates=6 reproduces the round-1/2 corpus byte-for-byte — bench.py
+    pins its headline to that shape so throughput stays comparable across
+    rounds even as the full corpus (default: all templates, incl. the
+    heavier inter-file/framework ones) grows."""
+    n_templates = templates or len(_TEMPLATES)
     if copies > 1:
         documents = documents.select(
             "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_copy")
@@ -330,22 +441,22 @@ def synth_code_corpus(documents: DataFrame, commit: str = "bench", copies: int =
     word = F.coalesce(F.element_at(F.split(F.col("text"), " "), 3), F.lit("field"))
     word = F.regexp_replace(word, r"[^A-Za-z0-9_]", "x")
     sid = F.col("doc_id").cast("string")
+    mid = (F.col("doc_id") - 1).cast("string")
+
+    import re as _re
+
+    _marker = _re.compile("(§N§|§W§|§M§)")
+
+    def _tpl_expr(tpl: str):
+        subs = {"§N§": sid, "§W§": word, "§M§": mid}
+        parts = [subs.get(piece, None) if piece in subs else F.lit(piece)
+                 for piece in _marker.split(tpl) if piece != ""]
+        return F.concat(*parts)
 
     branches = None
     for i, (_lang, path_tpl, content_tpl) in enumerate(_TEMPLATES):
-        path_expr = F.lit(None)
-        pre, _, post = path_tpl.partition("§N§")
-        path_expr = F.concat(F.lit(pre), sid, F.lit(post))
-        parts = []
-        for seg in content_tpl.split("§N§"):
-            subparts = seg.split("§W§")
-            for j, sp in enumerate(subparts):
-                parts.append(F.lit(sp))
-                if j < len(subparts) - 1:
-                    parts.append(word)
-            parts.append(sid)
-        parts = parts[:-1]
-        content_expr = F.concat(*parts)
+        path_expr = _tpl_expr(path_tpl)
+        content_expr = _tpl_expr(content_tpl)
         cond = F.pmod(F.col("doc_id"), F.lit(n_templates)) == i
         branch = F.when(cond, F.struct(path_expr.alias("path"), content_expr.alias("content")))
         branches = branch if branches is None else branches.when(cond, F.struct(path_expr.alias("path"), content_expr.alias("content")))

@@ -54,16 +54,34 @@ def triples_of(findings, file_uri: str) -> Counter:
 
 
 def expected_counter(tpl: int, doc_id: int, word: str, path: str) -> Counter:
-    n = str(doc_id)
+    n, m = str(doc_id), str(doc_id - 1)
     file_uri = f"r:{path}@bench"
     out: Counter = Counter()
     for frag_t, pred, obj_t, line, trace_t in EXPECTED_TRIPLES[tpl][1]:
-        sub = lambda s: s.replace("{N}", n).replace("{W}", word)  # noqa: E731
+        sub = lambda s: s.replace("{N}", n).replace("{W}", word).replace("{M}", m)  # noqa: E731
         out[(file_uri + sub(frag_t), pred, sub(obj_t), line, sub(trace_t))] += 1
     return out
 
 
-@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def _interfile_index(doc_id: int, word: str):
+    """The exact broadcast entry the pipeline's index job would produce for
+    the caller template's companion helper file (template 6, doc_id-1)."""
+    from dr_source_spark.parsers.javaparse import extract_method_defs
+
+    callee_path, callee_content = render_template(6, doc_id - 1, word)
+    return {
+        d["name"]: {
+            "path": callee_path, "repo": "r", "lang": "java",
+            "def_source": d["def_source"], "def_line": d["def_line"],
+            "params": d["params"],
+        }
+        for d in extract_method_defs(callee_content)
+    }
+
+
+# doc ids are ≡ 7 (mod #templates) so the inter-file caller template renders
+# with a valid companion id (M = doc_id-1 ≥ 6); other templates accept any id
+@pytest.mark.parametrize("doc_id", [7, 17, 1237])
 def test_every_corpus_word_yields_the_oracle_constants(doc_id):
     ckb = compile_kb(load_kb())
     words = corpus_words()
@@ -72,15 +90,16 @@ def test_every_corpus_word_yields_the_oracle_constants(doc_id):
         for w in words:
             path, content = render_template(tpl, doc_id, w)
             ext = "." + path.rsplit(".", 1)[1]
+            fn_index = _interfile_index(doc_id, w) if tpl == 7 else None
             findings = _analyze_one(
-                "r", path, "bench", ext, content, ckb, None, ("regex", "ast", "pattern")
+                "r", path, "bench", ext, content, ckb, fn_index, ("regex", "ast", "pattern")
             )
             got = triples_of(findings, f"r:{path}@bench")
             want = expected_counter(tpl, doc_id, w, path)
             assert got == want, f"tpl={tpl} w={w!r}: {got ^ want}"
             # finding-level constants (message/severity/variable/sink) — the
             # canonicalization oracle's basis
-            sub = lambda s: s and s.replace("{N}", str(doc_id)).replace("{W}", w)  # noqa: E731
+            sub = lambda s: s and s.replace("{N}", str(doc_id)).replace("{W}", w).replace("{M}", str(doc_id - 1))  # noqa: E731
             got_f = Counter(
                 (f["base_type"], f["line"], f["message"], f["variable"], f["sink"],
                  f["severity"], " -> ".join(f.get("trace") or []))

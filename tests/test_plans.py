@@ -91,14 +91,15 @@ def test_triples_projection_is_single_pass(spark, fixture_corpus):
 
 
 def test_detector_parallelism_widens_but_never_narrows(spark):
-    """The detector stage wants 3x cores of straggler slack (per-file parse
-    cost is heavy-tailed) — a 1-split corpus must widen to that, and an
-    input that already arrives wider (e.g. many natural parquet splits)
-    must NEVER be collapsed (the round-2 regression: an inputFiles()-count
-    trigger repartitioned 128 natural splits down to 32 tasks)."""
+    """A 1-split corpus must widen to the cluster width (factor=1 is the
+    measured optimum — per-task Arrow/python-worker overhead beats
+    straggler slack on this stage), and an input that already arrives wider
+    (e.g. many natural parquet splits) must NEVER be collapsed (the round-2
+    regression: an inputFiles()-count trigger repartitioned natural splits
+    down unconditionally)."""
     from dr_source_spark.operators.analyze import ensure_min_parallelism
 
-    target = 3 * spark.sparkContext.defaultParallelism
+    target = spark.sparkContext.defaultParallelism
     rows = [("r", f"p{i}.py", "c", ".py", "x = 1") for i in range(200)]
     df = spark.createDataFrame(
         rows, "repo string, path string, commit string, ext string, content string"
@@ -107,8 +108,8 @@ def test_detector_parallelism_widens_but_never_narrows(spark):
     widened = ensure_min_parallelism(df.coalesce(1))
     assert widened.rdd.getNumPartitions() >= target
 
-    wide_in = df.repartition(target * 4, "repo", "path")
-    assert ensure_min_parallelism(wide_in).rdd.getNumPartitions() == target * 4
+    wide_in = df.repartition(target * 12, "repo", "path")
+    assert ensure_min_parallelism(wide_in).rdd.getNumPartitions() == target * 12
 
 
 def test_run_detectors_preserves_wide_input_partitioning(spark):
@@ -118,14 +119,14 @@ def test_run_detectors_preserves_wide_input_partitioning(spark):
     from dr_source_spark.kb import compile_kb, load_kb
     from dr_source_spark.operators.analyze import run_detectors
 
-    target = 3 * spark.sparkContext.defaultParallelism
+    target = spark.sparkContext.defaultParallelism
     rows = [("r", f"p{i}.py", "c", ".py", "x = 1") for i in range(200)]
     df = spark.createDataFrame(
         rows, "repo string, path string, commit string, ext string, content string"
-    ).repartition(target * 4, "repo", "path")
+    ).repartition(target * 12, "repo", "path")
     ckb = compile_kb(load_kb(project_dir="/nonexistent"))
     findings = run_detectors(df, ckb)
-    assert findings.rdd.getNumPartitions() == target * 4
+    assert findings.rdd.getNumPartitions() == target * 12
 
 
 def test_scan_diff_uses_hash_joins_not_cartesian(spark):

@@ -106,7 +106,9 @@ def test_regex_line_screen_is_exact():
         for fn in files:
             with open(os.path.join(dirpath, fn), encoding="utf-8", errors="ignore") as f:
                 corpora.append((f.read(), os.path.splitext(fn)[1]))
-    for tpl in range(6):
+    from dr_source_spark.sources.synth import _TEMPLATES
+
+    for tpl in range(len(_TEMPLATES)):
         path, content = render_template(tpl, 9, "token")
         corpora.append((content, "." + path.rsplit(".", 1)[1]))
     # adversarial: lines that literally contain rule-pattern fragments
