@@ -625,6 +625,51 @@ FROM documents
 """
 
 
+def _stream_windowed_counts(spark, sf_dir):
+    # Structured Streaming driver query: the watermarked tumbling-window
+    # rollup (streaming/incremental.windowed_finding_counts) run in its
+    # batch-equivalent availableNow mode over a findings-shaped stream
+    # derived from events, drained into a memory sink (complete output =
+    # every window, deterministically). Oracle: plain window aggregation.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.streaming.incremental import windowed_finding_counts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "events")
+        .select(F.col("ts").alias("event_ts"), F.col("event_type").alias("severity"))
+        .write.mode("overwrite").parquet(f"{base}/src")
+    )
+    stream = spark.readStream.schema("event_ts timestamp, severity string").parquet(f"{base}/src")
+    counts = windowed_finding_counts(stream, window_dur="1 hour", watermark="1 hour")
+    qname = f"wfc_{tag}"
+    q = (
+        counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "severity",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_STREAM_WINDOWED_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type AS severity,
+       count(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -797,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "tier_error_rate": _tier_error_rate,
+        "stream_windowed_counts": _stream_windowed_counts,
     }
 
 
@@ -832,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "kg_severity_histogram": _kg_severity_histogram_sql(),
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
+        "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

@@ -173,6 +173,7 @@ class JavaTaintEngine:
         self.hits: List[Dict[str, Any]] = []
         self.functions: Dict[str, Dict] = {}
         self.skip_first_scope = seed_scope is not None
+        self.lambda_bodies = False  # set by analyze_java(taint_through_lambdas=True)
 
     # -- state ----------------------------------------------------------------
 
@@ -371,7 +372,8 @@ class JavaTaintEngine:
             # taint_visitor.py:247) — transitive local chains do not resolve,
             # only project-index callees do.
             sub = JavaTaintEngine(self.spec, self.fn_index, self.depth + 1, seed_scope=seeded)
-            _Walker([sub]).visit_block(func["body"])
+            sub.lambda_bodies = self.lambda_bodies
+            _Walker([sub], lambda_bodies=self.lambda_bodies).visit_block(func["body"])
             self.hits.extend(sub.hits)
 
     def _simulate_remote(self, call: Dict, entry: Dict[str, Any], method: str) -> None:
@@ -390,7 +392,8 @@ class JavaTaintEngine:
         seeded = self._bind_args(call, [p["name"] for p in func["params"]], loc)
         if seeded:
             sub = JavaTaintEngine(self.spec, self.fn_index, self.depth + 1, seed_scope=seeded)
-            _Walker([sub]).visit_block(func["body"])
+            sub.lambda_bodies = self.lambda_bodies
+            _Walker([sub], lambda_bodies=self.lambda_bodies).visit_block(func["body"])
             self.hits.extend(sub.hits)
 
 
@@ -402,8 +405,13 @@ class _Walker:
     Semantics-preserving because engines never interact and the reference
     walks each category over the identical node sequence."""
 
-    def __init__(self, engines: List["JavaTaintEngine"]):
+    def __init__(self, engines: List["JavaTaintEngine"], lambda_bodies: bool = False):
         self.engines = engines
+        # lambda_bodies=True walks arrow-expression bodies as nested scopes
+        # (captured locals stay visible via the scope stack). Off by default:
+        # the engine-snapshot goldens were pinned with lambdas opaque
+        # (docs/FUTURE.md), so parity mode must not grow findings.
+        self.lambda_bodies = lambda_bodies
 
     def run(self, program: Dict) -> None:
         for cls in program.get("classes", []):
@@ -508,6 +516,13 @@ class _Walker:
         elif t == "template":
             for part in e["parts"]:
                 self.visit_expr(part)
+        elif t == "arrow" and self.lambda_bodies:
+            pushed = self._push()
+            for name in e.get("params", []):
+                for eng in self.engines:
+                    eng._enter_param({"name": name, "annotations": [], "line": e["line"]})
+            self.visit_block(e.get("body") or {"t": "block", "stmts": [], "line": e["line"]})
+            self._pop(pushed)
 
 
 PLUGIN_NAME = "Java AST Analyzer (Tree-sitter)"  # reference plugin display name
@@ -517,10 +532,16 @@ def analyze_java(
     content: str,
     taint_specs: List[TaintSpec],
     fn_index: Optional[Dict[str, Any]] = None,
+    taint_through_lambdas: bool = False,
 ) -> List[Dict[str, Any]]:
     """All Java AST-tier findings for one file: parse once, ONE fused walk
     driving all eligible category engines (reference re-parses AND re-walks
-    per category; fusion is semantics-preserving, SURVEY.md §4 R6)."""
+    per category; fusion is semantics-preserving, SURVEY.md §4 R6).
+
+    taint_through_lambdas=True additionally walks arrow-expression bodies
+    (captured locals visible; lambda params enter scope) — an EXTENSION over
+    the pinned parity behavior, where lambda bodies are opaque. Default off
+    so goldens/oracles are byte-identical."""
     if not taint_specs:
         # all categories screened out (or none eligible): no engine could
         # emit a hit, so skip the parse AND the walk entirely
@@ -530,8 +551,10 @@ def analyze_java(
     except (RecursionError, MemoryError):
         return []
     engines = [JavaTaintEngine(spec, fn_index=fn_index) for spec in taint_specs]
+    for e in engines:
+        e.lambda_bodies = taint_through_lambdas
     try:
-        _Walker(engines).run(program)
+        _Walker(engines, lambda_bodies=taint_through_lambdas).run(program)
     except RecursionError:
         engines = []
     findings: List[Dict[str, Any]] = []

@@ -234,3 +234,38 @@ def test_compiled_kb_broadcast_stays_small():
 
     blob = pickle.dumps(compile_kb(load_kb(project_dir="/nonexistent")))
     assert len(blob) < 512 * 1024, f"compiled KB pickle is {len(blob)} bytes"
+
+
+def test_java_lambda_taint_flag(ckb):
+    """Lambda bodies are opaque in parity mode (the pinned golden behavior,
+    docs/FUTURE.md) and walked as nested scopes — captured locals visible —
+    with taint_through_lambdas=True."""
+    from dr_source_spark.detectors.java_taint import analyze_java
+
+    src = """import javax.servlet.http.HttpServletRequest;
+import java.sql.Statement;
+public class App {
+    public void handle(HttpServletRequest request, Statement statement) throws Exception {
+        String user = request.getParameter("q");
+        Runnable r = () -> {
+            statement.executeQuery("SELECT * FROM t WHERE id = '" + user + "'");
+        };
+        r.run();
+    }
+}
+"""
+    parity = analyze_java(src, ckb.taint["java"])
+    assert parity == []  # opaque lambda: pinned behavior unchanged
+    ext = analyze_java(src, ckb.taint["java"], taint_through_lambdas=True)
+    assert any(f["sink"] == "executeQuery" and f["line"] == 7 for f in ext), ext
+
+    # untainted lambda PARAM must not fire in either mode (scoping sanity)
+    clean = """import java.sql.Statement;
+public class App {
+    public void handle(java.util.List<String> xs, Statement statement) {
+        xs.forEach(x -> { try { statement.executeQuery(x); } catch (Exception e) { } });
+    }
+}
+"""
+    assert analyze_java(clean, ckb.taint["java"], taint_through_lambdas=True) == []
+    assert analyze_java(clean, ckb.taint["java"]) == []
