@@ -98,12 +98,13 @@ def main():
         noise["runs"][name] = len(samples)
         noise["spread_pct"][name] = round((max(samples) / min(samples) - 1) * 100, 1)
 
-    # warm the JVM/py worker pool once (not timed): the first detector pass
-    # pays python-worker spawn x cores, broadcast ship, whole-stage codegen
-    # and per-worker regex/KB compile memos (~3s one-time at sf0.1) — that
-    # is session setup, not query cost, and best-of-2 can't mask it
+    # warm the JVM/py worker pool once (not timed): the first full-pipeline
+    # pass pays python-worker spawn x cores, broadcast ship, whole-stage
+    # codegen for the index/detector/triples plans and per-worker regex/KB
+    # compile memos (~3-6s one-time at sf0.1) — that is session setup, not
+    # query cost, and best-of-2 can't mask it
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    bench_detector_scan(spark)
+    bench_kg_extract(spark)
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     timed("kg_extract", lambda: bench_kg_extract(spark))

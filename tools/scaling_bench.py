@@ -34,7 +34,8 @@ from dr_source_spark.sources.synth import synth_code_corpus
 spark = get_spark(master="local[{cores}]", shuffle_partitions={cores})
 docs = spark.read.parquet({sf!r} + "/documents.parquet")
 from pyspark.sql import functions as F
-corpus = synth_code_corpus(docs, copies={copies})
+corpus = synth_code_corpus(docs, copies={copies}, templates=6)  # the round-1/2
+# corpus shape, pinned so files/sec and findings stay comparable across rounds
 if {rep} > 1:  # content amplification → realistic multi-KB files
     corpus = corpus.withColumn("content", F.concat_ws("\n", F.array_repeat(F.col("content"), {rep})))
 # pre-partition & materialize the input OUTSIDE the timed window — the
