@@ -670,6 +670,62 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def _stream_risk_ledger(spark, sf_dir):
+    # Custom STATEFUL streaming operator (applyInPandasWithState) under the
+    # value oracle: the per-repo risk ledger emits one row per power-of-two
+    # threshold its cumulative severity-weighted score crosses. availableNow
+    # over one coalesced file = one batch, so every emitted row carries the
+    # final (score, count) and the expected set is closed-form in SQL.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.streaming.stateful import repo_risk_ledger
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_ledger_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    sev = F.element_at(
+        F.array(F.lit("CRITICAL"), F.lit("HIGH"), F.lit("MEDIUM"), F.lit("LOW"), F.lit("INFO")),
+        (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int"),
+    )
+    (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("repo"), sev.alias("severity"))
+        .coalesce(1)  # one file -> one availableNow batch -> final-state rows
+        .write.mode("overwrite").parquet(f"{base}/src")
+    )
+    stream = spark.readStream.schema("repo string, severity string").parquet(f"{base}/src")
+    qname = f"ledger_{tag}"
+    q = (
+        repo_risk_ledger(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "repo",
+        F.col("cum_score").alias("cum_score"),
+        F.col("cum_findings").cast("long").alias("cum_findings"),
+        F.col("threshold_crossed").alias("threshold_crossed"),
+    )
+
+
+_STREAM_LEDGER_SQL = """
+WITH f AS (
+  SELECT event_type AS repo,
+         CASE event_id % 5 WHEN 0 THEN 8.0 WHEN 1 THEN 4.0 WHEN 2 THEN 2.0
+                           WHEN 3 THEN 1.0 ELSE 0.5 END AS w
+  FROM events
+), agg AS (
+  SELECT repo, sum(w) AS s, count(*) AS n FROM f GROUP BY repo
+), th AS (SELECT CAST(power(2, unnest(generate_series(0, 62))) AS DOUBLE) AS t)
+SELECT a.repo, a.s AS cum_score, CAST(a.n AS BIGINT) AS cum_findings,
+       th.t AS threshold_crossed
+FROM agg a JOIN th ON th.t <= a.s
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -843,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_severity_histogram": _kg_severity_histogram,
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
+        "stream_risk_ledger": _stream_risk_ledger,
     }
 
 
@@ -879,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_severity_histogram": _kg_severity_histogram_sql(),
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
+        "stream_risk_ledger": _STREAM_LEDGER_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

@@ -30,6 +30,54 @@ _TOKEN_RE = re.compile(
 
 _OPENERS = {"def", "class", "module", "if", "unless", "while", "until", "case", "begin", "do", "for"}
 
+# heredoc openers: <<~TAG / <<-TAG are unambiguous (a shift can't be
+# followed by ~ or -IDENT without whitespace); bare <<TAG only counts with
+# no space and an UPPERCASE tag (the overwhelming convention), so shifts
+# like `arr << Const` (spaced) stay code. Quoted tags allowed.
+_HEREDOC_OPEN = re.compile(r"<<([~-]?)([\"'`]?)([A-Z_][A-Za-z0-9_]*)\2")
+
+
+def _blank_noncode(src: str) -> str:
+    """Blank heredoc bodies and =begin/=end comment blocks (line count
+    preserved) before tokenizing — their content lines would otherwise lex
+    as code: a heredoc containing sink-shaped text could false-positive the
+    AST tier, and a stray 'end' inside one desyncs statement recovery.
+    Approximation vs tree-sitter: interpolation INSIDE a heredoc is not
+    walked (the body becomes an empty string literal)."""
+    if "<<" not in src and "=begin" not in src:
+        return src
+    out: List[str] = []
+    pending: List[str] = []  # heredoc terminator tags, in open order
+    in_comment = False
+    for line in src.split("\n"):
+        if pending:
+            if line.strip() == pending[0]:
+                pending.pop(0)
+            out.append("")
+            continue
+        if in_comment:
+            if line.startswith("=end"):
+                in_comment = False
+            out.append("")
+            continue
+        if line.startswith("=begin"):
+            in_comment = True
+            out.append("")
+            continue
+        # detect openers on a copy with string literals and the comment
+        # tail removed — '<<~EOT' mentioned in a comment or string must not
+        # swallow the rest of the file (conservative: a '#' inside a regex
+        # literal truncates the probe, which can only MISS openers)
+        probe = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", "", line)
+        probe = probe.split("#", 1)[0]
+        opens = _HEREDOC_OPEN.findall(probe)
+        if opens:
+            pending.extend(tag for _squig, _q, tag in opens)
+            # keep the line shape: each opener becomes an empty string lit
+            line = _HEREDOC_OPEN.sub('""', line)
+        out.append(line)
+    return "\n".join(out)
+
 
 def _tokens(src: str) -> List[Tuple[str, str, int]]:
     toks = []
@@ -74,7 +122,7 @@ class _P:
 
 
 def parse_ruby(src: str) -> Node:
-    p = _P(_tokens(src))
+    p = _P(_tokens(_blank_noncode(src)))
     # top level must NOT stop at 'end': an unmatched 'end' (an opener the
     # parser doesn't model — for-loops, heredoc bodies lexed as code) would
     # truncate the rest of the file; _stmt consumes strays harmlessly

@@ -269,3 +269,32 @@ public class App {
 """
     assert analyze_java(clean, ckb.taint["java"], taint_through_lambdas=True) == []
     assert analyze_java(clean, ckb.taint["java"]) == []
+
+
+def test_ruby_heredoc_and_block_comment_bodies_are_not_code(ckb):
+    """Heredoc bodies and =begin/=end blocks lex as strings/comments, never
+    as code: sink-shaped text inside them must not fire, a stray 'end'
+    inside them must not desync, and code AFTER them must still analyze."""
+    from dr_source_spark.detectors.ruby_taint import analyze_ruby
+
+    src = """msg = <<~EOT
+  system("echo #{params[:x]}")
+  end
+EOT
+=begin
+system(params[:y])
+end
+=end
+v = params[:cmd]
+system("lookup #{v}")
+"""
+    hits = analyze_ruby(src, ckb.taint["ruby"])
+    assert [h["line"] for h in hits if h["sink"] == "system"] == [10]
+
+    # heredoc tag mentioned in a comment or string must not swallow the file
+    commented = "# docs use <<~EOT style\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
+    assert any(h["sink"] == "system" for h in analyze_ruby(commented, ckb.taint["ruby"]))
+
+    # spaced << shift on a constant stays code; taint below is unaffected
+    shifted = "queue << WORK\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
+    assert any(h["sink"] == "system" for h in analyze_ruby(shifted, ckb.taint["ruby"]))

@@ -105,6 +105,31 @@ def test_planted_flow_recovered_after_real_code(rel):
     )
 
 
+def _insert_after_imports(src: str, plant: str) -> str:
+    lines = src.split("\n")
+    last = -1
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith(("import ", "package ")):
+            last = i
+    return "\n".join(lines[: last + 1] + [plant] + lines[last + 1 :])
+
+
+@pytest.mark.parametrize("rel", [r for r in _all_files() if os.path.splitext(r)[1] in _PLANT])
+def test_planted_flow_recovered_before_real_code(rel):
+    """Mirror gate with the plant at the TOP (after any imports): catches
+    parser/engine state corruption that persists past an early finding —
+    the end-append probe alone can't see desyncs occurring AFTER the
+    plant's position."""
+    ext = os.path.splitext(rel)[1]
+    plant, sink = _PLANT[ext]
+    src = _read(rel)
+    probed = _insert_after_imports(src, plant) if ext == ".java" else plant + "\n" + src
+    out = _analyze_all_tiers(rel, probed)
+    assert any(sink in (f.get("sink") or "") for f in out), (
+        f"{rel}: top-planted {sink} flow lost"
+    )
+
+
 def test_symbol_extractors_see_real_structure():
     from dr_source_spark.parsers.javaparse import extract_method_defs
     from dr_source_spark.parsers.jsparse import extract_function_defs
