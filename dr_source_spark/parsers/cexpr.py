@@ -228,6 +228,9 @@ class ExprParser:
         if t.kind == "template":
             self.ts.next()
             return self._template(t.text, t.line)
+        if t.kind == "regex":
+            self.ts.next()
+            return {"t": "lit", "kind": "regex", "val": t.text, "line": t.line}
         if t.text == "(":
             # arrow/lambda parameter list: js `(a, b) =>`, java `(a, b) ->`
             arrow = self._try_arrow("=>" if self.js else "->")
@@ -386,7 +389,7 @@ class ExprParser:
                         depth -= 1
                     j += 1
                 inner = raw[i + 2 : j - 1]
-                sub = ExprParser(TS(tokenize(inner)), js=self.js, parse_block=self.parse_block).expression()
+                sub = ExprParser(TS(tokenize(inner, js=self.js)), js=self.js, parse_block=self.parse_block).expression()
                 if sub is not None:
                     parts.append(sub)
                 i = j

@@ -49,7 +49,57 @@ _MASTER = _re.compile(
 )
 
 
-def tokenize(src: str) -> List[Tok]:
+# tokens after which a '/' can START an operand → regex literal, not
+# division (the classic JS lexer ambiguity). Conservative: after ')', ']',
+# '}' and postfix ++/-- we keep division — `if(x)/re/.test(y)` is legal JS
+# but vanishingly rare, while `(a+b)/c` is everywhere.
+_REGEX_PREV_KEYWORDS = frozenset(
+    "return typeof instanceof in of new delete void case do else throw yield await".split()
+)
+
+
+def _regex_allowed(toks: List[Tok]) -> bool:
+    if not toks:
+        return True
+    prev = toks[-1]
+    if prev.kind == "punct":
+        return prev.text not in (")", "]", "}", "++", "--")
+    if prev.kind == "id":
+        return prev.text in _REGEX_PREV_KEYWORDS
+    return False  # after an operand (num/str/template/regex): division
+
+
+def _scan_regex(src: str, i: int) -> int:
+    """src[i] == '/': end index past body+flags, or -1 if not a regex
+    literal (newline or EOF before the closing '/')."""
+    j, n = i + 1, len(src)
+    in_class = False
+    while j < n:
+        c = src[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "\n":
+            return -1
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "/":
+            j += 1
+            while j < n and src[j].isalpha():
+                j += 1
+            return j
+        j += 1
+    return -1
+
+
+def tokenize(src: str, js: bool = False) -> List[Tok]:
+    """js=True additionally lexes JS regex literals (kind 'regex'): without
+    them, a quote or brace inside /["']/ starts a phantom string/scope and
+    desyncs everything after it — found by minified jQuery in the
+    real-code corpus. Java mode (default) is byte-identical to before."""
     toks: List[Tok] = []
     i, n, line = 0, len(src), 1
     scan = _MASTER.match
@@ -58,6 +108,15 @@ def tokenize(src: str) -> List[Tok]:
         m = scan(src, i)
         g = m.lastgroup
         i = m.end()
+        if js and src[m.start()] == "/" and g in ("p", "c") and m.group() in ("/", "/="):
+            if _regex_allowed(toks):
+                end = _scan_regex(src, m.start())
+                if end > 0:
+                    append(Tok("regex", src[m.start():end], line))
+                    i = end
+                    continue
+            append(Tok("punct", m.group(), line))
+            continue
         if g == "id":
             append(Tok("id", m.group(), line))
         elif g == "p" or g == "c":

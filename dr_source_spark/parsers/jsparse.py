@@ -16,7 +16,7 @@ _CTRL_BARE = {"else", "try", "finally", "do"}
 
 
 def parse_js(src: str) -> Node:
-    ts = TokStream(tokenize(src))
+    ts = TokStream(tokenize(src, js=True))
     stmts: List[Node] = []
     while ts.peek() is not None:
         s = _statement(ts)

@@ -53,11 +53,18 @@ def extract(
     run_id: Optional[str] = None,
     repartition: Optional[int] = None,
     content_dedup: bool = False,
+    index_python: bool = False,
 ) -> ExtractionResult:
     """interfile_mode='join' attaches each file's reachable defs via
     distributed joins (operators/index_join.py) instead of a driver-side
     collect+broadcast — the path for corpora whose symbol index exceeds any
     broadcast budget.
+
+    index_python=True also registers Python function defs in the symbol
+    index, enabling cross-file Python taint (the reference's own
+    inter-file pytest expects this, but its stock scanner never wires a
+    project index into the Python tier — see SURVEY.md §2B B7 — so this is
+    an opt-in EXTENSION; default off = reference parity).
 
     content_dedup=True analyzes each distinct (ext, content) once and joins
     findings back to every instance (operators/content_dedup.py) — the path
@@ -76,12 +83,12 @@ def extract(
     if enable_interfile and interfile_mode == "join":
         from .operators.index_join import attach_called_defs
 
-        files = attach_called_defs(files, build_symbol_index(files))
+        files = attach_called_defs(files, build_symbol_index(files, include_python=index_python))
         fn_index_from_column = True
     elif enable_interfile:
         from .operators.index_build import restrict_index_to_called_names, try_broadcast_index
 
-        index_df = build_symbol_index(files).persist()
+        index_df = build_symbol_index(files, include_python=index_python).persist()
         # ONE collect decides: ≤50k defs broadcast directly (the common
         # case costs one job, no count() pre-pass); otherwise restrict to
         # names that appear as call targets (re-scans content — worth it

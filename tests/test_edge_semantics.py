@@ -298,3 +298,30 @@ system("lookup #{v}")
     # spaced << shift on a constant stays code; taint below is unaffected
     shifted = "queue << WORK\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
     assert any(h["sink"] == "system" for h in analyze_ruby(shifted, ckb.taint["ruby"]))
+
+
+def test_js_regex_literals_do_not_desync(ckb):
+    """A quote or brace inside a JS regex literal must not start a phantom
+    string/scope (found by minified jQuery in the real-code corpus), and
+    division must still parse as division."""
+    from dr_source_spark.detectors.js_taint import analyze_js
+
+    src = """const clean = s => s.replace(/["'{]/g, "_");
+const ratio = total / parts;  // division after an operand stays division
+app.get('/r', (req, res) => {
+    const p = req.query.cmd;
+    eval(p);
+});
+"""
+    hits = analyze_js(src, ckb.taint["javascript"])
+    assert any(h["sink"] == "eval" and h["line"] == 5 for h in hits), hits
+
+    # regex in every operand position: return / assignment / argument
+    src2 = """function f(x) { return /a[/"]b/.test(x); }
+const re = /['"]+/gi;
+check(/}{/, x);
+const p2 = req.query.q;
+eval(p2);
+"""
+    hits2 = analyze_js(src2, ckb.taint["javascript"])
+    assert any(h["sink"] == "eval" for h in hits2), hits2

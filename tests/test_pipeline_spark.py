@@ -182,3 +182,33 @@ def test_csv_default_read_is_splittable(spark, tmp_path):
         assert df.filter(df.content == "password = 'secret7'").count() == 1
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_python_inter_file_opt_in_through_pipeline(spark):
+    """extract(index_python=True) resolves cross-file Python taint over the
+    reference's own inter_file fixtures (its pytest expects the cross-file
+    trace, tests/test_inter_file_analysis.py:12-22); default off =
+    reference parity (the stock scanner never wires a project index into
+    the Python tier)."""
+    from dr_source_spark.pipeline import extract
+    from dr_source_spark.sources.corpus import corpus_from_dir
+
+    corpus = corpus_from_dir(
+        spark, "/root/reference/tests/test_code/inter_file/python", repo="r", commit="c"
+    )
+
+    res = extract(spark, corpus, run_id="py-if", index_python=True)
+    hits = [
+        r for r in res.findings.collect()
+        if r.base_type == "COMMAND_INJECTION" and r.path == "inter_file_app.py"
+    ]
+    res.cleanup()
+    assert hits and any("in inter_file_utils.py" in s for s in hits[0].trace), hits
+
+    res0 = extract(spark, corpus, run_id="py-if0")
+    parity = [
+        r for r in res0.findings.collect()
+        if r.base_type == "COMMAND_INJECTION" and r.path == "inter_file_app.py"
+    ]
+    res0.cleanup()
+    assert parity == []  # default: python cross-file stays off
