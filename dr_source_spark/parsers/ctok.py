@@ -105,6 +105,18 @@ def tokenize(src: str, js: bool = False) -> List[Tok]:
     scan = _MASTER.match
     append = toks.append
     while i < n:
+        # Java text block: """ ... """ lexes as ONE string token (without
+        # this, '"""' lexed as ""+" and the block BODY lexed as code —
+        # found by the modern-syntax probe battery). Java-mode only: JS has
+        # no text blocks.
+        if not js and src.startswith('"""', i):
+            end = src.find('"""', i + 3)
+            end = n if end < 0 else end + 3
+            seg = src[i:end]
+            append(Tok("str", seg, line))
+            line += seg.count("\n")
+            i = end
+            continue
         m = scan(src, i)
         g = m.lastgroup
         i = m.end()

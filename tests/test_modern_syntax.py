@@ -1,0 +1,123 @@
+"""Planted-flow recovery across MODERN language constructs (Java 17 /
+ES2022 / PHP 8 / Ruby 3) that neither the reference fixtures nor the synth
+corpus contain — the same probe methodology as tests/test_realcode.py:
+each construct appears before a known source→sink flow, which must still
+be detected. A miss means the construct desynced the parser into silent
+finding loss (this battery found Java text blocks in round 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dr_source_spark.kb import compiled_kb_cached
+
+CKB = compiled_kb_cached(project_dir="/nonexistent")
+
+_J_PLANT = (
+    "\nclass DrProbe {\n"
+    "    public void h(javax.servlet.http.HttpServletRequest request,"
+    " java.sql.Statement st) throws Exception {\n"
+    '        String u = request.getParameter("q");\n'
+    "        st.executeQuery(u);\n    }\n}\n"
+)
+JAVA = {
+    "text_block": 'class A { String s = """\n  SELECT * FROM t WHERE x = \'y\'\n  """; }',
+    "switch_expr": "class A { int m(int d) { int r = switch (d) { case 1 -> 10; case 2, 3 -> 20; default -> { yield 30; } }; return r; } }",
+    "record": "record Point(int x, int y) { Point { if (x < 0) throw new IllegalArgumentException(); } }",
+    "sealed": "sealed interface Shape permits Circle, Square {}\nfinal class Circle implements Shape {}",
+    "type_witness": "class A { void m() { java.util.List<String> l = java.util.Collections.<String>emptyList(); } }",
+    "var_decl": "class A { void m() { var list = new java.util.ArrayList<String>(); for (var s : list) { } } }",
+    "instanceof_pattern": "class A { void m(Object o) { if (o instanceof String s && s.length() > 2) { int n = s.length(); } } }",
+    "anon_class": "class A { Runnable r = new Runnable() { @Override public void run() { int x = 1; } }; }",
+    "generic_bound_wild": "class A { void m(java.util.Map<? extends CharSequence, ? super Number> m2) { } }",
+    "static_init_labels": "class A { static { int[] a = {1,2}; } void m() { outer: for(;;) { break outer; } } }",
+    "ternary_generics": "class A { void m(boolean b) { java.util.List<Integer> x = b ? new java.util.ArrayList<Integer>() : null; } }",
+}
+
+_JS_PLANT = "\napp.get('/p', (req, res) => { const c = req.query.cmd; eval(c); });\n"
+JS = {
+    "private_fields": "class C { #count = 0; #inc() { this.#count++; } static #s = 1; }",
+    "tagged_template": "const q = sql`SELECT ${a} FROM ${b}`;",
+    "async_gen": "async function* g() { yield await f(); } for await (const x of g()) { }",
+    "getters_static_block": "class C { static { C.x = 1; } get v() { return 1; } set v(x) { } }",
+    "spread_new": "const o = new Foo(...args, {a: 1});",
+    "regex_with_slash": "const m = str.match(/^[a-z]+(?:\\/[a-z]+)*$/);",
+    "export_default_obj": "export default { async handler(ev) { return ev; } };",
+    "optional_call": "obj?.method?.(arg);",
+    "numeric_sep_bigint": "const n = 1_000_000n; const h = 0xFF_AA;",
+    "arrow_default_destr": "const f = ({a = 1, b: {c} = {}} = {}, ...rest) => a + c;",
+}
+
+_PHP_PLANT = "\n<?php\n$i = $_GET['x'];\nmysqli_query($c, \"SELECT \" . $i);\n?>\n"
+PHP = {
+    "match_expr": "<?php $r = match($x) { 1, 2 => 'a', default => 'b' }; ?>",
+    "attributes": "<?php #[Route('/x', methods: ['GET'])] class C { #[Deprecated] public function m() {} } ?>",
+    "enum": "<?php enum Suit: string { case Hearts = 'H'; case Spades = 'S'; public function color(): string { return 'x'; } } ?>",
+    "nullsafe": "<?php $v = $obj?->prop?->method(); ?>",
+    "named_args_spread": "<?php foo(bar: 1, ...$args); ?>",
+    "first_class_callable": "<?php $fn = strlen(...); ?>",
+    "readonly_promo": "<?php class P { public function __construct(public readonly int $x, private string $y = 'a') {} } ?>",
+    "heredoc": "<?php $s = <<<SQL\nSELECT 'x' FROM t\nSQL;\n$z = 1; ?>",
+}
+
+_RB_PLANT = '\nv = params[:cmd]\nsystem("go #{v}")\n'
+RUBY = {
+    "case_in": "case obj\nin {a: Integer => x}\n  y = x\nin [1, *rest]\n  y = rest\nelse\n  y = 0\nend",
+    "endless_def": "def square(x) = x * x",
+    "safe_nav": "val = obj&.method&.chain",
+    "kwargs_block": "def m(a:, b: 2, **opts, &blk)\n  blk.call(a)\nend",
+    "percent_literals": "words = %w[one two three]\nsyms = %i[a b]",
+    "rescue_modifier": "x = risky rescue nil",
+    "lambda_arrow": "f = ->(x, y = 2) { x + y }\ng = lambda { |z| z }",
+    "adjacent_heredocs": "s = <<~A + <<~B\n  first\nA\n  second\nB\nz = 1",
+}
+
+
+def _java(c):
+    from dr_source_spark.detectors.java_taint import analyze_java
+
+    return analyze_java(c, CKB.taint["java"])
+
+
+def _js(c):
+    from dr_source_spark.detectors.js_taint import analyze_js
+
+    return analyze_js(c, CKB.taint["javascript"])
+
+
+def _php(c):
+    from dr_source_spark.detectors.php_taint import analyze_php
+
+    return analyze_php(c, CKB.taint["php"])
+
+
+def _ruby(c):
+    from dr_source_spark.detectors.ruby_taint import analyze_ruby
+
+    return analyze_ruby(c, CKB.taint["ruby"])
+
+
+_SUITES = [
+    ("java", JAVA, _J_PLANT, "executeQuery", _java),
+    ("js", JS, _JS_PLANT, "eval", _js),
+    ("php", PHP, _PHP_PLANT, "mysqli_query", _php),
+    ("ruby", RUBY, _RB_PLANT, "system", _ruby),
+]
+
+
+@pytest.mark.parametrize(
+    "lang,name",
+    [(lang, name) for lang, cases, _p, _s, _a in _SUITES for name in cases],
+)
+def test_plant_survives_modern_construct(lang, name):
+    cases, plant, sink, analyze = next(
+        (c, p, s, a) for lg, c, p, s, a in _SUITES if lg == lang
+    )
+    out = analyze(cases[name] + plant)
+    assert any(sink in (f.get("sink") or "") for f in out), (
+        f"{lang}/{name}: construct desynced the parser — planted {sink} flow lost"
+    )
+    # and deterministic
+    out2 = analyze(cases[name] + plant)
+    key = lambda f: (f["line"], f["vuln_type"], f["message"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
