@@ -189,7 +189,9 @@ def _eval_logic_text(text: str, logic: Any) -> bool:
     return True
 
 
-def analyze_pattern(content: str, ext: str, ckb: CompiledKB) -> List[Dict[str, Any]]:
+def analyze_pattern(content: str, ext: str, ckb: CompiledKB, tree=None) -> List[Dict[str, Any]]:
+    """tree: optional pre-parsed python AST of ``content`` — the analyze
+    stage shares one parse with the python taint tier."""
     lang = PATTERN_LANG_MAP.get(ext)
     if lang is None:
         return []
@@ -199,10 +201,11 @@ def analyze_pattern(content: str, ext: str, ckb: CompiledKB) -> List[Dict[str, A
     findings: List[Dict[str, Any]] = []
 
     if lang == "python":
-        try:
-            tree = ast.parse(content)
-        except (SyntaxError, ValueError):
-            return []
+        if tree is None:
+            try:
+                tree = ast.parse(content)
+            except (SyntaxError, ValueError):
+                return []
         # NB: the reference materializes ast.walk once and exhausts it on the
         # first pattern category (pattern/plugin.py:93 — generator bug); with
         # the default KB only one category has logic, so behavior matches.

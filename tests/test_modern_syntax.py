@@ -121,3 +121,25 @@ def test_plant_survives_modern_construct(lang, name):
     out2 = analyze(cases[name] + plant)
     key = lambda f: (f["line"], f["vuln_type"], f["message"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+_FP_CASES = {
+    "java_const_to_sink": ("java", 'class A { void m(java.sql.Statement st) throws Exception { String q = "SELECT 1"; st.executeQuery(q); } }'),
+    "java_textblock_sink": ("java", 'class A { void m(java.sql.Statement st) throws Exception { String q = """\n SELECT 1\n """; st.executeQuery(q); } }'),
+    "js_const_eval": ("js", "const code = 'safe()'; eval(code);"),
+    "js_regex_not_taint": ("js", "const p = /req.query/; eval('1');"),
+    "php_const": ("php", '<?php $q = "SELECT 1"; mysqli_query($c, $q); ?>'),
+    "ruby_const": ("ruby", 'cmd = "ls"\nsystem(cmd)'),
+    "ruby_heredoc_sink_text": ("ruby", "doc = <<~EOT\n  system(params[:x])\nEOT\nputs doc"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_FP_CASES))
+def test_safe_flows_stay_clean(name):
+    """The inverse battery: constants reaching sinks, sink-shaped text in
+    string/heredoc/regex-literal positions — none may produce a taint
+    finding (precision twin of the recovery probes)."""
+    lang, src = _FP_CASES[name]
+    analyze = {"java": _java, "js": _js, "php": _php, "ruby": _ruby}[lang]
+    taint = [h for h in analyze(src) if h.get("sink")]
+    assert taint == [], taint
