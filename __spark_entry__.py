@@ -349,6 +349,28 @@ pairs AS (
 )"""
 
 
+def _dedup_minhash_shingles(spark, sf_dir):
+    # shingle→minhash: character 5-gram tokens instead of words (catches
+    # reordered-word / punctuation-edit near-dups word-set Jaccard misses)
+    from dr_source_spark.training.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=6, shingle_n=5
+    ).withColumn("seed", F.col("seed").cast("long"))
+
+
+_DEDUP_SHINGLE_SQL = """
+WITH pos AS (
+  SELECT doc_id, lower(text) AS t,
+         unnest(range(1, greatest(length(lower(text)) - 4, 1) + 1)) AS i
+  FROM documents
+), sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS w FROM pos),
+seeds AS (SELECT unnest(range(6)) AS seed)
+SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS minhash
+FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+"""
+
+
 def _dedup_lsh_candidates(spark, sf_dir):
     from dr_source_spark.training.dedup import minhash_lsh_candidates
 
@@ -440,6 +462,66 @@ scored AS (
 SELECT q_id, n_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM scored
 ) WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantizer ANN: deterministic data-derived centroids (first
+    # n_cells vectors by id), nprobe=2 of 8 cells — the oracle selects the
+    # same centroids from the same table and reproduces cells exactly
+    from dr_source_spark.training.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+  FROM e CROSS JOIN c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS crank
+  FROM scored
+), cells AS (SELECT vec_id, v, cell_id FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS q_id, v AS q_vec, cell_id FROM ranked
+           WHERE crank <= 2 AND vec_id IN (0, 1, 2, 3, 4)),
+sims AS (
+  SELECT DISTINCT p.q_id, ce.vec_id AS n_id,
+         round(list_dot_product(p.q_vec, ce.v)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS sim
+  FROM probes p JOIN cells ce USING (cell_id) WHERE ce.vec_id <> p.q_id
+)
+SELECT q_id, n_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM sims
+) WHERE rank <= 3
+"""
+
+
+def _text_winnow(spark, sf_dir):
+    # winnowing fingerprints (rolling k-gram hashes, window min-sampling)
+    from dr_source_spark.training.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
+_TEXT_WINNOW_SQL = """
+WITH pos AS (
+  SELECT doc_id, lower(text) AS t,
+         unnest(range(1, greatest(length(lower(text)) - 7, 1) + 1)) AS p
+  FROM documents
+), g AS (
+  SELECT doc_id, p, md5(substr(t, CAST(p AS INT), 8)) AS h FROM pos
+), wins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+)
+SELECT doc_id, CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints, min(wmin) AS min_fingerprint
+FROM wins WHERE p <= greatest(n - 3, 1) GROUP BY doc_id
 """
 
 
@@ -879,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _topk_orders,
         "dedup_exact_text": _dedup_exact,
         "dedup_minhash_signatures": _dedup_minhash,
+        "dedup_minhash_shingles": _dedup_minhash_shingles,
         "dedup_lsh_candidates": _dedup_lsh_candidates,
         "dedup_jaccard_verify": _dedup_jaccard,
         "dedup_simhash": _dedup_simhash,
@@ -886,11 +969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_lang_profile": _lang_profile,
+        "text_winnow_fingerprints": _text_winnow,
         "emb_near_dup_pairs": _emb_near_dup,
         "media_metadata": _media_metadata,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "kg_extract_triples": _kg_extract_triples,
         "kg_canonicalize": _kg_canonicalize,
         "kg_graph_edges": _kg_graph_edges,
@@ -921,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_SQL,
         "dedup_exact_text": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _DEDUP_MINHASH_SQL,
+        "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
@@ -941,9 +1027,11 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_lang_profile": _LANG_PROFILE_SQL,
+        "text_winnow_fingerprints": _TEXT_WINNOW_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "media_metadata": _MEDIA_METADATA_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ANN_IVF_SQL,
     }

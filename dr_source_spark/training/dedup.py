@@ -40,12 +40,28 @@ def _words(col="text"):
     return F.array_distinct(F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda w: w != ""))
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 8) -> DataFrame:
+def _shingles(n: int, col="text"):
+    """Distinct character n-grams of the lowercased text (JVM-side:
+    substr over a generated positions array — no UDF). Character shingles
+    catch near-duplicates that word-set Jaccard misses (reordered words,
+    punctuation/space edits) at the cost of larger token sets."""
+    t = F.lower(F.col(col))
+    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(positions, lambda i: t.substr(i, F.lit(n))))
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 8, shingle_n: int = 0
+) -> DataFrame:
     """Long-format MinHash signatures: (doc_id, seed, minhash).
 
-    Hash family: md5(seed || ':' || word) — portable across engines (the
+    Hash family: md5(seed || ':' || token) — portable across engines (the
     DuckDB oracle computes the identical signature), uniform enough for
     Jaccard estimation. min() over hex strings = min over the hash family.
+
+    Tokens are whitespace words by default; shingle_n > 0 switches to
+    character n-gram shingles (shingle→minhash→band→bucket-join — the
+    classic near-dup pipeline shape).
 
     Plan shape: repartition the (narrow) doc rows first — a small corpus
     often arrives as one parquet split and the md5 work would otherwise run
@@ -53,9 +69,10 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 8) -> DataFrame:
     expressions, no seed explode) and unpivoted with stack().
     """
     sc = documents.sparkSession.sparkContext
+    tokens = _shingles(shingle_n) if shingle_n else _words()
     words = (
         documents.repartition(sc.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(_words()).alias("word"))
+        .select("doc_id", F.explode(tokens).alias("word"))
     )
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("word")))).alias(f"m{i}")

@@ -191,3 +191,63 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "sim")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: List[int],
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer of ``n_cells`` centroids
+    partitions the corpus into cells; each query probes only its ``nprobe``
+    best cells and ranks exact cosine inside them — the per-query candidate
+    set shrinks by ~n_cells/nprobe vs brute force and the candidate join is
+    an equi-join on cell id (never all-pairs).
+
+    The quantizer is DETERMINISTIC and data-derived: the first n_cells
+    vectors by id serve as centroids (no RNG, no iterative k-means), so any
+    ANSI-SQL engine reproduces the cell assignment exactly — the oracle
+    selects the same centroids from the same table. At real scale swap the
+    centroid source for a trained codebook table; the plan shape (broadcast
+    centroids -> argmax assign -> equi-join on cell) is unchanged."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    sc = embeddings.sparkSession.sparkContext
+    scored = (
+        e.repartition(sc.defaultParallelism, "vec_id")
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cell_id",
+            F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("csim"),
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(wa))
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "v", "cell_id")
+    probes = ranked.filter(
+        (F.col("crank") <= nprobe) & F.col("vec_id").isin(list(query_ids))
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), "cell_id")
+    sims = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(cosine_col(F.col("q_vec"), F.col("v")), 6).alias("sim"),
+        )
+        .distinct()  # a neighbor reachable via two probed cells scores once
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )

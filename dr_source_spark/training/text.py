@@ -85,3 +85,38 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     (lower, collapsed whitespace). The exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return documents.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    k-gram hashes over the lowercased text, min-sampled per window of ``w``
+    consecutive positions → per-doc distinct-fingerprint count + the global
+    min as a compact sketch column. Guarantees every shared substring of
+    length >= k+w-1 yields at least one shared fingerprint — the positional
+    near-dup detector exact dedup and bag-of-words MinHash both miss.
+
+    Hashes are md5 (portable family, same as minhash), so the DuckDB oracle
+    reproduces every fingerprint. The positions explode is O(text length)
+    rows per doc — inherent to positional fingerprinting; rows are narrow
+    (doc_id, pos, 32-char hex) and die into the per-doc aggregate. Short
+    texts (< k+w-1 chars) fall back to one partial-window fingerprint so
+    every document gets a row."""
+    from pyspark.sql.window import Window
+
+    t = F.lower(F.col("text"))
+    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    grams = documents.select(
+        "doc_id", F.explode(positions).alias("pos"), t.alias("_t")
+    ).select("doc_id", "pos", F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("doc_id")
+    mins = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(win).alias("wmin"),
+        F.count("*").over(per_doc).alias("_n"),
+    ).filter(F.col("pos") <= F.greatest(F.col("_n") - (w - 1), F.lit(1)))
+    return mins.groupBy("doc_id").agg(
+        F.countDistinct("wmin").cast("long").alias("n_fingerprints"),
+        F.min("wmin").alias("min_fingerprint"),
+    )
