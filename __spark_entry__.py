@@ -425,6 +425,34 @@ def _simhash_sql() -> str:
     )
 
 
+def _dedup_simhash_pairs(spark, sf_dir):
+    # banded simhash near-dup: candidates share one of 4 signature bands
+    # (pigeonhole-complete for hamming <= 3), exact hamming verifies
+    from dr_source_spark.training.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_sql(bands: int = 4, max_hamming: int = 3) -> str:
+    width = 16 // bands
+    band_eq = " OR ".join(
+        f"substr(a.simhash, {1 + i * width}, {width}) = substr(b.simhash, {1 + i * width}, {width})"
+        for i in range(bands)
+    )
+    nib = lambda s, p: f"(strpos('0123456789abcdef', substr({s}, {p}, 1)) - 1)"  # noqa: E731
+    hamming = " + ".join(
+        f"bit_count(xor({nib('a.simhash', p)}, {nib('b.simhash', p)}))" for p in range(1, 17)
+    )
+    return f"""
+WITH sims AS ({_simhash_sql()})
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({hamming} AS BIGINT) AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_eq})
+) WHERE hamming <= {max_hamming}
+"""
+
+
 def _ann_lsh_topk(spark, sf_dir):
     # multi-table sign-LSH with portable md5-derived ±1 planes — the oracle
     # embeds the identical literal planes and reproduces buckets exactly
@@ -497,6 +525,27 @@ sims AS (
 SELECT q_id, n_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM sims
 ) WHERE rank <= 3
+"""
+
+
+def _text_tokens_bpe(spark, sf_dir):
+    # BPE-ish pre-tokenizer counts (GPT-2 shape minus the RE2-unsupported
+    # lookahead) — count-identical across Java regex and RE2, probed on the
+    # driver corpus before adoption
+    from dr_source_spark.training.text import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def _bpe_sql() -> str:
+    from dr_source_spark.training.text import BPE_PRETOKEN
+
+    pat = BPE_PRETOKEN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_pretokens,
+       CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_word_tokens
+FROM documents
 """
 
 
@@ -965,11 +1014,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidates": _dedup_lsh_candidates,
         "dedup_jaccard_verify": _dedup_jaccard,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_token_count": _text_tokens,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_lang_profile": _lang_profile,
         "text_winnow_fingerprints": _text_winnow,
+        "text_token_count_bpe": _text_tokens_bpe,
         "emb_near_dup_pairs": _emb_near_dup,
         "media_metadata": _media_metadata,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
@@ -1010,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
@@ -1028,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_sql(),
         "text_lang_profile": _LANG_PROFILE_SQL,
         "text_winnow_fingerprints": _TEXT_WINNOW_SQL,
+        "text_token_count_bpe": _bpe_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "media_metadata": _MEDIA_METADATA_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,

@@ -231,3 +231,38 @@ def simhash_hamming(a, b):
         db = F.conv(F.substring(b, p, 1), 16, 10).cast("int")
         dist = dist + F.bit_count(da.bitwiseXOR(db))
     return dist
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: the 16-nibble signature splits
+    into ``bands`` equal substrings; docs sharing ANY band become candidates
+    (equi-join per band, distinct — never all-pairs), then the exact
+    hamming distance filters candidates. The default max_hamming = bands-1
+    stays in the pigeonhole-COMPLETE regime (≤ bands-1 differing bits
+    cannot touch every band, so every qualifying pair shares a band —
+    recall 1.0 by construction). Raising max_hamming past bands-1 turns
+    banding into a recall<1 prefilter; raise ``bands`` with it to
+    compensate. All JVM built-ins; the oracle reproduces signatures, bands
+    and popcounts."""
+    sigs = simhash(documents)
+    width = 16 // bands
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    band_eq = None
+    for i in range(bands):
+        eq = F.substring(F.col("a.simhash"), 1 + i * width, width) == F.substring(
+            F.col("b.simhash"), 1 + i * width, width
+        )
+        band_eq = eq if band_eq is None else (band_eq | eq)
+    pairs = (
+        a.join(b, cond & band_eq)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            simhash_hamming(F.col("a.simhash"), F.col("b.simhash")).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

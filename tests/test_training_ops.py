@@ -262,3 +262,39 @@ def test_shingle_minhash_catches_word_reorder(spark):
     agree = lambda a, b: sum(by_doc[a][s] == by_doc[b][s] for s in by_doc[a]) / 16
     assert agree(1, 2) == 1.0
     assert agree(1, 3) > agree(1, 4)
+
+
+def test_simhash_pairs_pigeonhole_complete(docs):
+    """Banded simhash pairs must equal brute-force all-pairs at
+    max_hamming <= bands-1 (pigeonhole: 3 differing bits can't touch all
+    4 bands, so every qualifying pair shares at least one band)."""
+    from dr_source_spark.training.dedup import simhash, simhash_near_dup_pairs
+
+    sample = docs.limit(120)
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(sample, bands=4, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: int(r.simhash, 16) for r in simhash(sample).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert banded == brute
+
+
+def test_token_count_bpe_known_strings(spark):
+    from dr_source_spark.training.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [(1, "I'll say it's 42 tokens, right?"), (2, ""), (3, "hello")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bpe_pretokens, r.n_word_tokens) for r in token_count_bpe(df).collect()}
+    # "I" "'ll" " say" " it" "'s" " 42" " tokens" "," " right" "?" = 10
+    assert got[1] == (10, 8)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 1)
