@@ -399,6 +399,50 @@ FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id =
 """
 
 
+def _dedup_clusters(spark, sf_dir):
+    # near-dup clusters: LSH candidates -> jaccard>=0.9 verify -> connected
+    # components via alternating large-star/small-star (O(log n) rounds)
+    from dr_source_spark.training.dedup import duplicate_clusters
+
+    return duplicate_clusters(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_clusters_sql(threshold: float = 0.9) -> str:
+    # recursive min-label reachability reproduces the component minimum;
+    # jac is the ROUNDED verify column so the threshold classifies pairs
+    # identically in both engines
+    jac_tail = """
+counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN words a ON a.doc_id = p.doc_a JOIN words b ON b.doc_id = p.doc_b AND a.w = b.w
+  GROUP BY p.doc_a, p.doc_b
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b, round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard
+  FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id = i.doc_b
+),"""
+    return (
+        _lsh_pairs_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+        + ","
+        + jac_tail
+        + f"""
+dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= {threshold}
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= {threshold}
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN dedges e ON e.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+    )
+
+
 def _dedup_simhash(spark, sf_dir):
     from dr_source_spark.training.dedup import simhash
 
@@ -1015,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_verify": _dedup_jaccard,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_clusters": _dedup_clusters,
         "text_token_count": _text_tokens,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
@@ -1062,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
