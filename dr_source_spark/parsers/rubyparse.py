@@ -79,6 +79,95 @@ def _blank_noncode(src: str) -> str:
     return "\n".join(out)
 
 
+_PCT_TYPES = set("wWiIqQrxs")
+_PAIRED = {"(": ")", "[": "]", "{": "}", "<": ">"}
+_PCT_DELIMS = set("|/!^~") | set(_PAIRED)
+
+
+def _blank_percent_literals(src: str) -> str:
+    """Replace %-literals (%w[..] %i(..) %q{..} %Q %r %x %s and bare %{..})
+    with an empty string literal, preserving newline count — their content
+    would otherwise lex as code (a %q() body containing sink-shaped text
+    could false-positive the AST tier, and unbalanced brackets inside a
+    word list desync statement recovery). String/comment-aware scan;
+    paired delimiters nest; an UNCLOSED literal is left untouched (the
+    conservative failure mode: we can only miss a literal, never swallow
+    trailing code). Approximation vs tree-sitter: interpolation inside
+    %Q/%W bodies is not walked, and a modulo written flush against a
+    type-letter identifier (``a%s(b)``) reads as a literal — real code
+    spaces its operators."""
+    if "%" not in src:
+        return src
+    out: List[str] = []
+    i, n = 0, len(src)
+    mode: Optional[str] = None  # None | "'" | '"' | '#'
+    while i < n:
+        c = src[i]
+        if mode == "#":
+            if c == "\n":
+                mode = None
+            out.append(c)
+            i += 1
+            continue
+        if mode in ("'", '"'):
+            if c == "\\" and i + 1 < n:
+                out.append(src[i : i + 2])
+                i += 2
+                continue
+            if c == mode:
+                mode = None
+            out.append(c)
+            i += 1
+            continue
+        if c == "#":
+            mode = "#"
+            out.append(c)
+            i += 1
+            continue
+        if c in ("'", '"'):
+            mode = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "%":
+            j = i + 1
+            if j + 1 < n and src[j] in _PCT_TYPES and src[j + 1] in _PCT_DELIMS:
+                delim_pos = j + 1
+            elif j < n and src[j] == "{":
+                delim_pos = j
+            else:
+                out.append(c)
+                i += 1
+                continue
+            od = src[delim_pos]
+            cd = _PAIRED.get(od, od)
+            depth = 1
+            k = delim_pos + 1
+            nl = 0
+            while k < n and depth:
+                ch = src[k]
+                if ch == "\\":
+                    k += 2
+                    continue
+                if ch == "\n":
+                    nl += 1
+                if od in _PAIRED and ch == od:
+                    depth += 1
+                elif ch == cd:
+                    depth -= 1
+                k += 1
+            if depth:  # unclosed: treat as modulo, leave untouched
+                out.append(c)
+                i += 1
+                continue
+            out.append('""' + "\n" * nl)
+            i = k
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _tokens(src: str) -> List[Tuple[str, str, int]]:
     toks = []
     line = 1
@@ -122,7 +211,7 @@ class _P:
 
 
 def parse_ruby(src: str) -> Node:
-    p = _P(_tokens(_blank_noncode(src)))
+    p = _P(_tokens(_blank_percent_literals(_blank_noncode(src))))
     # top level must NOT stop at 'end': an unmatched 'end' (an opener the
     # parser doesn't model — for-loops, heredoc bodies lexed as code) would
     # truncate the rest of the file; _stmt consumes strays harmlessly

@@ -67,6 +67,10 @@ RUBY = {
     "safe_nav": "val = obj&.method&.chain",
     "kwargs_block": "def m(a:, b: 2, **opts, &blk)\n  blk.call(a)\nend",
     "percent_literals": "words = %w[one two three]\nsyms = %i[a b]",
+    "percent_multiline_unbalanced": "words = %w[\n  alpha(\n  beta]\n  gamma\n]\nz = 1",
+    "percent_q_sinky_body": "doc = %q{system(params[:x]) and ( unbalanced}\nz = 1",
+    "percent_r_regex": "pat = %r{^/api/(v1|v2)/}\nz = 1",
+    "percent_modulo_untouched": "fmt = 'x=%d'\ns = fmt % [1]\nt = 10 % 3",
     "rescue_modifier": "x = risky rescue nil",
     "lambda_arrow": "f = ->(x, y = 2) { x + y }\ng = lambda { |z| z }",
     "adjacent_heredocs": "s = <<~A + <<~B\n  first\nA\n  second\nB\nz = 1",
@@ -131,6 +135,8 @@ _FP_CASES = {
     "php_const": ("php", '<?php $q = "SELECT 1"; mysqli_query($c, $q); ?>'),
     "ruby_const": ("ruby", 'cmd = "ls"\nsystem(cmd)'),
     "ruby_heredoc_sink_text": ("ruby", "doc = <<~EOT\n  system(params[:x])\nEOT\nputs doc"),
+    "ruby_percent_sink_text": ("ruby", "doc = %q{system(params[:x])}\nputs doc"),
+    "ruby_percent_w_sink_text": ("ruby", "cmds = %w[system(params[:x]) exec(cmd)]\nputs cmds"),
 }
 
 
@@ -143,3 +149,19 @@ def test_safe_flows_stay_clean(name):
     analyze = {"java": _java, "js": _js, "php": _php, "ruby": _ruby}[lang]
     taint = [h for h in analyze(src) if h.get("sink")]
     assert taint == [], taint
+
+
+def test_ruby_percent_literal_preserves_line_numbers():
+    """A multi-line %w list must blank to its newline count so the planted
+    flow below reports its TRUE source line."""
+    src = "words = %w[\n  a\n  b\n  c\n]\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert out and out[0]["line"] == 7, out
+
+
+def test_ruby_unclosed_percent_literal_left_untouched():
+    """An unclosed %q( — e.g. a modulo misread — must NOT swallow trailing
+    code: the scan bails and the planted flow still surfaces."""
+    src = "x = y %q_unclosed\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert out, "unclosed %-literal swallowed the rest of the file"
