@@ -593,6 +593,55 @@ FROM documents
 """
 
 
+def _text_repetition(spark, sf_dir):
+    # Gopher-style repetition signals; fully row-local (no shuffle)
+    from dr_source_spark.training.text import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, string_split(text, chr(10)) AS lines
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, lines,
+         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs
+  FROM t
+), bgx AS (SELECT doc_id, unnest(bgs) AS g FROM b),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bgx GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY 1)
+SELECT b.doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       round((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1), 4) AS dup_line_frac,
+       round((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1), 4) AS dup_word_frac,
+       round(coalesce(top.mx, 0) / greatest(len(bgs), 1), 4) AS top_bigram_frac
+FROM b LEFT JOIN top ON b.doc_id = top.doc_id
+"""
+
+
+def _text_decontam(spark, sf_dir):
+    # benchmark decontamination: n-gram overlap vs the deterministic
+    # doc_id % 97 "eval set"; n=3 at driver scale so the result is
+    # non-empty (the operator default is the published n=13 recipe)
+    from dr_source_spark.training.text import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_overlap(docs, docs.filter(F.col("doc_id") % 97 == 0), n=3)
+
+
+_TEXT_DECONTAM_SQL = r"""
+WITH c AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> md5(array_to_string(toks[i:i+2], ' '))) ELSE [] END) AS gram
+  FROM c
+), gd AS (SELECT DISTINCT doc_id, gram FROM g),
+bench AS (SELECT doc_id AS bench_id, gram FROM gd WHERE doc_id % 97 = 0)
+SELECT gd.doc_id, bench.bench_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM gd JOIN bench USING (gram) WHERE gd.doc_id != bench.bench_id
+GROUP BY 1, 2
+"""
+
+
 def _text_winnow(spark, sf_dir):
     # winnowing fingerprints (rolling k-gram hashes, window min-sampling)
     from dr_source_spark.training.text import winnow_fingerprints
@@ -901,6 +950,64 @@ FROM agg a JOIN th ON th.t <= a.s
 """
 
 
+def _stream_sessionize(spark, sf_dir):
+    # Gap-based session_window sessionization (30-min gap) over the events
+    # stream, availableNow + complete memory sink; oracle = SQL islands
+    # (lag + cumulative break-sum). An event at EXACTLY gap after the
+    # previous one still merges (verified empirically), so the break
+    # condition is strictly diff > gap on both sides.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.streaming.incremental import sessionize
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_sess_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "events")
+        .select("ts", "user_id", "value")
+        .write.mode("overwrite").parquet(f"{base}/src")
+    )
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(f"{base}/src")
+    qname = f"sess_{tag}"
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+_STREAM_SESSION_SQL = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -1066,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_profile": _lang_profile,
         "text_winnow_fingerprints": _text_winnow,
         "text_token_count_bpe": _text_tokens_bpe,
+        "text_repetition_metrics": _text_repetition,
+        "text_ngram_decontam": _text_decontam,
         "emb_near_dup_pairs": _emb_near_dup,
         "media_metadata": _media_metadata,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
@@ -1081,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
+        "stream_sessionize": _stream_sessionize,
     }
 
 
@@ -1121,12 +1231,15 @@ def oracle_sql() -> dict[str, str]:
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_risk_ledger": _STREAM_LEDGER_SQL,
+        "stream_sessionize": _STREAM_SESSION_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_lang_profile": _LANG_PROFILE_SQL,
         "text_winnow_fingerprints": _TEXT_WINNOW_SQL,
         "text_token_count_bpe": _bpe_sql(),
+        "text_repetition_metrics": _TEXT_REPETITION_SQL,
+        "text_ngram_decontam": _TEXT_DECONTAM_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "media_metadata": _MEDIA_METADATA_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,

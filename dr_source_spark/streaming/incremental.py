@@ -67,6 +67,42 @@ def incremental_extract(
     return query
 
 
+def sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization with ``session_window`` — the streaming
+    operator behind per-entity activity rollups (scan bursts per repo,
+    user sessions per service). Events of one key merge into a session
+    while each arrives within ``gap`` of the previous one; an event at
+    EXACTLY ``gap`` after the previous still merges (boundary-inclusive —
+    pinned by tests/test_lineage_streaming.py::test_sessionize_gap_boundary).
+
+    State is per-open-session and bounded by the watermark: once the
+    watermark passes a session's close, its state is dropped. Batch
+    parity: the same expression works on a static DataFrame (Catalyst
+    rewrites session_window into a sort-merge within partition), which is
+    what the availableNow driver query checks against a SQL islands
+    oracle (lag + cumulative break-sum)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .drop("session_window")
+    )
+
+
 def windowed_finding_counts(
     findings_stream: DataFrame,
     ts_col: str = "event_ts",

@@ -129,6 +129,93 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFra
 BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    computed entirely ROW-LOCALLY — no explode, no shuffle; at 100 TB this
+    stage is a pure map over the scan:
+
+    * dup_line_frac — fraction of lines that are repeats of an earlier
+      line: (n_lines - n_distinct_lines) / n_lines.
+    * dup_word_frac — same at word granularity.
+    * top_bigram_frac — occurrences of the most frequent word bigram over
+      total bigrams; the most-frequent count is found by sorting the
+      per-row bigram array and folding the longest equal-adjacent run
+      (``aggregate``) instead of a groupBy — the whole metric stays inside
+      whole-stage codegen."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    wd = documents.withColumn("_toks", toks).withColumn("_lines", lines)
+    # sequence(1, 0) would generate DESCENDING [1, 0] — guard short docs
+    bigrams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN"
+        " transform(sequence(1, size(_toks) - 1), i -> concat(_toks[i-1], ' ', _toks[i]))"
+        " ELSE array() END"
+    )
+    wd = wd.withColumn("_bg", F.array_sort(bigrams))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.col("_bg"), init, merge, lambda acc: acc["best"])
+    n_lines = F.size("_lines")
+    n_toks = F.size("_toks")
+    n_bg = F.size("_bg")
+    return wd.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round((n_lines - F.size(F.array_distinct("_lines"))) / F.greatest(n_lines, F.lit(1)), 4).alias("dup_line_frac"),
+        F.round((n_toks - F.size(F.array_distinct("_toks"))) / F.greatest(n_toks, F.lit(1)), 4).alias("dup_word_frac"),
+        F.round(top / F.greatest(n_bg, F.lit(1)), 4).alias("top_bigram_frac"),
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark decontamination by exact word n-gram overlap (the GPT-3 /
+    Gopher recipe, n=13): any corpus document sharing an n-gram with an
+    eval-set document is flagged. Returns (doc_id, bench_id,
+    n_shared_ngrams) for every contaminated pair, self-pairs excluded.
+
+    Scale shape: n-grams are md5-hashed so the join key is 32 bytes
+    regardless of n; each side keeps DISTINCT (id, gram) pairs so a gram
+    repeated inside one document can't multiply pairs. The benchmark side
+    (eval sets — tiny vs the corpus) is broadcast; the corpus side's
+    gram explode streams through the scan stage without a prior shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    def grams(df: DataFrame, id_alias: str) -> DataFrame:
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        # docs shorter than n tokens contribute no grams (and sequence(1, 0)
+        # would generate DESCENDING [1, 0] — the guard is load-bearing)
+        g = F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN"
+            f" transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> md5(concat_ws(' ', slice(_toks, i, {n}))))"
+            f" ELSE array() END"
+        )
+        return (
+            df.withColumn("_toks", toks)
+            .select(F.col("doc_id").alias(id_alias), F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    c = grams(corpus, "doc_id")
+    b = grams(benchmark, "bench_id")
+    return (
+        c.join(broadcast(b), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+
+
 def token_count_bpe(documents: DataFrame) -> DataFrame:
     """Token counts under the BPE-ish pre-tokenizer — the training-data
     budget estimator (pre-tokens upper-bound BPE merges); JVM regexp_count,

@@ -121,3 +121,36 @@ def test_streaming_stateful_dedup_across_batches(spark, ckb, tmp_path_factory):
     corpus.write.mode("append").parquet(src)
     incremental_extract(spark, src, out, ckpt, ckb, dedup_across_batches=True)
     assert spark.read.parquet(f"{out}/findings").count() == n1
+
+
+def test_sessionize_gap_boundary(spark, tmp_path_factory):
+    """Events within the gap merge — including an event at EXACTLY the gap
+    boundary (Spark merges it; the oracle's strictly-greater break
+    condition encodes the same rule). 30m01s after that is a new session."""
+    import datetime as dt
+
+    from dr_source_spark.streaming.incremental import sessionize
+
+    base = str(tmp_path_factory.mktemp("sess"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t0, 1, 1.0),
+        (t0 + dt.timedelta(minutes=29), 1, 2.0),   # merges (29 < 30)
+        (t0 + dt.timedelta(minutes=59), 1, 4.0),   # exactly 30 after prev: merges
+        (t0 + dt.timedelta(minutes=89, seconds=1), 1, 16.0),  # 30m01s: NEW session
+        (t0, 2, 8.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, user_id long, value double").write.parquet(f"{base}/src")
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(f"{base}/src")
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory").queryName("sess_gap_test")
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in spark.table("sess_gap_test").collect()
+    }
+    assert got == {(1, 3, 7.0), (1, 1, 16.0), (2, 1, 8.0)}

@@ -357,3 +357,39 @@ def test_duplicate_clusters_no_pairs_all_singletons(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     out = {r.doc_id: r.cluster_id for r in duplicate_clusters(docs, pairs=pairs).collect()}
     assert out == {3: 3, 7: 7, 11: 11}
+
+
+def test_repetition_metrics_known_values(spark):
+    from dr_source_spark.training.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b a b a b"), (4, "x\ny\nx")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.dup_word_frac, r.top_bigram_frac)
+        for r in repetition_metrics(df).collect()
+    }
+    assert got[1] == (1, 0.0, 0.0, 0.0)
+    assert got[2] == (1, 0.0, 0.0, 0.0)
+    # "a b a b a b": 6 words 2 distinct; bigrams a-b x3, b-a x2 -> 3/5
+    assert got[3] == (1, 0.0, round(4 / 6, 4), 0.6)
+    # "x\ny\nx": 3 lines, 2 distinct
+    assert got[4] == (3, 0.3333, 0.3333, 0.5)
+
+
+def test_ngram_overlap_planted_contamination(spark):
+    from dr_source_spark.training.text import ngram_overlap
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {run} suffix"),       # contains the full 13-token run
+            (2, "totally different words " * 5),
+            (3, "short doc"),                    # < 13 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, run)], "doc_id long, text string")
+    got = {(r.doc_id, r.bench_id): r.n_shared_ngrams for r in ngram_overlap(corpus, bench).collect()}
+    assert got == {(1, 100): 1}  # exactly the one shared 13-gram
