@@ -145,3 +145,28 @@ def test_near_dup_join_is_equi_on_bucket(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     rows = pairs.collect()
     assert all(r.id_a < r.id_b and r.sim >= 0.5 for r in rows)
+
+
+def test_repetition_metrics_plan_is_shuffle_free(spark):
+    """The Gopher repetition signals must stay a pure map over the scan —
+    any Exchange means a per-doc metric picked up a needless shuffle."""
+    from dr_source_spark.training.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_metrics(docs))
+    assert "Exchange" not in plan
+    # the scan-side project is codegen'd ("*(1)"); the higher-order-function
+    # lambdas (transform/aggregate) evaluate outside codegen but stay
+    # row-local — the load-bearing property is the absence of any Exchange
+    assert "*(1)" in plan
+
+
+def test_ngram_overlap_broadcasts_benchmark_side(spark):
+    """Decontamination joins the tiny eval-set side via broadcast — a
+    SortMergeJoin here would shuffle the full corpus gram explode."""
+    from dr_source_spark.training.text import ngram_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_overlap(docs, docs.filter(F.col("doc_id") % 97 == 0)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
