@@ -642,6 +642,28 @@ GROUP BY 1, 2
 """
 
 
+def _emb_quantize(spark, sf_dir):
+    # symmetric int8 quantization error profile (4x memory ANN path)
+    from dr_source_spark.training.similarity import quantization_stats
+
+    return quantization_stats(_t(spark, sf_dir, "embeddings"))
+
+
+_EMB_QUANTIZE_SQL = r"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+s AS (SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) AS am FROM v),
+s2 AS (SELECT vec_id, vec, CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS scale FROM s),
+q AS (SELECT vec_id, vec, scale, list_transform(vec, x -> round(x / scale)) AS qv FROM s2),
+e AS (SELECT vec_id, scale, len(vec) AS n_dims,
+             list_transform(range(1, len(vec) + 1), i -> abs(vec[i] - qv[i] * scale)) AS errs
+      FROM q)
+SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, round(scale, 9) AS scale,
+       round(list_max(errs), 9) AS max_abs_err,
+       round(list_sum(list_transform(errs, x -> x * x)) / n_dims, 9) AS mse
+FROM e
+"""
+
+
 def _text_winnow(spark, sf_dir):
     # winnowing fingerprints (rolling k-gram hashes, window min-sampling)
     from dr_source_spark.training.text import winnow_fingerprints
@@ -1176,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_metrics": _text_repetition,
         "text_ngram_decontam": _text_decontam,
         "emb_near_dup_pairs": _emb_near_dup,
+        "emb_quantize_stats": _emb_quantize,
         "media_metadata": _media_metadata,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1241,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_metrics": _TEXT_REPETITION_SQL,
         "text_ngram_decontam": _TEXT_DECONTAM_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
+        "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,

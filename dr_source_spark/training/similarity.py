@@ -251,3 +251,53 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "sim")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max(|v|)/127, q_i =
+    round(v_i / scale) ∈ [-127, 127]. 4× memory/shuffle reduction for ANN
+    candidate generation at 100 TB — rank by quantized similarity, rescore
+    survivors on the float vectors. Returns (id, scale, qvec); all
+    JVM-side array ops (zero-vector guard: scale falls back to 1.0)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = embeddings.select(F.col(id_col), v.alias("_v"))
+    absmax = F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    return df.select(
+        id_col,
+        scale.alias("scale"),
+        F.transform(F.col("_v"), lambda x: F.round(x / scale).cast("int")).alias("qvec"),
+        F.col("_v").alias("_fvec"),
+    )
+
+
+def quantization_stats(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector dequantization error profile for the int8 path: max
+    absolute error and MSE vs the float vector (deterministic left-to-right
+    fold, oracle-reproducible). The symmetric-scale bound max_abs_err <=
+    scale/2 is asserted in tests."""
+    q = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+    # compute errs in a separate projection: aliasing round(scale) AS scale
+    # in the same select would LATERALLY shadow the input column inside the
+    # zip_with lambda (Spark 3.4+ lateral column aliases) and silently
+    # compute errors against the rounded scale
+    q = q.withColumn(
+        "_errs",
+        F.zip_with(
+            F.col("_fvec"), F.col("qvec"), lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale"))
+        ),
+    )
+    n = F.size("_fvec")
+    return q.select(
+        id_col,
+        n.cast("long").alias("n_dims"),
+        F.round("scale", 9).alias("scale"),
+        F.round(F.aggregate("_errs", F.lit(0.0), lambda a, x: F.greatest(a, x)), 9).alias("max_abs_err"),
+        F.round(
+            F.aggregate("_errs", F.lit(0.0), lambda a, x: a + x * x) / n, 9
+        ).alias("mse"),
+    )

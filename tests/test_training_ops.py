@@ -393,3 +393,37 @@ def test_ngram_overlap_planted_contamination(spark):
     bench = spark.createDataFrame([(100, run)], "doc_id long, text string")
     got = {(r.doc_id, r.bench_id): r.n_shared_ngrams for r in ngram_overlap(corpus, bench).collect()}
     assert got == {(1, 100): 1}  # exactly the one shared 13-gram
+
+
+def test_quantization_error_bound_and_range(emb):
+    """Symmetric int8: every component within [-127, 127]; dequantization
+    error bounded by scale/2 (the rounding half-step)."""
+    from dr_source_spark.training.similarity import quantization_stats, quantize_embeddings
+
+    q = quantize_embeddings(emb)
+    mx = q.select(
+        F.max(F.aggregate("qvec", F.lit(0), lambda a, x: F.greatest(a, F.abs(x)))).alias("m")
+    ).first().m
+    assert mx <= 127
+    bad = quantization_stats(emb).filter(
+        F.col("max_abs_err") > F.col("scale") / 2 + 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_quantized_search_recall_vs_float(emb):
+    """Top-k over DEQUANTIZED int8 vectors must recover >= 0.9 of the exact
+    float top-k — the falsifiability gate for the 4x-memory ANN path."""
+    from dr_source_spark.training.similarity import brute_force_topk, quantize_embeddings
+
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        F.zip_with(
+            "qvec", F.array_repeat("scale", F.size("qvec")), lambda q, s: q.cast("double") * s
+        ).alias("embedding"),
+    )
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, query_ids=qids, k=3).collect()}
+    approx = {(r.q_id, r.n_id) for r in brute_force_topk(deq, query_ids=qids, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@3 = {recall}"
