@@ -441,7 +441,23 @@ def analyze_python(
     try:
         _MultiWalk(engines).walk(tree)
     except RecursionError:
-        engines = []
+        # Reference parity for pathologically deep ASTs (plugin.py:41-67
+        # wraps per-category visits in one try: a RecursionError keeps all
+        # FULLY completed earlier categories and drops the failing one and
+        # everything after). The fused walk can't reproduce that boundary —
+        # every engine is mid-flight — so fall back to per-engine walks in
+        # spec order. The single walks also carry slightly less stack per
+        # node than the fused dispatch, so they often complete outright
+        # where the fused walk overflowed.
+        done = []
+        for spec in taint_specs:
+            eng = PyTaintEngine(spec, fn_index=fn_index)
+            try:
+                _MultiWalk([eng]).walk(tree)
+            except RecursionError:
+                break
+            done.append(eng)
+        engines = done
     for engine in engines:
         spec = engine.spec
         for hit in engine.hits:

@@ -325,3 +325,44 @@ eval(p2);
 """
     hits2 = analyze_js(src2, ckb.taint["javascript"])
     assert any(h["sink"] == "eval" for h in hits2), hits2
+
+
+def test_python_recursion_overflow_degrades_gracefully(ckb):
+    """A tree too deep for the fused walk must not crash or drop the file
+    wholesale: the per-engine fallback keeps completed categories (often
+    all of them — single walks carry less stack than the fused dispatch).
+    Reference boundary: plugins/python/plugin.py:41-67 keeps categories
+    fully walked before the failure."""
+    import ast
+    import sys
+
+    from dr_source_spark.detectors.python_taint import analyze_python
+
+    depth = 400
+    # CPython caps source indentation at 100 levels — build the deep tree
+    # programmatically (the shape a generated/minified file produces)
+    inner = ast.parse("cmd = request.args.get('c')\nos.system(cmd)").body
+    body = inner
+    for i in range(depth):
+        body = [ast.If(test=ast.Name(id=f"x{i}", ctx=ast.Load()), body=body, orelse=[])]
+    tree = ast.Module(body=[ast.parse("import os").body[0]] + body, type_ignores=[])
+    ast.fix_missing_locations(tree)
+    src = "<generated>"
+    full = analyze_python(src, ckb.taint["python"], tree=tree)
+    assert any(f.get("sink") for f in full)  # the planted flow is found at full depth
+    limit = sys.getrecursionlimit()
+    try:
+        # low enough that the fused walk overflows on a depth-200 tree
+        sys.setrecursionlimit(depth * 6)
+        degraded = analyze_python(src, ckb.taint["python"], tree=tree)
+    finally:
+        sys.setrecursionlimit(limit)
+    # never raises; returns a deterministic subset of the full findings
+    key = lambda f: (f["line"], f["vuln_type"], f["message"])
+    assert {key(f) for f in degraded} <= {key(f) for f in full}
+    try:
+        sys.setrecursionlimit(depth * 6)
+        again = analyze_python(src, ckb.taint["python"], tree=tree)
+    finally:
+        sys.setrecursionlimit(limit)
+    assert sorted(map(key, degraded)) == sorted(map(key, again))
