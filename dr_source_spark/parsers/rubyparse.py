@@ -37,22 +37,48 @@ _OPENERS = {"def", "class", "module", "if", "unless", "while", "until", "case", 
 _HEREDOC_OPEN = re.compile(r"<<([~-]?)([\"'`]?)([A-Z_][A-Za-z0-9_]*)\2")
 
 
+# interpolation fragments safe to re-emit inside a synthetic "..." literal
+# (no quotes/backslashes/braces that would desync the tokenizer)
+_SAFE_INTERP_RE = re.compile(r"\#\{([^{}\"\\\n]*)\}")
+
+
+def _interp_payload(fragments: List[str]) -> str:
+    """Rebuild a double-quoted literal carrying a body's #{...} fragments so
+    the parser's interpolated-string walk sees them (tree-sitter walks
+    interpolation inside heredocs/%Q; losing it drops real taint flows like
+    ``system(<<~CMD)`` with ``#{params[:x]}`` in the body)."""
+    if not fragments:
+        return '""'
+    return '"' + "".join("#{" + f + "}" for f in fragments) + '"'
+
+
 def _blank_noncode(src: str) -> str:
     """Blank heredoc bodies and =begin/=end comment blocks (line count
     preserved) before tokenizing — their content lines would otherwise lex
     as code: a heredoc containing sink-shaped text could false-positive the
     AST tier, and a stray 'end' inside one desyncs statement recovery.
-    Approximation vs tree-sitter: interpolation INSIDE a heredoc is not
-    walked (the body becomes an empty string literal)."""
+
+    Interpolation inside a non-quoted heredoc body IS preserved: each
+    opener becomes a double-quoted literal carrying the body's safe
+    ``#{...}`` fragments (at the opener's line — an approximation of the
+    body position tree-sitter would report), so taint flowing through a
+    heredoc survives. A single-quoted tag (``<<~'EOS'``) suppresses
+    interpolation, as in Ruby."""
     if "<<" not in src and "=begin" not in src:
         return src
     out: List[str] = []
-    pending: List[str] = []  # heredoc terminator tags, in open order
+    # open heredocs, in order; body lines always belong to the FIRST entry
+    pending: List[Dict[str, Any]] = []
+    payloads: Dict[int, str] = {}
+    n_ph = 0
     in_comment = False
     for line in src.split("\n"):
         if pending:
-            if line.strip() == pending[0]:
-                pending.pop(0)
+            if line.strip() == pending[0]["tag"]:
+                h = pending.pop(0)
+                payloads[h["ph"]] = _interp_payload(h["frags"])
+            elif pending[0]["interp"]:
+                pending[0]["frags"].extend(_SAFE_INTERP_RE.findall(line))
             out.append("")
             continue
         if in_comment:
@@ -72,11 +98,18 @@ def _blank_noncode(src: str) -> str:
         probe = probe.split("#", 1)[0]
         opens = _HEREDOC_OPEN.findall(probe)
         if opens:
-            pending.extend(tag for _squig, _q, tag in opens)
-            # keep the line shape: each opener becomes an empty string lit
-            line = _HEREDOC_OPEN.sub('""', line)
+            for _squig, q, tag in opens:
+                pending.append({"tag": tag, "interp": q != "'", "ph": n_ph, "frags": []})
+                n_ph += 1
+            # each opener becomes a placeholder, patched to a string literal
+            # (empty, or carrying the body's interpolation) once its body ends
+            counter = iter(range(n_ph - len(opens), n_ph))
+            line = _HEREDOC_OPEN.sub(lambda _m: f"\x00H{next(counter)}\x00", line)
         out.append(line)
-    return "\n".join(out)
+    text = "\n".join(out)
+    if n_ph:
+        text = re.sub(r"\x00H(\d+)\x00", lambda m: payloads.get(int(m.group(1)), '""'), text)
+    return text
 
 
 _PCT_TYPES = set("wWiIqQrxs")
@@ -92,8 +125,10 @@ def _blank_percent_literals(src: str) -> str:
     word list desync statement recovery). String/comment-aware scan;
     paired delimiters nest; an UNCLOSED literal is left untouched (the
     conservative failure mode: we can only miss a literal, never swallow
-    trailing code). Approximation vs tree-sitter: interpolation inside
-    %Q/%W bodies is not walked, and a modulo written flush against a
+    trailing code). Interpolating forms (%Q %W %I %x %r, bare %{})
+    preserve their safe ``#{...}`` fragments in the replacement literal so
+    taint through them survives; %q/%w/%i/%s are single-quote-like and
+    blank fully. Remaining approximation: a modulo written flush against a
     type-letter identifier (``a%s(b)``) reads as a literal — real code
     spaces its operators."""
     if "%" not in src:
@@ -133,8 +168,10 @@ def _blank_percent_literals(src: str) -> str:
             j = i + 1
             if j + 1 < n and src[j] in _PCT_TYPES and src[j + 1] in _PCT_DELIMS:
                 delim_pos = j + 1
+                interp = src[j] in "QWIxr"  # %q/%w/%i/%s are single-quote-like
             elif j < n and src[j] == "{":
                 delim_pos = j
+                interp = True
             else:
                 out.append(c)
                 i += 1
@@ -160,7 +197,8 @@ def _blank_percent_literals(src: str) -> str:
                 out.append(c)
                 i += 1
                 continue
-            out.append('""' + "\n" * nl)
+            frags = _SAFE_INTERP_RE.findall(src[delim_pos + 1 : k - 1]) if interp else []
+            out.append(_interp_payload(frags) + "\n" * nl)
             i = k
             continue
         out.append(c)

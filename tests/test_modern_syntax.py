@@ -165,3 +165,21 @@ def test_ruby_unclosed_percent_literal_left_untouched():
     src = "x = y %q_unclosed\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
     out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
     assert out, "unclosed %-literal swallowed the rest of the file"
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        ("heredoc_interp", 'cmd = <<~CMD\n  ls #{params[:x]}\nCMD\nsystem(cmd)', True),
+        ("heredoc_quoted_tag", "cmd = <<~'CMD'\n  ls #{params[:x]}\nCMD\nsystem(cmd)", False),
+        ("heredoc_inline_arg", 'system(<<~CMD)\n  ls #{params[:x]}\nCMD', True),
+        ("pctQ_interp", 'cmd = %Q{ls #{params[:x]}}\nsystem(cmd)', True),
+        ("pctq_no_interp", 'cmd = %q{ls #{params[:x]}}\nsystem(cmd)', False),
+    ],
+)
+def test_ruby_interpolation_through_blanked_literals(name, src, tainted):
+    """tree-sitter walks interpolation inside heredoc/%Q bodies; the
+    blanking passes must preserve safe #{...} fragments so those taint
+    flows survive — and single-quote-like forms must NOT interpolate."""
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert bool(out) == tainted, (name, out)
