@@ -80,8 +80,102 @@ class _P:
                     return
 
 
+# heredoc/nowdoc opener: <<<TAG, <<<"TAG" (interpolating), <<<'TAG' (nowdoc)
+_PHP_HEREDOC_OPEN = re.compile(r"<<<([\"']?)([A-Za-z_][A-Za-z0-9_]*)\1[ \t]*\r?\n")
+_HEREDOC_CALL = "__DRS_HEREDOC__"
+
+
+def _blank_heredocs(src: str) -> str:
+    """Replace heredoc/nowdoc literals before tokenizing — their body lines
+    would otherwise lex as code (sink-shaped text in a heredoc could
+    false-positive, and unbalanced brackets desync statement recovery).
+
+    Reference parity (plugins/php/taint_visitor.py:76,151-167): tree-sitter
+    heredoc nodes are NOT constant-resolvable, so `$q = <<<SQL ... $i ...`
+    propagates EXISTING taint of the interpolated vars via
+    collect_identifiers — unlike a double-quoted "SELECT $i", which
+    _resolve_value treats as a constant (clearing taint). We reproduce that
+    exact asymmetry by rewriting an interpolating heredoc to a synthetic
+    call ``__DRS_HEREDOC__($i, ...)`` (unknown call = propagate-args, not
+    constant) and a nowdoc to ``''`` (constant). Newline counts preserved;
+    an heredoc with no terminator is left untouched (conservative miss).
+    String/comment-aware scan so ``<<<`` inside literals can't trigger."""
+    if "<<<" not in src:
+        return src
+    out: List[str] = []
+    i, n = 0, len(src)
+    mode: Optional[str] = None  # None | "'" | '"' | "//" | "/*"
+    while i < n:
+        c = src[i]
+        if mode == "//":
+            if c == "\n":
+                mode = None
+            out.append(c)
+            i += 1
+            continue
+        if mode == "/*":
+            if c == "*" and i + 1 < n and src[i + 1] == "/":
+                out.append("*/")
+                i += 2
+                mode = None
+                continue
+            out.append(c)
+            i += 1
+            continue
+        if mode in ("'", '"'):
+            if c == "\\" and i + 1 < n:
+                out.append(src[i : i + 2])
+                i += 2
+                continue
+            if c == mode:
+                mode = None
+            out.append(c)
+            i += 1
+            continue
+        if c in ("'", '"'):
+            mode = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "#" or (c == "/" and i + 1 < n and src[i + 1] == "/"):
+            mode = "//"
+            out.append(c)
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "*":
+            mode = "/*"
+            out.append(c)
+            i += 1
+            continue
+        if c == "<":
+            m = _PHP_HEREDOC_OPEN.match(src, i)
+            if m:
+                quote, tag = m.group(1), m.group(2)
+                term = re.compile(rf"^[ \t]*{tag}(?![A-Za-z0-9_])", re.M)
+                tm = term.search(src, m.end())
+                if tm:
+                    body = src[m.end() : tm.start()]
+                    if quote == "'":
+                        repl = "''"
+                    else:
+                        seen: List[str] = []
+                        for v in re.findall(r"\$[A-Za-z_][A-Za-z0-9_]*", body):
+                            if v not in seen:
+                                seen.append(v)
+                        repl = f"{_HEREDOC_CALL}({', '.join(seen)})" if seen else "''"
+                    consumed_end = tm.end()
+                    nl = src.count("\n", i, consumed_end)
+                    out.append(repl + "\n" * nl)
+                    i = consumed_end
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def parse_php(src: str) -> Node:
     body = re.sub(r"<\?php|<\?|\?>", lambda m: " " * len(m.group()), src)
+    body = _blank_heredocs(body)
     p = _P(_tokens(body))
     stmts = _stmts(p, top=True)
     return {"t": "program", "stmts": stmts, "line": 1}

@@ -183,3 +183,30 @@ def test_ruby_interpolation_through_blanked_literals(name, src, tainted):
     flows survive — and single-quote-like forms must NOT interpolate."""
     out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
     assert bool(out) == tainted, (name, out)
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        # tree-sitter heredoc nodes are NOT constant-resolvable -> existing
+        # taint of interpolated vars propagates (reference
+        # php/taint_visitor.py:76,151-167) ...
+        ("heredoc_interp", "<?php\n$i = $_GET['x'];\n$q = <<<SQL\nSELECT $i\nSQL;\nmysqli_query($c, $q);\n?>", True),
+        # ... while a double-quoted "SELECT $i" IS constant-resolved and
+        # clears taint — the asymmetry is the parity point
+        ("dq_interp_is_const", "<?php\n$i = $_GET['x'];\n$q = \"SELECT $i\";\nmysqli_query($c, $q);\n?>", False),
+        ("nowdoc_is_const", "<?php\n$i = $_GET['x'];\n$q = <<<'SQL'\nSELECT $i\nSQL;\nmysqli_query($c, $q);\n?>", False),
+        ("heredoc_no_vars", "<?php\n$q = <<<SQL\nSELECT 1\nSQL;\nmysqli_query($c, $q);\n?>", False),
+        # body text shaped like a sink call must NOT false-positive
+        ("heredoc_sink_text", "<?php\n$q = <<<TXT\nmysqli_query($c, $_GET['x'])\nTXT;\necho 'hi';\n?>", False),
+    ],
+)
+def test_php_heredoc_semantics(name, src, tainted):
+    out = [f for f in _php(src) if f.get("sink")]
+    assert bool(out) == tainted, (name, out)
+
+
+def test_php_heredoc_preserves_line_numbers():
+    src = "<?php\n$d = <<<TXT\na\nb\nc\nTXT;\n$i = $_GET['x'];\nmysqli_query($c, \"SELECT \" . $i);\n?>"
+    out = [f for f in _php(src) if f.get("sink")]
+    assert out and out[0]["line"] == 8, out
