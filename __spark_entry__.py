@@ -839,6 +839,85 @@ def _kg_node_degrees(spark, sf_dir):
     )
 
 
+def _kg_pagerank(spark, sf_dir):
+    # importance ranking over the constructed KG — fixed-point integer
+    # arithmetic so the 10-iteration result is bit-exact vs the oracle
+    from dr_source_spark.operators.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(_kg_triples(spark, sf_dir).edges)
+
+
+def _kg_pagerank_sql(iterations: int = 10, scale: int = 10**12, dp: int = 85) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # AS MATERIALIZED: the CTE chain is referenced from every unrolled
+    # iteration — without the hint DuckDB re-inlines (and re-evaluates)
+    # the whole edge derivation per reference
+    parts = [
+        f"WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),",
+        "c AS MATERIALIZED (SELECT count(*) AS n FROM nodes),",
+        f"pr0 AS MATERIALIZED (SELECT node, CAST({scale} // c.n AS BIGINT) AS rank FROM nodes CROSS JOIN c),",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"pr{k - 1}"
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm FROM {prev}"
+            f" WHERE node NOT IN (SELECT src FROM deg)),\n"
+            f"contrib{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum((r.rank * {dp}) // (100 * deg.d)) AS cb"
+            f" FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON deg.src = e.src"
+            f" GROUP BY e.dst),\n"
+            f"pr{k} AS MATERIALIZED (SELECT nodes.node,"
+            f" CAST(({scale} * {100 - dp}) // (100 * c.n)"
+            f" + (dang{k}.dm * {dp}) // (100 * c.n)"
+            f" + coalesce(contrib{k}.cb, 0) AS BIGINT) AS rank"
+            f" FROM nodes CROSS JOIN c CROSS JOIN dang{k}"
+            f" LEFT JOIN contrib{k} ON contrib{k}.node = nodes.node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, rank FROM pr{iterations}"
+
+
+def _kg_components(spark, sf_dir):
+    # component labeling over the KG (alternating large-star/small-star);
+    # every endpoint labeled with its component minimum
+    from dr_source_spark.operators.graph import alternating_star_components
+
+    edges = _kg_triples(spark, sf_dir).edges
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    stars = alternating_star_components(edges)
+    labels = stars.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+
+
+def _kg_components_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # AS MATERIALIZED: without it the recursive member re-evaluates the
+    # whole kg_e derivation chain on every fixpoint iteration
+    return f"""
+WITH RECURSIVE kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e),
+dir AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT d.b, w.lbl FROM walk w JOIN dir d ON d.a = w.node
+)
+SELECT node, min(lbl) AS component FROM walk GROUP BY node
+"""
+
+
 def _tier_error_rate(spark, sf_dir):
     # A5/parse-loss observability: every 5th-ish synthesized python file is
     # deliberately unparseable; the swallowed-tier-error stream must surface
@@ -1210,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_nodes": _kg_graph_nodes,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
+        "kg_pagerank": _kg_pagerank,
+        "kg_components": _kg_components,
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
@@ -1251,6 +1332,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_edges": _kg_sql.kg_edges_oracle_sql(),
         "kg_graph_nodes": _kg_sql.kg_nodes_oracle_sql(),
         "kg_severity_histogram": _kg_severity_histogram_sql(),
+        "kg_pagerank": _kg_pagerank_sql(),
+        "kg_components": _kg_components_sql(),
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_risk_ledger": _STREAM_LEDGER_SQL,

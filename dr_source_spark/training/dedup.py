@@ -233,66 +233,6 @@ def simhash_hamming(a, b):
     return dist
 
 
-def _alternating_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
-    """Connected components by alternating large-star/small-star (Kiveris
-    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
-    O(log n) rounds, each round two narrow-key groupBy shuffles, no
-    driver-side graph state. Converges to a star per component rooted at
-    the component's minimum node id; returns the final star edge list
-    (node, root), root excluded.
-
-    Scale notes: unlike label propagation (O(diameter) rounds — a chain of
-    near-dups degenerates), the star rounds are logarithmic and every
-    intermediate is an edge list bounded by the input size. Lineage is
-    truncated per round (``localCheckpoint``); on a real cluster configure
-    a reliable checkpoint dir and swap in ``checkpoint`` for
-    executor-loss resilience. Convergence is detected by a deterministic
-    content fingerprint (count + XOR of per-edge xxhash64 — internal only,
-    never oracle-visible), avoiding a full set-compare job per round."""
-    spark = edges.sparkSession
-
-    def star(df: DataFrame, large: bool) -> DataFrame:
-        if large:
-            sym = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        else:
-            sym = df.select(
-                F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-            )
-        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
-        mins = mins.select("src", F.least("src", "_mn").alias("_m"))
-        joined = sym.join(mins, "src")
-        if large:
-            out = joined.filter(F.col("dst") > F.col("src")).select(
-                F.col("dst").alias("src"), F.col("_m").alias("dst")
-            )
-        else:
-            out = joined.select(F.col("dst").alias("src"), F.col("_m").alias("dst")).union(
-                joined.select("src", F.col("_m").alias("dst"))
-            )
-        return out.filter(F.col("src") != F.col("dst")).distinct()
-
-    def fingerprint_of(df: DataFrame):
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
-        ).first()
-        return (row.n, row.h)
-
-    cur = edges.distinct().localCheckpoint(eager=True)
-    prev_fp = fingerprint_of(cur)
-    for _ in range(max_rounds):
-        if prev_fp[0] == 0:
-            break
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
-        fp = fingerprint_of(nxt)
-        cur.unpersist()
-        cur = nxt
-        if fp == prev_fp:
-            break
-        prev_fp = fp
-    return cur
-
-
 def duplicate_clusters(
     documents: DataFrame,
     pairs: DataFrame | None = None,
@@ -311,15 +251,17 @@ def duplicate_clusters(
     jaccard so any engine reproducing the verify column classifies pairs
     identically). Components via alternating large-star/small-star —
     O(log n) rounds, edge-list-bounded intermediates (see
-    ``_alternating_star``)."""
+    ``operators.graph.alternating_star_components``)."""
     if pairs is None:
         pairs = ngram_jaccard(documents, minhash_lsh_candidates(documents)).filter(
             F.col("jaccard") >= jaccard_threshold
         )
+    from ..operators.graph import alternating_star_components
+
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
     )
-    stars = _alternating_star(edges, max_rounds=max_rounds)
+    stars = alternating_star_components(edges, max_rounds=max_rounds)
     labels = stars.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
     return (
         documents.select(F.col("doc_id").cast("long").alias("doc_id"))

@@ -210,3 +210,37 @@ def test_php_heredoc_preserves_line_numbers():
     src = "<?php\n$d = <<<TXT\na\nb\nc\nTXT;\n$i = $_GET['x'];\nmysqli_query($c, \"SELECT \" . $i);\n?>"
     out = [f for f in _php(src) if f.get("sink")]
     assert out and out[0]["line"] == 8, out
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        # template substitutions propagate EXISTING taint (the reference's
+        # collect_identifiers walks template_substitution children) ...
+        ("template_two_step", "app.get('/p', (req, res) => { const u = req.query.cmd; const c = `run ${u}`; eval(c); });", True),
+        ("template_sink_arg", "app.get('/p', (req, res) => { const u = req.query.cmd; eval(`run ${u}`); });", True),
+        # ... but a SOURCE expression directly inside a template is NOT
+        # matched (reference check_source_or_sanitizer sees no path for the
+        # template node; is_tainted only consults assigned taint)
+        ("template_direct_source", "app.get('/p', (req, res) => { const c = `run ${req.query.cmd}`; eval(c); });", False),
+        ("template_no_subst_const", "app.get('/p', (req, res) => { const c = `run ls`; eval(c); });", False),
+    ],
+)
+def test_js_template_literal_semantics(name, src, tainted):
+    """Pins the observed reference asymmetry for template literals
+    (javascript/taint_visitor.py:68-79,154-168)."""
+    out = [f for f in _js(src) if f.get("sink")]
+    assert bool(out) == tainted, (name, out)
+
+
+def test_java_textblock_concat_propagates_taint():
+    """Taint must flow through text-block + tainted concatenation (the
+    text block is a constant fragment, not a taint barrier)."""
+    src = (
+        "class A { void m(javax.servlet.http.HttpServletRequest request,"
+        " java.sql.Statement st) throws Exception {"
+        ' String u = request.getParameter("q");'
+        ' String q = """\n SELECT\n """ + u; st.executeQuery(q); } }'
+    )
+    out = [f for f in _java(src) if "executeQuery" in (f.get("sink") or "")]
+    assert out, "text-block concat dropped taint"

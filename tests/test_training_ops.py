@@ -427,3 +427,32 @@ def test_quantized_search_recall_vs_float(emb):
     approx = {(r.q_id, r.n_id) for r in brute_force_topk(deq, query_ids=qids, k=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@3 = {recall}"
+
+
+def test_pagerank_fixed_point_matches_python_reference(spark):
+    """The fixed-point Spark PageRank must equal a straightforward Python
+    implementation using the identical integer floor arithmetic."""
+    from dr_source_spark.operators.graph import pagerank_fixed_point
+
+    edge_list = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")]  # c dangling
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank_fixed_point(edges, iterations=10).collect()}
+
+    SCALE, DP = 10**12, 85
+    nodes = sorted({x for e in edge_list for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: SCALE // n for v in nodes}
+    base = (SCALE * (100 - DP)) // (100 * n)
+    for _ in range(10):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        share = (dangling * DP) // (100 * n)
+        contrib = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            contrib[d] += (rank[s] * DP) // (100 * out[s])
+        rank = {v: base + share + contrib[v] for v in nodes}
+    assert got == rank
+    # hub 'c' (two in-edges + dangling redistribution) outranks leaf 'd'
+    assert got["c"] > got["d"]

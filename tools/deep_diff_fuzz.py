@@ -5,7 +5,8 @@ classes with PII-named method params, f-strings, ternaries, augmented
 assigns, tuple unpacks, comprehensions, lambdas, subscripts/slices, chained
 sources, dict literals, field access. Round-1 result: 1000/1000 identical;
 round 2 (widened construct set): 1500/1500 identical (seed 20260816) and
-5000/5000 (seed 20260817) with 0 true divergences.
+5000/5000 (seed 20260817); round 3: 10000/10000 (seed 20260818) — running
+total 17 500 programs, 0 true divergences.
 
 Parity finding (round 2): the reference's trace attribution is
 PYTHONHASHSEED-dependent — on an assignment whose RHS holds multiple
