@@ -1109,6 +1109,30 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _media_chunk_plan(spark, sf_dir):
+    # metadata-only audio chunk plan (explode shape; decode stays stubbed)
+    from dr_source_spark.training.multimodal import audio_chunk_plan, synth_media_corpus
+
+    return audio_chunk_plan(synth_media_corpus(_t(spark, sf_dir, "documents")))
+
+
+_MEDIA_CHUNK_SQL = """
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+         CAST(28 + least(octet_length(encode(text)), 256) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 2
+), chunks AS (
+  SELECT media_id, sample_rate,
+         unnest(range(0, greatest(n_bytes // (2 * sample_rate) + 1, 1))) AS chunk_idx
+  FROM meta
+)
+SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * sample_rate AS BIGINT) AS start_sample, sample_rate
+FROM chunks
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -1279,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": _emb_near_dup,
         "emb_quantize_stats": _emb_quantize,
         "media_metadata": _media_metadata,
+        "media_chunk_plan": _media_chunk_plan,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1349,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
+        "media_chunk_plan": _MEDIA_CHUNK_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),

@@ -194,3 +194,25 @@ def synth_media_corpus(documents: DataFrame) -> DataFrame:
 
     ensure_shipped(documents.sparkSession)
     return documents.select("doc_id", "text").mapInPandas(process, MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Audio chunking *plan*: one row per fixed-duration chunk, derived from
+    metadata only (sample count surrogate = payload bytes / 2, 16-bit mono
+    assumption — decoding is the stubbed step; the explode/partition shape
+    is the real scale concern, same contract as frame_sample_plan).
+    Integer arithmetic throughout so any engine reproduces the plan."""
+    meta = extract_media_metadata(media.filter(F.col("kind") == "audio"))
+    spc = (F.col("sample_rate") * chunk_ms / 1000).cast("long")  # samples/chunk
+    n_chunks = F.greatest(
+        F.expr(f"(n_bytes div (2 * (sample_rate * {chunk_ms} div 1000)))") + 1, F.lit(1)
+    )
+    return (
+        meta.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))))
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * spc).cast("long").alias("start_sample"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+        )
+    )

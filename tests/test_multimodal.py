@@ -70,3 +70,21 @@ def test_frame_sample_plan_shape(spark, media):
     rows = plan.collect()
     assert rows and all(r.frame_idx >= 0 for r in rows)
     assert plan.columns == ["media_id", "frame_idx", "n_bytes"]
+
+
+def test_audio_chunk_plan_integer_chunking(spark):
+    from dr_source_spark.training.multimodal import audio_chunk_plan, synth_media_corpus
+
+    docs = spark.createDataFrame(
+        [(2, "x" * 300), (5, "short")], "doc_id long, text string"
+    )
+    plan = audio_chunk_plan(synth_media_corpus(docs)).collect()
+    by_media = {}
+    for r in plan:
+        by_media.setdefault(r.media_id, []).append(r)
+    # doc 2: wav, sample_rate 8000+2*4000=16000, n_bytes=28+256=284
+    # chunks = 284 // 32000 + 1 = 1
+    assert len(by_media[2]) == 1 and by_media[2][0].start_sample == 0
+    # doc 5: rate 8000, n_bytes 28+5=33 -> 1 chunk
+    assert len(by_media[5]) == 1
+    assert all(r.start_sample == r.chunk_idx * r.sample_rate for r in plan)
