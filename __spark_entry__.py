@@ -664,6 +664,45 @@ FROM e
 """
 
 
+def _text_pii_scrub(spark, sf_dir):
+    # typed PII redaction + per-class counts; chained JVM regexp_replace
+    from dr_source_spark.training.text import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _pii_sql() -> str:
+    from dr_source_spark.training.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for n, p in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<PII:{n.upper()}>', 'g')"
+    return f"SELECT doc_id,\n       {counts},\n       {scrub} AS scrubbed_text\nFROM documents"
+
+
+_SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 1.0}
+
+
+def _text_sample(spark, sf_dir):
+    # deterministic seedless stratified sampling (md5-threshold per stratum)
+    from dr_source_spark.training.text import sample_stratified
+
+    return sample_stratified(_t(spark, sf_dir, "documents"), _SAMPLE_RATES)
+
+
+def _sample_sql() -> str:
+    conds = " OR ".join(
+        f"(lang = '{s}' AND substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{format(int(float(r) * 0xFFFFFFFF), '08x')}')"
+        for s, r in _SAMPLE_RATES.items()
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {conds}"
+
+
 def _text_winnow(spark, sf_dir):
     # winnowing fingerprints (rolling k-gram hashes, window min-sampling)
     from dr_source_spark.training.text import winnow_fingerprints
@@ -1300,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe": _text_tokens_bpe,
         "text_repetition_metrics": _text_repetition,
         "text_ngram_decontam": _text_decontam,
+        "text_pii_scrub": _text_pii_scrub,
+        "text_sample_stratified": _text_sample,
         "emb_near_dup_pairs": _emb_near_dup,
         "emb_quantize_stats": _emb_quantize,
         "media_metadata": _media_metadata,
@@ -1371,6 +1412,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count_bpe": _bpe_sql(),
         "text_repetition_metrics": _TEXT_REPETITION_SQL,
         "text_ngram_decontam": _TEXT_DECONTAM_SQL,
+        "text_pii_scrub": _pii_sql(),
+        "text_sample_stratified": _sample_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

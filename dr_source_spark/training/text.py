@@ -225,3 +225,56 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN)).cast("long").alias("n_bpe_pretokens"),
         F.regexp_count(F.col("text"), F.lit(r"\w+")).cast("long").alias("n_word_tokens"),
     )
+
+
+# PII patterns chosen to parse AND match identically in Java regex and RE2
+# (no lookbehind/lookahead/backrefs): emails, IPv4, 16-digit card-shaped
+# runs, US-shaped phone numbers.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "card": r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b",
+    "phone": r"\b\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b",
+}
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: each pattern class is counted
+    (pre-redaction) and replaced with a typed token ``<PII:CLASS>``.
+    Chained JVM ``regexp_replace`` — one projection, no UDF, no shuffle;
+    the redaction order (email, ipv4, card, phone) is part of the contract
+    since classes can overlap (a phone inside an email local-part is
+    redacted as email first)."""
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<PII:{name.upper()}>")
+    return documents.select("doc_id", *counts, scrubbed.alias("scrubbed_text"))
+
+
+def sample_stratified(
+    documents: DataFrame, rates: dict, strata_col: str = "lang", salt: str = "v1"
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the 100 TB shape: no RNG state,
+    no reservoir; a doc is kept iff the first 8 hex digits of
+    md5(salt:doc_id) fall under the stratum's rate threshold. Fully
+    reproducible across engines/runs/retries (the md5 family again), and
+    changing ``salt`` draws an independent sample. ``rates`` maps stratum
+    value -> keep fraction in [0, 1]; unlisted strata are dropped.
+
+    The threshold compare is on the raw 8-hex-digit prefix as a STRING
+    (equal-length lowercase hex orders identically to its numeric value),
+    so any engine reproduces the exact sample with plain string
+    comparison — no numeric hex conversion needed."""
+    u = F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8)
+    keep = None
+    for stratum, rate in rates.items():
+        threshold = format(int(float(rate) * 0xFFFFFFFF), "08x")
+        cond = (F.col(strata_col) == stratum) & (u < threshold)
+        keep = cond if keep is None else (keep | cond)
+    return documents.filter(keep if keep is not None else F.lit(False)).select(
+        "doc_id", strata_col
+    )

@@ -456,3 +456,37 @@ def test_pagerank_fixed_point_matches_python_reference(spark):
     assert got == rank
     # hub 'c' (two in-edges + dangling redistribution) outranks leaf 'd'
     assert got["c"] > got["d"]
+
+
+def test_pii_scrub_known_patterns(spark):
+    from dr_source_spark.training.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server 192.168.1.200 card 4111 1111 1111 1111"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<PII:EMAIL>" in got[1].scrubbed_text and "<PII:PHONE>" in got[1].scrubbed_text
+    assert "example.co.uk" not in got[1].scrubbed_text
+    assert got[2].n_ipv4 == 1 and got[2].n_card == 1
+    assert "<PII:IPV4>" in got[2].scrubbed_text and "<PII:CARD>" in got[2].scrubbed_text
+    assert got[3].scrubbed_text == "nothing sensitive here"
+
+
+def test_sample_stratified_deterministic_and_rate_shaped(docs):
+    from dr_source_spark.training.text import sample_stratified
+
+    rates = {"en": 0.5, "es": 0.25}
+    a = {r.doc_id for r in sample_stratified(docs, rates).collect()}
+    b = {r.doc_id for r in sample_stratified(docs, rates).collect()}
+    assert a == b  # seedless and deterministic
+    c = {r.doc_id for r in sample_stratified(docs, rates, salt="v2").collect()}
+    assert c != a  # a new salt draws an independent sample
+    full = {r.doc_id for r in sample_stratified(docs, {"en": 1.0}).collect()}
+    en_total = docs.filter(F.col("lang") == "en").count()
+    assert len(full) == en_total  # rate 1.0 keeps every stratum member
