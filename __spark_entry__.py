@@ -932,7 +932,10 @@ def _kg_components(spark, sf_dir):
         .distinct()
     )
     stars = alternating_star_components(edges)
-    labels = stars.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # min-agg keeps the join 1:1 even if max_rounds cut convergence short
+    labels = stars.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    )
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )

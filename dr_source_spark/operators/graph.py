@@ -48,6 +48,12 @@ def pagerank_fixed_point(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    if scale < n * 1000:
+        # fixed-point starvation: with < ~3 decimal digits of headroom per
+        # node the floored shares collapse to 0 and ranks stop moving
+        raise ValueError(
+            f"pagerank scale {scale} too small for {n} nodes — use scale >= n * 1000"
+        )
     base = (scale * (100 - damping_pct)) // (100 * n)
     # the dangling-node SET is static — compute once, probe per iteration
     dang_nodes = nodes.join(deg, nodes["node"] == deg["src"], "left_anti").localCheckpoint(

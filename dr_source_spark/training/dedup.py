@@ -262,7 +262,11 @@ def duplicate_clusters(
         F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
     )
     stars = alternating_star_components(edges, max_rounds=max_rounds)
-    labels = stars.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    # min-agg is a no-op on a converged star (one row per non-root node) but
+    # keeps the join 1:1 even if max_rounds cut convergence short
+    labels = stars.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("cluster_id")
+    )
     return (
         documents.select(F.col("doc_id").cast("long").alias("doc_id"))
         .join(labels, "doc_id", "left")
