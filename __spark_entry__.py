@@ -1175,6 +1175,43 @@ FROM chunks
 """
 
 
+def _stream_dedup_keys(spark, sf_dir):
+    # stateful cross-batch streaming dedup (dropDuplicates) under a value
+    # oracle: the events table is split into two OVERLAPPING parquet files
+    # (= two availableNow micro-batches); the stream must emit each
+    # (user_id, event_type) key exactly once even when its duplicates span
+    # batches. Emitting ONLY the key columns makes the result order-free:
+    # whichever occurrence won, the row set equals SELECT DISTINCT.
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_sdedup_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.filter(F.col("event_id") % 3 != 2).coalesce(1).write.parquet(f"{base}/src/part1")
+    ev.filter(F.col("event_id") % 3 != 0).coalesce(1).write.parquet(f"{base}/src/part2")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/part*")
+    )
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    qname = f"sdedup_{tag}"
+    q = (
+        deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -1364,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
         "stream_sessionize": _stream_sessionize,
+        "stream_dedup_keys": _stream_dedup_keys,
     }
 
 
@@ -1407,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_risk_ledger": _STREAM_LEDGER_SQL,
         "stream_sessionize": _STREAM_SESSION_SQL,
+        "stream_dedup_keys": _STREAM_DEDUP_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
