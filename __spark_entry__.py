@@ -664,6 +664,28 @@ FROM e
 """
 
 
+def _text_top_ngrams(spark, sf_dir):
+    # corpus-wide most frequent trigrams (boilerplate radar); top-k via
+    # TakeOrderedAndProject, deterministic tie-break on the ngram string
+    from dr_source_spark.training.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"))
+
+
+_TOP_NGRAMS_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), g AS (
+  SELECT unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END) AS ngram
+  FROM t
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+"""
+
+
 def _text_pii_scrub(spark, sf_dir):
     # typed PII redaction + per-class counts; chained JVM regexp_replace
     from dr_source_spark.training.text import pii_scrub
@@ -1381,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_decontam": _text_decontam,
         "text_pii_scrub": _text_pii_scrub,
         "text_sample_stratified": _text_sample,
+        "text_top_ngrams": _text_top_ngrams,
         "emb_near_dup_pairs": _emb_near_dup,
         "emb_quantize_stats": _emb_quantize,
         "media_metadata": _media_metadata,
@@ -1456,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_decontam": _TEXT_DECONTAM_SQL,
         "text_pii_scrub": _pii_sql(),
         "text_sample_stratified": _sample_sql(),
+        "text_top_ngrams": _TOP_NGRAMS_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

