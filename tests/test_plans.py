@@ -180,3 +180,21 @@ def test_top_ngrams_uses_take_ordered(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(top_ngrams(docs))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_stratified_prunes_text_column(spark):
+    """The sampling decision uses only (doc_id, lang) — the wide text
+    column must not be read from parquet at all."""
+    from dr_source_spark.training.text import sample_stratified
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _optimized(sample_stratified(docs, {"en": 0.5}))
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "text" not in scan_line.split("ReadSchema")[-1]
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    from dr_source_spark.training.text import pii_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in _plan(pii_scrub(docs))
