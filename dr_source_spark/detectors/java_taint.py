@@ -129,6 +129,10 @@ def _idents(node: Optional[Dict], out: Optional[List[str]] = None) -> List[str]:
         _idents(node["c"], out)
         _idents(node["a"], out)
         _idents(node["b"], out)
+    elif t == "switchexpr":
+        _idents(node["subject"], out)
+        for arm in node["arms"]:
+            _idents(arm, out)
     elif t == "assign":
         _idents(node["target"], out)
         _idents(node["value"], out)
@@ -513,6 +517,10 @@ class _Walker:
             self.visit_expr(e["c"])
             self.visit_expr(e["a"])
             self.visit_expr(e["b"])
+        elif t == "switchexpr":
+            self.visit_expr(e["subject"])
+            for arm in e["arms"]:
+                self.visit_expr(arm)
         elif t == "template":
             for part in e["parts"]:
                 self.visit_expr(part)

@@ -165,6 +165,10 @@ class ExprParser:
             if t is None or t.text == ")":
                 self.ts.next()
                 break
+            # spread argument `f(...xs)`: the spread-ee IS the argument for
+            # taint purposes (the reference collects identifiers under the
+            # spread_element child of arguments)
+            self.ts.eat("...")
             e = self.expression()
             if e is not None:
                 args.append(e)
@@ -257,6 +261,10 @@ class ExprParser:
         if t.kind == "id":
             if self.js and t.text == "function":
                 return self._function_expr()
+            if not self.js and t.text == "switch":
+                sw = self._switch_expr(t.line)
+                if sw is not None:
+                    return sw
             self.ts.next()
             if t.text in ("true", "false"):
                 return {"t": "lit", "kind": "bool", "val": t.text, "line": t.line}
@@ -277,6 +285,69 @@ class ExprParser:
             return None
         self.ts.next()
         return None
+
+    _SWITCH_NOISE = {
+        "case", "default", "yield", "new", "return", "throw", "break",
+        "var", "int", "long", "double", "float", "boolean", "char", "byte",
+        "short", "String", "true", "false", "null", "instanceof", "when",
+    }
+
+    def _switch_expr(self, line: int) -> Optional[Node]:
+        """Java 14+ switch EXPRESSION in value position (`x = switch (s) {
+        case A -> e1; default -> e2; };`). The subject and every `-> expr`
+        arm parse as real expression nodes (sink calls inside arms are
+        detected, taint propagates out — the reference's collect_identifiers
+        walks the whole tree-sitter switch subtree,
+        plugins/java/taint_visitor.py:85-89,202). Block arms (`-> { yield
+        ...; }`) degrade to bare-identifier collection: propagation-faithful,
+        but a sink CALL inside a yield block is not matched — documented
+        approximation. Returns None (no tokens consumed) if what follows
+        isn't `switch (`."""
+        save = self.ts.i
+        self.ts.next()  # 'switch'
+        if not self.ts.at("("):
+            self.ts.i = save
+            return None
+        self.ts.next()
+        subject = self.expression()
+        if not self.ts.eat(")"):
+            self.ts.skip_until(")")
+        if not self.ts.at("{"):
+            return {"t": "switchexpr", "subject": subject, "arms": [], "line": line}
+        self.ts.next()
+        arms: List[Node] = []
+        depth = 1
+        while self.ts.peek() is not None and depth:
+            t = self.ts.peek()
+            if t.text == "}":
+                depth -= 1
+                self.ts.next()
+                continue
+            if t.text == "{":
+                depth += 1
+                self.ts.next()
+                continue
+            if depth == 1 and t.text in ("case", "default"):
+                self.ts.next()
+                # pattern region up to '->' (new-style) or ':' (old-style)
+                while self.ts.peek() is not None and self.ts.peek().text not in ("->", ":", "{", "}"):
+                    self.ts.next()
+                if self.ts.eat("->"):
+                    if self.ts.at("{"):
+                        continue  # block arm: ids collected by the fallback below
+                    e = self.expression()
+                    if e is not None:
+                        arms.append(e)
+                    self.ts.eat(";")
+                else:
+                    self.ts.eat(":")
+                continue
+            # fallback (old-style bodies, yield blocks): keep identifier
+            # tokens so taint still propagates out of the arm
+            if t.kind == "id" and t.text not in self._SWITCH_NOISE:
+                arms.append({"t": "name", "id": t.text, "line": t.line})
+            self.ts.next()
+        return {"t": "switchexpr", "subject": subject, "arms": arms, "line": line}
 
     def _skip_type_args(self) -> None:
         """Skip balanced <...> from an opening '<'; composite shift tokens

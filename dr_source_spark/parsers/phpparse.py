@@ -425,6 +425,44 @@ def _primary(p: _P) -> Optional[Node]:
         if low in ("include", "include_once", "require", "require_once"):
             e = _expr(p)
             return {"t": "includeexpr", "kw": low.split("_")[0], "arg": e, "line": line}
+        if low == "match" and p.at("("):
+            # PHP 8 match EXPRESSION: subject + every arm condition/result
+            # become args of an unknown-call node — the engine then
+            # propagates any tainted arm identifier and never
+            # constant-folds, which is exactly the reference's
+            # collect_identifiers treatment of the tree-sitter
+            # match_expression subtree (php/taint_visitor.py:81-86,162)
+            p.next()
+            subj = _expr(p)
+            while p.peek() is not None and not p.at(")"):
+                p.next()
+            p.eat(")")
+            args = [subj] if subj is not None else []
+            if p.at("{"):
+                p.next()
+                depth = 1
+                while p.peek() is not None and depth:
+                    if p.at("{"):
+                        depth += 1
+                        p.next()
+                        continue
+                    if p.at("}"):
+                        depth -= 1
+                        p.next()
+                        continue
+                    if p.at(",") or p.at("=>"):
+                        p.next()
+                        continue
+                    tok = p.peek()
+                    if tok[0] == "id" and tok[1].lower() == "default":
+                        p.next()
+                        continue
+                    e = _expr(p)
+                    if e is None:
+                        p.next()
+                    else:
+                        args.append(e)
+            return {"t": "call", "callee": {"t": "name", "id": "match", "line": line}, "args": args, "line": line}
         return {"t": "name", "id": text.lstrip("\\"), "line": line}
     if text == "(":
         p.next()

@@ -244,3 +244,55 @@ def test_java_textblock_concat_propagates_taint():
     )
     out = [f for f in _java(src) if "executeQuery" in (f.get("sink") or "")]
     assert out, "text-block concat dropped taint"
+
+
+_J_SW = (
+    "class A { void m(javax.servlet.http.HttpServletRequest request,"
+    ' java.sql.Statement st) throws Exception { String u = request.getParameter("q"); %s } }'
+)
+
+
+@pytest.mark.parametrize(
+    "name,body,tainted",
+    [
+        ("arm_expr", 'String q = switch (1) { case 1 -> u; default -> "s"; }; st.executeQuery(q);', True),
+        ("arm_const", 'String q = switch (1) { case 1 -> "a"; default -> "s"; }; st.executeQuery(q);', False),
+        ("sink_in_arm", 'int r = switch (1) { case 1 -> st.executeQuery(u) != null ? 1 : 0; default -> 0; };', True),
+        ("yield_block", 'String q = switch (1) { case 1 -> { yield u; } default -> { yield "s"; } }; st.executeQuery(q);', True),
+        ("classic_stmt", 'switch (1) { case 1: st.executeQuery(u); break; default: break; }', True),
+    ],
+)
+def test_java_switch_expression_taint(name, body, tainted):
+    """Switch EXPRESSIONS propagate taint out of arms and expose sink calls
+    inside arms (the reference's collect_identifiers walks the whole
+    tree-sitter switch subtree, java/taint_visitor.py:85-89,202)."""
+    out = [f for f in _java(_J_SW % body) if "executeQuery" in (f.get("sink") or "")]
+    assert bool(out) == tainted, (name, out)
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        ("match_arm_taint", "<?php\n$i = $_GET['x'];\n$q = match(1) { 1 => $i, default => 'a' };\nmysqli_query($c, $q);\n?>", True),
+        ("match_all_const", "<?php\n$q = match(1) { 1 => 'b', default => 'a' };\nmysqli_query($c, $q);\n?>", False),
+        ("match_sink_in_arm", "<?php\n$i = $_GET['x'];\n$r = match(1) { 1 => mysqli_query($c, $i), default => 'a' };\n?>", True),
+    ],
+)
+def test_php_match_expression_taint(name, src, tainted):
+    out = [f for f in _php(src) if f.get("sink")]
+    assert bool(out) == tainted, (name, out)
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        ("spread_array", "app.get('/p', (req, res) => { const c = req.query.cmd; eval(...[c]); });", True),
+        ("spread_name", "app.get('/p', (req, res) => { const c = req.query.cmd; eval(...c); });", True),
+        ("spread_const", "app.get('/p', (req, res) => { eval(...['safe']); });", False),
+    ],
+)
+def test_js_spread_argument_taint(name, src, tainted):
+    """The spread-ee is the argument for taint purposes (reference collects
+    identifiers under the spread_element child of arguments)."""
+    out = [f for f in _js(src) if f.get("sink")]
+    assert bool(out) == tainted, (name, out)
