@@ -8,8 +8,8 @@ round 2 (widened construct set): 1500/1500 identical (seed 20260816) and
 5000/5000 (seed 20260817); round 3: 10000/10000 (seed 20260818), then the
 generator gained match statements, walrus, starred unpack, with blocks,
 decorated defs and f-string conversion/format specs: 1000/1000 (seed
-20260819) + 5000/5000 (seed 20260820) — running total 23 500 programs,
-0 true divergences.
+20260819) + 5000/5000 (seed 20260820) + 5000/5000 (seed 20260821) —
+running total 28 500 programs, 0 true divergences.
 
 Parity finding (round 2): the reference's trace attribution is
 PYTHONHASHSEED-dependent — on an assignment whose RHS holds multiple
