@@ -30,11 +30,16 @@ _TOKEN_RE = re.compile(
 
 _OPENERS = {"def", "class", "module", "if", "unless", "while", "until", "case", "begin", "do", "for"}
 
-# heredoc openers: <<~TAG / <<-TAG are unambiguous (a shift can't be
-# followed by ~ or -IDENT without whitespace); bare <<TAG only counts with
-# no space and an UPPERCASE tag (the overwhelming convention), so shifts
-# like `arr << Const` (spaced) stay code. Quoted tags allowed.
-_HEREDOC_OPEN = re.compile(r"<<([~-]?)([\"'`]?)([A-Z_][A-Za-z0-9_]*)\2")
+# heredoc openers: <<~TAG / <<-TAG / quoted tags are unambiguous (a shift
+# can't be followed by ~ or -IDENT or a quote without whitespace), so ANY
+# tag case is accepted there (<<~eos is common real Ruby); bare <<TAG only
+# counts with no space and an UPPERCASE tag (the overwhelming convention),
+# so shifts like `arr << Const` (spaced) or `n <<bits` stay code.
+_HEREDOC_OPEN = re.compile(r"<<([~-]?)([\"'`]?)([A-Za-z_][A-Za-z0-9_]*)\2")
+
+
+def _heredoc_ok(squig: str, q: str, tag: str) -> bool:
+    return bool(squig or q) or (tag[0].isupper() or tag[0] == "_")
 
 
 # interpolation fragments safe to re-emit inside a synthetic "..." literal
@@ -96,7 +101,7 @@ def _blank_noncode(src: str) -> str:
         # literal truncates the probe, which can only MISS openers)
         probe = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", "", line)
         probe = probe.split("#", 1)[0]
-        opens = _HEREDOC_OPEN.findall(probe)
+        opens = [m.groups() for m in _HEREDOC_OPEN.finditer(probe) if _heredoc_ok(*m.groups())]
         if opens:
             for _squig, q, tag in opens:
                 pending.append({"tag": tag, "interp": q != "'", "ph": n_ph, "frags": []})
@@ -104,7 +109,20 @@ def _blank_noncode(src: str) -> str:
             # each opener becomes a placeholder, patched to a string literal
             # (empty, or carrying the body's interpolation) once its body ends
             counter = iter(range(n_ph - len(opens), n_ph))
-            line = _HEREDOC_OPEN.sub(lambda _m: f"\x00H{next(counter)}\x00", line)
+
+            def _repl(m, _counter=counter):
+                # the sub runs on the RAW line while openers were detected on
+                # the string-stripped probe — an opener-shaped token inside a
+                # string literal must pass through unchanged, never consume a
+                # registered placeholder or exhaust the counter
+                if not _heredoc_ok(*m.groups()):
+                    return m.group(0)
+                try:
+                    return f"\x00H{next(_counter)}\x00"
+                except StopIteration:
+                    return m.group(0)
+
+            line = _HEREDOC_OPEN.sub(_repl, line)
         out.append(line)
     text = "\n".join(out)
     if n_ph:
@@ -115,6 +133,11 @@ def _blank_noncode(src: str) -> str:
 _PCT_TYPES = set("wWiIqQrxs")
 _PAIRED = {"(": ")", "[": "]", "{": "}", "<": ">"}
 _PCT_DELIMS = set("|/!^~") | set(_PAIRED)
+
+# cheap probe: only run the per-character scan when a %-literal opener can
+# actually occur — `a % b` modulo alone must not pay an O(n) Python loop
+# (per-file fixed cost in the detector hot path)
+_PCT_PROBE = re.compile(r"%[wWiIqQrxs][(\[{<|/!^~]|%\{")
 
 
 def _blank_percent_literals(src: str) -> str:
@@ -131,7 +154,7 @@ def _blank_percent_literals(src: str) -> str:
     blank fully. Remaining approximation: a modulo written flush against a
     type-letter identifier (``a%s(b)``) reads as a literal — real code
     spaces its operators."""
-    if "%" not in src:
+    if "%" not in src or _PCT_PROBE.search(src) is None:
         return src
     out: List[str] = []
     i, n = 0, len(src)

@@ -454,7 +454,11 @@ def synth_code_corpus(
         return F.concat(*parts)
 
     branches = None
-    for i, (_lang, path_tpl, content_tpl) in enumerate(_TEMPLATES):
+    # only the selected templates: unreachable when-branches for templates
+    # >= n_templates would still be compiled into the generated code (10
+    # large concat expressions instead of 6), measurably slowing the fused
+    # corpus→detector stage (the round-3 detector_scan regression)
+    for i, (_lang, path_tpl, content_tpl) in enumerate(_TEMPLATES[:n_templates]):
         path_expr = _tpl_expr(path_tpl)
         content_expr = _tpl_expr(content_tpl)
         cond = F.pmod(F.col("doc_id"), F.lit(n_templates)) == i

@@ -296,3 +296,49 @@ def test_js_spread_argument_taint(name, src, tainted):
     identifiers under the spread_element child of arguments)."""
     out = [f for f in _js(src) if f.get("sink")]
     assert bool(out) == tainted, (name, out)
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        # ADVICE r3: lowercase tags on the unambiguous forms are real Ruby
+        ("squiggly_lowercase", 'cmd = <<~eos\n  ls #{params[:x]}\neos\nsystem(cmd)', True),
+        ("dash_lowercase", 'cmd = <<-eot\n  ls #{params[:x]}\neot\nsystem(cmd)', True),
+        ("quoted_lowercase_nowdoc", "cmd = <<~'eos'\n  ls #{params[:x]}\neos\nsystem(cmd)", False),
+    ],
+)
+def test_ruby_lowercase_heredoc_tags(name, src, tainted):
+    """<<~eos / <<-eot (lowercase tags) are unambiguous heredocs — only the
+    bare <<TAG form needs the uppercase disambiguation vs shifts."""
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert bool(out) == tainted, (name, out)
+
+
+def test_ruby_bare_lowercase_shift_stays_code():
+    """`n <<bits` (bare lowercase, no space) is a shift, not a heredoc —
+    the rest of the file must keep parsing."""
+    src = "n = 1 <<bits\nv = params[:cmd]\nsystem(\"go #{v}\")\n"
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert out, "bare lowercase <<ident swallowed the file as a heredoc"
+
+
+def test_ruby_string_opener_does_not_steal_placeholder():
+    """An opener-shaped token inside a string literal on the same line as a
+    real opener must not consume its placeholder or crash the sub."""
+    src = 'x = "<<~A"\ncmd = <<~B\n  ls #{params[:x]}\nB\nsystem(cmd)\n'
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert out and out[0]["line"] == 5, out
+
+
+def test_lexer_prepasses_skip_on_probe_negative_content():
+    """Per-file pre-passes must return the INPUT OBJECT (identity — proving
+    the O(n) scan never ran) when a cheap substring/regex probe says the
+    construct cannot occur; this is the detector stage's per-file fixed-cost
+    guard on small files (round-3 regression postmortem)."""
+    from dr_source_spark.parsers import phpparse, rubyparse
+
+    rb = "v = params[:cmd]\nn = a % b\nsystem(v)\n"  # modulo, but no %-literal opener
+    assert rubyparse._blank_percent_literals(rb) is rb
+    assert rubyparse._blank_noncode(rb) is rb  # no '<<', no '=begin'
+    php = "<?php $v = $_GET['x']; mysqli_query($c, $v); ?>"  # no '<<<'
+    assert phpparse._blank_heredocs(php) is php
