@@ -548,7 +548,7 @@ def _ann_ivf_topk(spark, sf_dir):
 
 _ANN_IVF_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
 scored AS (
   SELECT e.vec_id, e.v, c.cell_id,
          round(list_dot_product(e.v, c.cv)

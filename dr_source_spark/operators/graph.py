@@ -11,10 +11,16 @@ Both are iterative Spark jobs designed for 10^12-edge scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12
+
+# Observation metric names must be unique per SparkSession (a reused name
+# on a new plan silently never completes) — monotonic suffix per call site
+_OBS_SEQ = itertools.count()
 
 
 def pagerank_fixed_point(
@@ -36,18 +42,27 @@ def pagerank_fixed_point(
 
     Scale: the per-iteration shape is one narrow equi-join (edges × ranks)
     plus a groupBy(dst) sum — both map-side combinable; the dangling mass
-    is a single scalar aggregate per iteration (O(1) driver data)."""
-    e = edges.select("src", "dst").distinct()
+    is O(1) driver data, read from an ``observe`` metric piggybacked on the
+    iteration's own checkpoint materialization, so each iteration is ONE
+    Spark job (a separate scalar-aggregate job per round doubled the
+    per-iteration fixed cost at small scale — round-3 postmortem)."""
+    # e and deg feed EVERY iteration's join — checkpoint once or each
+    # iteration re-runs the distinct/groupBy shuffles from the raw edges
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    # nodes carry a static `dang` flag (no out-edges) so the per-iteration
+    # dangling-mass sum is a plain conditional aggregate over ranks itself
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")), "node", "left")
+        .select("node", F.coalesce(F.col("dang"), F.lit(True)).alias("dang"))
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
+        return nodes.select("node").withColumn("rank", F.lit(0).cast("long"))
     if scale < n * 1000:
         # fixed-point starvation: with < ~3 decimal digits of headroom per
         # node the floored shares collapse to 0 and ranks stop moving
@@ -55,18 +70,20 @@ def pagerank_fixed_point(
             f"pagerank scale {scale} too small for {n} nodes — use scale >= n * 1000"
         )
     base = (scale * (100 - damping_pct)) // (100 * n)
-    # the dangling-node SET is static — compute once, probe per iteration
-    dang_nodes = nodes.join(deg, nodes["node"] == deg["src"], "left_anti").localCheckpoint(
-        eager=True
-    )
-    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(iterations):
-        dangling = (
-            ranks.join(dang_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
-            .first()[0]
+
+    def _ckpt(df: DataFrame):
+        obs = Observation(f"pagerank_dangling_{next(_OBS_SEQ)}")
+        df = df.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0))), F.lit(0)
+            ).alias("dangling"),
         )
-        share = (dangling * damping_pct) // (100 * n)
+        return df.localCheckpoint(eager=True), obs
+
+    ranks, obs = _ckpt(nodes.withColumn("rank", F.lit(scale // n).cast("long")))
+    for _ in range(iterations):
+        share = (int(obs.get["dangling"]) * damping_pct) // (100 * n)
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(deg, "src")
@@ -77,17 +94,19 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
+        new_ranks, obs = _ckpt(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
+                "dang",
                 (F.lit(base + share) + F.coalesce(F.col("contrib"), F.lit(0)))
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    return ranks
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select("node", "rank")
 
 
 def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
@@ -99,9 +118,12 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataF
     the component's MINIMUM node, root itself excluded.
 
     Convergence is detected by a deterministic content fingerprint (count +
-    XOR of per-edge xxhash64 — internal only, never oracle-visible),
-    avoiding a full set-compare job per round. Lineage is truncated per
-    round; on a real cluster configure a reliable checkpoint dir."""
+    XOR of per-edge xxhash64 — internal only, never oracle-visible) read
+    from an ``observe`` metric on the round's own checkpoint
+    materialization — ONE Spark job per round, no separate fingerprint
+    aggregate (round-3 postmortem: the extra scalar job per round dominated
+    wall time at small scale). Lineage is truncated per round; on a real
+    cluster configure a reliable checkpoint dir."""
 
     def star(df: DataFrame, large: bool) -> DataFrame:
         if large:
@@ -123,20 +145,22 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataF
             )
         return out.filter(F.col("src") != F.col("dst")).distinct()
 
-    def fingerprint_of(df: DataFrame):
-        row = df.agg(
-            F.count("*").alias("n"),
+    def _ckpt_with_fp(df: DataFrame):
+        obs = Observation(f"cc_fingerprint_{next(_OBS_SEQ)}")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
-        ).first()
-        return (row.n, row.h)
+        )
+        df = df.localCheckpoint(eager=True)
+        m = obs.get
+        return df, (m["n"], m["h"])
 
-    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    prev_fp = fingerprint_of(cur)
+    cur, prev_fp = _ckpt_with_fp(edges.select("src", "dst").distinct())
     for _ in range(max_rounds):
         if prev_fp[0] == 0:
             break
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
-        fp = fingerprint_of(nxt)
+        nxt, fp = _ckpt_with_fp(star(star(cur, large=True), large=False))
         cur.unpersist()
         cur = nxt
         if fp == prev_fp:

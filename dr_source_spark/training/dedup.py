@@ -289,19 +289,39 @@ def simhash_near_dup_pairs(
     recall 1.0 by construction). Raising max_hamming past bands-1 turns
     banding into a recall<1 prefilter; raise ``bands`` with it to
     compensate. All JVM built-ins; the oracle reproduces signatures, bands
-    and popcounts."""
+    and popcounts.
+
+    Plan shape (gated in tests/test_plans.py): each doc explodes to one row
+    per (band, band_sig) and the self-join keys on that pair — a shuffled
+    EQUI-join, like minhash's _band_signatures. An OR of per-band equality
+    predicates would express the same result but gives Catalyst no
+    conjunctive equi-key, planning BroadcastNestedLoopJoin — all-pairs
+    O(n²), fatal at corpus scale."""
     sigs = simhash(documents)
     width = 16 // bands
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    band_eq = None
-    for i in range(bands):
-        eq = F.substring(F.col("a.simhash"), 1 + i * width, width) == F.substring(
-            F.col("b.simhash"), 1 + i * width, width
-        )
-        band_eq = eq if band_eq is None else (band_eq | eq)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("simhash", 1 + i * width, width).alias("band_sig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(b, cond & band_eq)
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -208,17 +208,22 @@ def ivf_topk(
     set shrinks by ~n_cells/nprobe vs brute force and the candidate join is
     an equi-join on cell id (never all-pairs).
 
-    The quantizer is DETERMINISTIC and data-derived: the first n_cells
-    vectors by id serve as centroids (no RNG, no iterative k-means), so any
+    The quantizer is DETERMINISTIC and data-derived: the n_cells SMALLEST
+    vec_ids serve as centroids (no RNG, no iterative k-means), so any
     ANSI-SQL engine reproduces the cell assignment exactly — the oracle
-    selects the same centroids from the same table. At real scale swap the
-    centroid source for a trained codebook table; the plan shape (broadcast
+    selects the same centroids from the same table. A TakeOrdered over ids
+    (not ``vec_id < n_cells``) so ANY id space works — an id space not
+    containing [0, n_cells) would otherwise yield an EMPTY centroid set and
+    silently return zero rows (ADVICE r3). At real scale swap the centroid
+    source for a trained codebook table; the plan shape (broadcast
     centroids -> argmax assign -> equi-join on cell) is unchanged."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    cents = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
     )
     sc = embeddings.sparkSession.sparkContext
     scored = (

@@ -198,3 +198,16 @@ def test_pii_scrub_is_shuffle_free(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert "Exchange" not in _plan(pii_scrub(docs))
+
+
+def test_simhash_pairs_join_is_banded_equi(spark):
+    """simhash_near_dup_pairs must self-join on exploded (band, band_sig)
+    keys — a shuffled equi-join. An OR of per-band equalities has no
+    conjunctive equi-key and Catalyst would plan BroadcastNestedLoopJoin
+    (all-pairs), fatal at corpus scale (ADVICE r3)."""
+    from dr_source_spark.training.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = simhash_near_dup_pairs(docs)
+    plan = _plan(pairs)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

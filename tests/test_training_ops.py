@@ -207,6 +207,21 @@ def test_ivf_topk_recall_floor(emb):
     assert "Cartesian" not in plan
 
 
+def test_ivf_topk_survives_nonzero_id_space(emb):
+    """Centroids are the n_cells SMALLEST ids, not ids < n_cells: an id
+    space offset away from 0 must still produce a full result set instead
+    of silently returning zero rows (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from dr_source_spark.training.similarity import ivf_topk
+
+    shifted = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    qids = [1000, 1001, 1002]
+    out = ivf_topk(shifted, qids, k=3).collect()
+    assert {r.q_id for r in out} == set(qids)
+    assert all(len([r for r in out if r.q_id == q]) == 3 for q in qids)
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing's defining property: documents sharing a substring of
     length >= k + w - 1 share at least one fingerprint; disjoint texts
