@@ -350,6 +350,7 @@ def run_detectors(
     use_arrow: bool = True,
     fn_index_from_column: bool = False,
     emit_tier_errors: bool = False,
+    straggler_factor: int = 1,
 ) -> DataFrame:
     """files_df must carry (repo, path, commit, ext, content).
 
@@ -363,7 +364,11 @@ def run_detectors(
 
     emit_tier_errors: append one sentinel row (plugin = TIER_ERROR_PLUGIN)
     per swallowed tier failure/timeout so parse failures become an
-    observable metric at corpus scale (pipeline.extract splits them off)."""
+    observable metric at corpus scale (pipeline.extract splits them off).
+
+    straggler_factor: partition-width multiplier for heavy-tailed corpora
+    (skew.straggler_factor_from measures and decides — factor=1 stays the
+    uniform-corpus optimum, see ensure_min_parallelism)."""
     from ..deploy import ensure_shipped
 
     spark = files_df.sparkSession
@@ -380,7 +385,7 @@ def run_detectors(
         # A small/compacted corpus can arrive as fewer splits than cores —
         # the CPU-bound detector stage must never be narrower than the
         # cluster (and wants straggler slack, see ensure_min_parallelism).
-        narrow = ensure_min_parallelism(narrow)
+        narrow = ensure_min_parallelism(narrow, factor=max(1, straggler_factor))
 
     def _norm_map(cell) -> Optional[Dict[str, Any]]:
         if cell is None:

@@ -34,6 +34,9 @@ class ExtractionResult:
     # (scanner.py:183-188) — surfaced as a DataFrame (repo, path, commit,
     # message) so parse-failure loss is observable at corpus scale
     tier_errors: Optional[DataFrame] = None
+    # straggler-slack factor the detector stage ran with (1 = uniform
+    # corpus; >1 = length-skew policy engaged, operators/skew.py)
+    straggler_factor: int = 1
     _cached: Optional[DataFrame] = None
 
     def cleanup(self) -> None:
@@ -76,6 +79,11 @@ def extract(
     ckb = compiled_kb_cached(explicit_path=kb_path)
 
     files = ingest_source_files(source_files)
+    # content-length skew stats ride the index pass's action (zero extra
+    # jobs); straggler_factor_from reads them non-blockingly below
+    from .operators.skew import attach_length_observation, straggler_factor_from
+
+    files, length_obs = attach_length_observation(files)
     files = files.persist()  # read once, feed both jobs
 
     fn_index_bc = None
@@ -110,7 +118,11 @@ def extract(
         repartition=repartition,
         fn_index_from_column=fn_index_from_column,
         emit_tier_errors=True,
+        # heavy-tailed corpus → automatic straggler slack (factor>1);
+        # uniform corpus or no index pass yet → measured optimum factor=1
+        straggler_factor=straggler_factor_from(length_obs),
     )
+    straggler_factor = detector_kwargs["straggler_factor"]
     if content_dedup:
         from .operators.content_dedup import run_detectors_content_deduped
 
@@ -137,5 +149,6 @@ def extract(
     triples = findings_to_triples(findings, run_id=run_id)
     nodes, edges = triples_to_nodes_edges(triples)
     return ExtractionResult(
-        findings, triples, nodes, edges, run_id, tier_errors=tier_errors, _cached=files
+        findings, triples, nodes, edges, run_id, tier_errors=tier_errors,
+        straggler_factor=straggler_factor, _cached=files,
     )
