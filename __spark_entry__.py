@@ -407,11 +407,7 @@ def _dedup_clusters(spark, sf_dir):
     return duplicate_clusters(_t(spark, sf_dir, "documents"))
 
 
-def _dedup_clusters_sql(threshold: float = 0.9) -> str:
-    # recursive min-label reachability reproduces the component minimum;
-    # jac is the ROUNDED verify column so the threshold classifies pairs
-    # identically in both engines
-    jac_tail = """
+_JAC_TAIL = """
 counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS i
@@ -422,6 +418,13 @@ jac AS (
   SELECT i.doc_a, i.doc_b, round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard
   FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id = i.doc_b
 ),"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.9) -> str:
+    # recursive min-label reachability reproduces the component minimum;
+    # jac is the ROUNDED verify column so the threshold classifies pairs
+    # identically in both engines
+    jac_tail = _JAC_TAIL
     return (
         _lsh_pairs_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
         + ","
@@ -441,6 +444,99 @@ SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 """
     )
+
+
+def _dedup_triangles(spark, sf_dir):
+    # triangle structure of the verified near-dup graph — a cluster of k
+    # mutual near-dups carries C(k,3) triangles, so this is the quasi-clique
+    # sanity metric over the SAME pair pipeline dedup_clusters consumes;
+    # counting via degree-ordered orientation (operators/graph.triangle_counts)
+    from dr_source_spark.operators.graph import triangle_counts
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard(docs, minhash_lsh_candidates(docs)).filter(F.col("jaccard") >= 0.9)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("doc_id"), "n_triangles"
+    )
+
+
+def _dedup_triangles_sql(threshold: float = 0.9) -> str:
+    # orientation-free: canonical sorted triangles (x<y<z) over the
+    # jaccard-verified pair graph, each crediting its three vertices
+    return (
+        _lsh_pairs_ctes()
+        + ","
+        + _JAC_TAIL
+        + f"""
+tedges AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+  FROM jac WHERE jaccard >= {threshold} AND doc_a <> doc_b),
+tnodes AS (SELECT a AS node FROM tedges UNION SELECT b FROM tedges),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM tedges e1
+  JOIN tedges e2 ON e2.a = e1.b
+  JOIN tedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+tverts AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT CAST(n.node AS BIGINT) AS doc_id, CAST(count(v.node) AS BIGINT) AS n_triangles
+FROM tnodes n LEFT JOIN tverts v ON v.node = n.node
+GROUP BY n.node
+"""
+    )
+
+
+def _text_curation(spark, sf_dir):
+    # composed keep/drop verdicts over documents plus PLANTED rows so every
+    # reason branch fires at any SF: exact duplicates of every 7th doc,
+    # one 2-token doc, one stopword-free doc (training/curate.py)
+    from dr_source_spark.training.curate import curation_decisions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    planted = spark.createDataFrame(
+        [
+            (2_000_001, "tiny doc"),
+            (2_000_002, "xyzzy qwerty plugh foobar grault corge waldo"),
+        ],
+        "doc_id long, text string",
+    )
+    return curation_decisions(docs.union(dups).union(planted))
+
+
+_TEXT_CURATION_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (2000001, 'tiny doc'),
+    (2000002, 'xyzzy qwerty plugh foobar grault corge waldo')) v(doc_id, text)
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+  FROM corpus
+),
+canon AS (SELECT fp, min(doc_id) AS canon_id FROM toks GROUP BY fp),
+verdict AS (
+  SELECT k.doc_id,
+         CASE WHEN k.doc_id <> c.canon_id THEN 'exact_duplicate'
+              WHEN length(t) < 5 THEN 'too_short'
+              WHEN round(length(list_filter(t, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+                   / greatest(length(t), 1), 4) < 0.05 THEN 'low_stopword_ratio'
+              ELSE 'kept' END AS reason
+  FROM toks k JOIN canon c ON c.fp = k.fp
+)
+SELECT doc_id, reason, CAST(reason = 'kept' AS INT) AS keep FROM verdict
+"""
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -963,6 +1059,41 @@ def _kg_components(spark, sf_dir):
     )
 
 
+def _kg_triangles(spark, sf_dir):
+    # local clustering structure over the KG: per-node triangle counts via
+    # degree-ordered edge orientation (never enumerates a hot node's
+    # neighbor pairs — operators/graph.triangle_counts)
+    from dr_source_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_kg_triples(spark, sf_dir).edges)
+
+
+def _kg_triangles_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # orientation-free oracle: canonical sorted triangles (x<y<z) via a
+    # 3-way self-join, then each triangle credits its three vertices
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+nodes AS MATERIALIZED (SELECT src AS node FROM kg_e UNION SELECT dst FROM kg_e),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT n.node, CAST(count(v.node) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN verts v ON v.node = n.node
+GROUP BY n.node
+"""
+
+
 def _kg_components_sql() -> str:
     from dr_source_spark.sources.synth import kg_edges_oracle_sql
 
@@ -1393,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_clusters": _dedup_clusters,
+        "dedup_triangles": _dedup_triangles,
         "text_token_count": _text_tokens,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
@@ -1404,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "text_sample_stratified": _text_sample,
         "text_top_ngrams": _text_top_ngrams,
+        "text_curation_decisions": _text_curation,
         "emb_near_dup_pairs": _emb_near_dup,
         "emb_quantize_stats": _emb_quantize,
         "media_metadata": _media_metadata,
@@ -1420,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
+        "kg_triangles": _kg_triangles,
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
@@ -1452,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_triangles": _dedup_triangles_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
@@ -1464,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_severity_histogram": _kg_severity_histogram_sql(),
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_components": _kg_components_sql(),
+        "kg_triangles": _kg_triangles_sql(),
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_risk_ledger": _STREAM_LEDGER_SQL,
@@ -1480,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_sql(),
         "text_sample_stratified": _sample_sql(),
         "text_top_ngrams": _TOP_NGRAMS_SQL,
+        "text_curation_decisions": _TEXT_CURATION_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

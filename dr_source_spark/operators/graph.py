@@ -167,3 +167,67 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataF
             break
         prev_fp = fp
     return cur
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected version
+    of (src, dst) — every node of the input appears, zero-filled.
+
+    Scale shape (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11): each undirected edge is ORIENTED from
+    its lower-(degree, id) endpoint to the higher, so wedges are always
+    enumerated at their lowest-degree vertex — a celebrity node with 10^6
+    neighbors never materializes its ~10^12 neighbor pairs. Every stage is
+    an equi-join or a narrow groupBy (shuffle keys: node / (v1, v2));
+    no all-pairs anywhere. Deterministic: ties in degree break on node id,
+    so any ANSI engine reproduces the exact counts (the DuckDB oracle uses
+    the orientation-free sorted-triangle 3-way join — same triangles)."""
+    e = edges.select("src", "dst")
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    j = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge at u: pair (v1, v2) ordered by the SAME (deg, id) key the
+    # orientation uses, so the closing edge (if any) is oriented v1 -> v2
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            F.struct(F.col("o1.dv"), F.col("o1.v"))
+            < F.struct(F.col("o2.dv"), F.col("o2.v"))
+        ),
+    ).select(
+        F.col("o1.u").alias("w0"), F.col("o1.v").alias("w1"), F.col("o2.v").alias("w2")
+    )
+    closing = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    triangles = wedges.join(closing, ["w1", "w2"])
+    verts = (
+        triangles.select(F.col("w0").alias("node"))
+        .union(triangles.select("w1"))
+        .union(triangles.select("w2"))
+    )
+    counts = verts.groupBy("node").agg(F.count("*").alias("n"))
+    return nodes.join(counts, "node", "left").select(
+        "node", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles")
+    )

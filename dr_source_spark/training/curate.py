@@ -1,0 +1,64 @@
+"""Composed corpus-curation decisions — the operator a training-data
+pipeline actually runs: one row per document with a keep/drop decision and
+the FIRST-FIRED reason, composing the engine's existing signals
+(exact-dup canonicalization, token count, stopword-ratio quality) into a
+single deterministic verdict column.
+
+Scale shape: ONE shuffle (the fingerprint groupBy + join-back — the same
+shuffle exact dedup costs on its own); every signal column is JVM-side
+(split / filter / sha2), no Python anywhere. Reason precedence is fixed
+(duplicate > too_short > low_stopword_ratio > kept) so the verdict is
+order-free and an ANSI oracle reproduces it cell-for-cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import STOPWORDS
+
+REASON_DUPLICATE = "exact_duplicate"
+REASON_TOO_SHORT = "too_short"
+REASON_LOW_STOPWORD = "low_stopword_ratio"
+REASON_KEPT = "kept"
+
+
+def curation_decisions(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """(doc_id, reason, keep) for every input document.
+
+    * ``exact_duplicate`` — not the minimum-doc_id representative of its
+      whitespace-normalized lowercase sha256 fingerprint group (identical
+      normalization to training/dedup.exact_duplicates, so the kept set
+      equals that operator's canonical set);
+    * ``too_short`` — fewer than ``min_tokens`` whitespace tokens;
+    * ``low_stopword_ratio`` — stopword ratio (rounded to 4 decimals,
+      identical expression to text.quality_score) below the floor — the
+      cheap Gopher-style "is this prose" screen;
+    * ``kept`` — everything else.
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    docs = documents.select("doc_id", "text", F.sha2(norm, 256).alias("_fp"))
+    canon = docs.groupBy("_fp").agg(F.min("doc_id").alias("_canon"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_toks = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("_canon"), F.lit(REASON_DUPLICATE))
+        .when(n_toks < min_tokens, F.lit(REASON_TOO_SHORT))
+        .when(stop_ratio < min_stopword_ratio, F.lit(REASON_LOW_STOPWORD))
+        .otherwise(F.lit(REASON_KEPT))
+    )
+    return (
+        docs.join(canon, "_fp")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", (F.col("reason") == REASON_KEPT).cast("int"))
+    )

@@ -211,3 +211,23 @@ def test_simhash_pairs_join_is_banded_equi(spark):
     pairs = simhash_near_dup_pairs(docs)
     plan = _plan(pairs)
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_triangle_counting_is_equi_join_only(spark):
+    """Degree-ordered triangle counting: wedge generation and closure are
+    equi-joins (plus an inequality residual) — no Cartesian anywhere."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["kg_triangles"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_decisions_single_shuffle(spark):
+    """The composed curation verdict costs exactly the exact-dedup shuffle:
+    one fingerprint exchange pair (groupBy + join-back), no extra
+    repartitions, everything else columnar."""
+    from dr_source_spark.training.curate import curation_decisions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(curation_decisions(docs))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -505,3 +505,27 @@ def test_sample_stratified_deterministic_and_rate_shaped(docs):
     full = {r.doc_id for r in sample_stratified(docs, {"en": 1.0}).collect()}
     en_total = docs.filter(F.col("lang") == "en").count()
     assert len(full) == en_total  # rate 1.0 keeps every stratum member
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + isolated
+    self-loop 6: degree-ordered orientation must count exactly and
+    zero-fill non-triangle nodes; self-loops never count."""
+    from dr_source_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}, got
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    """(a,b) + (b,a) + repeats are ONE undirected edge — the triangle
+    count must not inflate."""
+    from dr_source_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}, got
