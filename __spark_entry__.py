@@ -1094,6 +1094,44 @@ GROUP BY n.node
 """
 
 
+def _kg_reachability(spark, sf_dir):
+    # BFS hop distances from the SQL-injection weakness class (CWE-89) over
+    # the undirected KG — files at hop 1, co-occurring weaknesses at hop 2,
+    # their files at hop 3 ... —
+    # "how far is each entity from a known weakness class"; frontier BFS,
+    # one job per hop (operators/graph.bfs_distances)
+    from dr_source_spark.operators.graph import bfs_distances
+
+    edges = _kg_triples(spark, sf_dir).edges
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") == "CWE-89")
+    return bfs_distances(edges, seeds, max_hops=6)
+
+
+def _kg_reachability_sql(max_hops: int = 6) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # UNION (not UNION ALL) recursion: (node, hop) pairs dedupe against the
+    # accumulated set, so the walk is node-bounded — a path-enumerating
+    # UNION ALL is exponential on this dense bipartite file<->CWE graph
+    return f"""
+WITH RECURSIVE kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e),
+sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+walk(node, hop) AS (
+  SELECT node, 0 FROM nodes WHERE node = 'CWE-89'
+  UNION
+  SELECT s.b, w.hop + 1 FROM walk w JOIN sym s ON s.a = w.node WHERE w.hop < {max_hops}
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
 def _kg_components_sql() -> str:
     from dr_source_spark.sources.synth import kg_edges_oracle_sql
 
@@ -1554,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
+        "kg_reachability": _kg_reachability,
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
@@ -1600,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_components": _kg_components_sql(),
         "kg_triangles": _kg_triangles_sql(),
+        "kg_reachability": _kg_reachability_sql(),
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_risk_ledger": _STREAM_LEDGER_SQL,

@@ -231,3 +231,46 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return nodes.join(counts, "node", "left").select(
         "node", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 6, undirected: bool = True
+) -> DataFrame:
+    """Minimum hop distance from ANY seed node: (node, hops), seeds at 0,
+    nodes unreachable within ``max_hops`` absent.
+
+    Frontier BFS: each round is one equi-join (symmetrized edges × current
+    frontier) + an anti-join against the settled set — both narrow-key
+    shuffles, no path enumeration (a recursive path walk is exponential on
+    dense bipartite graphs; the frontier is bounded by the node set).
+    Termination (empty frontier) reads an ``observe`` metric off the
+    round's own checkpoint — one job per hop, same pattern as
+    pagerank/components above."""
+    e = edges.select("src", "dst")
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) if undirected else e
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    def _ckpt_counted(df: DataFrame):
+        obs = Observation(f"bfs_frontier_{next(_OBS_SEQ)}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df = df.localCheckpoint(eager=True)
+        return df, int(obs.get["n"])
+
+    dist, _ = _ckpt_counted(seeds.select("node").distinct().withColumn("hops", F.lit(0)))
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        cand = (
+            sym.join(frontier, sym["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new, n_new = _ckpt_counted(
+            cand.join(dist, "node", "left_anti").withColumn("hops", F.lit(hop))
+        )
+        if n_new == 0:
+            break
+        prev = dist
+        dist, _ = _ckpt_counted(prev.union(new))
+        prev.unpersist()
+        frontier = new
+    return dist.select("node", F.col("hops").cast("long").alias("hops"))

@@ -529,3 +529,18 @@ def test_triangle_counts_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}, got
+
+
+def test_bfs_distances_known_graph(spark):
+    """Path 1-2-3-4 with branch 2-5, seed {1}: exact min-hop distances;
+    disconnected node 9 absent; max_hops truncates the frontier."""
+    from dr_source_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (9, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_distances(edges, seeds, max_hops=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}, got
+    truncated = {r.node: r.hops for r in bfs_distances(edges, seeds, max_hops=1).collect()}
+    assert truncated == {1: 0, 2: 1}, truncated
