@@ -131,6 +131,14 @@ def build_exemplars(ckb, rng):
                     exemplars.append(s)
         except Exception:
             continue
+    # pattern-tier bait: instantiations of the KB's metavar patterns
+    # ($X == $X family) — matches, near-misses, the pattern-not exclusion
+    # (1 == 1), spacing variants, compound operands
+    exemplars += [
+        "data == data", "x == x", "$v == $v", "1 == 1", "a == b",
+        "obj.field == obj.field", "x==x", "if (cmd == cmd):", "q  ==  q",
+        "foo(1) == foo(1)", "x == y == x",
+    ]
     return exemplars
 
 
@@ -210,9 +218,17 @@ print(json.dumps(out))
     bad = 0
     for fn, ext, content in files:
         want = {(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in ref[fn]}
+        # pattern tier only diffable on .py: the reference's PatternAnalyzer
+        # parses java/js/php/ruby via tree-sitter, which is stubbed in this
+        # sandbox — it silently emits nothing there, while this engine's
+        # B10/B11 pattern tier (the behavior the reference exhibits WITH
+        # tree-sitter) would fire; that mismatch is environmental, not a
+        # parity break (tests/test_pattern_matcher.py pins those languages
+        # against the reference matcher's own semantics instead)
+        tiers = ("regex", "pattern") if ext == ".py" else ("regex",)
         got = {
             (f["line"], f["vuln_type"], f["message"], f["severity"], tuple(f["trace"]))
-            for f in _analyze_one("r", fn, "c", ext, content, ckb, None, ("regex", "pattern"))
+            for f in _analyze_one("r", fn, "c", ext, content, ckb, None, tiers)
         }
         if got != want:
             bad += 1
