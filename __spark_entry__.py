@@ -1403,6 +1403,70 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def _stream_curation(spark, sf_dir):
+    # streaming corpus curation: the documents table split into two
+    # OVERLAPPING micro-batches; the stream must emit each distinct text
+    # fingerprint exactly once (cross-batch dropDuplicates state) with its
+    # quality verdict. Emitting (fingerprint, reason) — never doc_id —
+    # makes the result order-free: whichever duplicate occurrence won the
+    # state race, the row set equals the batch DISTINCT (reason is a pure
+    # function of the text).
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_scur_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 3 != 2).coalesce(1).write.parquet(f"{base}/src/part1")
+    docs.filter(F.col("doc_id") % 3 != 0).coalesce(1).write.parquet(f"{base}/src/part2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/part*")
+    )
+    from dr_source_spark.training.text import STOPWORDS
+
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_toks = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    reason = (
+        F.when(n_toks < 5, F.lit("too_short"))
+        .when(stop_ratio < 0.05, F.lit("low_stopword_ratio"))
+        .otherwise(F.lit("kept"))
+    )
+    curated = (
+        stream.withColumn("fingerprint", F.sha2(norm, 256))
+        .dropDuplicates(["fingerprint"])
+        .select("fingerprint", reason.alias("reason"))
+    )
+    qname = f"scur_{tag}"
+    q = (
+        curated.writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+_STREAM_CURATION_SQL = r"""
+SELECT DISTINCT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       CASE WHEN length(string_split_regex(trim(text), '\s+')) < 5 THEN 'too_short'
+            WHEN round(length(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+                 / greatest(length(string_split_regex(trim(text), '\s+')), 1), 4) < 0.05
+                 THEN 'low_stopword_ratio'
+            ELSE 'kept' END AS reason
+FROM documents
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -1598,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_risk_ledger": _stream_risk_ledger,
         "stream_sessionize": _stream_sessionize,
         "stream_dedup_keys": _stream_dedup_keys,
+        "stream_curation": _stream_curation,
     }
 
 
@@ -1645,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_risk_ledger": _STREAM_LEDGER_SQL,
         "stream_sessionize": _STREAM_SESSION_SQL,
         "stream_dedup_keys": _STREAM_DEDUP_SQL,
+        "stream_curation": _STREAM_CURATION_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
