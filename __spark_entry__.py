@@ -871,6 +871,46 @@ FROM documents
 """
 
 
+def _media_decode_features(spark, sf_dir):
+    # REAL media decode (round 4): valid WAV-PCM / BMP payloads built from
+    # closed-form integer formulas, decoded by actual chunk/header parsers
+    # (struct-only — no codec lib), features as exact integers
+    from dr_source_spark.training.multimodal import decode_features, synth_decodable_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(synth_decodable_media(docs))
+
+
+_MEDIA_DECODE_SQL = """
+WITH wav AS (
+  SELECT d.doc_id AS media_id, 'wav' AS format,
+         CAST(100 + d.doc_id % 50 AS BIGINT) AS n_units,
+         CAST(max(abs(((d.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS BIGINT) AS peak,
+         CAST(sum(abs(((d.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS BIGINT) AS checksum
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(99 + d.doc_id % 50 AS INT))) AS i) t
+  WHERE d.doc_id % 2 = 1
+  GROUP BY d.doc_id
+),
+bmp AS (
+  SELECT d.doc_id AS media_id, 'bmp' AS format,
+         CAST((4 + d.doc_id % 5) * (3 + d.doc_id % 4) AS BIGINT) AS n_units,
+         CAST(max(greatest((d.doc_id + x.x * 7 + y.y * 13) % 256,
+                           (d.doc_id * 3 + x.x * 11 + y.y * 5) % 256,
+                           (d.doc_id * 5 + x.x + y.y * 17) % 256)) AS BIGINT) AS peak,
+         CAST(sum((d.doc_id + x.x * 7 + y.y * 13) % 256
+                + (d.doc_id * 3 + x.x * 11 + y.y * 5) % 256
+                + (d.doc_id * 5 + x.x + y.y * 17) % 256) AS BIGINT) AS checksum
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(3 + d.doc_id % 5 AS INT))) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(2 + d.doc_id % 4 AS INT))) AS y) y
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id
+)
+SELECT * FROM wav UNION ALL SELECT * FROM bmp
+"""
+
+
 def _scalar_trace_roundtrip(spark, sf_dir):
     # the reference flattens traces with ' -> ' for storage and re-splits on
     # read (scanner.py:209, db.py:246-248) — the split/concat_ws scalar pair
@@ -1643,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_stats": _emb_quantize,
         "media_metadata": _media_metadata,
         "media_chunk_plan": _media_chunk_plan,
+        "media_decode_features": _media_decode_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1727,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         "media_chunk_plan": _MEDIA_CHUNK_SQL,
+        "media_decode_features": _MEDIA_DECODE_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),

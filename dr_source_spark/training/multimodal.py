@@ -124,10 +124,13 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode payloads to raw samples. STUB: no codec libraries exist in
-    this environment. ``fake=True`` yields a deterministic sha256-seeded
-    surrogate (32 floats in [0,1)) so downstream plumbing is testable;
-    ``fake=False`` raises NotImplementedError at plan time (fail fast)."""
+    """Decode payloads to raw samples. STUB for codec-requiring formats
+    (JPEG/PNG/MP4 — no codec libraries exist in this environment):
+    ``fake=True`` yields a deterministic sha256-seeded surrogate (32
+    floats in [0,1)) so downstream plumbing is testable; ``fake=False``
+    raises NotImplementedError at plan time (fail fast). For formats a
+    pure struct walk CAN decode — 16-bit PCM WAV and 24-bit BMP — use
+    ``decode_features`` below: a REAL, oracle-verified decode path."""
     if not fake:
         raise NotImplementedError(
             "media decoding requires codec libraries (PIL/ffmpeg) not present "
@@ -216,3 +219,171 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
             F.col("sample_rate").cast("long").alias("sample_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path (round 4): WAV PCM and BMP are decodable with nothing but
+# struct — no codec library — so those two formats graduate from the stub.
+# Every other container still fails fast (NotImplementedError) rather than
+# pretending: JPEG/PNG/MP4 genuinely need codecs this environment lacks.
+# ---------------------------------------------------------------------------
+
+
+def wav_pcm_bytes(doc_id: int) -> bytes:
+    """A VALID 16-bit mono PCM WAV (RIFF + fmt + data chunks), samples from
+    a closed-form integer formula of (doc_id, i) so an ANSI-SQL oracle
+    reproduces the decoded features exactly."""
+    n = 100 + doc_id % 50
+    rate = 8000 + (doc_id % 5) * 4000
+    samples = [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def bmp_bytes(doc_id: int) -> bytes:
+    """A VALID 24-bit bottom-up BMP (BITMAPINFOHEADER, 4-byte row padding),
+    pixels from closed-form integer formulas of (doc_id, x, y)."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    row_pad = (4 - (w * 3) % 4) % 4
+    rows = []
+    for y in range(h):
+        row = b"".join(
+            struct.pack(
+                "<BBB",
+                (doc_id + x * 7 + y * 13) % 256,
+                (doc_id * 3 + x * 11 + y * 5) % 256,
+                (doc_id * 5 + x + y * 17) % 256,
+            )
+            for x in range(w)
+        )
+        rows.append(row + b"\x00" * row_pad)
+    pix = b"".join(rows)
+    return (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + pix
+    )
+
+
+def synth_decodable_media(documents: DataFrame) -> DataFrame:
+    """Deterministic VALID media derived from documents: even doc_id → BMP
+    image, odd → WAV audio (both parse end-to-end, not just headers)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    payload, kind = bmp_bytes(doc_id), "image"
+                else:
+                    payload, kind = wav_pcm_bytes(doc_id), "audio"
+                rows.append({"media_id": doc_id, "kind": kind, "payload": payload, "meta": {"src": "decodable"}})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"]) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("media_id", "kind", "payload", "meta")}
+            )
+
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(process, MEDIA_SCHEMA)
+
+
+def _decode_wav_pcm(payload: bytes):
+    """(n_samples, peak, checksum) from a 16-bit mono/stereo PCM WAV.
+    Real chunk walk: RIFF header, then (id, size) chunks; fmt must arrive
+    before data; only audio_format=1 (PCM) at 16 bits is supported."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    i, fmt = 12, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            audio_fmt, _ch, _rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, bits)
+        elif cid == b"data":
+            if fmt is None or fmt != (1, 16):
+                raise NotImplementedError("only 16-bit PCM WAV data is decodable here")
+            n = len(body) // 2
+            samples = struct.unpack(f"<{n}h", body[: n * 2])
+            return n, max((abs(s) for s in samples), default=0), sum(abs(s) for s in samples)
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    raise NotImplementedError("WAV without a data chunk")
+
+
+def _decode_bmp(payload: bytes):
+    """(n_pixels, peak_byte, checksum) from a 24-bit uncompressed BMP.
+    Parses the real header (pixel offset, dims, bpp) and walks padded rows."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is decodable here")
+    h_abs = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    peak, checksum = 0, 0
+    for y in range(h_abs):
+        row = payload[offset + y * stride : offset + y * stride + w * 3]
+        if len(row) < w * 3:
+            raise NotImplementedError("truncated BMP pixel data")
+        m = max(row)
+        peak = m if m > peak else peak
+        checksum += sum(row)
+    return w * h_abs, peak, checksum
+
+
+DECODE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_units", LongType()),
+        StructField("peak", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode → integer features per payload: WAV PCM (n_samples,
+    peak |sample|, sum |sample|) and BMP (n_pixels, peak byte, byte sum);
+    any other format raises NotImplementedError (fail fast — no silent
+    skips). Integer features so any engine reproduces them exactly.
+    Arrow-batched; binary dies inside the stage (only 5 narrow columns
+    come out)."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODE_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    fmt = "wav"
+                    n, peak, checksum = _decode_wav_pcm(payload)
+                elif payload[:2] == b"BM":
+                    fmt = "bmp"
+                    n, peak, checksum = _decode_bmp(payload)
+                else:
+                    raise NotImplementedError(
+                        f"no stdlib decoder for payload starting {payload[:8]!r}"
+                    )
+                rows.append({"media_id": int(mid), "format": fmt, "n_units": n, "peak": peak, "checksum": checksum})
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in cols}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, DECODE_FEATURES_SCHEMA)

@@ -88,3 +88,59 @@ def test_audio_chunk_plan_integer_chunking(spark):
     # doc 5: rate 8000, n_bytes 28+5=33 -> 1 chunk
     assert len(by_media[5]) == 1
     assert all(r.start_sample == r.chunk_idx * r.sample_rate for r in plan)
+
+
+def test_real_decoders_roundtrip_known_payloads():
+    """The struct-walk decoders recover the exact generator formulas —
+    WAV via the RIFF chunk walk, BMP via header + padded-row walk."""
+    from dr_source_spark.training.multimodal import (
+        _decode_bmp, _decode_wav_pcm, bmp_bytes, wav_pcm_bytes,
+    )
+
+    for d in (1, 7, 499):
+        n, peak, checksum = _decode_wav_pcm(wav_pcm_bytes(d))
+        en = 100 + d % 50
+        samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(en)]
+        assert (n, peak, checksum) == (en, max(abs(s) for s in samples), sum(abs(s) for s in samples))
+    for d in (0, 42, 498):
+        n, peak, checksum = _decode_bmp(bmp_bytes(d))
+        w, h = 4 + d % 5, 3 + d % 4
+        pix = [((d + x * 7 + y * 13) % 256, (d * 3 + x * 11 + y * 5) % 256, (d * 5 + x + y * 17) % 256)
+               for y in range(h) for x in range(w)]
+        assert n == w * h and peak == max(max(t) for t in pix) and checksum == sum(sum(t) for t in pix)
+
+
+def test_real_decoders_fail_fast_on_unsupported():
+    """Codec-requiring or malformed payloads must raise, never silently
+    skip: 8-bit WAV, compressed BMP, PNG, truncation."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from dr_source_spark.training.multimodal import _decode_bmp, _decode_wav_pcm, bmp_bytes, wav_pcm_bytes
+
+    with _pt.raises(NotImplementedError):
+        _decode_wav_pcm(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    wav8 = bytearray(wav_pcm_bytes(1))
+    wav8[34:36] = _s.pack("<H", 8)  # bits-per-sample -> 8
+    with _pt.raises(NotImplementedError):
+        _decode_wav_pcm(bytes(wav8))
+    with _pt.raises(NotImplementedError):
+        _decode_wav_pcm(wav_pcm_bytes(1)[:40])  # data chunk never found
+    bmp_rle = bytearray(bmp_bytes(0))
+    bmp_rle[30:34] = _s.pack("<I", 1)  # BI_RLE8 compression
+    with _pt.raises(NotImplementedError):
+        _decode_bmp(bytes(bmp_rle))
+    with _pt.raises(NotImplementedError):
+        _decode_bmp(bmp_bytes(0)[:56])  # truncated pixel rows
+
+
+def test_decode_features_spark_end_to_end(spark):
+    from dr_source_spark.training.multimodal import decode_features, synth_decodable_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = decode_features(synth_decodable_media(docs))
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    assert all((r.format == "bmp") == (mid % 2 == 0) for mid, r in rows.items())
+    assert all(r.n_units > 0 and r.peak >= 0 and r.checksum >= 0 for r in rows.values())
