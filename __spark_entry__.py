@@ -911,6 +911,39 @@ SELECT * FROM wav UNION ALL SELECT * FROM bmp
 """
 
 
+def _media_resize_features(spark, sf_dir):
+    # REAL resize -> REAL decode: BMP payloads nearest-neighbor resized to
+    # 8x6 (payload-level re-encode), then decoded back to integer features;
+    # the oracle reproduces the resized pixels from the generator formulas
+    # via the same integer NN index (src = dst * src_dim // dst_dim)
+    from dr_source_spark.training.multimodal import (
+        decode_features, resize_media_bmp, synth_decodable_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_decodable_media(docs).filter(F.col("kind") == "image")
+    return decode_features(resize_media_bmp(media, out_w=8, out_h=6))
+
+
+_MEDIA_RESIZE_SQL = """
+SELECT d.doc_id AS media_id, 'bmp' AS format,
+       CAST(48 AS BIGINT) AS n_units,
+       CAST(max(greatest(
+           (d.doc_id + ((x.x * (4 + d.doc_id % 5)) // 8) * 7 + ((y.y * (3 + d.doc_id % 4)) // 6) * 13) % 256,
+           (d.doc_id * 3 + ((x.x * (4 + d.doc_id % 5)) // 8) * 11 + ((y.y * (3 + d.doc_id % 4)) // 6) * 5) % 256,
+           (d.doc_id * 5 + ((x.x * (4 + d.doc_id % 5)) // 8) + ((y.y * (3 + d.doc_id % 4)) // 6) * 17) % 256)) AS BIGINT) AS peak,
+       CAST(sum(
+           (d.doc_id + ((x.x * (4 + d.doc_id % 5)) // 8) * 7 + ((y.y * (3 + d.doc_id % 4)) // 6) * 13) % 256
+         + (d.doc_id * 3 + ((x.x * (4 + d.doc_id % 5)) // 8) * 11 + ((y.y * (3 + d.doc_id % 4)) // 6) * 5) % 256
+         + (d.doc_id * 5 + ((x.x * (4 + d.doc_id % 5)) // 8) + ((y.y * (3 + d.doc_id % 4)) // 6) * 17) % 256) AS BIGINT) AS checksum
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) y
+WHERE d.doc_id % 2 = 0
+GROUP BY d.doc_id
+"""
+
+
 def _scalar_trace_roundtrip(spark, sf_dir):
     # the reference flattens traces with ' -> ' for storage and re-splits on
     # read (scanner.py:209, db.py:246-248) — the split/concat_ws scalar pair
@@ -1684,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _media_metadata,
         "media_chunk_plan": _media_chunk_plan,
         "media_decode_features": _media_decode_features,
+        "media_resize_features": _media_resize_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1769,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _MEDIA_METADATA_SQL,
         "media_chunk_plan": _MEDIA_CHUNK_SQL,
         "media_decode_features": _MEDIA_DECODE_SQL,
+        "media_resize_features": _MEDIA_RESIZE_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),

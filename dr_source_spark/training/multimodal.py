@@ -387,3 +387,55 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(process, DECODE_FEATURES_SCHEMA)
+
+
+def resize_media_bmp(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """REAL image resize: parse each 24-bit BMP's pixel grid, nearest-
+    neighbor sample to (out_w, out_h), re-encode a VALID BMP payload.
+    NN index: src = (dst * src_dim) // dst_dim, in storage (bottom-up) row
+    space on both sides — integer-exact, so an ANSI oracle reproduces the
+    resized pixels from the generator formulas. Non-BMP payloads raise
+    (fail fast); output schema = MEDIA_SCHEMA, so the result chains into
+    decode_features / extract_media_metadata like any media frame."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, meta in zip(pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                payload = bytes(payload)
+                if payload[:2] != b"BM":
+                    raise NotImplementedError("resize supports 24-bit BMP only")
+                offset = struct.unpack("<I", payload[10:14])[0]
+                w, h = struct.unpack("<ii", payload[18:26])
+                bpp = struct.unpack("<H", payload[28:30])[0]
+                if bpp != 24 or struct.unpack("<I", payload[30:34])[0] != 0:
+                    raise NotImplementedError("resize supports uncompressed 24-bit BMP only")
+                h_abs = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                grid = [payload[offset + y * stride : offset + y * stride + w * 3] for y in range(h_abs)]
+                row_pad = (4 - (out_w * 3) % 4) % 4
+                out_rows = []
+                for y in range(out_h):
+                    sy = (y * h_abs) // out_h
+                    src = grid[sy]
+                    row = b"".join(
+                        src[((x * w) // out_w) * 3 : ((x * w) // out_w) * 3 + 3]
+                        for x in range(out_w)
+                    )
+                    out_rows.append(row + b"\x00" * row_pad)
+                pix = b"".join(out_rows)
+                out_payload = (
+                    b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+                    + pix
+                )
+                rows.append({"media_id": int(mid), "kind": kind, "payload": out_payload,
+                             "meta": dict(meta) if meta is not None else None})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"]) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("media_id", "kind", "payload", "meta")}
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(process, MEDIA_SCHEMA)

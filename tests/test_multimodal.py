@@ -144,3 +144,25 @@ def test_decode_features_spark_end_to_end(spark):
     assert len(rows) == docs.count()
     assert all((r.format == "bmp") == (mid % 2 == 0) for mid, r in rows.items())
     assert all(r.n_units > 0 and r.peak >= 0 and r.checksum >= 0 for r in rows.values())
+
+
+def test_resize_then_decode_matches_formula_nn(spark):
+    """resize_media_bmp re-encodes a real BMP whose decode equals
+    formula-side nearest-neighbor sampling of the source pixels."""
+    from dr_source_spark.training.multimodal import (
+        decode_features, resize_media_bmp, synth_decodable_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_decodable_media(docs).filter("kind = 'image'")
+    out = {r.media_id: r for r in decode_features(resize_media_bmp(media, 8, 6)).collect()}
+
+    def expect(d):
+        w, h = 4 + d % 5, 3 + d % 4
+        px = lambda x, y: ((d + x * 7 + y * 13) % 256, (d * 3 + x * 11 + y * 5) % 256, (d * 5 + x + y * 17) % 256)
+        pix = [px((x * w) // 8, (y * h) // 6) for y in range(6) for x in range(8)]
+        return 48, max(max(t) for t in pix), sum(sum(t) for t in pix)
+
+    for mid, r in out.items():
+        n, peak, checksum = expect(int(mid))
+        assert (r.n_units, r.peak, r.checksum) == (n, peak, checksum), mid
