@@ -1111,6 +1111,41 @@ def _kg_pagerank_sql(iterations: int = 10, scale: int = 10**12, dp: int = 85) ->
     return f"{body}\nSELECT node, rank FROM pr{iterations}"
 
 
+def _kg_triples_diff(spark, sf_dir):
+    # incremental-KG maintenance: triples added/removed between two corpus
+    # versions (v2 drops every 5th doc, adds every 13th re-synthesized at
+    # doc_id + 1_000_000). Two full extract() runs diffed by exceptAll on
+    # the triple identity — the operation a nightly KG refresh performs.
+    # 6-template corpus: the inter-file templates need contiguous doc_ids.
+    from dr_source_spark.pipeline import extract
+    from dr_source_spark.sources.synth import synth_code_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2_docs = docs.filter(F.col("doc_id") % 5 != 0).union(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    res1 = extract(spark, synth_code_corpus(docs, templates=6),
+                   run_id="diff-v1", enable_interfile=False)
+    res2 = extract(spark, synth_code_corpus(v2_docs, templates=6),
+                   run_id="diff-v2", enable_interfile=False)
+
+    def _flat(t):
+        # trace arrives as array<string>; the diff identity (and the
+        # oracle) use the flattened ' -> ' form, like entry()
+        return t.select(
+            "subj", "pred", "obj", "line",
+            F.concat_ws(" -> ", F.col("trace")).alias("trace"),
+        )
+
+    t1 = _flat(res1.triples)
+    t2 = _flat(res2.triples)
+    removed = t1.exceptAll(t2).withColumn("change", F.lit("removed"))
+    added = t2.exceptAll(t1).withColumn("change", F.lit("added"))
+    return removed.union(added)
+
+
 def _kg_components(spark, sf_dir):
     # component labeling over the KG (alternating large-star/small-star);
     # every endpoint labeled with its component minimum
@@ -1732,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_reachability": _kg_reachability,
+        "kg_triples_diff": _kg_triples_diff,
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
@@ -1780,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _kg_components_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_reachability": _kg_reachability_sql(),
+        "kg_triples_diff": _kg_sql.kg_triples_diff_oracle_sql(),
         "tier_error_rate": _TIER_ERROR_RATE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_risk_ledger": _STREAM_LEDGER_SQL,

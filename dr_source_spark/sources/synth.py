@@ -475,3 +475,58 @@ def synth_code_corpus(
         F.lit(None).cast("string").alias("lang"),
         F.col("pc.content").alias("content"),
     )
+
+
+def kg_triples_diff_oracle_sql(commit: str = "bench") -> str:
+    """Oracle for the incremental-KG diff query: v1 = the 6-template corpus
+    over all documents; v2 = v1 minus every 5th doc plus every 13th doc
+    re-synthesized at doc_id + 1_000_000. Only templates < 6 (no inter-file
+    {M} companions, which need contiguous doc_ids). Diff rows carry
+    change = 'removed' (v1-only) / 'added' (v2-only); since an added doc's
+    id (and therefore its paths/vars) is new, added and removed sets never
+    overlap."""
+    rows = []
+    for tpl, (path_t, triples) in EXPECTED_TRIPLES.items():
+        if tpl >= 6:
+            continue
+        for frag_t, pred, obj_t, line, trace_t in triples:
+            rows.append(
+                f"({tpl}, {_sq(path_t)}, {_sq(frag_t)}, {_sq(pred)}, "
+                f"{_sq(obj_t)}, {line}, {_sq(trace_t)})"
+            )
+    values = ",\n  ".join(rows)
+
+    def docs_cte(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS n,
+         CAST(doc_id - 1 AS VARCHAR) AS m,
+         regexp_replace(coalesce(string_split(text, ' ')[3], 'field'),
+                        '[^A-Za-z0-9_]', 'x', 'g') AS w,
+         'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
+         CAST(doc_id % 6 AS INT) AS tpl
+  FROM ({src})
+)"""
+
+    def triples_cte(name: str, docs: str) -> str:
+        return f"""{name} AS (
+  SELECT d.repo || ':' || {_sub_sql('e.path_t')} || '@{commit}' || {_sub_sql('e.frag_t')} AS subj,
+         e.pred,
+         {_sub_sql('e.obj_t')} AS obj,
+         e.line,
+         {_sub_sql('e.trace_t')} AS trace
+  FROM {docs} d JOIN expected e ON e.tpl = d.tpl
+)"""
+
+    return f"""
+WITH {docs_cte('d1', 'SELECT doc_id, text FROM documents')},
+{docs_cte('d2', 'SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 '
+               'UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0')},
+expected(tpl, path_t, frag_t, pred, obj_t, line, trace_t) AS (VALUES
+  {values}),
+{triples_cte('t1', 'd1')},
+{triples_cte('t2', 'd2')}
+SELECT *, 'removed' AS change FROM (SELECT * FROM t1 EXCEPT SELECT * FROM t2)
+UNION ALL
+SELECT *, 'added' AS change FROM (SELECT * FROM t2 EXCEPT SELECT * FROM t1)
+"""
