@@ -996,6 +996,34 @@ def _kg_triples(spark, sf_dir):
     return res
 
 
+def _ann_quantized_topk(spark, sf_dir):
+    # two-stage ANN's candidate pass: int8-quantized dot products rank
+    # neighbors with EXACT integer arithmetic (training/similarity.py)
+    from dr_source_spark.training.similarity import quantized_topk
+
+    return quantized_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+_ANN_QUANTIZED_SQL = r"""
+WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec FROM embeddings),
+q AS (SELECT vec_id,
+             list_transform(rvec, x -> round(127.0 * x / greatest(sqrt(list_dot_product(rvec, rvec)), 1e-12))) AS qv
+      FROM v0),
+probes AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id IN (0, 1, 2, 3, 4)),
+sims AS (
+  SELECT p.q_id, b.vec_id AS n_id,
+         CAST(list_dot_product(b.qv, p.q_qv) AS BIGINT) AS qdot
+  FROM q b CROSS JOIN probes p WHERE b.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, qdot,
+         row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, qdot FROM ranked WHERE rank <= 3
+"""
+
+
 def _kg_extract_triples(spark, sf_dir):
     # flagship pipeline over the synthesized code corpus. Oracle: the corpus
     # is template-deterministic, so the expected triples are derivable in SQL
@@ -1757,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_quantized_topk": _ann_quantized_topk,
         "kg_extract_triples": _kg_extract_triples,
         "kg_canonicalize": _kg_canonicalize,
         "kg_graph_edges": _kg_graph_edges,
@@ -1845,4 +1874,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_quantized_topk": _ANN_QUANTIZED_SQL,
     }

@@ -306,3 +306,51 @@ def quantization_stats(
             F.aggregate("_errs", F.lit(0.0), lambda a, x: a + x * x) / n, 9
         ).alias("mse"),
     )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors ranked by INT8-QUANTIZED dot product — the
+    memory-bound candidate-generation pass of a two-stage ANN (rank by
+    quantized similarity, rescore survivors on floats). Integer dot
+    products are EXACT, so the ranking is bit-deterministic across engines
+    and partition orders (float cosine needs rounding guards; int dots
+    don't). Vectors are L2-NORMALIZED then quantized with a FIXED global
+    scale (q_i = round(127 * v_i/||v||)): per-vector symmetric scales
+    (quantize_embeddings) would divide each neighbor's dot by ITS OWN
+    scale and distort cross-vector ranking, and a raw-dot ranking would
+    order by norm, not angle — both measured against the cosine ground
+    truth in the recall gate (tests/test_training_ops.py). Probes
+    broadcast; ties break on neighbor id."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(
+            F.lit(127.0) * x.cast("double") / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+        ).cast("int"),
+    )
+    q = embeddings.select(F.col(id_col), qv.alias("qvec"))
+    base = q.select(F.col(id_col).alias("n_id"), F.col("qvec"))
+    probes = q.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("qvec").alias("q_qvec")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("q_qvec"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        base.join(F.broadcast(probes))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", qdot.alias("qdot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), "qdot")
+    )

@@ -544,3 +544,15 @@ def test_bfs_distances_known_graph(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}, got
     truncated = {r.node: r.hops for r in bfs_distances(edges, seeds, max_hops=1).collect()}
     assert truncated == {1: 0, 2: 1}, truncated
+
+
+def test_quantized_topk_recall_vs_brute_force(emb):
+    """Int8-quantized dot-product ranking must hold recall@3 >= 0.8 vs
+    exact float cosine on the driver embeddings (the two-stage ANN
+    contract: quantized candidates, float rescore)."""
+    from dr_source_spark.training.similarity import brute_force_topk, quantized_topk
+
+    qids = list(range(10))
+    bf = {(r.q_id, r.n_id) for r in brute_force_topk(emb, qids, k=3).collect()}
+    qz = {(r.q_id, r.n_id) for r in quantized_topk(emb, qids, k=3).collect()}
+    assert len(bf & qz) / len(bf) >= 0.8
