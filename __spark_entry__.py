@@ -760,6 +760,33 @@ FROM e
 """
 
 
+def _text_chunk_plan(spark, sf_dir):
+    # token-budget chunking with overlap — the pre-tokenization packing
+    # step of a training pipeline (training/text.py::chunk_plan)
+    from dr_source_spark.training.text import chunk_plan
+
+    return chunk_plan(_t(spark, sf_dir, "documents"), max_tokens=64, overlap=8)
+
+
+_TEXT_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         greatest(CAST((n_tokens - 8 + 55) // 56 AS BIGINT), 1) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(g.i * 56 AS BIGINT) AS start_tok,
+       CAST(least(g.i * 56 + 64, n_tokens) AS BIGINT) AS end_tok,
+       n_tokens
+FROM c CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS i) g
+"""
+
+
 def _text_top_ngrams(spark, sf_dir):
     # corpus-wide most frequent trigrams (boilerplate radar); top-k via
     # TakeOrderedAndProject, deterministic tie-break on the ngram string
@@ -1774,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "text_sample_stratified": _text_sample,
         "text_top_ngrams": _text_top_ngrams,
+        "text_chunk_plan": _text_chunk_plan,
         "text_curation_decisions": _text_curation,
         "emb_near_dup_pairs": _emb_near_dup,
         "emb_quantize_stats": _emb_quantize,
@@ -1863,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_sql(),
         "text_sample_stratified": _sample_sql(),
         "text_top_ngrams": _TOP_NGRAMS_SQL,
+        "text_chunk_plan": _TEXT_CHUNK_SQL,
         "text_curation_decisions": _TEXT_CURATION_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,

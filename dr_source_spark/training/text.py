@@ -301,3 +301,40 @@ def top_ngrams(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def chunk_plan(
+    documents: DataFrame, max_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Token-budget chunking plan: one row per (doc, chunk) with token
+    offsets — the step every training pipeline runs before tokenization
+    packs sequences. Stride = max_tokens - overlap; the final chunk may be
+    short but is never empty; a doc with <= max_tokens tokens is one
+    chunk. Pure integer arithmetic over the whitespace token count (no
+    text shuffles — the explode happens on a 2-column projection), so any
+    engine reproduces the plan exactly."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    n_tok = F.regexp_count(F.col("text"), F.lit(r"\w+")).cast("long")
+    narrow = documents.select("doc_id", n_tok.alias("n_tokens"))
+    # ceil((n - overlap) / stride) chunks, minimum 1
+    n_chunks = F.greatest(
+        ((F.col("n_tokens") - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+        .cast("long"),
+        F.lit(1),
+    )
+    return (
+        narrow.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.least(F.col("chunk_idx") * stride + max_tokens, F.col("n_tokens"))
+            .cast("long")
+            .alias("end_tok"),
+            "n_tokens",
+        )
+    )

@@ -556,3 +556,23 @@ def test_quantized_topk_recall_vs_brute_force(emb):
     bf = {(r.q_id, r.n_id) for r in brute_force_topk(emb, qids, k=3).collect()}
     qz = {(r.q_id, r.n_id) for r in quantized_topk(emb, qids, k=3).collect()}
     assert len(bf & qz) / len(bf) >= 0.8
+
+
+def test_chunk_plan_coverage_properties(docs):
+    """Chunk plans must tile each document: first chunk starts at 0, the
+    last ends at n_tokens, consecutive chunks overlap by exactly
+    `overlap` (except a short final chunk), and no chunk is empty."""
+    from dr_source_spark.training.text import chunk_plan
+
+    rows = chunk_plan(docs, max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].end_tok == chunks[0].n_tokens
+        assert all(c.end_tok > c.start_tok for c in chunks)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok == a.start_tok + 56  # stride = 64 - 8
+            assert a.end_tok - b.start_tok in (8,) or a.end_tok == a.n_tokens
