@@ -351,6 +351,7 @@ def run_detectors(
     fn_index_from_column: bool = False,
     emit_tier_errors: bool = False,
     straggler_factor: int = 1,
+    regex_jvm: bool = False,
 ) -> DataFrame:
     """files_df must carry (repo, path, commit, ext, content).
 
@@ -368,11 +369,44 @@ def run_detectors(
 
     straggler_factor: partition-width multiplier for heavy-tailed corpora
     (skew.straggler_factor_from measures and decides — factor=1 stays the
-    uniform-corpus optimum, see ensure_min_parallelism)."""
+    uniform-corpus optimum, see ensure_min_parallelism).
+
+    regex_jvm: run the regex tier as a JVM-only relational plan
+    (operators/regex_relational.py) unioned with the Python AST/pattern
+    tiers — finding-identical to the fused path (the tiers' dedup key
+    namespaces are disjoint, see _analyze_one; gated by
+    tests/test_regex_relational.py::test_split_mode_equals_fused).
+    MEASURED AND KEPT OFF BY DEFAULT: on the sf0.1 corpus at local[32]
+    the split plan is ~2.6× slower than the fused path (0.9 s vs 2.4 s,
+    best-of-3) — it scans the input twice and evaluates every rule as an
+    RLIKE branch per line, while the fused tier's combined-alternation
+    screen skips most lines in one probe. It exists for regex-heavy
+    deployments where Python workers are the proven bottleneck (b1-style
+    regex-only scans already have regex_findings_relational). Incompatible
+    with per_file_timeout_s (the reference's timeout spans tiers within
+    one file, which a split plan cannot honor)."""
     from ..deploy import ensure_shipped
 
     spark = files_df.sparkSession
     ensure_shipped(spark)
+    if regex_jvm and "regex" in tiers:
+        if per_file_timeout_s:
+            raise ValueError("regex_jvm is incompatible with per_file_timeout_s")
+        from .regex_relational import regex_findings_full_relational
+
+        py_part = run_detectors(
+            files_df, ckb,
+            fn_index_broadcast=fn_index_broadcast,
+            tiers=tuple(t for t in tiers if t != "regex"),
+            repartition=repartition, use_arrow=use_arrow,
+            fn_index_from_column=fn_index_from_column,
+            emit_tier_errors=emit_tier_errors,
+            straggler_factor=straggler_factor,
+        )
+        rel_part = regex_findings_full_relational(
+            files_df.select("repo", "path", "commit", "ext", "content"), ckb
+        )
+        return py_part.unionByName(rel_part)
     ckb_bc = broadcast_ckb(spark, ckb)
 
     cols = ["repo", "path", "commit", "ext", "content"]
