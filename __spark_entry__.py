@@ -539,6 +539,32 @@ SELECT doc_id, reason, CAST(reason = 'kept' AS INT) AS keep FROM verdict
 """
 
 
+def _dedup_containment(spark, sf_dir):
+    # directional containment over the LSH candidate pairs — catches the
+    # short-doc-quoted-in-long-doc duplication Jaccard misses
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, ngram_containment
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment(docs, minhash_lsh_candidates(docs))
+
+
+_DEDUP_CONTAINMENT_SQL = _lsh_pairs_ctes() + """,
+counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN words a ON a.doc_id = p.doc_a JOIN words b ON b.doc_id = p.doc_b AND a.w = b.w
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE) / greatest(ca.n, 1), 4) AS containment_a,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE) / greatest(cb.n, 1), 4) AS containment_b
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+"""
+
+
 def _dedup_simhash(spark, sf_dir):
     from dr_source_spark.training.dedup import simhash
 
@@ -1786,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_shingles": _dedup_minhash_shingles,
         "dedup_lsh_candidates": _dedup_lsh_candidates,
         "dedup_jaccard_verify": _dedup_jaccard,
+        "dedup_containment": _dedup_containment,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_clusters": _dedup_clusters,
@@ -1855,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
+        "dedup_containment": _DEDUP_CONTAINMENT_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -330,3 +330,25 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_containment(documents: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Directional containment for candidate pairs: |A∩B| / |A| and
+    |A∩B| / |B| (word sets). Jaccard misses ASYMMETRIC duplication — a
+    short doc fully quoted inside a long one scores low Jaccard but
+    containment ≈ 1 on the short side; dedup pipelines drop the contained
+    doc. Same never-all-pairs shape as ngram_jaccard: token sets join back
+    only for the candidate pairs."""
+    toks = documents.select("doc_id", _words().alias("words"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect("a.words", "b.words"))
+    return (
+        candidates.join(a, candidates["doc_a"] == F.col("a.doc_id"))
+        .join(b, candidates["doc_b"] == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(F.size("a.words"), F.lit(1)), 4).alias("containment_a"),
+            F.round(inter / F.greatest(F.size("b.words"), F.lit(1)), 4).alias("containment_b"),
+        )
+    )

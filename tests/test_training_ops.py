@@ -576,3 +576,21 @@ def test_chunk_plan_coverage_properties(docs):
         for a, b in zip(chunks, chunks[1:]):
             assert b.start_tok == a.start_tok + 56  # stride = 64 - 8
             assert a.end_tok - b.start_tok in (8,) or a.end_tok == a.n_tokens
+
+
+def test_containment_catches_subset_docs(spark):
+    """A short doc fully contained in a long one: Jaccard is low but
+    containment on the short side is 1.0 — the asymmetric-duplication
+    signal Jaccard misses."""
+    from dr_source_spark.training.dedup import ngram_containment, ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "alpha beta gamma " + " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    c = ngram_containment(docs, pairs).collect()[0]
+    j = ngram_jaccard(docs, pairs).collect()[0]
+    assert c.containment_a == 1.0 and c.containment_b < 0.2
+    assert j.jaccard < 0.2
