@@ -41,8 +41,13 @@ def curation_decisions(
       cheap Gopher-style "is this prose" screen;
     * ``kept`` — everything else.
     """
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    docs = documents.select("doc_id", "text", F.sha2(norm, 256).alias("_fp"))
+    # null-safe: a NULL text must still get a verdict (it fingerprints as
+    # the empty string, groups with other empty docs, and falls out as
+    # too_short) — a curation table silently missing input rows is how
+    # documents escape the pipeline unaudited
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.regexp_replace(F.lower(txt), r"\s+", " ")
+    docs = documents.select("doc_id", txt.alias("text"), F.sha2(norm, 256).alias("_fp"))
     canon = docs.groupBy("_fp").agg(F.min("doc_id").alias("_canon"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_toks = F.size(toks)

@@ -55,6 +55,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """Long-format MinHash signatures: (doc_id, seed, minhash).
 
+    Token-free documents (NULL/empty/whitespace text) emit NO signature —
+    deliberate: a doc with no tokens has no word-set to be near-duplicate
+    OF (Jaccard undefined), and exact dedup + curation handle empties.
+    Downstream pair sets therefore never contain such docs.
+
     Hash family: md5(seed || ':' || token) — portable across engines (the
     DuckDB oracle computes the identical signature), uniform enough for
     Jaccard estimation. min() over hex strings = min over the hash family.

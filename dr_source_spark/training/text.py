@@ -316,7 +316,11 @@ def chunk_plan(
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
-    n_tok = F.regexp_count(F.col("text"), F.lit(r"\w+")).cast("long")
+    # null-safe: a NULL text is an empty doc (one empty chunk), not a row
+    # of NULL offsets
+    n_tok = F.coalesce(
+        F.regexp_count(F.col("text"), F.lit(r"\w+")).cast("long"), F.lit(0)
+    )
     narrow = documents.select("doc_id", n_tok.alias("n_tokens"))
     # ceil((n - overlap) / stride) chunks, minimum 1
     n_chunks = F.greatest(

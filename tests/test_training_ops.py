@@ -594,3 +594,24 @@ def test_containment_catches_subset_docs(spark):
     j = ngram_jaccard(docs, pairs).collect()[0]
     assert c.containment_a == 1.0 and c.containment_b < 0.2
     assert j.jaccard < 0.2
+
+
+def test_null_and_empty_text_rows_never_escape_curation(spark):
+    """Every input doc gets a verdict — NULL text fingerprints as empty,
+    groups with other empty docs, and falls out as too_short/duplicate;
+    chunk plans emit one empty chunk, never NULL offsets. (Signature ops
+    deliberately emit nothing for token-free docs — documented in
+    minhash_signatures — so pair sets can't contain them.)"""
+    from dr_source_spark.training.curate import curation_decisions
+    from dr_source_spark.training.text import chunk_plan
+
+    docs = spark.createDataFrame(
+        [(1, "hello world the end"), (2, None), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    cur = {r.doc_id: r.reason for r in curation_decisions(docs).collect()}
+    assert set(cur) == {1, 2, 3, 4}
+    assert cur[2] in ("too_short", "exact_duplicate")
+    ch = {(r.doc_id, r.chunk_idx, r.start_tok, r.end_tok) for r in chunk_plan(docs).collect()}
+    assert (2, 0, 0, 0) in ch and (3, 0, 0, 0) in ch
+    assert all(v is not None for t in ch for v in t)
