@@ -35,7 +35,12 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not a crash) for zero-norm/empty/null vectors — cosine is
+    undefined there, and under ANSI mode a plain division would kill the
+    whole job on ONE bad vector at corpus scale. Thresholded callers drop
+    the NULLs in their filters; top-k callers filter explicitly."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
 
 
 def brute_force_topk(
@@ -59,6 +64,7 @@ def brute_force_topk(
     scored = (
         cand.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
         .withColumn("sim", F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6))
+        .filter(F.col("sim").isNotNull())  # zero-norm/empty vectors can't rank
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
@@ -302,8 +308,11 @@ def quantization_stats(
         n.cast("long").alias("n_dims"),
         F.round("scale", 9).alias("scale"),
         F.round(F.aggregate("_errs", F.lit(0.0), lambda a, x: F.greatest(a, x)), 9).alias("max_abs_err"),
+        # greatest(n, 1): an empty/null vector reports n_dims=0 with
+        # max_abs_err/mse of its empty fold (0.0/NULL) instead of killing
+        # the job with a division by zero under ANSI mode
         F.round(
-            F.aggregate("_errs", F.lit(0.0), lambda a, x: a + x * x) / n, 9
+            F.aggregate("_errs", F.lit(0.0), lambda a, x: a + x * x) / F.greatest(n, F.lit(1)), 9
         ).alias("mse"),
     )
 

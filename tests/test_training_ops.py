@@ -615,3 +615,25 @@ def test_null_and_empty_text_rows_never_escape_curation(spark):
     ch = {(r.doc_id, r.chunk_idx, r.start_tok, r.end_tok) for r in chunk_plan(docs).collect()}
     assert (2, 0, 0, 0) in ch and (3, 0, 0, 0) in ch
     assert all(v is not None for t in ch for v in t)
+
+
+def test_zero_norm_and_empty_vectors_cannot_kill_cosine_jobs(spark):
+    """Under ANSI mode a single zero-norm / empty / NULL vector used to
+    abort the ENTIRE cosine job with DIVIDE_BY_ZERO — at corpus scale one
+    bad row must degrade (NULL similarity, excluded from rankings), never
+    crash."""
+    from dr_source_spark.training.similarity import (
+        brute_force_topk, embedding_near_duplicates, quantization_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0], 0), (1, [1.0, 2.1, 3.0], 0),
+         (2, None, 0), (3, [], 0), (4, [0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    bf = brute_force_topk(emb, [0], k=3).collect()
+    assert {r.n_id for r in bf} == {1}  # degenerate vectors can't rank
+    stats = {r.vec_id: r for r in quantization_stats(emb).collect()}
+    assert len(stats) == 5 and stats[3].n_dims == 0  # row kept, no crash
+    nd = embedding_near_duplicates(emb, threshold=0.5, num_planes=4, dim=3).collect()
+    assert {(r.id_a, r.id_b) for r in nd} == {(0, 1)}
