@@ -504,6 +504,7 @@ def _text_curation(spark, sf_dir):
         [
             (2_000_001, "tiny doc"),
             (2_000_002, "xyzzy qwerty plugh foobar grault corge waldo"),
+            (2_000_003, None),  # NULL text: null-hardening is oracle-gated
         ],
         "doc_id long, text string",
     )
@@ -518,11 +519,12 @@ WITH corpus AS (
   UNION ALL
   SELECT * FROM (VALUES
     (2000001, 'tiny doc'),
-    (2000002, 'xyzzy qwerty plugh foobar grault corge waldo')) v(doc_id, text)
+    (2000002, 'xyzzy qwerty plugh foobar grault corge waldo'),
+    (2000003, CAST(NULL AS VARCHAR))) v(doc_id, text)
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
-         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t,
+         sha256(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp
   FROM corpus
 ),
 canon AS (SELECT fp, min(doc_id) AS canon_id FROM toks GROUP BY fp),
@@ -791,13 +793,21 @@ def _text_chunk_plan(spark, sf_dir):
     # step of a training pipeline (training/text.py::chunk_plan)
     from dr_source_spark.training.text import chunk_plan
 
-    return chunk_plan(_t(spark, sf_dir, "documents"), max_tokens=64, overlap=8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted NULL-text row: must plan as one empty chunk, oracle-gated
+    null_row = spark.createDataFrame([(9_000_001, None)], "doc_id long, text string")
+    return chunk_plan(docs.union(null_row), max_tokens=64, overlap=8)
 
 
 _TEXT_CHUNK_SQL = r"""
-WITH t AS (
-  SELECT doc_id, CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
-  FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 9000001, CAST(NULL AS VARCHAR)
+),
+t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\w+')) AS BIGINT) AS n_tokens
+  FROM corpus
 ),
 c AS (
   SELECT doc_id, n_tokens,
@@ -1607,28 +1617,25 @@ def _stream_curation(spark, sf_dir):
     base = f"/tmp/drs_scur_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.filter(F.col("doc_id") % 3 != 2).coalesce(1).write.parquet(f"{base}/src/part1")
+    # planted NULL-text row: the null-hardening (NULL fingerprints as the
+    # empty string and verdicts as too_short) is itself oracle-gated
+    null_row = spark.createDataFrame([(3_000_001, None)], "doc_id long, text string")
+    docs.filter(F.col("doc_id") % 3 != 2).union(null_row).coalesce(1).write.parquet(
+        f"{base}/src/part1"
+    )
     docs.filter(F.col("doc_id") % 3 != 0).coalesce(1).write.parquet(f"{base}/src/part2")
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{base}/src/part*")
     )
-    from dr_source_spark.training.text import STOPWORDS
+    # verdict logic is imported, not re-specified: batch and streaming
+    # curation share the SAME when-chain (training/curate.py), so they
+    # cannot drift
+    from dr_source_spark.training.curate import quality_reason_expr
 
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_toks = F.size(toks)
-    stop_ratio = F.round(
-        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
-        / F.greatest(n_toks, F.lit(1)),
-        4,
-    )
-    reason = (
-        F.when(n_toks < 5, F.lit("too_short"))
-        .when(stop_ratio < 0.05, F.lit("low_stopword_ratio"))
-        .otherwise(F.lit("kept"))
-    )
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    reason = quality_reason_expr(F.col("text"))
     curated = (
         stream.withColumn("fingerprint", F.sha2(norm, 256))
         .dropDuplicates(["fingerprint"])
@@ -1645,6 +1652,11 @@ def _stream_curation(spark, sf_dir):
 
 
 _STREAM_CURATION_SQL = r"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT CAST(NULL AS VARCHAR)
+),
+t AS (SELECT coalesce(text, '') AS text FROM corpus)
 SELECT DISTINCT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
        CASE WHEN length(string_split_regex(trim(text), '\s+')) < 5 THEN 'too_short'
             WHEN round(length(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1652,7 +1664,7 @@ SELECT DISTINCT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerpr
                  / greatest(length(string_split_regex(trim(text), '\s+')), 1), 4) < 0.05
                  THEN 'low_stopword_ratio'
             ELSE 'kept' END AS reason
-FROM documents
+FROM t
 """
 
 
@@ -1794,7 +1806,27 @@ WHERE regexp_matches(text, '\bcustomer\b') AND NOT regexp_matches(text, '\btable
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
+    # 50 dict entries only. Every query here has been oracle-verified, but a
+    # formal driver row requires being inside that window, so the front of
+    # the dict carries (a) queries that have never had a driver row and
+    # (b) queries added this round; long-green queries rotate to the back.
+    # r4 window = dict entries 1-50 of the r4 ordering; the 13 now leading
+    # were past it (6 of them never driver-checked in any round).
     return {
+        "kg_triangles": _kg_triangles,
+        "kg_reachability": _kg_reachability,
+        "kg_triples_diff": _kg_triples_diff,
+        "stream_sessionize": _stream_sessionize,
+        "stream_dedup_keys": _stream_dedup_keys,
+        "stream_curation": _stream_curation,
+        "kg_node_degrees": _kg_node_degrees,
+        "kg_severity_histogram": _kg_severity_histogram,
+        "kg_pagerank": _kg_pagerank,
+        "kg_components": _kg_components,
+        "tier_error_rate": _tier_error_rate,
+        "stream_windowed_counts": _stream_windowed_counts,
+        "stream_risk_ledger": _stream_risk_ledger,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -1845,19 +1877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonicalize": _kg_canonicalize,
         "kg_graph_edges": _kg_graph_edges,
         "kg_graph_nodes": _kg_graph_nodes,
-        "kg_node_degrees": _kg_node_degrees,
-        "kg_severity_histogram": _kg_severity_histogram,
-        "kg_pagerank": _kg_pagerank,
-        "kg_components": _kg_components,
-        "kg_triangles": _kg_triangles,
-        "kg_reachability": _kg_reachability,
-        "kg_triples_diff": _kg_triples_diff,
-        "tier_error_rate": _tier_error_rate,
-        "stream_windowed_counts": _stream_windowed_counts,
-        "stream_risk_ledger": _stream_risk_ledger,
-        "stream_sessionize": _stream_sessionize,
-        "stream_dedup_keys": _stream_dedup_keys,
-        "stream_curation": _stream_curation,
     }
 
 

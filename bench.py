@@ -105,6 +105,19 @@ def main():
     # query cost, and best-of-2 can't mask it
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     bench_kg_extract(spark)
+
+    # Load gate: the shared sandbox box carries load waves (observed loadavg
+    # 1 -> 10 within minutes) that corrupted the r3/r4 cross-round series.
+    # Spin-wait (bounded) for a quiet 1-min loadavg before the timed passes;
+    # if the gate never opens, run anyway and stamp the JSON noisy so a
+    # reader can tell engine regression from box noise without re-running.
+    gate_t0 = time.monotonic()
+    gate_limit = float(os.environ.get("SPARK_GRAFT_LOADGATE_SEC", "600"))
+    gate_thresh = float(os.environ.get("SPARK_GRAFT_LOADGATE_LOAD", "2.0"))
+    while os.getloadavg()[0] >= gate_thresh and time.monotonic() - gate_t0 < gate_limit:
+        time.sleep(10)
+    load_gate_wait = round(time.monotonic() - gate_t0, 1)
+    noisy = os.getloadavg()[0] >= gate_thresh
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     timed("kg_extract", lambda: bench_kg_extract(spark))
@@ -143,8 +156,10 @@ def main():
         # best-to-worst spread — a regression claim needs a quiet box
         # (loadavg ~ the Spark job itself) and a small spread
         "extra": extra,
+        "noisy": noisy,
         "noise": dict(noise, loadavg_start=loadavg_start,
-                      loadavg_end=[round(x, 2) for x in os.getloadavg()]),
+                      loadavg_end=[round(x, 2) for x in os.getloadavg()],
+                      load_gate_wait_sec=load_gate_wait),
     }
     print(json.dumps(out))
     spark.stop()

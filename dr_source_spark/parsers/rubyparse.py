@@ -95,34 +95,39 @@ def _blank_noncode(src: str) -> str:
             in_comment = True
             out.append("")
             continue
-        # detect openers on a copy with string literals and the comment
-        # tail removed — '<<~EOT' mentioned in a comment or string must not
+        # detect openers on a POSITION-PRESERVING probe: string-literal
+        # bodies are padded to spaces (not removed) so every probe match
+        # span maps 1:1 onto the raw line, and the comment tail is
+        # truncated — '<<~EOT' mentioned in a comment or string must not
         # swallow the rest of the file (conservative: a '#' inside a regex
-        # literal truncates the probe, which can only MISS openers)
-        probe = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", "", line)
-        probe = probe.split("#", 1)[0]
-        opens = [m.groups() for m in _HEREDOC_OPEN.finditer(probe) if _heredoc_ok(*m.groups())]
-        if opens:
-            for _squig, q, tag in opens:
+        # literal truncates the probe, which can only MISS openers). A
+        # string literal that IS a heredoc tag (``<<~'EOS'`` / ``<<"TAG"``)
+        # survives the padding so quoted-tag heredocs are detected.
+        def _pad(m: "re.Match[str]", _line=line) -> str:
+            if re.search(r"<<[~-]?$", _line[max(0, m.start() - 3) : m.start()]):
+                return m.group(0)  # quote is a heredoc tag, keep it
+            return " " * len(m.group(0))
+
+        probe = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", _pad, line)
+        hash_at = probe.find("#")
+        if hash_at != -1:
+            probe = probe[:hash_at]
+        matches = [m for m in _HEREDOC_OPEN.finditer(probe) if _heredoc_ok(*m.groups())]
+        if matches:
+            for m in matches:
+                _squig, q, tag = m.groups()
                 pending.append({"tag": tag, "interp": q != "'", "ph": n_ph, "frags": []})
                 n_ph += 1
             # each opener becomes a placeholder, patched to a string literal
-            # (empty, or carrying the body's interpolation) once its body ends
-            counter = iter(range(n_ph - len(opens), n_ph))
-
-            def _repl(m, _counter=counter):
-                # the sub runs on the RAW line while openers were detected on
-                # the string-stripped probe — an opener-shaped token inside a
-                # string literal must pass through unchanged, never consume a
-                # registered placeholder or exhaust the counter
-                if not _heredoc_ok(*m.groups()):
-                    return m.group(0)
-                try:
-                    return f"\x00H{next(_counter)}\x00"
-                except StopIteration:
-                    return m.group(0)
-
-            line = _HEREDOC_OPEN.sub(_repl, line)
+            # (empty, or carrying the body's interpolation) once its body
+            # ends. Splice at the PROBE spans, right-to-left so earlier
+            # offsets stay valid — an opener-shaped token inside a string
+            # literal is space-padding in the probe, so it can never match
+            # there and never consumes a placeholder (it passes through to
+            # the tokenizer's own string handling unchanged).
+            for m, ph in zip(reversed(matches), reversed(range(n_ph - len(matches), n_ph))):
+                s, e = m.span()
+                line = line[:s] + f"\x00H{ph}\x00" + line[e:]
         out.append(line)
     text = "\n".join(out)
     if n_ph:

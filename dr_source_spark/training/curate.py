@@ -24,6 +24,30 @@ REASON_LOW_STOPWORD = "low_stopword_ratio"
 REASON_KEPT = "kept"
 
 
+def quality_reason_expr(text_col, min_tokens: int = 5, min_stopword_ratio: float = 0.05):
+    """The per-document quality when-chain (too_short > low_stopword_ratio >
+    kept) as a Column expression over ``text_col``.
+
+    This is THE verdict definition: batch ``curation_decisions`` layers the
+    duplicate check on top of it and the streaming curation query
+    (``__spark_entry__._stream_curation``) consumes it directly, so the two
+    paths cannot drift. Null-safe: NULL text is scored as the empty string
+    (0 tokens -> too_short) — a curation verdict must exist for every row.
+    """
+    toks = F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+")
+    n_toks = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    return (
+        F.when(n_toks < min_tokens, F.lit(REASON_TOO_SHORT))
+        .when(stop_ratio < min_stopword_ratio, F.lit(REASON_LOW_STOPWORD))
+        .otherwise(F.lit(REASON_KEPT))
+    )
+
+
 def curation_decisions(
     documents: DataFrame,
     min_tokens: int = 5,
@@ -49,19 +73,9 @@ def curation_decisions(
     norm = F.regexp_replace(F.lower(txt), r"\s+", " ")
     docs = documents.select("doc_id", txt.alias("text"), F.sha2(norm, 256).alias("_fp"))
     canon = docs.groupBy("_fp").agg(F.min("doc_id").alias("_canon"))
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_toks = F.size(toks)
-    stop_ratio = F.round(
-        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
-        / F.greatest(n_toks, F.lit(1)),
-        4,
-    )
-    reason = (
-        F.when(F.col("doc_id") != F.col("_canon"), F.lit(REASON_DUPLICATE))
-        .when(n_toks < min_tokens, F.lit(REASON_TOO_SHORT))
-        .when(stop_ratio < min_stopword_ratio, F.lit(REASON_LOW_STOPWORD))
-        .otherwise(F.lit(REASON_KEPT))
-    )
+    reason = F.when(
+        F.col("doc_id") != F.col("_canon"), F.lit(REASON_DUPLICATE)
+    ).otherwise(quality_reason_expr(F.col("text"), min_tokens, min_stopword_ratio))
     return (
         docs.join(canon, "_fp")
         .select("doc_id", reason.alias("reason"))

@@ -330,6 +330,40 @@ def test_ruby_string_opener_does_not_steal_placeholder():
     assert out and out[0]["line"] == 5, out
 
 
+def test_ruby_same_line_string_lookalike_keeps_real_opener():
+    """ADVICE r4: a valid-form opener lookalike inside a string literal ON
+    THE SAME LINE as a real opener must not consume the placeholder — the
+    probe's match spans are position-aligned with the raw line, so only the
+    real opener is substituted and the string survives verbatim."""
+    from dr_source_spark.parsers.rubyparse import _blank_noncode
+
+    src = 'msg = "use <<~EOS"; cmd = <<~DOC\n  ls #{params[:x]}\nDOC\nsystem(cmd)\n'
+    blanked = _blank_noncode(src)
+    assert '"use <<~EOS"' in blanked  # string untouched
+    assert "<<~DOC" not in blanked  # real opener substituted
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert out and out[0]["line"] == 4, out
+
+
+@pytest.mark.parametrize(
+    "name,src,tainted",
+    [
+        # quoted-tag heredocs: the probe must NOT pad away the tag string —
+        # before the r5 fix these bodies lexed as code (false-positive risk)
+        ("squiggly_sq", "x = <<~'EOS'\n  system(params[:x])\nEOS\nputs x", False),
+        ("bare_sq", "x = <<'EOS'\n  system(params[:x])\nEOS\nputs x", False),
+        ("squiggly_dq_interp", 'cmd = <<~"EOS"\n  ls #{params[:x]}\nEOS\nsystem(cmd)', True),
+        ("bare_dq_interp", 'cmd = <<"EOS"\n  ls #{params[:x]}\nEOS\nsystem(cmd)', True),
+    ],
+)
+def test_ruby_quoted_tag_heredocs_blanked(name, src, tainted):
+    """Quoted heredoc tags (<<~'EOS', <<"TAG") are detected by the probe;
+    single-quoted tags suppress interpolation (nowdoc), double-quoted keep
+    it — and sink-shaped TEXT inside any body never lexes as code."""
+    out = [f for f in _ruby(src) if "system" in (f.get("sink") or "")]
+    assert bool(out) == tainted, (name, out)
+
+
 def test_lexer_prepasses_skip_on_probe_negative_content():
     """Per-file pre-passes must return the INPUT OBJECT (identity — proving
     the O(n) scan never ran) when a cheap substring/regex probe says the

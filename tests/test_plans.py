@@ -10,6 +10,20 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _cache_free(spark, fixture_corpus):
+    """Plan gates must see REAL scans. Any earlier module that cached a
+    DataFrame over the same parquet (e.g. test_training_ops' docs fixture)
+    makes Spark's CacheManager substitute an InMemoryRelation whose stored
+    plan text still carries the ORIGINAL full-schema FileScan line — the
+    pruning assertions would then fail on state, not on the operator.
+    Clear the cache for this module; re-mark the session-scoped corpus
+    cache afterwards so later modules keep their speed."""
+    spark.catalog.clearCache()
+    yield
+    fixture_corpus.cache()
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

@@ -42,9 +42,13 @@ def test_relational_plan_is_jvm_only_with_foldable_patterns(both):
 
 
 def test_split_mode_equals_fused(spark, fixture_corpus):
-    """run_detectors(regex_jvm=True) must emit the IDENTICAL finding set
-    as the fused single-UDF path — the tiers' dedup-key namespaces are
-    disjoint, so splitting the regex tier out cannot change the dedup."""
+    """run_detectors(regex_jvm=True) must emit the IDENTICAL finding
+    MULTISET as the fused single-UDF path — the tiers' dedup-key namespaces
+    are disjoint, so splitting the regex tier out cannot change the dedup.
+    Counter (not set — ADVICE r4): a multiplicity divergence (fused
+    per-file dedup vs an un-deduped relational regex part) must fail."""
+    from collections import Counter
+
     from dr_source_spark.kb import compiled_kb_cached
     from dr_source_spark.operators.analyze import run_detectors
     from dr_source_spark.sources.corpus import ingest_source_files
@@ -53,12 +57,12 @@ def test_split_mode_equals_fused(spark, fixture_corpus):
     ckb = compiled_kb_cached(project_dir="/nonexistent")
 
     def rows(df):
-        return {
+        return Counter(
             (r.repo, r.path, r.line, r.vuln_type, r.message, r.severity,
              r.rule_id, r.cwe, r.variable, r.sink, r.source, r.base_type,
              r.plugin, tuple(r.trace or []))
             for r in df.collect()
-        }
+        )
 
     fix = ingest_source_files(fixture_corpus)
     assert rows(run_detectors(fix, ckb, regex_jvm=True)) == rows(run_detectors(fix, ckb))

@@ -19,6 +19,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 qs, os_ = E.queries(), E.oracle_sql()
+if len(sys.argv) > 1:  # optional: check only the named queries
+    want = set(sys.argv[1:])
+    unknown = want - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in want}
 fails = []
 for name, fn in qs.items():
     try:
