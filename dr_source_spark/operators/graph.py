@@ -109,7 +109,9 @@ def pagerank_fixed_point(
     return ranks.select("node", "rank")
 
 
-def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def alternating_star_components(
+    edges: DataFrame, max_rounds: int = 50, batch: int = 2
+) -> DataFrame:
     """Connected components by alternating large-star/small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     O(log n) rounds, each round two narrow-key groupBy shuffles, no
@@ -122,8 +124,17 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataF
     from an ``observe`` metric on the round's own checkpoint
     materialization — ONE Spark job per round, no separate fingerprint
     aggregate (round-3 postmortem: the extra scalar job per round dominated
-    wall time at small scale). Lineage is truncated per round; on a real
-    cluster configure a reliable checkpoint dir."""
+    wall time at small scale). ``batch`` large/small pairs run between
+    consecutive checkpoint+fingerprint materializations (round-4
+    postmortem: at small scale the observe/localCheckpoint fixed cost per
+    materialization rivals the star shuffles themselves, so checking every
+    pair paid that cost twice as often as needed). Correctness is
+    unaffected: the star edge list is a fixed point of both star
+    operations, so overshooting convergence by up to ``batch - 1`` pairs
+    re-derives the identical edge list, and a converged fingerprint is
+    detected one (cheap, already-converged) batch later. Lineage is
+    truncated per batch; on a real cluster configure a reliable checkpoint
+    dir."""
 
     def star(df: DataFrame, large: bool) -> DataFrame:
         if large:
@@ -156,13 +167,20 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 50) -> DataF
         m = obs.get
         return df, (m["n"], m["h"])
 
+    batch = max(1, batch)
     cur, prev_fp = _ckpt_with_fp(edges.select("src", "dst").distinct())
-    for _ in range(max_rounds):
+    rounds_left = max_rounds
+    while rounds_left > 0:
         if prev_fp[0] == 0:
             break
-        nxt, fp = _ckpt_with_fp(star(star(cur, large=True), large=False))
+        pairs = min(batch, rounds_left)
+        stepped = cur
+        for _ in range(pairs):
+            stepped = star(star(stepped, large=True), large=False)
+        nxt, fp = _ckpt_with_fp(stepped)
         cur.unpersist()
         cur = nxt
+        rounds_left -= pairs
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -17,8 +17,12 @@ ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def main() -> None:
     manifest = {}
     for dirpath, _dirs, files in os.walk(ROOT):
+        # Tool/editor droppings (e.g. a stray .pytest_cache from running
+        # pytest inside the corpus dir) are not corpus files; pinning them
+        # breaks fresh checkouts where gitignored caches don't exist.
+        _dirs[:] = [d for d in _dirs if not d.startswith(".")]
         for fn in sorted(files):
-            if fn in ("MANIFEST.json", "README.md"):
+            if fn in ("MANIFEST.json", "README.md") or fn.startswith("."):
                 continue
             fp = os.path.join(dirpath, fn)
             rel = os.path.relpath(fp, ROOT)
