@@ -303,14 +303,40 @@ def _dedup_minhash(spark, sf_dir):
     )
 
 
-_DEDUP_MINHASH_SQL = r"""
+def _duck_minhash_base(col: str) -> str:
+    """DuckDB expression for the engine's 32-bit minhash base hash: the
+    first 8 hex chars of md5 as an integer, nibble-by-nibble (DuckDB has
+    no hex→int conv; every term cast to BIGINT so integer multiplication
+    cannot overflow-error)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {k}, 1)) - 1)::BIGINT * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def _duck_minhash_seeds(num_hashes: int) -> str:
+    """seeds(seed, a, b) VALUES list — the SAME deterministic family the
+    engine uses (training/dedup.py:minhash_family), embedded as literals."""
+    from dr_source_spark.training.dedup import minhash_family
+
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_family(num_hashes))
+    )
+    return f"seeds(seed, a, b) AS (VALUES {rows})"
+
+
+_MINHASH_P = 4294967311  # keep in sync with training/dedup.py:_MINHASH_P
+
+_DEDUP_MINHASH_SQL = rf"""
 WITH words AS (
   SELECT DISTINCT doc_id, w FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
   ) WHERE w <> ''
-), seeds AS (SELECT unnest(range(8)) AS seed)
-SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS minhash
-FROM words CROSS JOIN seeds GROUP BY doc_id, seed
+), {_duck_minhash_seeds(8)},
+base AS (SELECT doc_id, {_duck_minhash_base('w')} AS h FROM words)
+SELECT doc_id, seed, min((a * h + b) % {_MINHASH_P}) AS minhash
+FROM base CROSS JOIN seeds GROUP BY doc_id, seed
 """
 
 
@@ -327,15 +353,16 @@ _WORDS_CTE = r"""words AS (
 
 def _lsh_pairs_ctes(num_hashes: int = _LSH_HASHES, bands: int = _LSH_BANDS, cap: int = _LSH_CAP) -> str:
     r = num_hashes // bands
-    return f"""WITH {_WORDS_CTE}, seeds AS (SELECT unnest(range({num_hashes})) AS seed),
+    return f"""WITH {_WORDS_CTE}, {_duck_minhash_seeds(num_hashes)},
+base AS (SELECT doc_id, {_duck_minhash_base('w')} AS h FROM words),
 sigs AS (
   SELECT doc_id, seed, CAST(seed // {r} AS INT) AS band,
-         min(md5(seed::VARCHAR || ':' || w)) AS minhash
-  FROM words CROSS JOIN seeds GROUP BY doc_id, seed
+         min((a * h + b) % {_MINHASH_P}) AS minhash
+  FROM base CROSS JOIN seeds GROUP BY doc_id, seed
 ),
 band_sigs AS (
   SELECT doc_id, band,
-         string_agg(seed::VARCHAR || ':' || minhash, '|' ORDER BY seed::VARCHAR || ':' || minhash) AS band_sig
+         string_agg(minhash::VARCHAR, '|' ORDER BY seed) AS band_sig
   FROM sigs GROUP BY doc_id, band
 ),
 kept AS (
@@ -359,15 +386,16 @@ def _dedup_minhash_shingles(spark, sf_dir):
     ).withColumn("seed", F.col("seed").cast("long"))
 
 
-_DEDUP_SHINGLE_SQL = """
+_DEDUP_SHINGLE_SQL = f"""
 WITH pos AS (
   SELECT doc_id, lower(text) AS t,
          unnest(range(1, greatest(length(lower(text)) - 4, 1) + 1)) AS i
   FROM documents
 ), sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS w FROM pos),
-seeds AS (SELECT unnest(range(6)) AS seed)
-SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS minhash
-FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+{_duck_minhash_seeds(6)},
+base AS (SELECT doc_id, {_duck_minhash_base('w')} AS h FROM sh)
+SELECT doc_id, seed, min((a * h + b) % {_MINHASH_P}) AS minhash
+FROM base CROSS JOIN seeds GROUP BY doc_id, seed
 """
 
 

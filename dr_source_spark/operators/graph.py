@@ -110,7 +110,7 @@ def pagerank_fixed_point(
 
 
 def alternating_star_components(
-    edges: DataFrame, max_rounds: int = 50, batch: int = 2
+    edges: DataFrame, max_rounds: int = 50, batch: int = 1
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
@@ -125,14 +125,16 @@ def alternating_star_components(
     materialization — ONE Spark job per round, no separate fingerprint
     aggregate (round-3 postmortem: the extra scalar job per round dominated
     wall time at small scale). ``batch`` large/small pairs run between
-    consecutive checkpoint+fingerprint materializations (round-4
-    postmortem: at small scale the observe/localCheckpoint fixed cost per
-    materialization rivals the star shuffles themselves, so checking every
-    pair paid that cost twice as often as needed). Correctness is
-    unaffected: the star edge list is a fixed point of both star
-    operations, so overshooting convergence by up to ``batch - 1`` pairs
-    re-derives the identical edge list, and a converged fingerprint is
-    detected one (cheap, already-converged) batch later. Lineage is
+    consecutive checkpoint+fingerprint materializations. Correctness is
+    batch-independent (the star edge list is a fixed point of both star
+    operations, so overshooting convergence re-derives the identical edge
+    list), but ``batch=2`` was MEASURED 3x SLOWER on the sf0.1 near-dup
+    graph (82,791 edges: 3.4-6.0 s at batch=1 vs 10.0-10.4 s at batch=2,
+    quiet box, round 5) — each star composes two self-unions, so two
+    un-checkpointed pairs roughly quadruple the logical plan Catalyst must
+    optimize per job, which swamps the saved observe/checkpoint fixed
+    cost. Default stays 1; the knob remains for large clusters where the
+    driver round-trip (not plan optimization) dominates. Lineage is
     truncated per batch; on a real cluster configure a reliable checkpoint
     dir."""
 

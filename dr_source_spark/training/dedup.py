@@ -50,40 +50,78 @@ def _shingles(n: int, col="text"):
     return F.array_distinct(F.transform(positions, lambda i: t.substr(i, F.lit(n))))
 
 
+# Universal-hash MinHash family: h_i(w) = (a_i * base(w) + b_i) % P with
+# base(w) = the first 8 hex chars of md5(w) as a 32-bit integer and P the
+# smallest prime > 2^32. ONE md5 per token (the base), then num_hashes
+# integer multiply-adds — vs one md5 PER (token, seed) in the naive
+# md5(seed||token) family (measured ~2.5x faster end-to-end on the sf0.1
+# candidates pipeline, round 5; also narrows the shuffled signature from a
+# 32-char hex string to an 8-byte long). Bounds keep every intermediate in
+# signed 64-bit on ANY engine: a <= 2^31-1, b < 2^31, base < 2^32 =>
+# a*base + b <= 2^63 - 2^32 < 2^63. Constants derive deterministically
+# from md5 so the DuckDB oracle embeds the identical family as literals.
+_MINHASH_P = 4294967311
+
+
+def minhash_family(num_hashes: int) -> list:
+    """Deterministic (a_i, b_i) parameters of the minhash family —
+    regenerable by any engine/test from the spec in the comment above."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        a = int.from_bytes(hashlib.md5(f"a:{i}".encode()).digest()[:4], "big") % (2**31 - 1) + 1
+        b = int.from_bytes(hashlib.md5(f"b:{i}".encode()).digest()[:4], "big") % (2**31)
+        params.append((a, b))
+    return params
+
+
+def _minhash_base(col):
+    """32-bit integer base hash of a token column (first 8 md5 hex chars)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _minhash_wide(documents: DataFrame, num_hashes: int, shingle_n: int = 0) -> DataFrame:
+    """(doc_id, m0..m{num_hashes-1}) — all mins in ONE aggregate pass.
+
+    The base hash is projected BEFORE the aggregate so the md5 runs once
+    per token row; the num_hashes aggregate expressions are pure integer
+    arithmetic over that column (an md5 inside each aggregate would not be
+    common-subexpression-eliminated across aggregates)."""
+    sc = documents.sparkSession.sparkContext
+    tokens = _shingles(shingle_n) if shingle_n else _words()
+    hashed = (
+        documents.repartition(sc.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(tokens).alias("word"))
+        .select("doc_id", _minhash_base(F.col("word")).alias("h"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_family(num_hashes))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 8, shingle_n: int = 0
 ) -> DataFrame:
-    """Long-format MinHash signatures: (doc_id, seed, minhash).
+    """Long-format MinHash signatures: (doc_id, seed, minhash) with
+    minhash a 64-bit integer from the universal family above.
 
     Token-free documents (NULL/empty/whitespace text) emit NO signature —
     deliberate: a doc with no tokens has no word-set to be near-duplicate
     OF (Jaccard undefined), and exact dedup + curation handle empties.
     Downstream pair sets therefore never contain such docs.
 
-    Hash family: md5(seed || ':' || token) — portable across engines (the
-    DuckDB oracle computes the identical signature), uniform enough for
-    Jaccard estimation. min() over hex strings = min over the hash family.
-
     Tokens are whitespace words by default; shingle_n > 0 switches to
     character n-gram shingles (shingle→minhash→band→bucket-join — the
     classic near-dup pipeline shape).
 
     Plan shape: repartition the (narrow) doc rows first — a small corpus
-    often arrives as one parquet split and the md5 work would otherwise run
-    in a single task; all k mins are computed in ONE aggregate pass (k
-    expressions, no seed explode) and unpivoted with stack().
-    """
-    sc = documents.sparkSession.sparkContext
-    tokens = _shingles(shingle_n) if shingle_n else _words()
-    words = (
-        documents.repartition(sc.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(tokens).alias("word"))
-    )
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("word")))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    per_doc = words.groupBy("doc_id").agg(*aggs)
+    often arrives as one parquet split and the hash work would otherwise
+    run in a single task; all k mins are computed in ONE aggregate pass (k
+    expressions, no seed explode) and unpivoted with stack()."""
+    per_doc = _minhash_wide(documents, num_hashes, shingle_n)
     stack_expr = "stack({n}, {cols}) as (seed, minhash)".format(
         n=num_hashes, cols=", ".join(f"CAST({i} AS INT), m{i}" for i in range(num_hashes))
     )
@@ -91,13 +129,27 @@ def minhash_signatures(
 
 
 def _band_signatures(documents: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_sig): band_sig = the band's minhashes joined in
+    seed order. Computed straight off the wide aggregate — an array of
+    per-band structs exploded in-plan — so banding adds NO extra shuffle
+    (the former long-format stack + groupBy(doc_id, band) re-shuffled the
+    signatures a second time)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes).withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
+    per_doc = _minhash_wide(documents, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"m{j * rows_per_band + k}").cast("string") for k in range(rows_per_band)],
+                ).alias("band_sig"),
+            )
+            for j in range(bands)
+        ]
     )
-    return (
-        sigs.groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash")))).alias("band_sig"))
+    return per_doc.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
 
 
@@ -130,25 +182,46 @@ def minhash_lsh_candidates(
     clusters are near-identical text and are handled by the cheaper
     exact-dedup pass. The group count uses a map-side partial aggregate
     (narrow keys), so a hot signature never pins one task before the cap.
-    Set max_cluster=0 to disable."""
+    Set max_cluster=0 to disable.
+
+    Pair generation is ONE groupBy over the band signatures plus an
+    in-plan combination explode — NOT a self-join. A self-join here plans
+    the whole signature pipeline (explode + ``num_hashes`` md5 aggregates)
+    once per join side plus once for the cap pre-pass: three full
+    computations per materialization (measured 3x the signature cost at
+    sf0.1, round 5). The grouped form computes signatures once, and the
+    per-group id array is bounded by ``max_cluster`` — the same cap that
+    already protects the pair count — so collect_list cannot blow up a
+    task."""
     band_sigs = _band_signatures(documents, num_hashes, bands)
+    groups = band_sigs.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+        F.count("*").alias("_n"),
+    )
     if max_cluster:
         oversized = F.col("_n") > max_cluster
-        sizes = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
         # metric names must be unique within one physical plan — suffix a
         # per-call sequence so two candidate sets can be unioned/joined
-        sizes = sizes.observe(
+        groups = groups.observe(
             f"lsh_cap_drops_{next(_LSH_OBS_SEQ)}",
             F.sum(F.when(oversized, 1).otherwise(0)).alias("n_oversized_clusters"),
             F.sum(F.when(oversized, F.col("_n")).otherwise(0)).alias("n_docs_in_oversized"),
         )
-        kept = sizes.filter(~oversized).select("band", "band_sig")
-        band_sigs = band_sigs.join(kept, ["band", "band_sig"], "left_semi")
-    left = band_sigs.alias("l")
-    right = band_sigs.alias("r")
+        groups = groups.filter(~oversized)
     pairs = (
-        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.band_sig") == F.col("r.band_sig")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        groups.filter(F.col("_n") >= 2)
+        .select(
+            F.explode(
+                # ordered pairs within the (sorted) group: element i with
+                # every later element — doc_a < doc_b by construction
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids)), y -> "
+                    "struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return pairs

@@ -29,7 +29,9 @@ def test_minhash_signature_shape(docs):
     sigs = minhash_signatures(docs.limit(20), num_hashes=8)
     rows = sigs.collect()
     assert len(rows) == 20 * 8
-    assert all(len(r.minhash) == 32 for r in rows)  # md5 hex
+    # universal-family values: integers in [0, P) with P the smallest
+    # prime > 2^32 (training/dedup.py:_MINHASH_P)
+    assert all(0 <= r.minhash < 4294967311 for r in rows)
 
 
 def test_minhash_identical_docs_collide(spark):
