@@ -28,7 +28,6 @@ from typing import Any, Dict, Iterator, List, Optional, Set
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..schema import PROJECT_INDEX
 
@@ -117,8 +116,20 @@ def build_symbol_index(files_df: DataFrame, include_python: bool = False) -> Dat
     # same symbol is defined in multiple files the simulated callee can
     # therefore differ from a given reference run; within one file the
     # order_id tiebreak matches the reference exactly.
-    w = Window.partitionBy("name").orderBy(F.desc("path"), F.desc("order_id"))
-    return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # max_by, not a row_number window: a window sorts every partition of
+    # defs; max_by is a hash aggregate with map-side partial combine, so
+    # only one surviving def per (name, map task) reaches the shuffle —
+    # at corpus scale the shuffle carries ~|distinct names| rows instead
+    # of ~|all defs|.
+    return (
+        raw.groupBy("name")
+        .agg(
+            F.max_by(
+                F.struct(*_INDEX_COLS), F.struct(F.col("path"), F.col("order_id"))
+            ).alias("_d")
+        )
+        .select("_d.*")
+    )
 
 
 def restrict_to_names(index_df: DataFrame, names: Set[str]) -> DataFrame:
