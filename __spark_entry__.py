@@ -816,6 +816,63 @@ FROM e
 """
 
 
+def _emb_kmeans(spark, sf_dir):
+    # exact-integer Lloyd k-means (2 passes, deterministic seed = 8
+    # smallest ids): centroids carried as (Σq, n) exact pairs so the
+    # assignment argmin is engine-reproducible (similarity.kmeans_assign)
+    from dr_source_spark.training.similarity import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+_EMB_KMEANS_SQL = r"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS MATERIALIZED (
+  SELECT s.cluster, q.dim, sum(q.qi) AS s, count(*) AS n
+  FROM seeds s JOIN q ON q.vec_id = s.vec_id GROUP BY s.cluster, q.dim
+),
+d1 AS (
+  SELECT q.vec_id, c.cluster,
+         sum((c.n * q.qi - c.s) * (c.n * q.qi - c.s)) AS num,
+         max(c.n) AS n
+  FROM q JOIN c0 c ON c.dim = q.dim
+  GROUP BY q.vec_id, c.cluster
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE), cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+  SELECT a.cluster, q.dim, sum(q.qi) AS s, count(*) AS n
+  FROM a1 a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cluster, q.dim
+),
+d2 AS (
+  SELECT q.vec_id, c.cluster,
+         sum((c.n * q.qi - c.s) * (c.n * q.qi - c.s)) AS num,
+         max(c.n) AS n
+  FROM q JOIN c1 c ON c.dim = q.dim
+  GROUP BY q.vec_id, c.cluster
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       round(CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) / 100000000.0, 6) AS dist2
+FROM (
+  SELECT vec_id, cluster, num, n,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE), cluster) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
+
 def _text_chunk_plan(spark, sf_dir):
     # token-budget chunking with overlap — the pre-tokenization packing
     # step of a training pipeline (training/text.py::chunk_plan)
@@ -869,6 +926,68 @@ WITH t AS (
 SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM g GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+"""
+
+
+def _text_boilerplate_spans(spark, sf_dir):
+    # cross-doc repeated-passage detection: 13-grams shared by >=3 docs,
+    # merged per-doc into maximal token spans (gaps-and-islands windows)
+    from dr_source_spark.training.text import boilerplate_spans
+
+    return boilerplate_spans(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_BOILERPLATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+12], ' ')) AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS u(i)
+  WHERE len(t) >= 13
+), shared AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) >= 3
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 12) OVER w IS NULL OR pos > max(pos + 12) OVER w
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 12 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, island
+"""
+
+
+def _text_bpe_merges(spark, sf_dir):
+    # first BPE training iteration: top adjacent char pairs weighted by
+    # word frequency; pair explode runs on DISTINCT words only
+    from dr_source_spark.training.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_BPE_MERGES_SQL = r"""
+WITH w AS (
+  SELECT wd AS word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd FROM documents
+  ) WHERE wd <> '' GROUP BY wd
+), p AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+  FROM w, unnest(range(1, greatest(length(word) - 1, 0) + 1)) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS score
+FROM p GROUP BY pair
+ORDER BY score DESC, pair ASC
 LIMIT 20
 """
 
@@ -1293,6 +1412,48 @@ def _kg_triangles(spark, sf_dir):
     from dr_source_spark.operators.graph import triangle_counts
 
     return triangle_counts(_kg_triples(spark, sf_dir).edges)
+
+
+_KCORE_K, _KCORE_ROUNDS = 2, 16
+
+
+def _kg_kcore(spark, sf_dir):
+    # dense-part extraction: nodes of the 2-core (surviving iterated
+    # removal of degree<2 nodes over the undirected simple KG) with their
+    # in-core degree. Bounded identically to the oracle's unroll — early
+    # stop only at a true fixpoint, where further peels are the identity.
+    from dr_source_spark.operators.graph import kcore_nodes
+
+    return kcore_nodes(
+        _kg_triples(spark, sf_dir).edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    )
+
+
+def _kg_kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    parts = [
+        f"WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM kg_e WHERE src <> dst),",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(
+            f"alive{i} AS MATERIALIZED (SELECT node FROM ("
+            f" SELECT a AS node FROM {p} UNION ALL SELECT b FROM {p})"
+            f" GROUP BY node HAVING count(*) >= {k}),\n"
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM {p}"
+            f" WHERE a IN (SELECT node FROM alive{i})"
+            f" AND b IN (SELECT node FROM alive{i})),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM ("
+        f" SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})"
+        f" GROUP BY node HAVING count(*) >= {k}"
+    )
 
 
 def _kg_triangles_sql() -> str:
@@ -1855,6 +2016,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
+        # round-5 additions (inside the driver's 50-entry window)
+        "text_boilerplate_spans": _text_boilerplate_spans,
+        "text_bpe_merges": _text_bpe_merges,
+        "kg_kcore": _kg_kcore,
+        "emb_kmeans_assign": _emb_kmeans,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -1968,6 +2134,10 @@ def oracle_sql() -> dict[str, str]:
         "text_top_ngrams": _TOP_NGRAMS_SQL,
         "text_chunk_plan": _TEXT_CHUNK_SQL,
         "text_curation_decisions": _TEXT_CURATION_SQL,
+        "text_boilerplate_spans": _TEXT_BOILERPLATE_SQL,
+        "text_bpe_merges": _TEXT_BPE_MERGES_SQL,
+        "kg_kcore": _kg_kcore_sql(),
+        "emb_kmeans_assign": _EMB_KMEANS_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

@@ -294,3 +294,62 @@ def bfs_distances(
         prev.unpersist()
         frontier = new
     return dist.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+def kcore_nodes(edges: DataFrame, k: int = 2, max_rounds: int = 16) -> DataFrame:
+    """The k-core of the undirected simple graph over (src, dst): nodes
+    surviving iterated removal of degree < ``k`` nodes, with their degree
+    INSIDE the core — the "dense part" extractor a KG consumer runs to
+    separate structurally-embedded entities from peripheral ones.
+
+    Each peel round is one narrow groupBy (degrees) + two semi-joins
+    (surviving endpoints) — no adjacency materialization; round count is
+    read from an ``observe`` metric on the round's own checkpoint (one
+    Spark job per round, the same pattern as the other iterative ops
+    here). ``max_rounds`` BOUNDS the computation identically to the
+    unrolled oracle: early stop happens only at a true fixpoint (edge
+    count unchanged ⇒ no node was dropped), where further peels are the
+    identity — so a bounded oracle that always unrolls ``max_rounds``
+    rounds computes the same result. Worst-case full peeling of a path
+    graph needs ~n/2 rounds; callers on chain-heavy graphs should raise
+    ``max_rounds`` (and their oracle's unroll) together."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+    def _ckpt_counted(df: DataFrame):
+        obs = Observation(f"kcore_edges_{next(_OBS_SEQ)}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df = df.localCheckpoint(eager=True)
+        return df, int(obs.get["n"])
+
+    cur, n_edges = _ckpt_counted(und)
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("node")
+        nxt, n_new = _ckpt_counted(
+            cur.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        cur.unpersist()
+        cur = nxt
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

@@ -363,3 +363,93 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), "qdot")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    quant: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over the embedding table in EXACT integer arithmetic —
+    the topic-clustering / IVF-coarse-quantizer step of a curation
+    pipeline, made engine-reproducible: float centroid means are
+    order-dependent (parallel summation), so instead every embedding is
+    floor-quantized to integers (q_i = floor(e_i * quant)) and a centroid
+    is carried as the exact pair (S_ci = Σ q_i, n_c). Squared distance to
+    a centroid compares via the exact integer numerator
+    Σ_dims (n_c·q_i − S_ci)² over the common denominator n_c² — the
+    double division of two exact integers is IEEE-deterministic on any
+    engine. Bounds: |q| ≤ quant·max|e|, n ≤ corpus size; with quant=1e4,
+    |e| ≤ 1 and n ≤ 10^5 every term stays far inside int64.
+
+    Init: clusters 0..k-1 seeded from the k smallest ids (deterministic).
+    ``iterations`` assignment passes run with a centroid update between
+    consecutive passes (2 = assign → update → assign). Returns one row
+    per vector: (vec_id, cluster, dist2) with dist2 the squared L2
+    distance to the final centroid in original embedding units, rounded
+    to 6 decimals.
+
+    Scale shape: the exploded (id, dim, q) table shuffles narrow integer
+    rows; per-pass cost is one broadcast-sized centroid join (k·dims
+    rows) + a map-side-combinable groupBy — no all-pairs, no
+    driver-side math beyond the loop itself."""
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+            )
+        ).alias("dim", "qi"),
+    )
+    seeds = (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .orderBy("vec_id")
+        .limit(k)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+        )
+    )
+    cent = (
+        seeds.join(q, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
+    )
+    assign = None
+    for _ in range(max(1, iterations)):
+        d = (
+            q.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("n") * F.col("qi") - F.col("s"))
+                    * (F.col("n") * F.col("qi") - F.col("s"))
+                ).alias("num"),
+                F.max("n").alias("n"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            (F.col("num").cast("double") / (F.col("n") * F.col("n")).cast("double")).asc(),
+            F.col("cluster").asc(),
+        )
+        assign = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        cent = (
+            assign.select("vec_id", "cluster")
+            .join(q, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
+        )
+    return assign.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / float(quant * quant),
+            6,
+        ).alias("dist2"),
+    )

@@ -342,3 +342,101 @@ def chunk_plan(
             "n_tokens",
         )
     )
+
+
+def boilerplate_spans(
+    documents: DataFrame, n: int = 13, min_docs: int = 3
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the boilerplate-removal
+    step of a pretraining curation pipeline (site headers, license
+    blocks, navigation text repeat verbatim across pages; stripping the
+    SPAN, not the document, keeps the unique content).
+
+    A word ``n``-gram occurring in >= ``min_docs`` DISTINCT documents is
+    boilerplate; per document, the positions of boilerplate grams are
+    merged into maximal token spans (gaps-and-islands over a running max
+    of span ends). Returns (doc_id, span_start, span_end, n_grams) with
+    1-based inclusive token offsets, one row per maximal span.
+
+    Scale shape: the gram key is md5 (32 bytes regardless of n); the
+    shared-gram side is a distinct (gram, doc) projection + a map-side
+    combinable count — the text column never shuffles; the island merge
+    windows partition by doc_id (narrow keys, bounded partitions). Same
+    tokenization (lowercased whitespace split) and same n=13 default as
+    ngram_overlap, so decontamination and boilerplate read one gram
+    universe."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pos_grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN"
+        f" transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> struct(i AS pos, md5(concat_ws(' ', slice(_toks, i, {n}))) AS gram))"
+        f" ELSE array() END"
+    )
+    g = (
+        documents.withColumn("_toks", toks)
+        .select("doc_id", F.explode(pos_grams).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    shared = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = g.join(shared, "gram").select("doc_id", "pos")
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (n - 1)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        hits.withColumn("_island", F.sum(island).over(w_order))
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .drop("_island")
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """First iteration of byte-pair-encoding vocabulary learning: the
+    corpus-wide most frequent ADJACENT CHARACTER PAIRS, weighted by word
+    frequency — the pair a BPE trainer would merge first is this list's
+    head. Returns (pair, score) for the top ``k``, ties broken by the
+    pair string so the cut is deterministic.
+
+    Words are lowercased whitespace tokens WITH multiplicity (a pair
+    inside a frequent word counts once per occurrence, per BPE). Shape:
+    words aggregate to (word, freq) first — the pair explode then runs
+    on DISTINCT words only, so a million repeats of 'the' explode once —
+    then a map-side-combinable weighted count and a deterministic top-k
+    (TakeOrderedAndProject, no global sort)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = (
+        documents.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = F.expr(
+        "CASE WHEN length(word) >= 2 THEN"
+        " transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+        " ELSE array() END"
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("pair"))
+        .limit(k)
+    )

@@ -639,3 +639,108 @@ def test_zero_norm_and_empty_vectors_cannot_kill_cosine_jobs(spark):
     assert len(stats) == 5 and stats[3].n_dims == 0  # row kept, no crash
     nd = embedding_near_duplicates(emb, threshold=0.5, num_planes=4, dim=3).collect()
     assert {(r.id_a, r.id_b) for r in nd} == {(0, 1)}
+
+
+def test_boilerplate_spans_merges_adjacent_grams(spark):
+    from dr_source_spark.training.text import boilerplate_spans
+
+    head = "one two three four five six"  # 6 tokens, shared by 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{head} uniq1a uniq1b uniq1c"),
+            (2, f"{head} uniq2a uniq2b uniq2c"),
+            (3, f"{head} uniq3a uniq3b uniq3c"),
+            (4, "totally different text with no shared passage at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_spans(docs, n=3, min_docs=3).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # the shared 6-token head = grams at positions 1..4 (n=3) -> ONE merged
+    # span [1, 6] with 4 grams, in each of the 3 sharing docs only
+    assert set(by_doc) == {1, 2, 3}
+    for d in (1, 2, 3):
+        r = by_doc[d]
+        assert (r.span_start, r.span_end, r.n_grams) == (1, 6, 4)
+
+
+def test_boilerplate_spans_splits_disjoint_islands(spark):
+    from dr_source_spark.training.text import boilerplate_spans
+
+    shared_a = "alpha beta gamma"
+    shared_b = "delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{shared_a} filler{i}a filler{i}b filler{i}c filler{i}d {shared_b}")
+            for i in (1, 2, 3)
+        ],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_spans(docs, n=3, min_docs=3).collect()
+    spans = sorted((r.span_start, r.span_end) for r in rows if r.doc_id == 1)
+    # two disjoint islands: tokens 1-3 and tokens 8-10
+    assert spans == [(1, 3), (8, 10)]
+
+
+def test_bpe_merge_candidates_weights_by_word_freq(spark):
+    from dr_source_spark.training.text import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "aa cc")],
+        "doc_id long, text string",
+    )
+    rows = bpe_merge_candidates(docs, k=3).collect()
+    assert [(r.pair, r.score) for r in rows] == [("aa", 4), ("bb", 1), ("cc", 1)]
+
+
+def test_kcore_triangle_survives_tail_peeled(spark):
+    from dr_source_spark.operators.graph import kcore_nodes
+
+    # triangle 1-2-3 with a pendant chain 3-4-5: the 2-core is exactly the
+    # triangle; the chain peels off over two rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = {(r.node, r.core_degree) for r in kcore_nodes(edges, k=2).collect()}
+    assert rows == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_pure_path_empty(spark):
+    from dr_source_spark.operators.graph import kcore_nodes
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    assert kcore_nodes(edges, k=2).count() == 0
+
+
+def test_kcore_direction_and_duplicates_ignored(spark):
+    from dr_source_spark.operators.graph import kcore_nodes
+
+    # same triangle expressed with reversed/duplicated/self edges
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (1, 3), (3, 3)], "src long, dst long"
+    )
+    rows = {(r.node, r.core_degree) for r in kcore_nodes(edges, k=2).collect()}
+    assert rows == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kmeans_assign_separates_blobs(spark):
+    from dr_source_spark.training.similarity import kmeans_assign
+
+    # two tight blobs far apart; seeds are the k smallest ids, so ids 0
+    # and 1 land one in each blob — k=2 must then split them exactly
+    rows = [(2 * i, [0.1 + 0.001 * i, 0.1]) for i in range(5)]
+    rows += [(2 * i + 1, [-0.4 - 0.001 * i, -0.4]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(emb, k=2, iterations=2).collect()
+    assert len(out) == 10
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert r.dist2 < 0.001  # tight blobs -> small residual
+    assert sorted(map(sorted, by_cluster.values())) == [
+        [0, 2, 4, 6, 8],
+        [1, 3, 5, 7, 9],
+    ]
