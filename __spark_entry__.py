@@ -873,6 +873,64 @@ FROM (
 """
 
 
+def _text_tfidf_terms(spark, sf_dir):
+    # per-language characteristic terms by tf-idf with an INTEGER idf
+    # proxy (ln is not correctly-rounded across libms; the oracle needs
+    # bit-equal scores) — training/text.py::tfidf_top_terms
+    from dr_source_spark.training.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_TFIDF_SQL = r"""
+WITH wrds AS (
+  SELECT doc_id, lang, w AS term FROM (
+    SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+tf AS (SELECT lang, term, count(*) AS tf FROM wrds GROUP BY lang, term),
+df AS (SELECT lang, term, count(*) AS df
+       FROM (SELECT DISTINCT lang, term, doc_id FROM wrds) GROUP BY lang, term),
+nd AS (SELECT lang, count(*) AS n FROM documents WHERE text IS NOT NULL GROUP BY lang),
+scored AS (
+  SELECT tf.lang, tf.term, CAST(tf.tf * ((nd.n * 10000) // df.df) AS BIGINT) AS score
+  FROM tf JOIN df ON tf.lang = df.lang AND tf.term = df.term
+  JOIN nd ON nd.lang = tf.lang
+)
+SELECT lang, term, score, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+  FROM scored)
+WHERE rn <= 5
+"""
+
+
+def _text_length_quantiles(spark, sf_dir):
+    # exact per-language order statistics (percentile_approx is sketch-
+    # based and engine-specific) — training/text.py::length_quantiles
+    from dr_source_spark.training.text import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_QUANTILES_SQL = r"""
+WITH narrow AS (SELECT lang, coalesce(n_chars, 0) AS v, doc_id FROM documents),
+ranked AS (
+  SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn
+  FROM narrow
+),
+counts AS (SELECT lang, count(*) AS n FROM narrow GROUP BY lang)
+SELECT r.lang, CAST(max(c.n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN r.rn = floor((c.n - 1) * 0.25) + 1 THEN r.v END) AS BIGINT) AS p25,
+       CAST(max(CASE WHEN r.rn = floor((c.n - 1) * 0.50) + 1 THEN r.v END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN r.rn = floor((c.n - 1) * 0.75) + 1 THEN r.v END) AS BIGINT) AS p75,
+       CAST(max(CASE WHEN r.rn = floor((c.n - 1) * 0.95) + 1 THEN r.v END) AS BIGINT) AS p95
+FROM ranked r JOIN counts c ON c.lang = r.lang
+GROUP BY r.lang
+"""
+
+
 def _text_chunk_plan(spark, sf_dir):
     # token-budget chunking with overlap — the pre-tokenization packing
     # step of a training pipeline (training/text.py::chunk_plan)
@@ -1412,6 +1470,40 @@ def _kg_triangles(spark, sf_dir):
     from dr_source_spark.operators.graph import triangle_counts
 
     return triangle_counts(_kg_triples(spark, sf_dir).edges)
+
+
+_LPA_ROUNDS = 4
+
+
+def _kg_label_prop(spark, sf_dir):
+    # deterministic synchronous label propagation (most-frequent neighbor
+    # label, ties to the minimum), FIXED 4 sweeps so the unrolled oracle
+    # reproduces it exactly — operators/graph.label_propagation
+    from dr_source_spark.operators.graph import label_propagation
+
+    return label_propagation(_kg_triples(spark, sf_dir).edges, rounds=_LPA_ROUNDS)
+
+
+def _kg_label_prop_sql(rounds: int = _LPA_ROUNDS) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    parts = [
+        f"WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM kg_e WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM kg_e WHERE src <> dst)),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"cnt{i} AS (SELECT s.src AS node, l.label, count(*) AS c"
+            f" FROM sym s JOIN l{i - 1} l ON l.node = s.dst GROUP BY s.src, l.label),\n"
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f" SELECT node, label, row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label) AS rn FROM cnt{i}) WHERE rn = 1),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, label FROM l{rounds}"
 
 
 _KCORE_K, _KCORE_ROUNDS = 2, 16
@@ -2021,6 +2113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": _text_bpe_merges,
         "kg_kcore": _kg_kcore,
         "emb_kmeans_assign": _emb_kmeans,
+        "kg_label_prop": _kg_label_prop,
+        "text_tfidf_terms": _text_tfidf_terms,
+        "text_length_quantiles": _text_length_quantiles,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2138,6 +2233,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_merges": _TEXT_BPE_MERGES_SQL,
         "kg_kcore": _kg_kcore_sql(),
         "emb_kmeans_assign": _EMB_KMEANS_SQL,
+        "kg_label_prop": _kg_label_prop_sql(),
+        "text_tfidf_terms": _TEXT_TFIDF_SQL,
+        "text_length_quantiles": _TEXT_QUANTILES_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

@@ -353,3 +353,49 @@ def kcore_nodes(edges: DataFrame, k: int = 2, max_rounds: int = 16) -> DataFrame
         .agg(F.count("*").cast("long").alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected simple graph: every node starts labeled with its own id;
+    each round a node adopts the most frequent label among its neighbors,
+    ties broken by the MINIMUM label — fully deterministic, unlike classic
+    async LPA. Runs a FIXED ``rounds`` sweeps (no convergence check) so a
+    bounded SQL oracle unrolling the same rounds reproduces it exactly.
+    Returns (node, label).
+
+    Per round: one equi-join (symmetrized edges × labels) + a
+    (node, label) count + a per-node argmax window — all narrow-key
+    shuffles; labels are node ids, so no state beyond the label table
+    exists, and the table is checkpointed per round to truncate lineage."""
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(rounds):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+        new_labels = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        labels = new_labels
+    return labels

@@ -440,3 +440,79 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("pair"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    documents: DataFrame, k: int = 5, idf_scale: int = 10**4
+) -> DataFrame:
+    """Per-language characteristic terms by tf-idf — the corpus-profiling
+    report a curation pipeline prints per shard. Score = tf ·
+    (N·idf_scale // df) where tf = total occurrences of the term in the
+    language, df = documents of that language containing it, N = docs of
+    the language: an INTEGER idf proxy instead of tf·ln(N/df), because ln
+    is not correctly-rounded across libms and a cross-engine oracle needs
+    bit-equal scores (monotone in N/df, so the ranking is the tf-idf
+    ranking whenever df separates terms). Top ``k`` per language, ties
+    broken by the term string. All map-side-combinable counts over
+    narrow (lang, term) keys; the text column dies at the explode."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = (
+        documents.withColumn("_toks", toks)
+        .select("doc_id", "lang", F.explode("_toks").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        words.select("lang", "term", "doc_id")
+        .distinct()
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = documents.filter(F.col("text").isNotNull()).groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        tf.join(df_, ["lang", "term"])
+        .join(n_docs, "lang")
+        .select(
+            "lang",
+            "term",
+            F.expr(f"CAST(tf * ((n * {idf_scale}) div df) AS BIGINT)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("lang", "term", "score", F.col("_rn").cast("long").alias("rank"))
+    )
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """EXACT per-language length quantiles (p25/p50/p75/p95 of n_chars) —
+    the shard-size report. percentile_approx is sketch-based and engine-
+    specific, so this computes the exact order statistic instead: the
+    value at 0-based index floor((n-1)·p) of the (n_chars, doc_id)-sorted
+    rows — deterministic on any engine. One window rank + one broadcast-
+    sized count join; rows are (lang, long, long), never the text."""
+    from pyspark.sql.window import Window
+
+    narrow = documents.select(
+        "lang", F.coalesce(F.col("n_chars"), F.lit(0)).alias("v"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    ranked = narrow.withColumn("_rn", F.row_number().over(w))
+    counts = narrow.groupBy("lang").agg(F.count("*").alias("_n"))
+    j = ranked.join(counts, "lang")
+    picks = [
+        (p, F.floor((F.col("_n") - 1) * F.lit(p / 100.0)) + 1) for p in (25, 50, 75, 95)
+    ]
+    agg = [
+        F.max(F.when(F.col("_rn") == idx, F.col("v"))).cast("long").alias(f"p{p}")
+        for p, idx in picks
+    ]
+    return j.groupBy("lang").agg(
+        F.max("_n").cast("long").alias("n_docs"), *agg
+    )
