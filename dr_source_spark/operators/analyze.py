@@ -111,8 +111,15 @@ def _estimated_splits(df: DataFrame) -> int:
     return max(1, (size + max_bytes - 1) // max_bytes)
 
 
-def ensure_min_parallelism(df: DataFrame, key_cols=("repo", "path"), factor: int = 1) -> DataFrame:
+def ensure_min_parallelism(
+    df: DataFrame, key_cols=("repo", "path"), factor: int = 1, target: Optional[int] = None
+) -> DataFrame:
     """Widen a CPU-bound stage's input to ≥ ``factor``× cores — never narrow it.
+
+    ``target`` overrides the ``factor × cores`` width for stages whose
+    per-byte cost is low enough that a full-cores fan-out loses more to
+    python-worker round trips than it gains (see build_symbol_index's
+    bytes-aware target). The never-narrow rule still applies.
 
     factor=1 (exactly cores) is the MEASURED optimum for the Arrow-batched
     detector stage: every extra task pays a python-worker round-trip +
@@ -137,7 +144,8 @@ def ensure_min_parallelism(df: DataFrame, key_cols=("repo", "path"), factor: int
       ACTUAL planned split count, and only ever repartition UP — an input
       that already arrives wider than the target (e.g. 128 natural parquet
       splits) is never collapsed."""
-    target = factor * df.sparkSession.sparkContext.defaultParallelism
+    if target is None:
+        target = factor * df.sparkSession.sparkContext.defaultParallelism
     if _estimated_splits(df) >= target:
         return df
     size = _plan_size_bytes(df)
