@@ -873,6 +873,59 @@ FROM (
 """
 
 
+def _text_pack_sequences(spark, sf_dir):
+    # GPT-style sequence packing plan: documents concatenated in doc_id
+    # order, split into 128-token training sequences, one row per
+    # (doc x sequence) overlap. The global token offset is a DISTRIBUTED
+    # prefix sum (operators/prefix.py — bucketed two-level, no
+    # single-partition window over the data); the oracle's plain
+    # sum() OVER (ORDER BY doc_id) is the semantic spec it must match.
+    from dr_source_spark.training.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted rows: a NULL text (0 tokens — must emit nothing) and an
+    # exactly-seq_tokens-long doc (boundary: fills one sequence, no spill)
+    planted = spark.createDataFrame(
+        [(8_000_001, None), (8_000_002, " ".join(f"w{i}" for i in range(128)))],
+        "doc_id long, text string",
+    )
+    return pack_sequences(docs.union(planted), seq_tokens=128)
+
+
+_TEXT_PACK_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 8000001, CAST(NULL AS VARCHAR)
+  UNION ALL SELECT 8000002, (SELECT string_agg('w' || i, ' ') FROM generate_series(0, 127) t(i))
+),
+t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\w+')) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+nz AS (SELECT * FROM t WHERE n_tokens > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM nz
+),
+e AS (
+  SELECT doc_id, n_tokens, strt,
+         unnest(generate_series(CAST(strt // 128 AS BIGINT),
+                                CAST((strt + n_tokens - 1) // 128 AS BIGINT))) AS seq_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(strt, seq_id * 128) - strt AS BIGINT) AS doc_tok_start,
+       CAST(greatest(strt, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_tok_start,
+       CAST(least(strt + n_tokens, seq_id * 128 + 128)
+            - greatest(strt, seq_id * 128) AS BIGINT) AS n_toks
+FROM e
+"""
+
+
 def _text_tfidf_terms(spark, sf_dir):
     # per-language characteristic terms by tf-idf with an INTEGER idf
     # proxy (ln is not correctly-rounded across libms; the oracle needs
@@ -2116,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_prop": _kg_label_prop,
         "text_tfidf_terms": _text_tfidf_terms,
         "text_length_quantiles": _text_length_quantiles,
+        "text_pack_sequences": _text_pack_sequences,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2236,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_prop": _kg_label_prop_sql(),
         "text_tfidf_terms": _TEXT_TFIDF_SQL,
         "text_length_quantiles": _TEXT_QUANTILES_SQL,
+        "text_pack_sequences": _TEXT_PACK_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
