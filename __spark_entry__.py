@@ -351,9 +351,19 @@ _WORDS_CTE = r"""words AS (
 )"""
 
 
-def _lsh_pairs_ctes(num_hashes: int = _LSH_HASHES, bands: int = _LSH_BANDS, cap: int = _LSH_CAP) -> str:
+def _lsh_pairs_ctes(
+    num_hashes: int = _LSH_HASHES,
+    bands: int = _LSH_BANDS,
+    cap: int = _LSH_CAP,
+    source: str = "documents",
+    prelude: str = "",
+) -> str:
+    """source/prelude let a caller run the LSH pipeline over an augmented
+    corpus: prelude defines extra CTEs (e.g. planted rows unioned onto
+    documents) and source names the CTE the words scan reads."""
     r = num_hashes // bands
-    return f"""WITH {_WORDS_CTE}, {_duck_minhash_seeds(num_hashes)},
+    words_cte = _WORDS_CTE.replace("FROM documents", f"FROM {source}")
+    return f"""WITH {prelude}{words_cte}, {_duck_minhash_seeds(num_hashes)},
 base AS (SELECT doc_id, {_duck_minhash_base('w')} AS h FROM words),
 sigs AS (
   SELECT doc_id, seed, CAST(seed // {r} AS INT) AS band,
@@ -593,6 +603,81 @@ LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
 JOIN counts ca ON ca.doc_id = p.doc_a
 JOIN counts cb ON cb.doc_id = p.doc_b
 """
+
+
+def _dedup_repeated_spans(spark, sf_dir):
+    # longest exactly-repeated token span per LSH candidate pair — the
+    # relational core of exact-substring dedup (Lee et al.); planted rows
+    # pin every branch: a 40-token passage shared at different offsets
+    # (span found) and an ultra-repetitive pair whose grams all exceed
+    # max_gram_freq (candidate pair, no row)
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    passage = " ".join(f"p{i}" for i in range(40))
+    ha = " ".join(["ha"] * 120)
+    planted = spark.createDataFrame(
+        [
+            (7_000_001, passage + " za zb zc"),
+            (7_000_002, "qa qb " + passage + " zq"),
+            (7_000_003, ha),
+            (7_000_004, ha),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.union(planted)
+    return repeated_spans(corpus, minhash_lsh_candidates(corpus))
+
+
+_DEDUP_SPANS_SQL = (
+    _lsh_pairs_ctes(
+        source="spancorp",
+        prelude=r"""passage AS (SELECT string_agg('p' || i, ' ' ORDER BY i) AS p FROM generate_series(0, 39) t(i)),
+spancorp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 7000001, p || ' za zb zc' FROM passage
+  UNION ALL SELECT 7000002, 'qa qb ' || p || ' zq' FROM passage
+  UNION ALL SELECT 7000003, (SELECT string_agg('ha', ' ') FROM generate_series(1, 120))
+  UNION ALL SELECT 7000004, (SELECT string_agg('ha', ' ') FROM generate_series(1, 120))
+),
+""",
+    )
+    + r""",
+tokd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM spancorp WHERE text IS NOT NULL
+),
+gpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) - 4 AS BIGINT))) AS i
+  FROM tokd WHERE len(t) >= 5
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(t[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS gram
+  FROM gpos
+  QUALIFY count(*) OVER (PARTITION BY doc_id, array_to_string(t[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ')) <= 16
+),
+m AS (
+  SELECT p.doc_a, p.doc_b, a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM pairs p
+  JOIN grams a ON a.doc_id = p.doc_a
+  JOIN grams b ON b.doc_id = p.doc_b AND b.gram = a.gram
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl,
+         pos_a, pos_b
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b, CAST(count(*) + 4 AS BIGINT) AS span_tokens,
+         CAST(min(pos_a) AS BIGINT) AS start_a, CAST(min(pos_b) AS BIGINT) AS start_b
+  FROM runs GROUP BY doc_a, doc_b, diag, isl
+)
+SELECT doc_a, doc_b, span_tokens, start_a, start_b FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+    ORDER BY span_tokens DESC, start_a, start_b) AS rn
+  FROM spans) WHERE rn = 1
+"""
+)
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -2170,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_terms": _text_tfidf_terms,
         "text_length_quantiles": _text_length_quantiles,
         "text_pack_sequences": _text_pack_sequences,
+        "dedup_repeated_spans": _dedup_repeated_spans,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2291,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_terms": _TEXT_TFIDF_SQL,
         "text_length_quantiles": _TEXT_QUANTILES_SQL,
         "text_pack_sequences": _TEXT_PACK_SQL,
+        "dedup_repeated_spans": _DEDUP_SPANS_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

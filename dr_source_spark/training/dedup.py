@@ -430,3 +430,89 @@ def ngram_containment(documents: DataFrame, candidates: DataFrame) -> DataFrame:
             F.round(inter / F.greatest(F.size("b.words"), F.lit(1)), 4).alias("containment_b"),
         )
     )
+
+
+def repeated_spans(
+    documents: DataFrame,
+    candidates: DataFrame,
+    n: int = 5,
+    max_gram_freq: int = 16,
+) -> DataFrame:
+    """Longest exactly-repeated token span per candidate pair — the
+    relational core of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": near-dup signals miss
+    long verbatim passages inside otherwise-different documents; pipelines
+    cut the SPAN, not the doc).
+
+    Word ``n``-grams with positions; for each candidate (doc_a, doc_b),
+    positions of equal grams land on diagonals (pos_a - pos_b), and a run
+    of k consecutive matches on one diagonal is a shared span of
+    k + n - 1 tokens (gaps-and-islands: island = pos_a - row_number per
+    diagonal). Returns (doc_a, doc_b, span_tokens, start_a, start_b) for
+    each pair's LONGEST span (ties: min start_a, then min start_b) —
+    pairs sharing no n-gram emit no row.
+
+    Scale shape: never all-pairs — grams join only within the candidate
+    set (LSH output upstream); grams shuffle as 8-byte xxhash64 keys, not
+    strings (a cross-gram collision could at worst weld two islands —
+    P ~ positions²/2⁶⁴, ignorable; the DuckDB oracle joins raw gram text
+    and must agree cell-for-cell, so the gate itself falsifies collision
+    damage). Grams repeating > ``max_gram_freq`` times WITHIN a doc are
+    dropped on both sides before the join — an ultra-repetitive doc
+    ("ha ha ha ..." × 10⁴) would otherwise send freq² position pairs per
+    gram into one (pair, diagonal) window partition; such docs are
+    text_repetition_metrics' concern, and the identical QUALIFY filter in
+    the oracle keeps the two engines aligned."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    base = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n)
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
+            )
+        ).alias("pos", "h"),
+    )
+    wf = Window.partitionBy("doc_id", "h")
+    grams = grams.withColumn("_f", F.count("*").over(wf)).filter(
+        F.col("_f") <= max_gram_freq
+    ).drop("_f")
+
+    pa, pb = grams.alias("pa"), grams.alias("pb")
+    m = (
+        candidates.select("doc_a", "doc_b")
+        .join(pa, F.col("doc_a") == F.col("pa.doc_id"))
+        .join(pb, (F.col("doc_b") == F.col("pb.doc_id")) & (F.col("pa.h") == F.col("pb.h")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("pa.pos").alias("pos_a"),
+            F.col("pb.pos").alias("pos_b"),
+            (F.col("pa.pos") - F.col("pb.pos")).alias("diag"),
+        )
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        m.withColumn("_isl", F.col("pos_a") - F.row_number().over(wd))
+        .groupBy("doc_a", "doc_b", "diag", "_isl")
+        .agg(
+            (F.count("*") + (n - 1)).cast("long").alias("span_tokens"),
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+        )
+    )
+    wbest = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("span_tokens"), F.asc("start_a"), F.asc("start_b")
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
+    )

@@ -744,3 +744,41 @@ def test_kmeans_assign_separates_blobs(spark):
         [0, 2, 4, 6, 8],
         [1, 3, 5, 7, 9],
     ]
+
+
+def test_repeated_spans_islands_and_freq_guard(spark):
+    """Diagonal islands: a shared passage split by an edit yields TWO
+    runs and the longest wins; grams over max_gram_freq are dropped."""
+    from dr_source_spark.training.dedup import repeated_spans
+
+    p = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    docs = spark.createDataFrame(
+        [
+            # doc 2 = doc 1 with token 10 edited: islands of 10 and 19
+            # tokens of shared text -> runs of 6 and 15 grams, spans 10/19
+            (1, p(0, 30)),
+            (2, p(0, 10) + " EDIT " + p(11, 30)),
+            # ultra-repetitive pair: every gram freq > 4 -> no row
+            (3, " ".join(["ha"] * 40)),
+            (4, " ".join(["ha"] * 40)),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    rows = repeated_spans(docs, cands, n=5, max_gram_freq=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # longest island: tokens 11..29 shared (19 tokens) on diag 0
+    assert (r.doc_a, r.doc_b, r.span_tokens, r.start_a, r.start_b) == (1, 2, 19, 11, 11)
+
+
+def test_repeated_spans_no_shared_gram_no_row(spark):
+    from dr_source_spark.training.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "u v w x y z")], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert repeated_spans(docs, cands).count() == 0
