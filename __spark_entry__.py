@@ -1644,6 +1644,30 @@ def _kg_label_prop_sql(rounds: int = _LPA_ROUNDS) -> str:
     return f"{body}\nSELECT node, label FROM l{rounds}"
 
 
+def _kg_source_sink_paths(spark, sf_dir):
+    # SPARQL-style length-2 property path: var -TAINTED_BY-> source and
+    # var -FLOWS_TO-> sink joined on the variable — "which taint sources
+    # reach which sinks, through which variable" (operators/graph.py::
+    # two_hop_paths, co_subject shape)
+    from dr_source_spark.operators.graph import two_hop_paths
+
+    edges = _kg_triples(spark, sf_dir).edges
+    return two_hop_paths(edges, "TAINTED_BY", "FLOWS_TO", shape="co_subject").select(
+        F.col("node_a").alias("source"),
+        F.col("mid").alias("variable"),
+        F.col("node_b").alias("sink"),
+    )
+
+
+def _kg_source_sink_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return f"""WITH kg_e AS ({kg_edges_oracle_sql()}),
+a AS (SELECT dst AS source, src AS mid FROM kg_e WHERE pred = 'TAINTED_BY'),
+b AS (SELECT src AS mid, dst AS sink FROM kg_e WHERE pred = 'FLOWS_TO')
+SELECT DISTINCT a.source, a.mid AS variable, b.sink FROM a JOIN b ON b.mid = a.mid"""
+
+
 _KCORE_K, _KCORE_ROUNDS = 2, 16
 
 
@@ -2256,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": _text_length_quantiles,
         "text_pack_sequences": _text_pack_sequences,
         "dedup_repeated_spans": _dedup_repeated_spans,
+        "kg_source_sink_paths": _kg_source_sink_paths,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2378,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         "text_length_quantiles": _TEXT_QUANTILES_SQL,
         "text_pack_sequences": _TEXT_PACK_SQL,
         "dedup_repeated_spans": _DEDUP_SPANS_SQL,
+        "kg_source_sink_paths": _kg_source_sink_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

@@ -399,3 +399,40 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         labels.unpersist()
         labels = new_labels
     return labels
+
+
+def two_hop_paths(
+    edges: DataFrame, pred_a: str, pred_b: str, shape: str = "chain"
+) -> DataFrame:
+    """Length-2 property-path query over the (src, pred, dst) edge table —
+    the SPARQL ``?a p1 ?m . ?m p2 ?b`` (chain) / ``?m p1 ?a . ?m p2 ?b``
+    (co_subject) patterns a KG consumer runs constantly. Returns distinct
+    (node_a, mid, node_b).
+
+    * ``chain``: a -[pred_a]-> mid, mid -[pred_b]-> b.
+    * ``co_subject``: mid -[pred_a]-> a, mid -[pred_b]-> b — e.g.
+      var -TAINTED_BY-> source and var -FLOWS_TO-> sink joins taint
+      sources to the sinks they reach through each variable.
+
+    Scale shape: predicate filters prune each side BEFORE the equi-join on
+    the mid node (pushed into the scan); the join key is a single node id,
+    so skew follows node degree — a celebrity mid node fans out
+    |pred_a-edges| x |pred_b-edges|, which is the true result size, not an
+    artifact. One shuffle per side plus the distinct."""
+    if shape == "chain":
+        a = edges.filter(F.col("pred") == pred_a).select(
+            F.col("src").alias("node_a"), F.col("dst").alias("mid")
+        )
+        b = edges.filter(F.col("pred") == pred_b).select(
+            F.col("src").alias("mid"), F.col("dst").alias("node_b")
+        )
+    elif shape == "co_subject":
+        a = edges.filter(F.col("pred") == pred_a).select(
+            F.col("dst").alias("node_a"), F.col("src").alias("mid")
+        )
+        b = edges.filter(F.col("pred") == pred_b).select(
+            F.col("src").alias("mid"), F.col("dst").alias("node_b")
+        )
+    else:
+        raise ValueError(f"unknown shape: {shape!r}")
+    return a.join(b, "mid").select("node_a", "mid", "node_b").distinct()

@@ -782,3 +782,27 @@ def test_repeated_spans_no_shared_gram_no_row(spark):
     )
     cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     assert repeated_spans(docs, cands).count() == 0
+
+
+def test_two_hop_paths_chain_and_co_subject(spark):
+    import pytest as _pytest
+
+    from dr_source_spark.operators.graph import two_hop_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "P1", "m"),
+            ("m", "P2", "b"),
+            ("m", "P1", "x"),
+            ("m", "P2", "y"),
+            ("a", "P2", "m"),
+            ("q", "P9", "r"),
+        ],
+        "src string, pred string, dst string",
+    )
+    chain = {tuple(r) for r in two_hop_paths(edges, "P1", "P2", "chain").collect()}
+    assert chain == {("a", "m", "b"), ("a", "m", "y")}
+    co = {tuple(r) for r in two_hop_paths(edges, "P1", "P2", "co_subject").collect()}
+    assert co == {("m", "a", "m"), ("x", "m", "b"), ("x", "m", "y")}
+    with _pytest.raises(ValueError):
+        two_hop_paths(edges, "P1", "P2", "loop")
