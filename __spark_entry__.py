@@ -2111,6 +2111,68 @@ FROM t
 """
 
 
+def _stream_join_attrib(spark, sf_dir):
+    # watermarked stream-stream interval join (click -> purchase within
+    # 30 min per user) over the events table replayed as THREE time-ranged
+    # micro-batches. The watermark ('40 days', wider than the 30-day
+    # dataset span) makes the replay order-free — no row is ever late, so
+    # the append-mode result equals the batch join cell-for-cell while
+    # still exercising real cross-batch join state (a click in batch 0
+    # matches purchases arriving in batch 1+). streaming/incremental.py::
+    # interval_join documents the production watermark sizing.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.streaming.incremental import interval_join
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_sjoin_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + 2 * span]
+    parts = [
+        ev.filter(F.col("ts") < F.lit(bounds[0])),
+        ev.filter((F.col("ts") >= F.lit(bounds[0])) & (F.col("ts") < F.lit(bounds[1]))),
+        ev.filter(F.col("ts") >= F.lit(bounds[1])),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{base}/src/part{i}")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/part*")
+    )
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        gap_minutes=30,
+        watermark="40 days",
+    )
+    qname = f"sjoin_{tag}"
+    q = (
+        joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+_STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id,
+       CAST(date_diff('second', to_timestamp(CAST(floor(epoch(c.ts)) AS BIGINT)),
+                      to_timestamp(CAST(floor(epoch(p.ts)) AS BIGINT))) AS BIGINT) AS gap_seconds
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+  AND c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -2263,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         "stream_dedup_keys": _stream_dedup_keys,
         "stream_curation": _stream_curation,
+        "stream_join_attrib": _stream_join_attrib,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -2381,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionize": _STREAM_SESSION_SQL,
         "stream_dedup_keys": _STREAM_DEDUP_SQL,
         "stream_curation": _STREAM_CURATION_SQL,
+        "stream_join_attrib": _STREAM_JOIN_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

@@ -131,3 +131,51 @@ def windowed_finding_counts(
             "n",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    the right events of the SAME user whose timestamp falls in
+    [left.ts, left.ts + gap_minutes] — the attribution join (click →
+    purchase within the window) every event pipeline runs.
+
+    Both sides carry an event-time watermark plus the time-range join
+    condition, which is exactly what Spark needs to bound the join state:
+    a left row can be dropped from state once the right watermark passes
+    left.ts + gap, so state size tracks the window, not the stream
+    (structured-streaming stream-stream join semantics). The caller picks
+    ``watermark`` ≥ the real out-of-orderness; a test harness replaying
+    finite history can pass a watermark wider than the dataset span to
+    make the result order-independent (nothing is ever late) without
+    changing the plan shape.
+
+    Returns (click_id, purchase_id, user_id, gap_seconds), inner-join.
+    """
+    from pyspark.sql import functions as F
+
+    c = left.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    p = right.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES"))
+    )
+    return c.join(p, cond, "inner").select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("long").alias("gap_seconds"),
+    )

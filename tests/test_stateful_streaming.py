@@ -164,3 +164,36 @@ def test_windowed_counts_finalize_and_drop_late_rows(spark, tmp_path_factory):
     rows = run()
     win1 = [r for r in rows if r.window_start == t0]
     assert len(win1) == 1 and win1[0].n == 3  # unchanged, late row dropped
+
+
+def test_interval_join_boundaries_batch_mode(spark):
+    """interval_join on batch frames (watermark is a no-op): boundary at
+    exactly gap included, beyond excluded, cross-user excluded,
+    purchase-before-click excluded."""
+    from datetime import datetime
+
+    from dr_source_spark.streaming.incremental import interval_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, uid):
+        return (eid, datetime(2024, 1, 1, 12, mins, 0), uid)
+
+    clicks = spark.createDataFrame(
+        [ev(1, 0, 10), ev(2, 0, 20)], "event_id long, ts timestamp, user_id long"
+    )
+    purchases = spark.createDataFrame(
+        [
+            ev(100, 30, 10),   # exactly at gap -> included
+            ev(101, 31, 10),   # beyond -> excluded
+            ev(102, 5, 20),    # within -> included
+            ev(103, 5, 99),    # other user -> excluded
+            (104, datetime(2024, 1, 1, 11, 59, 0), 10),  # before click -> excluded
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.gap_seconds)
+        for r in interval_join(clicks, purchases, gap_minutes=30).collect()
+    }
+    assert got == {(1, 100, 10, 1800), (2, 102, 20, 300)}
