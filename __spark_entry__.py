@@ -2173,6 +2173,47 @@ JOIN events p ON p.user_id = c.user_id
 """
 
 
+def _text_lang_mismatch(spark, sf_dir):
+    # cross-lingual contamination screen: docs whose n-gram lang-id
+    # disagrees with the declared lang column, with the integer evidence
+    # margin (training/text.py::lang_mismatch)
+    from dr_source_spark.training.text import lang_mismatch
+
+    return lang_mismatch(_t(spark, sf_dir, "documents"))
+
+
+def _lang_mismatch_sql() -> str:
+    from dr_source_spark.training.text import LANG_MARKERS
+
+    score_cols = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS score_{lang}"
+        for lang, pat in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang, _ in LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang, _ in LANG_MARKERS
+    ) + " END"
+    declared = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN score_{lang}" for lang, _ in LANG_MARKERS
+    ) + " ELSE 0 END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lang, {case} AS lang_id,
+         CAST(coalesce({declared}, 0) AS BIGINT) AS score_declared,
+         CAST({best} AS BIGINT) AS score_detected
+  FROM s
+)
+SELECT doc_id, lang, lang_id, score_declared, score_detected,
+       CAST(score_detected - score_declared AS BIGINT) AS margin
+FROM d WHERE lang_id <> lang
+"""
+
+
 def _text_tokens(spark, sf_dir):
     from dr_source_spark.training.text import token_count
 
@@ -2344,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": _text_pack_sequences,
         "dedup_repeated_spans": _dedup_repeated_spans,
         "kg_source_sink_paths": _kg_source_sink_paths,
+        "text_lang_mismatch": _text_lang_mismatch,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2468,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": _TEXT_PACK_SQL,
         "dedup_repeated_spans": _DEDUP_SPANS_SQL,
         "kg_source_sink_paths": _kg_source_sink_sql(),
+        "text_lang_mismatch": _lang_mismatch_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

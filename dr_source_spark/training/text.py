@@ -516,3 +516,46 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
     return j.groupBy("lang").agg(
         F.max("_n").cast("long").alias("n_docs"), *agg
     )
+
+
+def lang_mismatch(documents: DataFrame) -> DataFrame:
+    """Cross-lingual contamination screen: documents whose n-gram
+    language-id disagrees with the DECLARED lang column — mislabeled
+    shards poison per-language sampling weights and tokenizer training,
+    so curation pipelines quarantine them. Builds on lang_id (same marker
+    scores, same tie precedence); emits one row per mismatched doc with
+    the declared-language score, the detected-language score, and the
+    integer evidence margin between them. Pure column arithmetic on the
+    lang_id projection joined back to the declared lang — one narrow
+    shuffle-free pass (lang rides the projection)."""
+    scores = {
+        lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        for lang, pat in LANG_MARKERS
+    }
+    best = F.greatest(*scores.values())
+    decision = None
+    for lang, _ in LANG_MARKERS:
+        cond = scores[lang] == best
+        decision = (
+            F.when(cond, F.lit(lang)) if decision is None else decision.when(cond, F.lit(lang))
+        )
+    declared_score = None
+    for lang, _ in LANG_MARKERS:
+        cond = F.col("lang") == lang
+        declared_score = (
+            F.when(cond, scores[lang])
+            if declared_score is None
+            else declared_score.when(cond, scores[lang])
+        )
+    declared_score = F.coalesce(declared_score, F.lit(0)).cast("long")
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            decision.alias("lang_id"),
+            declared_score.alias("score_declared"),
+            best.alias("score_detected"),
+            (best - declared_score).cast("long").alias("margin"),
+        )
+        .filter(F.col("lang_id") != F.col("lang"))
+    )

@@ -806,3 +806,20 @@ def test_two_hop_paths_chain_and_co_subject(spark):
     assert co == {("m", "a", "m"), ("x", "m", "b"), ("x", "m", "y")}
     with _pytest.raises(ValueError):
         two_hop_paths(edges, "P1", "P2", "loop")
+
+
+def test_lang_mismatch_detects_contamination(spark):
+    from dr_source_spark.training.text import lang_mismatch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "el que los las un una por para como y"),  # spanish text declared en
+            (2, "en", "the cat and the dog of the house is that"),  # consistent
+            (3, "de", "the cat and the dog of the house is that"),  # english declared de
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.doc_id: r for r in lang_mismatch(docs).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].lang_id == "es" and rows[1].margin > 0
+    assert rows[3].lang_id == "en" and rows[3].score_declared == 0

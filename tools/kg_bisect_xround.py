@@ -23,7 +23,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def main():
-    from dr_source_spark.kb import compiled_kb_cached
+    # r2 predates compiled_kb_cached (memoization arrived in r3)
+    try:
+        from dr_source_spark.kb import compiled_kb_cached
+    except ImportError:
+        from dr_source_spark.kb import compile_kb, load_kb
+
+        def compiled_kb_cached(project_dir):
+            return compile_kb(load_kb(project_dir=project_dir))
     from dr_source_spark.operators.analyze import run_detectors
     from dr_source_spark.operators.index_build import (
         build_symbol_index,
@@ -91,6 +98,11 @@ def main():
         ("full_extract(triples)", stage_full),
     ]
     stage_full()  # warm
+
+    # load-gate each stage series: these numbers feed the cross-round
+    # attribution table, which is worthless at loadavg 5+
+    while os.getloadavg()[0] > 2.5:
+        time.sleep(10)
 
     best = {}
     for name, fn in stages:
