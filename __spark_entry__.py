@@ -1317,6 +1317,34 @@ SELECT * FROM wav UNION ALL SELECT * FROM bmp
 """
 
 
+def _media_audio_energy(spark, sf_dir):
+    # REAL audio feature extraction: WAV-PCM payloads decoded and windowed
+    # into 25-sample frames with exact-integer energy (sum of squares) and
+    # peak — the silence-detection / loudness primitive
+    # (training/multimodal.py::audio_frame_energy)
+    from dr_source_spark.training.multimodal import audio_frame_energy, synth_decodable_media
+
+    docs = _t(spark, sf_dir, "documents")
+    audio = synth_decodable_media(docs).filter(F.col("kind") == "audio")
+    return audio_frame_energy(audio, frame=25)
+
+
+_MEDIA_AUDIO_ENERGY_SQL = """
+WITH s AS (
+  SELECT d.doc_id AS media_id, t.i // 25 AS frame_idx,
+         ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(99 + d.doc_id % 50 AS INT))) AS i) t
+  WHERE d.doc_id % 2 = 1
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM s GROUP BY media_id, frame_idx
+"""
+
+
 def _media_resize_features(spark, sf_dir):
     # REAL resize -> REAL decode: BMP payloads nearest-neighbor resized to
     # 8x6 (payload-level re-encode), then decoded back to integer features;
@@ -2386,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": _dedup_repeated_spans,
         "kg_source_sink_paths": _kg_source_sink_paths,
         "text_lang_mismatch": _text_lang_mismatch,
+        "media_audio_energy": _media_audio_energy,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2511,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_spans": _DEDUP_SPANS_SQL,
         "kg_source_sink_paths": _kg_source_sink_sql(),
         "text_lang_mismatch": _lang_mismatch_sql(),
+        "media_audio_energy": _MEDIA_AUDIO_ENERGY_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

@@ -439,3 +439,78 @@ def resize_media_bmp(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFr
             )
 
     return media.select("media_id", "kind", "payload", "meta").mapInPandas(process, MEDIA_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _wav_samples(payload: bytes):
+    """The raw 16-bit sample sequence from a PCM WAV (same chunk walk as
+    _decode_wav_pcm, returning the samples instead of aggregates)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    i, fmt = 12, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            audio_fmt = struct.unpack("<H", body[:2])[0]
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, bits)
+        elif cid == b"data":
+            if fmt != (1, 16):
+                raise NotImplementedError("only 16-bit PCM WAV data is decodable here")
+            n = len(body) // 2
+            return struct.unpack(f"<{n}h", body[: n * 2])
+        i += 8 + sz + (sz & 1)
+    raise NotImplementedError("WAV without a data chunk")
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 25) -> DataFrame:
+    """REAL audio feature extraction: decode each WAV-PCM payload and emit
+    per-frame integer energy — (media_id, frame_idx, n_samples, peak,
+    energy = Σ sample²) over fixed ``frame``-sample windows (the last
+    frame may be short). This is the silence-detection / loudness-
+    normalization primitive of an audio curation pipeline, kept in exact
+    integer arithmetic (16-bit samples → Σs² ≤ frame·2³⁰, far inside
+    int64) so a closed-form SQL oracle reproduces every cell.
+
+    Scale shape: decode happens inside Arrow batches; the payload dies
+    in-stage and only 5 narrow integer columns emerge — the frame explode
+    multiplies rows BEFORE the shuffle-free projection, never the binary.
+    Non-WAV payloads raise (fail fast, consistent with decode_features)."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = _wav_samples(bytes(payload))
+                for fi in range(0, (len(samples) + frame - 1) // frame):
+                    chunk = samples[fi * frame : (fi + 1) * frame]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "n_samples": len(chunk),
+                            "peak": max((abs(s) for s in chunk), default=0),
+                            "energy": sum(s * s for s in chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in cols}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, AUDIO_ENERGY_SCHEMA)

@@ -166,3 +166,32 @@ def test_resize_then_decode_matches_formula_nn(spark):
     for mid, r in out.items():
         n, peak, checksum = expect(int(mid))
         assert (r.n_units, r.peak, r.checksum) == (n, peak, checksum), mid
+
+
+def test_audio_frame_energy_windows_and_integers(spark):
+    """Frames tile the sample sequence (last may be short); peak/energy
+    match a direct Python decode of the same payload."""
+    from dr_source_spark.training.multimodal import (
+        _wav_samples,
+        audio_frame_energy,
+        synth_decodable_media,
+        wav_pcm_bytes,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i,) for i in (1, 3, 5, 7)], "doc_id long")
+    audio = synth_decodable_media(docs).filter(F.col("kind") == "audio")
+    out = audio_frame_energy(audio, frame=25).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        samples = _wav_samples(wav_pcm_bytes(mid))
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        assert sum(r.n_samples for r in rows) == len(samples)
+        assert rows[-1].n_samples == len(samples) - 25 * (len(rows) - 1)
+        for r in rows:
+            chunk = samples[r.frame_idx * 25 : r.frame_idx * 25 + 25]
+            assert r.peak == max(abs(s) for s in chunk)
+            assert r.energy == sum(s * s for s in chunk)
