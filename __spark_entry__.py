@@ -2329,6 +2329,33 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def _emb_dup_clusters(spark, sf_dir):
+    # semantic-dedup decisions: connected components over the verified
+    # cosine near-dup pairs, every vec_id labeled with its component min
+    # (training/similarity.py::embedding_duplicate_clusters)
+    from dr_source_spark.training.similarity import embedding_duplicate_clusters
+
+    return embedding_duplicate_clusters(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _emb_dup_clusters_sql() -> str:
+    # recursive min-label reachability over the SAME pair SQL as
+    # emb_near_dup_pairs (threshold classifies on the rounded sim)
+    pairs = _emb_near_dup_sql().strip()
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN cedges e ON e.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node"""
+
+
 def _lang_profile(spark, sf_dir):
     from dr_source_spark.training.text import lang_profile
 
@@ -2415,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_sink_paths": _kg_source_sink_paths,
         "text_lang_mismatch": _text_lang_mismatch,
         "media_audio_energy": _media_audio_energy,
+        "emb_dup_clusters": _emb_dup_clusters,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2541,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_source_sink_paths": _kg_source_sink_sql(),
         "text_lang_mismatch": _lang_mismatch_sql(),
         "media_audio_energy": _MEDIA_AUDIO_ENERGY_SQL,
+        "emb_dup_clusters": _emb_dup_clusters_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

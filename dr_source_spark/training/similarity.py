@@ -453,3 +453,35 @@ def kmeans_assign(
             6,
         ).alias("dist2"),
     )
+
+
+def embedding_duplicate_clusters(
+    embeddings: DataFrame, threshold: float = 0.95, max_rounds: int = 50
+) -> DataFrame:
+    """Semantic-dedup decisions: (vec_id, cluster_id) for EVERY embedding,
+    cluster_id = min vec_id of its connected component in the verified
+    cosine near-dup graph (singletons map to themselves) — the
+    embedding-space counterpart of training/dedup.duplicate_clusters
+    (keep ``vec_id == cluster_id``, drop the rest). Pairs from
+    embedding_near_duplicates (LSH buckets, never all-pairs); components
+    via alternating large-star/small-star."""
+    from ..operators.graph import alternating_star_components
+
+    pairs = embedding_near_duplicates(embeddings, threshold=threshold)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    stars = alternating_star_components(edges, max_rounds=max_rounds)
+    all_ids = embeddings.select(F.col("vec_id").cast("long").alias("vec_id"))
+    return (
+        all_ids.join(
+            stars.select(
+                F.col("src").cast("long").alias("vec_id"),
+                F.col("dst").cast("long").alias("_root"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_root"), F.col("vec_id")).cast("long").alias("cluster_id"),
+        )
+    )

@@ -823,3 +823,22 @@ def test_lang_mismatch_detects_contamination(spark):
     assert set(rows) == {1, 3}
     assert rows[1].lang_id == "es" and rows[1].margin > 0
     assert rows[3].lang_id == "en" and rows[3].score_declared == 0
+
+
+def test_embedding_duplicate_clusters_known_groups(spark):
+    from dr_source_spark.training.similarity import embedding_duplicate_clusters
+
+    def v(*pat):
+        base = [0.0] * 64
+        for i, x in enumerate(pat):
+            base[i] = float(x)
+        return base
+
+    # 1,2 identical; 3 close to them; 4 orthogonal singleton
+    emb = spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(1, 0)), (3, v(1, 0.1)), (4, v(0, 0, 0, 5))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.cluster_id for r in embedding_duplicate_clusters(emb, threshold=0.9).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
