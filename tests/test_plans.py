@@ -245,3 +245,36 @@ def test_curation_decisions_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(curation_decisions(docs))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_repeated_spans_equi_joins_only(spark):
+    """Gram-position matching joins on (doc id, gram hash) equi-keys and
+    the diagonal islands are window work — no Cartesian/BNLJ anywhere
+    (an all-pairs gram match would be fatal at corpus scale)."""
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, repeated_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(repeated_spans(docs, minhash_lsh_candidates(docs)))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_two_hop_paths_pushes_predicate_filters(spark):
+    """Property-path sides are predicate-pruned BEFORE the mid-node
+    equi-join: the filters sit below the join, and no Cartesian exists."""
+    from dr_source_spark.operators.graph import two_hop_paths
+
+    edges = spark.createDataFrame(
+        [("a", "P1", "m"), ("m", "P2", "b")], "src string, pred string, dst string"
+    )
+    plan = _plan(two_hop_paths(edges, "P1", "P2", "chain"))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pack_sequences_no_full_data_single_partition(spark):
+    """End-to-end packing plan: the only SinglePartition exchange is the
+    bucket-totals window (n_buckets rows), never the document data."""
+    from dr_source_spark.training.pack import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(pack_sequences(docs))
+    assert plan.count("Exchange SinglePartition") <= 1
