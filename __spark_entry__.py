@@ -2356,6 +2356,34 @@ SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node"""
 
 
+def _text_rarity(spark, sf_dir):
+    # unigram-LM quality proxy: mean inverse corpus frequency per doc
+    # (integer surprisal proxy, no libm) — training/text.py::rarity_score
+    from dr_source_spark.training.text import rarity_score
+
+    return rarity_score(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_RARITY_SQL = r"""
+WITH wrds AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cnt AS (SELECT w, count(*) AS c FROM wrds GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM cnt),
+scored AS (
+  SELECT wrds.doc_id, CAST(tot.t // cnt.c AS BIGINT) AS iw
+  FROM wrds JOIN cnt ON cnt.w = wrds.w CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(iw) AS BIGINT) AS sum_rarity,
+       round(CAST(sum(iw) AS DOUBLE) / count(*), 4) AS mean_rarity
+FROM scored GROUP BY doc_id
+"""
+
+
 def _lang_profile(spark, sf_dir):
     from dr_source_spark.training.text import lang_profile
 
@@ -2443,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_mismatch": _text_lang_mismatch,
         "media_audio_energy": _media_audio_energy,
         "emb_dup_clusters": _emb_dup_clusters,
+        "text_rarity_score": _text_rarity,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2570,6 +2599,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_mismatch": _lang_mismatch_sql(),
         "media_audio_energy": _MEDIA_AUDIO_ENERGY_SQL,
         "emb_dup_clusters": _emb_dup_clusters_sql(),
+        "text_rarity_score": _TEXT_RARITY_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

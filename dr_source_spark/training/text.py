@@ -559,3 +559,40 @@ def lang_mismatch(documents: DataFrame) -> DataFrame:
         )
         .filter(F.col("lang_id") != F.col("lang"))
     )
+
+
+def rarity_score(documents: DataFrame) -> DataFrame:
+    """Unigram-LM quality proxy ("perplexity-lite"): per document, the
+    mean INVERSE corpus frequency of its tokens — w(token) =
+    total_corpus_tokens div corpus_count(token), an integer surprisal
+    proxy (monotone in 1/p, like -log p without the libm dependency a
+    cross-engine oracle can't tolerate). Gibberish and rare-token spam
+    score high; common prose scores low — curation pipelines threshold
+    this next to the stopword screen.
+
+    Returns (doc_id, n_toks, sum_rarity, mean_rarity) with mean rounded
+    to 4 decimals of an exact-integer ratio. Scale shape: one explode →
+    (token) count aggregate (map-side combinable) → equi-join back on the
+    token → per-doc sum; the corpus-total scalar rides a broadcast
+    single-row join. NULL/empty docs emit no row (no tokens, no LM
+    evidence — curation owns empties)."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != "")
+    words = (
+        documents.withColumn("_t", toks)
+        .select("doc_id", F.explode("_t").alias("w"))
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").cast("long").alias("_total"))
+    scored = (
+        words.join(counts, "w")
+        .join(F.broadcast(total))
+        .select("doc_id", F.expr("_total div _cnt").cast("long").alias("_w"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("_w").cast("long").alias("sum_rarity"),
+            F.round(F.sum("_w") / F.count("*"), 4).alias("mean_rarity"),
+        )
+    )

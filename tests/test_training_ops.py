@@ -842,3 +842,19 @@ def test_embedding_duplicate_clusters_known_groups(spark):
     out = {r.vec_id: r.cluster_id for r in embedding_duplicate_clusters(emb, threshold=0.9).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == 4
+
+
+def test_rarity_score_orders_gibberish_above_prose(spark):
+    from dr_source_spark.training.text import rarity_score
+
+    common = "the cat and the dog " * 10
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, "zxqv wkjh pqrs mnbv")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in rarity_score(docs).collect()}
+    assert rows[3].mean_rarity > rows[1].mean_rarity
+    assert rows[1].n_toks == 50
+    # exact integer bookkeeping: sum of per-token total//cnt weights
+    total = 50 + 50 + 4
+    assert rows[3].sum_rarity == 4 * (total // 1)
