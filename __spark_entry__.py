@@ -1345,6 +1345,37 @@ FROM s GROUP BY media_id, frame_idx
 """
 
 
+def _media_image_patches(spark, sf_dir):
+    # ViT-style patch extraction: REAL BMP pixel-grid decode tiled into
+    # 2x2 blocks with exact integer channel sums (edge blocks keep their
+    # true dims) — training/multimodal.py::image_patches
+    from dr_source_spark.training.multimodal import image_patches, synth_decodable_media
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = synth_decodable_media(docs).filter(F.col("kind") == "image")
+    return image_patches(imgs, patch=2)
+
+
+_MEDIA_PATCHES_SQL = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         x.x // 2 AS px, y.y // 2 AS py, x.x AS xx, y.y AS yy,
+         (d.doc_id + x.x * 7 + y.y * 13) % 256
+       + (d.doc_id * 3 + x.x * 11 + y.y * 5) % 256
+       + (d.doc_id * 5 + x.x + y.y * 17) % 256 AS s
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(3 + d.doc_id % 5 AS INT))) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(2 + d.doc_id % 4 AS INT))) AS y) y
+  WHERE d.doc_id % 2 = 0
+)
+SELECT media_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+       CAST(count(DISTINCT xx) AS BIGINT) AS patch_w,
+       CAST(count(DISTINCT yy) AS BIGINT) AS patch_h,
+       CAST(sum(s) AS BIGINT) AS checksum
+FROM px GROUP BY media_id, px, py
+"""
+
+
 def _media_resize_features(spark, sf_dir):
     # REAL resize -> REAL decode: BMP payloads nearest-neighbor resized to
     # 8x6 (payload-level re-encode), then decoded back to integer features;
@@ -2472,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_energy": _media_audio_energy,
         "emb_dup_clusters": _emb_dup_clusters,
         "text_rarity_score": _text_rarity,
+        "media_image_patches": _media_image_patches,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2600,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_energy": _MEDIA_AUDIO_ENERGY_SQL,
         "emb_dup_clusters": _emb_dup_clusters_sql(),
         "text_rarity_score": _TEXT_RARITY_SQL,
+        "media_image_patches": _MEDIA_PATCHES_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

@@ -514,3 +514,74 @@ def audio_frame_energy(media: DataFrame, frame: int = 25) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(process, AUDIO_ENERGY_SCHEMA)
+
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("px", LongType()),
+        StructField("py", LongType()),
+        StructField("patch_w", LongType()),
+        StructField("patch_h", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def image_patches(media: DataFrame, patch: int = 2) -> DataFrame:
+    """ViT-style patch extraction over REAL BMP decode: each 24-bit BMP's
+    pixel grid is tiled into ``patch``×``patch`` blocks (edge blocks may
+    be narrower/shorter — nothing is dropped or padded; the plan reports
+    actual block dims) and each block emits the exact integer sum of its
+    channel bytes — the patch-embedding precursor a vision pipeline
+    computes before projection. Coordinates are in storage (bottom-up)
+    row space, the same convention resize_media_bmp documents, so the
+    closed-form oracle reproduces every checksum from the generator
+    formulas.
+
+    Scale shape: decode + tiling inside the Arrow batch; the payload dies
+    in-stage and only 6 narrow integer columns emerge (patch explosion
+    multiplies ROWS, never bytes). Non-BMP payloads raise — fail fast,
+    like every real decode path here."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PATCH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:2] != b"BM":
+                    raise NotImplementedError("image_patches supports 24-bit BMP only")
+                offset = struct.unpack("<I", payload[10:14])[0]
+                w, h = struct.unpack("<ii", payload[18:26])
+                h = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                grid = [
+                    payload[offset + y * stride : offset + y * stride + w * 3]
+                    for y in range(h)
+                ]
+                for py in range(0, (h + patch - 1) // patch):
+                    for px in range(0, (w + patch - 1) // patch):
+                        x0, x1 = px * patch, min((px + 1) * patch, w)
+                        y0, y1 = py * patch, min((py + 1) * patch, h)
+                        checksum = sum(
+                            sum(grid[y][x0 * 3 : x1 * 3]) for y in range(y0, y1)
+                        )
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "px": px,
+                                "py": py,
+                                "patch_w": x1 - x0,
+                                "patch_h": y1 - y0,
+                                "checksum": checksum,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in cols}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, PATCH_SCHEMA)

@@ -195,3 +195,33 @@ def test_audio_frame_energy_windows_and_integers(spark):
             chunk = samples[r.frame_idx * 25 : r.frame_idx * 25 + 25]
             assert r.peak == max(abs(s) for s in chunk)
             assert r.energy == sum(s * s for s in chunk)
+
+
+def test_image_patches_tile_exactly(spark):
+    """Patches tile the pixel grid: per-image checksum sum equals the
+    whole-image decode checksum, edge patches carry true dims."""
+    from pyspark.sql import functions as F
+
+    from dr_source_spark.training.multimodal import (
+        _decode_bmp,
+        bmp_bytes,
+        image_patches,
+        synth_decodable_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (2, 4, 6, 8)], "doc_id long")
+    imgs = synth_decodable_media(docs).filter(F.col("kind") == "image")
+    out = image_patches(imgs, patch=2).collect()
+    by_img = {}
+    for r in out:
+        by_img.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_img.items():
+        n_px, _, checksum = _decode_bmp(bmp_bytes(mid))
+        assert sum(r.checksum for r in rows) == checksum
+        assert sum(r.patch_w * r.patch_h for r in rows) == n_px
+        w = 4 + mid % 5
+        h = 3 + mid % 4
+        assert max(r.px for r in rows) == (w + 1) // 2 - 1
+        assert max(r.py for r in rows) == (h + 1) // 2 - 1
+        # edge patches: width/height never exceed the patch or the image
+        assert all(1 <= r.patch_w <= 2 and 1 <= r.patch_h <= 2 for r in rows)
