@@ -106,11 +106,32 @@ def main():
     # The gate runs BEFORE the warm-up pass: warm-up itself is a 32-thread
     # burst that inflates the 1-min loadavg, and gating after it would burn
     # the budget waiting for our own load to decay instead of external load.
+    def _steal_sample(window: float = 2.0) -> float:
+        # fraction of all CPU ticks the host stole from this VM over the
+        # window — the noise source guest loadavg cannot see (r5
+        # postmortem: identical runs at loadavg < 2 swung 7.7 -> 12.9 s
+        # purely with steal waves)
+        def ticks():
+            return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+        a = ticks()
+        time.sleep(window)
+        b = ticks()
+        d = [y - x for x, y in zip(a, b)]
+        return 100.0 * d[7] / max(sum(d), 1)
+
     gate_t0 = time.monotonic()
     gate_limit = float(os.environ.get("SPARK_GRAFT_LOADGATE_SEC", "600"))
     gate_thresh = float(os.environ.get("SPARK_GRAFT_LOADGATE_LOAD", "2.0"))
-    while os.getloadavg()[0] >= gate_thresh and time.monotonic() - gate_t0 < gate_limit:
-        time.sleep(10)
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_LOADGATE_STEAL", "2.0"))
+    while time.monotonic() - gate_t0 < gate_limit:
+        if os.getloadavg()[0] >= gate_thresh:
+            time.sleep(10)
+            continue
+        if _steal_sample() >= steal_thresh:
+            time.sleep(10)
+            continue
+        break
     load_gate_wait = round(time.monotonic() - gate_t0, 1)
     noisy = os.getloadavg()[0] >= gate_thresh
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
@@ -122,6 +143,18 @@ def main():
     # query cost, and best-of-2 can't mask it
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     bench_kg_extract(spark)
+
+    # host-steal instrumentation: this sandbox is a VM on a shared host,
+    # and host CPU steal (invisible to guest loadavg — the r5 postmortem
+    # measured identical workloads swinging 7.7 s -> 12.9 s at loadavg < 2)
+    # is the dominant noise source. /proc/stat column 8 counts stolen
+    # ticks; the delta across the timed section, over total ticks, is the
+    # fraction of compute the host took from us.
+    def _stat_ticks():
+        parts = open("/proc/stat").readline().split()
+        return list(map(int, parts[1:]))
+
+    steal_t0 = _stat_ticks()
 
     timed("kg_extract", lambda: bench_kg_extract(spark))
     timed("detector_scan", lambda: bench_detector_scan(spark))
@@ -146,6 +179,12 @@ def main():
             extra[name] = timings.pop(name)
             noise["runs"].pop(name, None)
             extra[f"{name}_spread_pct"] = noise["spread_pct"].pop(name, None)
+    steal_t1 = _stat_ticks()
+    _d = [b - a for a, b in zip(steal_t0, steal_t1)]
+    steal_pct = round(100.0 * _d[7] / max(sum(_d), 1), 2)
+    # > 3% of all cycles stolen across the run = the numbers measured the
+    # host's neighbors, not this engine
+    noisy = noisy or steal_pct > 3.0
     out = {
         "metric": "headline_suite_runtime",
         "value": total,
@@ -162,7 +201,8 @@ def main():
         "noisy": noisy,
         "noise": dict(noise, loadavg_start=loadavg_start,
                       loadavg_end=[round(x, 2) for x in os.getloadavg()],
-                      load_gate_wait_sec=load_gate_wait),
+                      load_gate_wait_sec=load_gate_wait,
+                      host_steal_pct=steal_pct),
     }
     print(json.dumps(out))
     spark.stop()
