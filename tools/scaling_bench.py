@@ -51,11 +51,18 @@ ckb = compile_kb(load_kb(project_dir="/nonexistent"))
 # warm the FULL python worker pool (deterministic sample spans every
 # partition so all {cores} workers spin up before the timed window)
 run_detectors(corpus.sample(0.05, seed=1), ckb).count()
+def _ticks():
+    return list(map(int, open("/proc/stat").readline().split()[1:]))
+s0 = _ticks()
 t0 = time.monotonic()
 found = run_detectors(corpus, ckb).count()
 dt = time.monotonic() - t0
+s1 = _ticks()
+d = [b - a for a, b in zip(s0, s1)]
+steal = round(100.0 * d[7] / max(sum(d), 1), 2)
 print(json.dumps({{"cores": {cores}, "files": n, "findings": found,
-                   "sec": round(dt, 2), "files_per_sec": round(n / dt, 1)}}))
+                   "sec": round(dt, 2), "files_per_sec": round(n / dt, 1),
+                   "host_steal_pct": steal}}))
 spark.stop()
 """
 
