@@ -2415,6 +2415,34 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _text_vocab_coverage(spark, sf_dir):
+    # tokenizer-vocab coverage: per-doc OOV rate against the deterministic
+    # corpus top-500 word vocabulary — training/text.py::vocab_coverage
+    from dr_source_spark.training.text import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_VOCAB_SQL = r"""
+WITH wrds AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM wrds GROUP BY w
+    ORDER BY c DESC, w ASC LIMIT 500)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_toks,
+       round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
+FROM wrds LEFT JOIN vocab v ON v.w = wrds.w
+GROUP BY doc_id
+"""
+
+
 def _lang_profile(spark, sf_dir):
     from dr_source_spark.training.text import lang_profile
 
@@ -2504,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_clusters": _emb_dup_clusters,
         "text_rarity_score": _text_rarity,
         "media_image_patches": _media_image_patches,
+        "text_vocab_coverage": _text_vocab_coverage,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2633,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_dup_clusters": _emb_dup_clusters_sql(),
         "text_rarity_score": _TEXT_RARITY_SQL,
         "media_image_patches": _MEDIA_PATCHES_SQL,
+        "text_vocab_coverage": _TEXT_VOCAB_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

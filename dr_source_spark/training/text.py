@@ -596,3 +596,41 @@ def rarity_score(documents: DataFrame) -> DataFrame:
             F.round(F.sum("_w") / F.count("*"), 4).alias("mean_rarity"),
         )
     )
+
+
+def vocab_coverage(documents: DataFrame, vocab_size: int = 500) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus top-``vocab_size``
+    word vocabulary (by frequency, ties to the lexicographically smaller
+    word so the cut is deterministic) and report, per document, how much
+    of it the vocabulary covers — the go/no-go check before freezing a
+    tokenizer (a shard with high OOV mass will fragment into bytes and
+    blow up its token count).
+
+    Returns (doc_id, n_toks, oov_toks, oov_rate) with oov_rate rounded
+    to 4 decimals. NULL/empty docs emit no row (no tokens — curation
+    owns empties). Scale shape: token counts are a map-side-combinable
+    aggregate; the vocabulary is a driver-bounded orderBy().limit()
+    broadcast to a LEFT join (an OOV token simply misses), so the big
+    side shuffles once on the token."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != "")
+    words = documents.withColumn("_t", toks).select(
+        "doc_id", F.explode("_t").alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_toks"),
+        )
+        .withColumn("oov_rate", F.round(F.col("oov_toks") / F.col("n_toks"), 4))
+    )

@@ -858,3 +858,21 @@ def test_rarity_score_orders_gibberish_above_prose(spark):
     # exact integer bookkeeping: sum of per-token total//cnt weights
     total = 50 + 50 + 4
     assert rows[3].sum_rarity == 4 * (total // 1)
+
+
+def test_vocab_coverage_oov_accounting(spark):
+    from dr_source_spark.training.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa"),
+            (2, "aa bb zz"),
+            (3, "qq rr ss"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> vocab = {aa (3), bb (3)}? counts: aa=4? aa appears 3+1=4, bb=2+1=3, others 1
+    rows = {r.doc_id: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert rows[1].oov_toks == 0 and rows[1].oov_rate == 0.0
+    assert rows[2].n_toks == 3 and rows[2].oov_toks == 1
+    assert rows[3].oov_toks == 3 and rows[3].oov_rate == 1.0
