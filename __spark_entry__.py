@@ -1727,6 +1727,44 @@ b AS (SELECT src AS mid, dst AS sink FROM kg_e WHERE pred = 'FLOWS_TO')
 SELECT DISTINCT a.source, a.mid AS variable, b.sink FROM a JOIN b ON b.mid = a.mid"""
 
 
+def _kg_vuln_cooccurrence(spark, sf_dir):
+    # per-file vuln-type co-occurrence over the flagship findings —
+    # association mining (operators/relational.py::vuln_cooccurrence);
+    # ground truth from the per-template finding constants (a doc's file
+    # carries exactly its template's finding types)
+    from dr_source_spark.operators.relational import vuln_cooccurrence
+
+    return vuln_cooccurrence(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_vuln_cooccurrence_sql() -> str:
+    from itertools import combinations
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    rows = []
+    for tpl, findings in EXPECTED_FINDINGS.items():
+        # display type carries the tier suffix: taint-tier findings (a
+        # real tainted variable; 'structural' marks the Django structural
+        # check, regex findings have var=None) render as "X (AST Taint)"
+        types = sorted(
+            {
+                f"{f[0]} (AST Taint)" if f[3] not in (None, "structural") else f[0]
+                for f in findings
+            }
+        )
+        for ta, tb in combinations(types, 2):
+            rows.append(f"({tpl}, '{ta}', '{tb}')")
+    values = ", ".join(rows)
+    return f"""
+WITH tplpairs(tpl, type_a, type_b) AS (VALUES {values}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents)
+SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS n_files
+FROM docs d JOIN tplpairs p ON p.tpl = d.tpl
+GROUP BY p.type_a, p.type_b
+"""
+
+
 _KCORE_K, _KCORE_ROUNDS = 2, 16
 
 
@@ -2533,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rarity_score": _text_rarity,
         "media_image_patches": _media_image_patches,
         "text_vocab_coverage": _text_vocab_coverage,
+        "kg_vuln_cooccurrence": _kg_vuln_cooccurrence,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2663,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "text_rarity_score": _TEXT_RARITY_SQL,
         "media_image_patches": _MEDIA_PATCHES_SQL,
         "text_vocab_coverage": _TEXT_VOCAB_SQL,
+        "kg_vuln_cooccurrence": _kg_vuln_cooccurrence_sql(),
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

@@ -135,3 +135,32 @@ def where_used(files_df: DataFrame, class_name: str, ast_confirm: bool = False) 
     return candidates.select("repo", "path", "commit", "content").mapInPandas(
         confirm, "repo string, path string, commit string"
     )
+
+
+def vuln_cooccurrence(findings: DataFrame) -> DataFrame:
+    """Per-file vulnerability-type co-occurrence — the association-mining
+    report a security team reads to find systemic patterns ("every file
+    with a hardcoded secret also ships debug config"). One row per
+    unordered type pair (type_a < type_b) with the count of files where
+    BOTH types fire.
+
+    Shape: distinct (repo, path, vuln_type) first — dedup before the
+    join, so a file's 200 SQLi findings contribute ONE row — then a
+    per-file self-equi-join on the file key (fan-out C(k,2) in the
+    DISTINCT type count k per file, which is bounded by the catalog,
+    not the finding count) and a narrow-pair count aggregate."""
+    per_file = findings.select("repo", "path", "vuln_type").distinct()
+    a, b = per_file.alias("a"), per_file.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.repo") == F.col("b.repo"))
+            & (F.col("a.path") == F.col("b.path"))
+            & (F.col("a.vuln_type") < F.col("b.vuln_type")),
+        )
+        .groupBy(
+            F.col("a.vuln_type").alias("type_a"),
+            F.col("b.vuln_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_files"))
+    )

@@ -876,3 +876,19 @@ def test_vocab_coverage_oov_accounting(spark):
     assert rows[1].oov_toks == 0 and rows[1].oov_rate == 0.0
     assert rows[2].n_toks == 3 and rows[2].oov_toks == 1
     assert rows[3].oov_toks == 3 and rows[3].oov_rate == 1.0
+
+
+def test_vuln_cooccurrence_dedups_before_pairing(spark):
+    from dr_source_spark.operators.relational import vuln_cooccurrence
+
+    f = spark.createDataFrame(
+        [
+            ("r", "a.py", "SQLI"), ("r", "a.py", "SQLI"),  # dup finding, one vote
+            ("r", "a.py", "XSS"),
+            ("r", "b.py", "SQLI"), ("r", "b.py", "XSS"), ("r", "b.py", "SSRF"),
+            ("r", "c.py", "SQLI"),  # single-type file: no pair
+        ],
+        "repo string, path string, vuln_type string",
+    )
+    out = {(r.type_a, r.type_b): r.n_files for r in vuln_cooccurrence(f).collect()}
+    assert out == {("SQLI", "XSS"): 2, ("SQLI", "SSRF"): 1, ("SSRF", "XSS"): 1}
