@@ -1163,6 +1163,62 @@ FROM grp GROUP BY doc_id, island
 """
 
 
+def _text_cut_plan(spark, sf_dir):
+    # keep-ranges after boilerplate removal: the complement intervals of
+    # text_boilerplate_spans — training/text.py::boilerplate_cut_plan
+    from dr_source_spark.training.text import boilerplate_cut_plan
+
+    return boilerplate_cut_plan(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_CUT_PLAN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+12], ' ')) AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS u(i)
+  WHERE len(t) >= 13
+), shared AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING count(*) >= 3
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 12) OVER w IS NULL OR pos > max(pos + 12) OVER w
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end
+  FROM grp GROUP BY doc_id, island
+), ntok AS (
+  SELECT doc_id, len(t) AS n FROM toks WHERE len(t) >= 1
+), gaps AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS keep_start,
+         span_start - 1 AS keep_end
+  FROM spans
+), trail AS (
+  SELECT s.doc_id, max(s.span_end) + 1 AS keep_start, max(n.n) AS keep_end
+  FROM spans s JOIN ntok n USING (doc_id) GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(keep_start AS BIGINT) AS keep_start,
+       CAST(keep_end AS BIGINT) AS keep_end,
+       CAST(keep_end - keep_start + 1 AS BIGINT) AS n_toks_kept
+FROM (
+  SELECT doc_id, keep_start, keep_end FROM gaps WHERE keep_end >= keep_start
+  UNION ALL SELECT doc_id, keep_start, keep_end FROM trail WHERE keep_end >= keep_start
+  UNION ALL
+  SELECT n.doc_id, 1, n.n FROM ntok n
+  WHERE n.doc_id NOT IN (SELECT DISTINCT doc_id FROM spans)
+)
+"""
+
+
 def _text_bpe_merges(spark, sf_dir):
     # first BPE training iteration: top adjacent char pairs weighted by
     # word frequency; pair explode runs on DISTINCT words only
@@ -2572,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_patches": _media_image_patches,
         "text_vocab_coverage": _text_vocab_coverage,
         "kg_vuln_cooccurrence": _kg_vuln_cooccurrence,
+        "text_cut_plan": _text_cut_plan,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -2703,6 +2760,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_patches": _MEDIA_PATCHES_SQL,
         "text_vocab_coverage": _TEXT_VOCAB_SQL,
         "kg_vuln_cooccurrence": _kg_vuln_cooccurrence_sql(),
+        "text_cut_plan": _TEXT_CUT_PLAN_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "emb_quantize_stats": _EMB_QUANTIZE_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,

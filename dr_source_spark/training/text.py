@@ -634,3 +634,61 @@ def vocab_coverage(documents: DataFrame, vocab_size: int = 500) -> DataFrame:
         )
         .withColumn("oov_rate", F.round(F.col("oov_toks") / F.col("n_toks"), 4))
     )
+
+
+def boilerplate_cut_plan(
+    documents: DataFrame, n: int = 13, min_docs: int = 3
+) -> DataFrame:
+    """The actionable half of boilerplate removal: the KEEP ranges — per
+    document, the maximal token ranges left after cutting every
+    boilerplate span (complement intervals). A doc with no boilerplate
+    keeps one full range; a doc that is entirely boilerplate keeps
+    nothing; 1-based inclusive offsets matching boilerplate_spans.
+    Returns (doc_id, keep_start, keep_end, n_toks_kept).
+
+    Shape: three narrow branches unioned — between-span gaps (lag window
+    over the spans, bounded per doc), the post-last-span tail (span max +
+    token-count join), and full ranges for span-free docs (anti-join).
+    The text column is touched once for the token count."""
+    from pyspark.sql.window import Window
+
+    spans = boilerplate_spans(documents, n=n, min_docs=min_docs)
+    ntok = documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long").alias("_n"),
+    ).filter(F.col("_n") >= 1)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    gaps = (
+        spans.withColumn("_pe", F.coalesce(F.lag("span_end").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            (F.col("_pe") + 1).alias("keep_start"),
+            (F.col("span_start") - 1).alias("keep_end"),
+        )
+        .filter(F.col("keep_end") >= F.col("keep_start"))
+    )
+    trail = (
+        spans.groupBy("doc_id")
+        .agg(F.max("span_end").alias("_me"))
+        .join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("_me") + 1).alias("keep_start"),
+            F.col("_n").alias("keep_end"),
+        )
+        .filter(F.col("keep_end") >= F.col("keep_start"))
+    )
+    full = (
+        ntok.join(spans.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select("doc_id", F.lit(1).alias("keep_start"), F.col("_n").alias("keep_end"))
+    )
+    return (
+        gaps.unionByName(trail)
+        .unionByName(full)
+        .select(
+            "doc_id",
+            F.col("keep_start").cast("long").alias("keep_start"),
+            F.col("keep_end").cast("long").alias("keep_end"),
+            (F.col("keep_end") - F.col("keep_start") + 1).cast("long").alias("n_toks_kept"),
+        )
+    )

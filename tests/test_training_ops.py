@@ -892,3 +892,36 @@ def test_vuln_cooccurrence_dedups_before_pairing(spark):
     )
     out = {(r.type_a, r.type_b): r.n_files for r in vuln_cooccurrence(f).collect()}
     assert out == {("SQLI", "XSS"): 2, ("SQLI", "SSRF"): 1, ("SSRF", "XSS"): 1}
+
+
+def test_boilerplate_cut_plan_complements_spans(spark):
+    """keep ranges + spans tile each doc's token line exactly."""
+    from dr_source_spark.training.text import boilerplate_cut_plan, boilerplate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 " + boiler + " u3 u4"),
+            (2, boiler),                      # entirely boilerplate
+            (3, "x1 " + boiler),
+            (4, boiler + " tail"),
+            (5, "clean doc no boiler"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: (r.span_start, r.span_end) for r in boilerplate_spans(docs, min_docs=3).collect()}
+    keeps = {}
+    for r in boilerplate_cut_plan(docs, min_docs=3).collect():
+        keeps.setdefault(r.doc_id, []).append((r.keep_start, r.keep_end))
+        assert r.n_toks_kept == r.keep_end - r.keep_start + 1 > 0
+    n_toks = {1: 17, 2: 13, 3: 14, 4: 14, 5: 4}
+    for d, n in n_toks.items():
+        covered = set()
+        for a, b in keeps.get(d, []):
+            covered |= set(range(a, b + 1))
+        if d in spans:
+            a, b = spans[d]
+            covered |= set(range(a, b + 1))
+        assert covered == set(range(1, n + 1)), (d, sorted(covered))
+    assert 2 not in keeps          # fully-boilerplate doc keeps nothing
+    assert keeps[5] == [(1, 4)]    # clean doc keeps everything
