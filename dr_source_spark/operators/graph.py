@@ -109,8 +109,52 @@ def pagerank_fixed_point(
     return ranks.select("node", "rank")
 
 
+# Below this many distinct edges the component computation runs as a
+# driver-side union-find instead of ~O(log n) alternating-star rounds:
+# 20 tiny Spark jobs of pure fixed cost (measured 8.2 s at sf0.1's 83 k
+# edges, 0 % steal, round 5) vs milliseconds of driver CPU on ≤ ~32 MB
+# of narrow pairs. The same adaptive principle as Spark's own
+# broadcast-join threshold: the distributed path is the DESIGN (a 100 TB
+# near-dup graph has billions of edges and always takes it); the driver
+# path is the small-input escape hatch. Both paths produce the identical
+# (node, min-of-component) edge list and both are pytest-gated.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(rows) -> list:
+    """(node, component-min) pairs, root excluded — the same contract as
+    the converged star edge list. Python min = code-point order = Spark's
+    binary string ordering, so labels match the distributed path."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return [(x, comp_min[find(x)]) for x in parent if x != comp_min[find(x)]]
+
+
 def alternating_star_components(
-    edges: DataFrame, max_rounds: int = 50, batch: int = 1
+    edges: DataFrame, max_rounds: int = 50, batch: int = 1,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
@@ -136,7 +180,14 @@ def alternating_star_components(
     cost. Default stays 1; the knob remains for large clusters where the
     driver round-trip (not plan optimization) dominates. Lineage is
     truncated per batch; on a real cluster configure a reliable checkpoint
-    dir."""
+    dir.
+
+    Inputs at or under ``driver_max_edges`` distinct edges short-circuit
+    to the driver union-find above (identical output, pytest-gated
+    parity); with it, the full dedup_clusters pipeline at sf0.1 measures
+    5.5 s best (8.2 s with 20 distributed rounds on the 83 k-edge
+    graph), of which LSH candidate generation is 3.5 s and the jaccard
+    verify 1.5 s — the component step is no longer the cost center."""
 
     def star(df: DataFrame, large: bool) -> DataFrame:
         if large:
@@ -171,6 +222,13 @@ def alternating_star_components(
 
     batch = max(1, batch)
     cur, prev_fp = _ckpt_with_fp(edges.select("src", "dst").distinct())
+    # adaptive small-graph path: the edge count is already in hand from
+    # the fingerprint observe — no extra job decides the route
+    if 0 < prev_fp[0] <= driver_max_edges:
+        schema = cur.schema
+        pairs = _driver_union_find([(r[0], r[1]) for r in cur.collect()])
+        cur.unpersist()
+        return edges.sparkSession.createDataFrame(pairs, schema)
     rounds_left = max_rounds
     while rounds_left > 0:
         if prev_fp[0] == 0:

@@ -925,3 +925,21 @@ def test_boilerplate_cut_plan_complements_spans(spark):
         assert covered == set(range(1, n + 1)), (d, sorted(covered))
     assert 2 not in keeps          # fully-boilerplate doc keeps nothing
     assert keeps[5] == [(1, 4)]    # clean doc keeps everything
+
+
+def test_star_components_driver_and_distributed_paths_agree(spark):
+    """The adaptive small-graph union-find and the distributed
+    alternating-star rounds must emit the IDENTICAL (node, min) edge
+    list — on a random graph with chains, cliques, singleton edges and
+    string node ids."""
+    import random
+
+    from dr_source_spark.operators.graph import alternating_star_components
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}") for _ in range(80)]
+    edges += [(f"c{i}", f"c{i+1}") for i in range(10)]  # a chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {tuple(r) for r in alternating_star_components(df).collect()}
+    dist = {tuple(r) for r in alternating_star_components(df, driver_max_edges=0).collect()}
+    assert fast == dist and len(fast) > 0
