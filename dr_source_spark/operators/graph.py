@@ -225,10 +225,18 @@ def alternating_star_components(
     # adaptive small-graph path: the edge count is already in hand from
     # the fingerprint observe — no extra job decides the route
     if 0 < prev_fp[0] <= driver_max_edges:
+        import pandas as pd
+
         schema = cur.schema
         pairs = _driver_union_find([(r[0], r[1]) for r in cur.collect()])
         cur.unpersist()
-        return edges.sparkSession.createDataFrame(pairs, schema)
+        # Arrow-path createDataFrame (a pandas frame, not a tuple list):
+        # near the 2M-edge threshold the pickle path would cost ~20 s of
+        # driver serialization and hand the advantage back
+        pdf = pd.DataFrame(pairs, columns=[f.name for f in schema.fields])
+        if not pairs:
+            return edges.sparkSession.createDataFrame([], schema)
+        return edges.sparkSession.createDataFrame(pdf, schema)
     rounds_left = max_rounds
     while rounds_left > 0:
         if prev_fp[0] == 0:
