@@ -2264,6 +2264,38 @@ FROM t
 """
 
 
+def _events_funnel(spark, sf_dir):
+    # ordered view->click->purchase funnel per user: each step's earliest
+    # timestamp strictly after the previous step's
+    # (operators/relational.py::funnel_progress)
+    from dr_source_spark.operators.relational import funnel_progress
+
+    return funnel_progress(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id
+)
+SELECT v.user_id,
+       strftime(v.t0, '%Y-%m-%d %H:%M:%S') AS ts_view,
+       strftime(c.t1, '%Y-%m-%d %H:%M:%S') AS ts_click,
+       strftime(p.t2, '%Y-%m-%d %H:%M:%S') AS ts_purchase,
+       CAST(1 + (c.t1 IS NOT NULL)::INT + (p.t2 IS NOT NULL)::INT AS BIGINT) AS steps_completed
+FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 def _stream_join_attrib(spark, sf_dir):
     # watermarked stream-stream interval join (click -> purchase within
     # 30 min per user) over the events table replayed as THREE time-ranged
@@ -2603,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": _stream_dedup_keys,
         "stream_curation": _stream_curation,
         "stream_join_attrib": _stream_join_attrib,
+        "events_funnel": _events_funnel,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -2730,6 +2763,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_keys": _STREAM_DEDUP_SQL,
         "stream_curation": _STREAM_CURATION_SQL,
         "stream_join_attrib": _STREAM_JOIN_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

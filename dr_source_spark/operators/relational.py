@@ -164,3 +164,47 @@ def vuln_cooccurrence(findings: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_files"))
     )
+
+
+def funnel_progress(
+    events: DataFrame, steps: Sequence[str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest timestamp at which
+    each step was reached GIVEN the previous step had already happened
+    (step k counts only events strictly after the user's step-k-1 time).
+    Returns (user_id, ts_1..ts_N as 'ts_<step>', steps_completed) — the
+    conversion report behind every product dashboard, and the same
+    ordered-sequence pattern a curation pipeline uses for multi-stage
+    document provenance.
+
+    Shape: one conditional min-aggregate per step over a single
+    groupBy(user) pass — min(ts) FILTER (event_type = step AND ts >
+    prev) is not directly expressible in one pass because prev is itself
+    an aggregate, so each step is a narrow self-aggregate joined back on
+    user_id: N-1 broadcast-sized joins on (user, ts) pairs, never the
+    event rows. Timestamps render as seconds-precision strings so any
+    engine's value hash agrees."""
+    base = events.select("user_id", "event_type", "ts")
+    cur = (
+        base.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(f"_t0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            base.filter(F.col("event_type") == step)
+            .join(cur.select("user_id", F.col(f"_t{i-1}").alias("_prev")), "user_id")
+            .filter(F.col("ts") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"_t{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    completed = sum(
+        (F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0) for i in range(len(steps))),
+        F.lit(0),
+    )
+    out_cols = [
+        F.date_format(F.col(f"_t{i}"), "yyyy-MM-dd HH:mm:ss").alias(f"ts_{s}")
+        for i, s in enumerate(steps)
+    ]
+    return cur.select("user_id", *out_cols, completed.cast("long").alias("steps_completed"))

@@ -943,3 +943,30 @@ def test_star_components_driver_and_distributed_paths_agree(spark):
     fast = {tuple(r) for r in alternating_star_components(df).collect()}
     dist = {tuple(r) for r in alternating_star_components(df, driver_max_edges=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_funnel_progress_orders_steps_strictly(spark):
+    from datetime import datetime
+
+    from dr_source_spark.operators.relational import funnel_progress
+
+    T = lambda m: datetime(2024, 1, 1, 12, m)
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(10)),
+            # user 2: purchase BEFORE click -> funnel stops at click? no:
+            # click at 5, purchase at 3 (before click) -> purchase not counted
+            (2, "view", T(0)), (2, "purchase", T(3)), (2, "click", T(5)),
+            # user 3: click before any view -> only view counted
+            (3, "click", T(0)), (3, "view", T(2)),
+            # user 4: never viewed -> no row
+            (4, "purchase", T(1)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    rows = {r.user_id: r for r in funnel_progress(ev).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].steps_completed == 3 and rows[1].ts_purchase == "2024-01-01 12:10:00"
+    assert rows[2].steps_completed == 2 and rows[2].ts_purchase is None
+    assert rows[3].steps_completed == 1 and rows[3].ts_click is None
