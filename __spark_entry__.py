@@ -2264,6 +2264,29 @@ FROM t
 """
 
 
+def _events_retention(spark, sf_dir):
+    # weekly retention cohorts: first-event week x active-week offsets
+    # (operators/relational.py::retention_cohorts)
+    from dr_source_spark.operators.relational import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
 def _events_funnel(spark, sf_dir):
     # ordered view->click->purchase funnel per user: each step's earliest
     # timestamp strictly after the previous step's
@@ -2636,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curation": _stream_curation,
         "stream_join_attrib": _stream_join_attrib,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -2764,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_curation": _STREAM_CURATION_SQL,
         "stream_join_attrib": _STREAM_JOIN_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_retention": _EVENTS_RETENTION_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

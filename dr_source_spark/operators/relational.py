@@ -208,3 +208,32 @@ def funnel_progress(
         for i, s in enumerate(steps)
     ]
     return cur.select("user_id", *out_cols, completed.cast("long").alias("steps_completed"))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the count of cohort
+    users active in that week. The dataset-freshness report of any
+    event pipeline. Returns (cohort_week 'yyyy-MM-dd', week_offset,
+    n_users).
+
+    Shape: first-event min per user (map-side combinable), distinct
+    (user, week) activity projection, an equi-join on user_id, and a
+    narrow count — no windows, no skew keys wider than a user id. Week
+    truncation is ISO Monday-start in both Spark and DuckDB, so the
+    oracle agrees on boundaries."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("_cohort")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("_week"), F.col("_cohort")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

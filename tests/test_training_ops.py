@@ -970,3 +970,27 @@ def test_funnel_progress_orders_steps_strictly(spark):
     assert rows[1].steps_completed == 3 and rows[1].ts_purchase == "2024-01-01 12:10:00"
     assert rows[2].steps_completed == 2 and rows[2].ts_purchase is None
     assert rows[3].steps_completed == 1 and rows[3].ts_click is None
+
+
+def test_retention_cohorts_week_boundaries(spark):
+    from datetime import datetime
+
+    from dr_source_spark.operators.relational import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            # user 1 first active Mon Jan 1 2024 week, returns 2 weeks later
+            (1, datetime(2024, 1, 2, 10, 0)), (1, datetime(2024, 1, 16, 9, 0)),
+            # user 2 same cohort, active only that week (twice -> one row)
+            (2, datetime(2024, 1, 3, 10, 0)), (2, datetime(2024, 1, 7, 10, 0)),
+            # user 3 joins the following week
+            (3, datetime(2024, 1, 10, 10, 0)),
+        ],
+        "user_id long, ts timestamp",
+    ).withColumn("event_type", F.lit("view"))
+    out = {(r.cohort_week, r.week_offset): r.n_users for r in retention_cohorts(ev).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
