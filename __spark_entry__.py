@@ -269,6 +269,38 @@ GROUP BY r_name
 """
 
 
+def _rollup_revenue(spark, sf_dir):
+    # multi-level aggregate: revenue by (region, nation) with ROLLUP
+    # subtotals and a grand total — the grouping-sets operator class
+    # (Catalyst Expand), broadcast dims, decimal-exact sums
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def _topk_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
@@ -2287,6 +2319,50 @@ GROUP BY 1, 2
 """
 
 
+def _events_trailing(spark, sf_dir):
+    # per-user daily activity with a trailing-7-day RANGE window (value
+    # frame, not row frame — gaps in the day series matter): the rolling
+    # engagement report. Decimal-exact sums so both engines agree bitwise.
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("n_7d"),
+        F.round(F.sum("_v").over(w).cast("double"), 4).alias("value_7d"),
+    )
+
+
+_EVENTS_TRAILING_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(value AS DECIMAL(18,4))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+       round(CAST(sum(v) OVER w AS DOUBLE), 4) AS value_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def _events_funnel(spark, sf_dir):
     # ordered view->click->purchase funnel per user: each step's earliest
     # timestamp strictly after the previous step's
@@ -2660,6 +2736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_attrib": _stream_join_attrib,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
+        "events_trailing_7d": _events_trailing,
+        "rollup_revenue": _rollup_revenue,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -2789,6 +2867,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_attrib": _STREAM_JOIN_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
+        "events_trailing_7d": _EVENTS_TRAILING_SQL,
+        "rollup_revenue": _ROLLUP_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

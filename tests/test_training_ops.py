@@ -994,3 +994,29 @@ def test_retention_cohorts_week_boundaries(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_trailing_7d_range_frame_respects_gaps(spark):
+    """RANGE (value) frame, not ROWS: a 10-day gap must NOT carry the old
+    day into the trailing sum, and day 7 must drop day 0."""
+    from datetime import datetime
+
+    import __spark_entry__ as E
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9), 10.0),
+            (1, datetime(2024, 1, 7, 9), 1.0),   # within 7d of Jan 1
+            (1, datetime(2024, 1, 8, 9), 2.0),   # Jan 1 now out of range
+            (1, datetime(2024, 1, 20, 9), 5.0),  # isolated after a gap
+        ],
+        "user_id long, ts timestamp, value double",
+    ).withColumn("event_type", F.lit("view")).withColumn("event_id", F.lit(0)).withColumn("props", F.lit(""))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.day: (r.n_7d, r.value_7d) for r in E.queries()["events_trailing_7d"](spark, d).collect()}
+    assert out["2024-01-01"] == (1, 10.0)
+    assert out["2024-01-07"] == (2, 11.0)
+    assert out["2024-01-08"] == (2, 3.0)
+    assert out["2024-01-20"] == (1, 5.0)
