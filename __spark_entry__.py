@@ -490,12 +490,18 @@ jac AS (
 ),"""
 
 
-def _dedup_clusters_sql(threshold: float = 0.9) -> str:
+def _dedup_clusters_sql(threshold: float = 0.9, tail: str = "") -> str:
     # recursive min-label reachability reproduces the component minimum;
     # jac is the ROUNDED verify column so the threshold classifies pairs
-    # identically in both engines
+    # identically in both engines. ``tail`` turns the final select into a
+    # `clusters` CTE and appends further SQL (used by the keep-list
+    # oracle, which layers the quality verdict on top).
     jac_tail = _JAC_TAIL
-    return (
+    final = (
+        "SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id\n"
+        "FROM walk GROUP BY node"
+    )
+    prefix = (
         _lsh_pairs_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
         + ","
         + jac_tail
@@ -510,10 +516,36 @@ walk(node, lbl) AS (
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN dedges e ON e.src = w.node
 )
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-FROM walk GROUP BY node
 """
     )
+    if not tail:
+        return prefix + final
+    return prefix + f", clusters AS (\n{final}\n)\n" + tail
+
+
+def _corpus_keep_list(spark, sf_dir):
+    # the end-of-pipeline verdict: near-dup canonical AND quality screen,
+    # one row per doc (training/curate.py::final_keep_list)
+    from dr_source_spark.training.curate import final_keep_list
+
+    return final_keep_list(_t(spark, sf_dir, "documents"))
+
+
+_KEEP_LIST_TAIL = r"""
+, verdict AS (
+  SELECT d.doc_id,
+         CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
+              WHEN length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> x <> '')) < 5 THEN 'too_short'
+              WHEN round(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+                   / greatest(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> x <> '')), 1), 4) < 0.05 THEN 'low_stopword_ratio'
+              ELSE 'kept' END AS reason
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
+"""
 
 
 def _dedup_triangles(spark, sf_dir):
@@ -2738,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
+        "corpus_keep_list": _corpus_keep_list,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -2869,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "corpus_keep_list": _dedup_clusters_sql(tail=_KEEP_LIST_TAIL),
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

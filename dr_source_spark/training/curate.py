@@ -81,3 +81,40 @@ def curation_decisions(
         .select("doc_id", reason.alias("reason"))
         .withColumn("keep", (F.col("reason") == REASON_KEPT).cast("int"))
     )
+
+
+def final_keep_list(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.9,
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """The end-of-pipeline verdict: ONE row per document combining
+    near-duplicate clustering with the quality screen — reason precedence
+    ``near_duplicate`` (not the min-doc_id canonical of its verified
+    near-dup cluster) > ``too_short`` > ``low_stopword_ratio`` >
+    ``kept``; ``keep`` = reason == 'kept'. This is what a training run
+    actually consumes: curation_decisions' exact-dup rule is subsumed by
+    the near-dup clusters (exact dups are jaccard-1.0 pairs), and the
+    quality when-chain is the SAME quality_reason_expr the batch and
+    streaming curation paths share — three verdict surfaces, one
+    definition.
+
+    Scale shape: the cluster labels come from the LSH→jaccard→components
+    pipeline (never all-pairs, adaptive CC); the quality columns are
+    JVM-only; one equi-join on doc_id stitches them."""
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(documents, jaccard_threshold=jaccard_threshold)
+    reason = F.when(
+        F.col("cluster_id") != F.col("doc_id"), F.lit("near_duplicate")
+    ).otherwise(quality_reason_expr(F.col("text"), min_tokens, min_stopword_ratio))
+    return (
+        documents.select("doc_id", "text")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+            (reason == REASON_KEPT).alias("keep"),
+        )
+    )

@@ -1020,3 +1020,26 @@ def test_trailing_7d_range_frame_respects_gaps(spark):
     assert out["2024-01-07"] == (2, 11.0)
     assert out["2024-01-08"] == (2, 3.0)
     assert out["2024-01-20"] == (1, 5.0)
+
+
+def test_final_keep_list_precedence(spark):
+    from dr_source_spark.training.curate import final_keep_list
+
+    prose = "the cat and the dog sat in the house of it is that day"
+    docs = spark.createDataFrame(
+        [
+            (1, prose),            # canonical + quality -> kept
+            (2, prose),            # exact dup of 1 -> near_duplicate
+            (3, "tiny doc"),       # too_short
+            (4, "xy zz qq ww ee rr tt yy uu ii"),  # no stopwords
+            (5, None),             # NULL -> too_short (never escapes)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.reason, r.keep) for r in final_keep_list(docs).collect()}
+    assert rows[1] == ("kept", True)
+    assert rows[2] == ("near_duplicate", False)
+    assert rows[3] == ("too_short", False)
+    assert rows[4] == ("low_stopword_ratio", False)
+    assert rows[5] == ("too_short", False)
+    assert len(rows) == 5
