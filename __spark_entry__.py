@@ -2395,6 +2395,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day
 """
 
 
+def _events_asof_enrich(spark, sf_dir):
+    # as-of join (operators/asof.py): each click enriched with the
+    # latest prior signup's value for the same user — merge-carry shape
+    # (one key shuffle, no range join); oracle is DuckDB's native
+    # ASOF JOIN, so the semantics are pinned against an independent
+    # first-class implementation
+    from dr_source_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("value"))
+    )
+    out = asof_join(clicks, signups, by="user_id", ts="ts", payload=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.col("asof_value").alias("signup_value"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+signups AS (
+  SELECT user_id, ts, round(max(value), 4) AS value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       s.value AS signup_value
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
+"""
+
+
 def _events_funnel(spark, sf_dir):
     # ordered view->click->purchase funnel per user: each step's earliest
     # timestamp strictly after the previous step's
@@ -2767,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curation": _stream_curation,
         "stream_join_attrib": _stream_join_attrib,
         "events_funnel": _events_funnel,
+        "events_asof_enrich": _events_asof_enrich,
         "events_retention": _events_retention,
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
@@ -2899,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_curation": _STREAM_CURATION_SQL,
         "stream_join_attrib": _STREAM_JOIN_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_asof_enrich": _EVENTS_ASOF_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,

@@ -278,3 +278,16 @@ def test_pack_sequences_no_full_data_single_partition(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(pack_sequences(docs))
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_asof_join_is_join_free(spark):
+    """The merge-carry as-of shape contains NO join operator at all —
+    one union, one per-key window; a range-join formulation would plan
+    BroadcastNestedLoop."""
+    from dr_source_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    plan = _plan(asof_join(left, right))
+    assert "Join" not in plan and "Cartesian" not in plan

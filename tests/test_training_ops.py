@@ -1043,3 +1043,26 @@ def test_final_keep_list_precedence(spark):
     assert rows[4] == ("low_stopword_ratio", False)
     assert rows[5] == ("too_short", False)
     assert len(rows) == 5
+
+
+def test_asof_join_edge_semantics(spark):
+    """Inclusive at equal ts; NULL before any right row; later right rows
+    invisible; carries across gaps."""
+    from datetime import datetime
+
+    from dr_source_spark.operators.asof import asof_join
+
+    T = lambda m: datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 10, T(0)), (2, 10, T(5)), (3, 10, T(30)), (4, 20, T(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, T(5), 1.5), (10, T(20), 2.5), (20, T(2), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r.event_id: (r.asof_ts, r.asof_value) for r in asof_join(left, right).collect()}
+    assert out[1] == (None, None)          # before any signup
+    assert out[2] == (T(5), 1.5)           # equal ts -> inclusive
+    assert out[3] == (T(20), 2.5)          # latest prior, not first
+    assert out[4] == (None, None)          # right row is LATER -> invisible
