@@ -2395,6 +2395,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day
 """
 
 
+def _events_band_join(spark, sf_dir):
+    # range join (operators/rangejoin.py): events joined to overlapping
+    # value bands [i*25, i*25+30] via bucketization — the equi-join
+    # rewrite of the BNLJ-shaped interval join; bands overlap so points
+    # can match two bands
+    from dr_source_spark.operators.rangejoin import interval_bucket_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    bands = spark.range(40).select(
+        F.col("id").cast("long").alias("band_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 30.0).alias("hi"),
+    )
+    return interval_bucket_join(ev, bands, value_col="value").select(
+        "event_id", "band_id", "lo", "hi"
+    )
+
+
+_EVENTS_BAND_SQL = """
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id, i * 25.0 AS lo, i * 25.0 + 30.0 AS hi
+  FROM generate_series(0, 39) t(i)
+)
+SELECT e.event_id, b.band_id, b.lo, b.hi
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+WHERE e.value IS NOT NULL
+"""
+
+
 def _events_asof_enrich(spark, sf_dir):
     # as-of join (operators/asof.py): each click enriched with the
     # latest prior signup's value for the same user — merge-carry shape
@@ -2810,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_attrib": _stream_join_attrib,
         "events_funnel": _events_funnel,
         "events_asof_enrich": _events_asof_enrich,
+        "events_band_join": _events_band_join,
         "events_retention": _events_retention,
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
@@ -2943,6 +2975,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_attrib": _STREAM_JOIN_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_asof_enrich": _EVENTS_ASOF_SQL,
+        "events_band_join": _EVENTS_BAND_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,

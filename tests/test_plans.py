@@ -291,3 +291,18 @@ def test_asof_join_is_join_free(spark):
     right = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
     plan = _plan(asof_join(left, right))
     assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_interval_bucket_join_is_equi_join(spark):
+    """The bucketized range join plans a hash/SMJ equi-join on the bucket
+    key — never the BroadcastNestedLoop a raw lo<=v<=hi condition gets."""
+    from dr_source_spark.operators.rangejoin import interval_bucket_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    bands = spark.range(40).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 30.0).alias("hi"),
+    )
+    plan = _plan(interval_bucket_join(ev.filter(F.col("value").isNotNull()), bands, value_col="value"))
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan

@@ -1066,3 +1066,26 @@ def test_asof_join_edge_semantics(spark):
     assert out[2] == (T(5), 1.5)           # equal ts -> inclusive
     assert out[3] == (T(20), 2.5)          # latest prior, not first
     assert out[4] == (None, None)          # right row is LATER -> invisible
+
+
+def test_interval_bucket_join_exact_pairs(spark):
+    """Bucketized pairs equal the brute-force BETWEEN join, including
+    boundary-inclusive matches and intervals spanning many buckets."""
+    from dr_source_spark.operators.rangejoin import interval_bucket_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 30.0), (3, 31.5), (4, 100.0), (5, 64.0)],
+        "pid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 30.0), (11, 30.0, 35.0), (12, 0.0, 200.0), (13, 64.0, 64.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {(r.pid, r.iid) for r in interval_bucket_join(pts, ivs, value_col="v").collect()}
+    want = {
+        (p, i)
+        for p, v in [(1, 0.0), (2, 30.0), (3, 31.5), (4, 100.0), (5, 64.0)]
+        for i, lo, hi in [(10, 0.0, 30.0), (11, 30.0, 35.0), (12, 0.0, 200.0), (13, 64.0, 64.0)]
+        if lo <= v <= hi
+    }
+    assert got == want
