@@ -2426,6 +2426,35 @@ WHERE e.value IS NOT NULL
 """
 
 
+def _events_hypertable(spark, sf_dir):
+    # hypertable continuous-aggregate rollup: hour + day granularities,
+    # day re-aggregated from hour partials
+    # (operators/relational.py::hypertable_rollup)
+    from dr_source_spark.operators.relational import hypertable_rollup
+
+    return hypertable_rollup(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_HYPERTABLE_SQL = """
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS b, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(value AS DECIMAL(18,4))) AS v
+  FROM events GROUP BY 1, 2
+),
+day AS (
+  SELECT date_trunc('day', b) AS b, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(v) AS v
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'hour' AS granularity, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type, n_events, round(CAST(v AS DOUBLE), 4) AS sum_value FROM hour
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n_events,
+       round(CAST(v AS DOUBLE), 4) FROM day
+"""
+
+
 def _events_asof_enrich(spark, sf_dir):
     # as-of join (operators/asof.py): each click enriched with the
     # latest prior signup's value for the same user — merge-carry shape
@@ -2842,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events_funnel,
         "events_asof_enrich": _events_asof_enrich,
         "events_band_join": _events_band_join,
+        "events_hypertable_rollup": _events_hypertable,
         "events_retention": _events_retention,
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
@@ -2976,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_asof_enrich": _EVENTS_ASOF_SQL,
         "events_band_join": _EVENTS_BAND_SQL,
+        "events_hypertable_rollup": _EVENTS_HYPERTABLE_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,

@@ -237,3 +237,44 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """TimescaleDB-style continuous-aggregate rollup: the events
+    hypertable materialized at hour AND day granularity in one result,
+    with the DAY level re-aggregated from the HOUR partials — the
+    defining trick of continuous aggregates (coarse buckets never
+    re-scan raw data; counts and decimal sums are re-aggregable
+    partials). Returns (granularity, bucket_start, event_type, n_events,
+    sum_value).
+
+    Shape: one raw shuffle to hour buckets, then a tiny second aggregate
+    over the hour PARTIALS to day buckets, unioned. At 100 TB the raw
+    scan happens once; every coarser level costs |hour buckets| rows."""
+    hour = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("_b"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_v"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("_b")).alias("_b"), "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_v").alias("_v"),
+        )
+    )
+
+    def fin(df, gran):
+        return df.select(
+            F.lit(gran).alias("granularity"),
+            F.date_format("_b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("_v").cast("double"), 4).alias("sum_value"),
+        )
+
+    return fin(hour, "hour").unionByName(fin(day, "day"))

@@ -1089,3 +1089,25 @@ def test_interval_bucket_join_exact_pairs(spark):
         if lo <= v <= hi
     }
     assert got == want
+
+
+def test_hypertable_rollup_day_from_hour_partials(spark):
+    from datetime import datetime
+
+    from dr_source_spark.operators.relational import hypertable_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("click", datetime(2024, 1, 1, 10, 5), 1.0),
+            ("click", datetime(2024, 1, 1, 10, 55), 2.0),
+            ("click", datetime(2024, 1, 1, 23, 0), 4.0),
+            ("click", datetime(2024, 1, 2, 0, 0), 8.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    ).withColumn("event_id", F.lit(0)).withColumn("user_id", F.lit(1)).withColumn("props", F.lit(""))
+    out = {(r.granularity, r.bucket_start): (r.n_events, r.sum_value)
+           for r in hypertable_rollup(ev).collect()}
+    assert out[("hour", "2024-01-01 10:00:00")] == (2, 3.0)
+    assert out[("hour", "2024-01-01 23:00:00")] == (1, 4.0)
+    assert out[("day", "2024-01-01 00:00:00")] == (3, 7.0)
+    assert out[("day", "2024-01-02 00:00:00")] == (1, 8.0)
