@@ -744,6 +744,52 @@ SELECT doc_a, doc_b, span_tokens, start_a, start_b FROM (
 )
 
 
+def _dedup_cut_plan(spark, sf_dir):
+    # signal -> action: each candidate pair's longest shared span (>= 6
+    # tokens) cut from the LATER doc, overlapping cuts merged
+    # (training/dedup.py::substring_cut_plan); same planted corpus as
+    # dedup_repeated_spans
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, substring_cut_plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    passage = " ".join(f"p{i}" for i in range(40))
+    ha = " ".join(["ha"] * 120)
+    planted = spark.createDataFrame(
+        [
+            (7_000_001, passage + " za zb zc"),
+            (7_000_002, "qa qb " + passage + " zq"),
+            (7_000_003, ha),
+            (7_000_004, ha),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.union(planted)
+    return substring_cut_plan(corpus, minhash_lsh_candidates(corpus))
+
+
+_DEDUP_CUT_PLAN_SQL = f"""
+WITH best AS (
+{_DEDUP_SPANS_SQL}
+),
+cuts AS (
+  SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e
+  FROM best WHERE span_tokens >= 6
+),
+cisl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni
+  FROM cuts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+cgrp AS (
+  SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM cisl
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS cut_start, CAST(max(e) AS BIGINT) AS cut_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS n_toks_cut
+FROM cgrp GROUP BY doc_id, isl
+"""
+
+
 def _dedup_simhash(spark, sf_dir):
     from dr_source_spark.training.dedup import simhash
 
@@ -2876,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
         "corpus_keep_list": _corpus_keep_list,
+        "dedup_cut_plan": _dedup_cut_plan,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -3011,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "corpus_keep_list": _dedup_clusters_sql(tail=_KEEP_LIST_TAIL),
+        "dedup_cut_plan": _DEDUP_CUT_PLAN_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

@@ -516,3 +516,49 @@ def repeated_spans(
         .filter(F.col("_rn") == 1)
         .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
     )
+
+
+def substring_cut_plan(
+    documents: DataFrame,
+    candidates: DataFrame,
+    n: int = 5,
+    min_span: int = 6,
+    max_gram_freq: int = 16,
+) -> DataFrame:
+    """From signal to action (Lee et al. exact-substring dedup): each
+    candidate pair's longest shared span (repeated_spans) of at least
+    ``min_span`` tokens is CUT from the pair's LATER document (larger
+    doc_id — the canonical-keeps-the-text rule); overlapping cuts within
+    a doc merge into maximal ranges (gaps-and-islands over a running max
+    of ends). Returns (doc_id, cut_start, cut_end, n_toks_cut), 0-based
+    inclusive token offsets.
+
+    Shape: repeated_spans' narrow output filtered and windowed per doc —
+    nothing new touches the text."""
+    from pyspark.sql.window import Window
+
+    spans = repeated_spans(
+        documents, candidates, n=n, max_gram_freq=max_gram_freq
+    ).filter(F.col("span_tokens") >= min_span)
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("_s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("_e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_s")
+    prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_isl = F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0)
+    return (
+        cuts.withColumn("_isl", F.sum(new_isl).over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("_s").cast("long").alias("cut_start"),
+            F.max("_e").cast("long").alias("cut_end"),
+        )
+        .select(
+            "doc_id",
+            "cut_start",
+            "cut_end",
+            (F.col("cut_end") - F.col("cut_start") + 1).alias("n_toks_cut"),
+        )
+    )

@@ -1111,3 +1111,26 @@ def test_hypertable_rollup_day_from_hour_partials(spark):
     assert out[("hour", "2024-01-01 23:00:00")] == (1, 4.0)
     assert out[("day", "2024-01-01 00:00:00")] == (3, 7.0)
     assert out[("day", "2024-01-02 00:00:00")] == (1, 8.0)
+
+
+def test_substring_cut_plan_merges_overlaps_and_targets_later_doc(spark):
+    from dr_source_spark.training.dedup import substring_cut_plan
+
+    p = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    docs = spark.createDataFrame(
+        [
+            (1, p(0, 30)),                       # canonical: never cut
+            (2, p(0, 30) + " xa xb"),            # shares [0,30) with 1
+            (3, p(10, 30) + " yy " + p(0, 8)),   # shares [10,30) and [0,8) with 1
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    rows = {(r.doc_id, r.cut_start, r.cut_end): r.n_toks_cut
+            for r in substring_cut_plan(docs, cands, min_span=6).collect()}
+    # doc 1 (earlier) never cut; doc 2 loses its 30-token copy; doc 3
+    # loses its longest span [0..19] (the 20-token run); the 8-token span
+    # is a separate pair-best only if longer — here the 20-token one wins
+    assert all(d != 1 for d, _, _ in rows)
+    assert rows[(2, 0, 29)] == 30
+    assert rows[(3, 0, 19)] == 20
