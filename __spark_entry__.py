@@ -301,6 +301,88 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def _q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: revenue by supplier nation where the customer and
+    # supplier share a nation — a six-table join (3 broadcast dims),
+    # decimal-exact revenue so both engines agree bitwise
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def _q14_promo_share(spark, sf_dir):
+    # TPC-H Q14 shape: promo-brand revenue share per month — conditional
+    # aggregate over a broadcast part join; the ratio is a rounded
+    # division of two decimal-exact sums
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.col("p_brand") == "Brand#1"
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double"), 2).alias("promo_revenue"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+            F.round(
+                (F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))) * 100
+                 / F.sum(rev)).cast("double"), 4
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       round(CAST(sum(CASE WHEN p_brand = 'Brand#1'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS promo_revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS total_revenue,
+       round(CAST(sum(CASE WHEN p_brand = 'Brand#1'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) * 100
+             / sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def _topk_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
@@ -2921,6 +3003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
+        "q14_promo_share": _q14_promo_share,
         "corpus_keep_list": _corpus_keep_list,
         "dedup_cut_plan": _dedup_cut_plan,
         "kg_node_degrees": _kg_node_degrees,
@@ -3057,6 +3141,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "q5_local_supplier_volume": _Q5_SQL,
+        "q14_promo_share": _Q14_SQL,
         "corpus_keep_list": _dedup_clusters_sql(tail=_KEEP_LIST_TAIL),
         "dedup_cut_plan": _DEDUP_CUT_PLAN_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
