@@ -81,22 +81,30 @@ def main():
     qmap = entrymod.queries()
 
     timings = {}
-    noise = {"runs": {}, "spread_pct": {}}
+    noise = {"runs": {}, "spread_pct": {}, "steal_pct": {}}
 
     def timed(name, fn, runs: int = 2, max_runs: int = 5):
         # best-of-N: masks first-action warmup and box noise (the single
         # shared sandbox box hosts other jobs). Sub-second queries sit in
         # the noise floor, so they get extra runs; the recorded spread
         # (max/min - 1) lets a reader tell a real regression from a noisy
-        # box without re-running.
+        # box without re-running. Per-query host-steal%: attributes which
+        # query drew a steal wave (suite-level steal hides it — one run's
+        # kg_pagerank carried 109% spread at 0.3% suite steal).
+        def _ticks():
+            return list(map(int, open("/proc/stat").readline().split()[1:]))
+
         samples = []
+        s0 = _ticks()
         while len(samples) < runs or (min(samples) < 1.0 and len(samples) < max_runs):
             t0 = time.monotonic()
             fn()
             samples.append(time.monotonic() - t0)
+        d = [b - a for a, b in zip(s0, _ticks())]
         timings[name] = round(min(samples), 3)
         noise["runs"][name] = len(samples)
         noise["spread_pct"][name] = round((max(samples) / min(samples) - 1) * 100, 1)
+        noise["steal_pct"][name] = round(100.0 * d[7] / max(sum(d), 1), 2)
 
     # Load gate: the shared sandbox box carries load waves (observed loadavg
     # 1 -> 10 within minutes) that corrupted the r3/r4 cross-round series.
@@ -182,6 +190,7 @@ def main():
             extra[name] = timings.pop(name)
             noise["runs"].pop(name, None)
             extra[f"{name}_spread_pct"] = noise["spread_pct"].pop(name, None)
+            extra[f"{name}_steal_pct"] = noise["steal_pct"].pop(name, None)
     steal_t1 = _stat_ticks()
     _d = [b - a for a, b in zip(steal_t0, steal_t1)]
     steal_pct = round(100.0 * _d[7] / max(sum(_d), 1), 2)
