@@ -2847,6 +2847,35 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def _emb_dim_stats(spark, sf_dir):
+    # per-dimension embedding-health stats over the int8 quantization —
+    # dead/saturated-dimension and variance-collapse screens
+    # (training/similarity.py::dimension_stats)
+    from dr_source_spark.training.similarity import dimension_stats
+
+    return dimension_stats(_t(spark, sf_dir, "embeddings"))
+
+
+_EMB_DIM_STATS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale, v
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS m
+    FROM embeddings)
+),
+e AS (
+  SELECT u.i - 1 AS dim, CAST(round(v[u.i] / scale, 0) AS INT) AS qv
+  FROM q, unnest(generate_series(1, CAST(len(v) AS BIGINT))) u(i)
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(qv) AS BIGINT) AS min_q, CAST(max(qv) AS BIGINT) AS max_q,
+       CAST(sum(qv) AS BIGINT) AS sum_q, CAST(sum(qv * qv) AS BIGINT) AS sum_sq
+FROM e GROUP BY dim
+"""
+
+
 def _emb_dup_clusters(spark, sf_dir):
     # semantic-dedup decisions: connected components over the verified
     # cosine near-dup pairs, every vec_id labeled with its component min
@@ -3028,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_mismatch": _text_lang_mismatch,
         "media_audio_energy": _media_audio_energy,
         "emb_dup_clusters": _emb_dup_clusters,
+        "emb_dim_stats": _emb_dim_stats,
         "text_rarity_score": _text_rarity,
         "media_image_patches": _media_image_patches,
         "text_vocab_coverage": _text_vocab_coverage,
@@ -3171,6 +3201,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_mismatch": _lang_mismatch_sql(),
         "media_audio_energy": _MEDIA_AUDIO_ENERGY_SQL,
         "emb_dup_clusters": _emb_dup_clusters_sql(),
+        "emb_dim_stats": _EMB_DIM_STATS_SQL,
         "text_rarity_score": _TEXT_RARITY_SQL,
         "media_image_patches": _MEDIA_PATCHES_SQL,
         "text_vocab_coverage": _TEXT_VOCAB_SQL,

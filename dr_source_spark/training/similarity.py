@@ -485,3 +485,31 @@ def embedding_duplicate_clusters(
             F.coalesce(F.col("_root"), F.col("vec_id")).cast("long").alias("cluster_id"),
         )
     )
+
+
+def dimension_stats(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension embedding-health report over the int8-quantized
+    vectors: (dim, n, min_q, max_q, sum_q, sum_sq) — dead dimensions
+    (all-zero), saturated dimensions (pinned at ±127) and variance
+    collapse are the standard drift checks before an ANN index rebuild.
+    Exact integer arithmetic end-to-end (q ∈ [-127,127] → Σq² ≤ n·2¹⁴,
+    far inside int64), so any engine reproduces every cell; callers
+    derive mean/variance as n·Σq² − (Σq)² without ever touching floats.
+
+    Shape: posexplode to (dim, q) — 64 narrow integer rows per vector —
+    then one map-side-combinable aggregate keyed by dim (64 groups)."""
+    q = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+    exploded = q.select(F.posexplode("qvec").alias("dim", "qv"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("qv").cast("long").alias("min_q"),
+            F.max("qv").cast("long").alias("max_q"),
+            F.sum("qv").cast("long").alias("sum_q"),
+            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("sum_sq"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+    )

@@ -1134,3 +1134,19 @@ def test_substring_cut_plan_merges_overlaps_and_targets_later_doc(spark):
     assert all(d != 1 for d, _, _ in rows)
     assert rows[(2, 0, 29)] == 30
     assert rows[(3, 0, 19)] == 20
+
+
+def test_dimension_stats_flags_dead_and_saturated(spark):
+    from dr_source_spark.training.similarity import dimension_stats
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.5]),
+            (2, [-1.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.dim: r for r in dimension_stats(emb).collect()}
+    assert rows[1].min_q == rows[1].max_q == rows[1].sum_q == rows[1].sum_sq == 0  # dead dim
+    assert rows[0].min_q == -127 and rows[0].max_q == 127  # saturated
+    assert rows[2].sum_sq == 64 * 64 + 127 * 127  # 0.5/scale=64 (rounded), 1.0 -> 127
