@@ -872,6 +872,48 @@ FROM cgrp GROUP BY doc_id, isl
 """
 
 
+def _corpus_shard_plan(spark, sf_dir):
+    # output sharding of the CURATED corpus: kept docs packed into
+    # ~4096-token shards in doc_id order (training/pack.py::shard_plan
+    # over curate.final_keep_list + the distributed prefix sum)
+    from dr_source_spark.training.curate import final_keep_list
+    from dr_source_spark.training.pack import shard_plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_plan(docs, final_keep_list(docs))
+
+
+_SHARD_PLAN_TAIL = r"""
+, verdict AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
+              WHEN length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> x <> '')) < 5 THEN 'too_short'
+              WHEN round(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+                   / greatest(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> x <> '')), 1), 4) < 0.05 THEN 'low_stopword_ratio'
+              ELSE 'kept' END AS reason
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+),
+keptdocs AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\w+')) AS BIGINT) AS n_tokens
+  FROM verdict WHERE reason = 'kept'
+),
+nz AS (SELECT * FROM keptdocs WHERE n_tokens > 0),
+ps AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM nz
+)
+SELECT doc_id, CAST(strt // 4096 AS BIGINT) AS shard_id,
+       CAST(strt % 4096 AS BIGINT) AS shard_tok_offset, n_tokens
+FROM ps
+"""
+
+
 def _dedup_simhash(spark, sf_dir):
     from dr_source_spark.training.dedup import simhash
 
@@ -3036,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14_promo_share,
         "corpus_keep_list": _corpus_keep_list,
         "dedup_cut_plan": _dedup_cut_plan,
+        "corpus_shard_plan": _corpus_shard_plan,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -3175,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": _Q14_SQL,
         "corpus_keep_list": _dedup_clusters_sql(tail=_KEEP_LIST_TAIL),
         "dedup_cut_plan": _DEDUP_CUT_PLAN_SQL,
+        "corpus_shard_plan": _dedup_clusters_sql(tail=_SHARD_PLAN_TAIL),
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),

@@ -110,3 +110,28 @@ def test_pack_sequences_are_dense(spark, docs):
 def test_pack_rejects_bad_budget(spark, docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_tokens=0)
+
+
+def test_shard_plan_packs_kept_docs_in_order(spark):
+    from dr_source_spark.training.pack import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in
+         [(1, 100), (2, 100), (3, 100), (4, 5), (5, 100)]],
+        "doc_id long, text string",
+    )
+    keep = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, True), (5, True)],
+        "doc_id long, keep boolean",
+    )
+    out = {r.doc_id: (r.shard_id, r.shard_tok_offset) for r in
+           shard_plan(docs, keep, shard_tokens=150).collect()}
+    # doc 3 dropped; offsets are the running sum of kept docs only
+    assert 3 not in out
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 100)     # starts inside shard 0, overruns it
+    assert out[4] == (1, 50)      # 200 tokens before it -> shard 1
+    assert out[5] == (1, 55)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shard_plan(docs, keep, shard_tokens=0)
