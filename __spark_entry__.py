@@ -1950,6 +1950,44 @@ def _kg_components(spark, sf_dir):
     )
 
 
+def _kg_component_risk(spark, sf_dir):
+    # risk blast radius per KG component: node count + HAS_VULN edge
+    # count per connected component — "if this code cluster is touched,
+    # how much vulnerable surface moves with it"
+    edges = _kg_triples(spark, sf_dir).edges
+    comp = _kg_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("n_nodes"))
+    vuln = (
+        edges.filter(F.col("pred") == "HAS_VULN")
+        .join(comp, edges["src"] == comp["node"])
+        .groupBy("component")
+        .agg(F.count("*").cast("long").alias("n_vuln_edges"))
+    )
+    return sizes.join(vuln, "component", "left").select(
+        "component",
+        "n_nodes",
+        F.coalesce(F.col("n_vuln_edges"), F.lit(0)).cast("long").alias("n_vuln_edges"),
+    )
+
+
+def _kg_component_risk_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    comp = _kg_components_sql().strip()
+    return f"""WITH comp AS (
+{comp}
+),
+kg_e2 AS ({kg_edges_oracle_sql()}),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes FROM comp GROUP BY component),
+vuln AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS n_vuln_edges
+  FROM kg_e2 e JOIN comp c ON c.node = e.src
+  WHERE e.pred = 'HAS_VULN' GROUP BY c.component
+)
+SELECT s.component, s.n_nodes, CAST(coalesce(v.n_vuln_edges, 0) AS BIGINT) AS n_vuln_edges
+FROM sizes s LEFT JOIN vuln v ON v.component = s.component"""
+
+
 def _kg_triangles(spark, sf_dir):
     # local clustering structure over the KG: per-node triangle counts via
     # degree-ordered edge orientation (never enumerates a hot node's
@@ -3097,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": _text_pack_sequences,
         "dedup_repeated_spans": _dedup_repeated_spans,
         "kg_source_sink_paths": _kg_source_sink_paths,
+        "kg_component_risk": _kg_component_risk,
         "text_lang_mismatch": _text_lang_mismatch,
         "media_audio_energy": _media_audio_energy,
         "emb_dup_clusters": _emb_dup_clusters,
@@ -3242,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": _TEXT_PACK_SQL,
         "dedup_repeated_spans": _DEDUP_SPANS_SQL,
         "kg_source_sink_paths": _kg_source_sink_sql(),
+        "kg_component_risk": _kg_component_risk_sql(),
         "text_lang_mismatch": _lang_mismatch_sql(),
         "media_audio_energy": _MEDIA_AUDIO_ENERGY_SQL,
         "emb_dup_clusters": _emb_dup_clusters_sql(),
