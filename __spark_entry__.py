@@ -872,6 +872,85 @@ FROM cgrp GROUP BY doc_id, isl
 """
 
 
+def _corpus_curation_summary(spark, sf_dir):
+    # the ops dashboard number: corpus-level keep/drop breakdown with
+    # token mass per reason (what fraction of the corpus survives, and
+    # what the cuts cost in tokens)
+    from dr_source_spark.training.curate import final_keep_list
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\w+")).cast("long"), F.lit(0))
+    toks = docs.select("doc_id", n_tok.alias("n_tokens"))
+    return (
+        final_keep_list(docs)
+        .join(toks, "doc_id")
+        .groupBy("reason")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_CURATION_SUMMARY_TAIL = r"""
+, verdict AS (
+  SELECT d.doc_id,
+         CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
+              WHEN length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> x <> '')) < 5 THEN 'too_short'
+              WHEN round(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+                   / greatest(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                          x -> x <> '')), 1), 4) < 0.05 THEN 'low_stopword_ratio'
+              ELSE 'kept' END AS reason,
+         CAST(length(regexp_extract_all(coalesce(d.text, ''), '\w+')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM verdict GROUP BY reason
+"""
+
+
+def _events_stickiness(spark, sf_dir):
+    # weekly engagement stickiness: WAU, average DAU, and the DAU/WAU
+    # ratio per ISO week — decomposable aggregates only (a trailing
+    # 7-day distinct is not decomposable; calendar weeks are)
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = daily.groupBy("wk", "day").agg(F.count("*").alias("dau"))
+    avg_dau = dau.groupBy("wk").agg(F.round(F.avg("dau"), 4).alias("avg_dau"))
+    wau = daily.select("wk", "user_id").distinct().groupBy("wk").agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        wau.join(avg_dau, "wk")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "wau",
+            "avg_dau",
+            F.round(F.col("avg_dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+_EVENTS_STICKINESS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT date_trunc('week', ts) AS wk, CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+dau AS (SELECT wk, day, count(*) AS dau FROM daily GROUP BY wk, day),
+a AS (SELECT wk, round(avg(dau), 4) AS avg_dau FROM dau GROUP BY wk),
+w AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM daily GROUP BY wk)
+SELECT strftime(w.wk, '%Y-%m-%d') AS week, w.wau, a.avg_dau,
+       round(a.avg_dau / w.wau, 4) AS stickiness
+FROM w JOIN a ON a.wk = w.wk
+"""
+
+
 def _corpus_shard_plan(spark, sf_dir):
     # output sharding of the CURATED corpus: kept docs packed into
     # ~4096-token shards in doc_id order (training/pack.py::shard_plan
@@ -3117,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep_list": _corpus_keep_list,
         "dedup_cut_plan": _dedup_cut_plan,
         "corpus_shard_plan": _corpus_shard_plan,
+        "corpus_curation_summary": _corpus_curation_summary,
+        "events_stickiness": _events_stickiness,
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
@@ -3258,6 +3339,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_keep_list": _dedup_clusters_sql(tail=_KEEP_LIST_TAIL),
         "dedup_cut_plan": _DEDUP_CUT_PLAN_SQL,
         "corpus_shard_plan": _dedup_clusters_sql(tail=_SHARD_PLAN_TAIL),
+        "corpus_curation_summary": _dedup_clusters_sql(tail=_CURATION_SUMMARY_TAIL),
+        "events_stickiness": _EVENTS_STICKINESS_SQL,
         "text_token_count": _TEXT_TOKENS_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
