@@ -301,6 +301,31 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def _orders_pivot_priority(spark, sf_dir):
+    # PIVOT operator class: order counts as a status x priority matrix
+    # (explicit pivot values keep the schema static so the oracle's
+    # conditional aggregation aliases line up)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = _t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    cols = [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"p{p[0]}")
+        for p in prios
+    ]
+    return piv.select("o_orderstatus", *cols)
+
+
+_ORDERS_PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def _q5_local_supplier_volume(spark, sf_dir):
     # TPC-H Q5 shape: revenue by supplier nation where the customer and
     # supplier share a nation — a six-table join (3 broadcast dims),
@@ -3062,6 +3087,28 @@ SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node"""
 
 
+def _text_bigram_diversity(spark, sf_dir):
+    # libm-free entropy proxy: distinct/total char bigrams — the
+    # gibberish screen (training/text.py::bigram_diversity)
+    from dr_source_spark.training.text import bigram_diversity
+
+    return bigram_diversity(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_BIGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, CAST(length(lower(text)) - 1 AS BIGINT)),
+                        i -> substr(lower(text), CAST(i AS INT), 2)) AS grams
+  FROM documents WHERE length(lower(text)) >= 2
+)
+SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS diversity
+FROM g
+"""
+
+
 def _text_rarity(spark, sf_dir):
     # unigram-LM quality proxy: mean inverse corpus frequency per doc
     # (integer surprisal proxy, no libm) — training/text.py::rarity_score
@@ -3191,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "events_trailing_7d": _events_trailing,
         "rollup_revenue": _rollup_revenue,
+        "orders_pivot_priority": _orders_pivot_priority,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "q14_promo_share": _q14_promo_share,
         "corpus_keep_list": _corpus_keep_list,
@@ -3222,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_clusters": _emb_dup_clusters,
         "emb_dim_stats": _emb_dim_stats,
         "text_rarity_score": _text_rarity,
+        "text_bigram_diversity": _text_bigram_diversity,
         "media_image_patches": _media_image_patches,
         "text_vocab_coverage": _text_vocab_coverage,
         "kg_vuln_cooccurrence": _kg_vuln_cooccurrence,
@@ -3334,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_trailing_7d": _EVENTS_TRAILING_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "orders_pivot_priority": _ORDERS_PIVOT_SQL,
         "q5_local_supplier_volume": _Q5_SQL,
         "q14_promo_share": _Q14_SQL,
         "corpus_keep_list": _dedup_clusters_sql(tail=_KEEP_LIST_TAIL),
@@ -3370,6 +3420,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_dup_clusters": _emb_dup_clusters_sql(),
         "emb_dim_stats": _EMB_DIM_STATS_SQL,
         "text_rarity_score": _TEXT_RARITY_SQL,
+        "text_bigram_diversity": _TEXT_BIGRAM_SQL,
         "media_image_patches": _MEDIA_PATCHES_SQL,
         "text_vocab_coverage": _TEXT_VOCAB_SQL,
         "kg_vuln_cooccurrence": _kg_vuln_cooccurrence_sql(),

@@ -692,3 +692,26 @@ def boilerplate_cut_plan(
             (F.col("keep_end") - F.col("keep_start") + 1).cast("long").alias("n_toks_kept"),
         )
     )
+
+
+def bigram_diversity(documents: DataFrame) -> DataFrame:
+    """Character-bigram diversity — the libm-free entropy proxy for the
+    gibberish screen: distinct char bigrams over total bigrams of the
+    lowercased text. Repetitive spam ("hahaha...") scores near 0, natural
+    prose sits in a stable band, random gibberish near 1. Returns
+    (doc_id, n_bigrams, n_distinct, diversity) with the ratio rounded to
+    4 decimals; docs with < 2 chars emit no row. Pure per-row array
+    expressions — no shuffle, no UDF."""
+    t = F.lower(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, length(lower(text)) - 1), i -> substr(lower(text), i, 2))"
+    )
+    return (
+        documents.filter(F.length(t) >= 2)
+        .select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        )
+        .withColumn("diversity", F.round(F.col("n_distinct") / F.col("n_bigrams"), 4))
+    )

@@ -1150,3 +1150,21 @@ def test_dimension_stats_flags_dead_and_saturated(spark):
     assert rows[1].min_q == rows[1].max_q == rows[1].sum_q == rows[1].sum_sq == 0  # dead dim
     assert rows[0].min_q == -127 and rows[0].max_q == 127  # saturated
     assert rows[2].sum_sq == 64 * 64 + 127 * 127  # 0.5/scale=64 (rounded), 1.0 -> 127
+
+
+def test_bigram_diversity_orders_spam_below_prose(spark):
+    from dr_source_spark.training.text import bigram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ha" * 50),                     # repetitive spam
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "x"),                           # too short: no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_diversity(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].diversity < rows[2].diversity
+    assert rows[1].n_distinct == 2  # 'ha' and 'ah'
+    assert rows[1].n_bigrams == 99
