@@ -638,17 +638,25 @@ def _corpus_keep_list(spark, sf_dir):
     return final_keep_list(_t(spark, sf_dir, "documents"))
 
 
-_KEEP_LIST_TAIL = r"""
-, verdict AS (
-  SELECT d.doc_id,
-         CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
+# ONE SQL rendering of the combined keep-verdict CASE (near_duplicate >
+# too_short > low_stopword_ratio > kept) — consumed by every oracle tail
+# that layers on the clusters CTE (keep list, shard plan, curation
+# summary), so the three cannot drift from each other; the Python
+# precedence it mirrors is training/curate.py (final_keep_list).
+_VERDICT_CASE_SQL = r"""CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
               WHEN length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
                           x -> x <> '')) < 5 THEN 'too_short'
               WHEN round(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
                           x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
                    / greatest(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
                           x -> x <> '')), 1), 4) < 0.05 THEN 'low_stopword_ratio'
-              ELSE 'kept' END AS reason
+              ELSE 'kept' END"""
+
+
+_KEEP_LIST_TAIL = rf"""
+, verdict AS (
+  SELECT d.doc_id,
+         {_VERDICT_CASE_SQL} AS reason
   FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
 )
 SELECT doc_id, reason, reason = 'kept' AS keep FROM verdict
@@ -917,17 +925,10 @@ def _corpus_curation_summary(spark, sf_dir):
     )
 
 
-_CURATION_SUMMARY_TAIL = r"""
+_CURATION_SUMMARY_TAIL = rf"""
 , verdict AS (
   SELECT d.doc_id,
-         CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
-              WHEN length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
-                          x -> x <> '')) < 5 THEN 'too_short'
-              WHEN round(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
-                          x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
-                   / greatest(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
-                          x -> x <> '')), 1), 4) < 0.05 THEN 'low_stopword_ratio'
-              ELSE 'kept' END AS reason,
+         {_VERDICT_CASE_SQL} AS reason,
          CAST(length(regexp_extract_all(coalesce(d.text, ''), '\w+')) AS BIGINT) AS n_tokens
   FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
 )
@@ -987,17 +988,10 @@ def _corpus_shard_plan(spark, sf_dir):
     return shard_plan(docs, final_keep_list(docs))
 
 
-_SHARD_PLAN_TAIL = r"""
+_SHARD_PLAN_TAIL = rf"""
 , verdict AS (
   SELECT d.doc_id, d.text,
-         CASE WHEN c.cluster_id <> d.doc_id THEN 'near_duplicate'
-              WHEN length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
-                          x -> x <> '')) < 5 THEN 'too_short'
-              WHEN round(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
-                          x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
-                   / greatest(length(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
-                          x -> x <> '')), 1), 4) < 0.05 THEN 'low_stopword_ratio'
-              ELSE 'kept' END AS reason
+         {_VERDICT_CASE_SQL} AS reason
   FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
 ),
 keptdocs AS (
