@@ -193,7 +193,14 @@ def minhash_lsh_candidates(
     per-group id array is bounded by ``max_cluster`` — the same cap that
     already protects the pair count — so collect_list cannot blow up a
     task."""
-    band_sigs = _band_signatures(documents, num_hashes, bands)
+    return _pairs_from_band_sigs(_band_signatures(documents, num_hashes, bands), max_cluster)
+
+
+def _pairs_from_band_sigs(band_sigs: DataFrame, max_cluster: int) -> DataFrame:
+    """Grouped candidate-pair generation shared by the classic and OPH
+    LSH paths: one groupBy over (band, band_sig), cap check + observe
+    metric, in-plan combination explode (see minhash_lsh_candidates for
+    the why of each piece)."""
     groups = band_sigs.groupBy("band", "band_sig").agg(
         F.sort_array(F.collect_list("doc_id")).alias("_ids"),
         F.count("*").alias("_n"),
@@ -242,6 +249,127 @@ def lsh_oversized_clusters(
         .agg(F.count("*").cast("long").alias("n_docs"))
         .filter(F.col("n_docs") > max_cluster)
     )
+
+
+def _oph_dense(documents: DataFrame, num_bins: int, shingle_n: int = 0) -> DataFrame:
+    """(doc_id, sig: array<long> length ``num_bins``) — one-permutation
+    hashing (OPH) signature with rotation densification.
+
+    OPH evaluates ONE base hash per token and buckets it — ``bin = h %
+    num_bins``, ``sig[bin] = min(h)`` over the doc's tokens landing in that
+    bin — instead of ``num_hashes`` affine transforms per token in the
+    classic universal family (`_minhash_wide`). Measured **5.3× faster**
+    at 112 hashes / sf0.1 under ≤0.5 % host steal (tools/minhash_ab.py;
+    the split-aggregate alternative was a regression — see docs/FUTURE.md).
+
+    Empty bins (docs with fewer hashed tokens than bins) are filled by
+    rotation densification (Shrivastava & Li's one-permutation hashing
+    line of work): bin i borrows the value of the nearest non-empty bin to
+    its cyclic right. Deterministic and purely relational — per-row array
+    expressions, no window, no UDF — so the DuckDB oracle states the same
+    fill as two IGNORE-NULLS window coalesces. Rotation (vs "optimal"
+    randomized) densification correlates the fills of two sparse docs,
+    biasing their estimated similarity up; acceptable here because LSH
+    candidates are always re-verified by exact Jaccard, and the recall
+    gate in tests/test_training_ops.py measures the net effect.
+
+    Plan shape: the token explode reduces through a map-side partial
+    aggregate on the narrow (doc_id, bin) key — the only wide shuffle; the
+    second groupBy(doc_id) reshuffles at most ``num_bins`` 3-long rows per
+    doc. Densification is a constant-size in-row array computation:
+    the doubled array makes "nearest non-empty to the cyclic right" a
+    plain slice+filter, O(num_bins²) on tiny arrays, JVM-side."""
+    sc = documents.sparkSession.sparkContext
+    tokens = _shingles(shingle_n) if shingle_n else _words()
+    bins = (
+        documents.repartition(sc.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(tokens).alias("word"))
+        .select("doc_id", _minhash_base(F.col("word")).alias("h"))
+        .withColumn("bin", (F.col("h") % F.lit(num_bins)).cast("int"))
+        .groupBy("doc_id", "bin")
+        .agg(F.min("h").alias("mh"))
+    )
+    per_doc = bins.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "mh"))).alias("m")
+    )
+    # OPH assumes docs fill most bins (token count >= num_bins). On a
+    # short-doc corpus the estimator degrades (measured on the ~25-token
+    # sf0.01 synth docs: recall 0.82 vs classic 0.99 at J>=0.8) — never
+    # silently: this in-plan metric rides every materialization, counting
+    # docs with fewer than num_bins/2 real (non-densified) bins.
+    per_doc = per_doc.observe(
+        f"oph_sparse_{next(_LSH_OBS_SEQ)}",
+        F.sum(F.when(F.size("m") < num_bins // 2, 1).otherwise(0)).alias("n_sparse_docs"),
+        F.count("*").alias("n_docs"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(num_bins - 1))
+    raw = F.transform(idx, lambda i: F.element_at(F.col("m"), i))
+    doubled = F.concat(raw, raw)
+    dense = F.transform(
+        idx,
+        lambda i: F.element_at(
+            F.filter(F.slice(doubled, i + F.lit(1), F.lit(num_bins)), lambda x: x.isNotNull()),
+            1,
+        ),
+    )
+    return per_doc.select("doc_id", dense.alias("sig"))
+
+
+def oph_signatures(documents: DataFrame, num_bins: int = 112, shingle_n: int = 0) -> DataFrame:
+    """Long-format OPH signatures (doc_id, seed, minhash) — the drop-in
+    fast alternative to `minhash_signatures` (same output shape, different
+    hash family: seed is the OPH bin index, minhash the densified per-bin
+    min of the 32-bit base hash). Token-free documents emit no rows, as in
+    the classic path."""
+    return _oph_dense(documents, num_bins, shingle_n).select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
+    )
+
+
+def _oph_band_signatures(documents: DataFrame, num_bins: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_sig) off the dense OPH signature row — banding
+    is pure in-row array slicing, no extra shuffle past `_oph_dense`.
+
+    Bands are STRIDED, not consecutive: band j takes bins {j, j+bands,
+    j+2*bands, ...}. Rotation densification fills an empty bin from its
+    cyclic-right neighbor, so sparse docs carry RUNS of identical values
+    across consecutive bins; a consecutive band of r such bins can match
+    on a single shared token, collapsing the S-curve toward all-pairs
+    (measured: 117k candidate pairs vs the classic family's 55k on the
+    sf0.01 near-dup corpus). Striding places each run's bins in distinct
+    bands, restoring ~r quasi-independent comparisons per band."""
+    r = num_bins // bands
+    dense = _oph_dense(documents, num_bins)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.element_at("sig", j + k * bands + 1).cast("string") for k in range(r)],
+                ).alias("band_sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return dense.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def oph_lsh_candidates(
+    documents: DataFrame,
+    num_bins: int = 112,
+    bands: int = 14,
+    max_cluster: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs over OPH signatures — same banding S-curve,
+    cap semantics, observe metric, and grouped pair generation as
+    `minhash_lsh_candidates` (shared `_pairs_from_band_sigs`), at ~5×
+    less signature CPU. Use when the corpus is tokenize-bound and the
+    downstream verifier (exact Jaccard / containment) is in place; keep
+    the classic family where cross-engine signature parity matters."""
+    return _pairs_from_band_sigs(_oph_band_signatures(documents, num_bins, bands), max_cluster)
 
 
 def ngram_jaccard(documents: DataFrame, candidates: DataFrame) -> DataFrame:
