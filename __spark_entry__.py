@@ -3310,11 +3310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # formal driver row requires being inside that window, so the front of
     # the dict carries (a) queries that have never had a driver row and
     # (b) queries added this round; long-green queries rotate to the back.
-    # r4 window = dict entries 1-50 of the r4 ordering; the 13 now leading
-    # were past it (6 of them never driver-checked in any round). The two
-    # late-round OPH queries sit at positions 7-8, which pushes
-    # kg_vuln_cooccurrence and text_cut_plan past the window — both remain
-    # oracle-verified by tools/oracle_check.py and pytest-gated.
+    # r4 window = dict entries 1-50 of the r4 ordering; the never-rowed
+    # queries now leading were past it (6 never driver-checked in any
+    # round). 45 queries have never had a driver row and the window holds
+    # 50, so kg_node_degrees and kg_severity_histogram — both driver-green
+    # in r3 — rotate to the back to make room for every never-rowed query;
+    # after r5 every query in this dict has a green driver row in some
+    # round's CORRECTNESS file.
     return {
         "kg_triangles": _kg_triangles,
         "kg_reachability": _kg_reachability,
@@ -3341,8 +3343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_plan": _corpus_shard_plan,
         "corpus_curation_summary": _corpus_curation_summary,
         "events_stickiness": _events_stickiness,
-        "kg_node_degrees": _kg_node_degrees,
-        "kg_severity_histogram": _kg_severity_histogram,
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
         "tier_error_rate": _tier_error_rate,
@@ -3370,6 +3370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _text_vocab_coverage,
         "kg_vuln_cooccurrence": _kg_vuln_cooccurrence,
         "text_cut_plan": _text_cut_plan,
+        # --- end of the driver's 50-entry window; everything below has a
+        # green driver row from an earlier round ---
+        "kg_node_degrees": _kg_node_degrees,
+        "kg_severity_histogram": _kg_severity_histogram,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
