@@ -620,6 +620,98 @@ JOIN band_sigs r ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r
 """
 
 
+# --- deterministic sketches (training/sketch.py) -------------------------
+# KMV / HLL / count-min over the per-language token sets; every emitted
+# cell is an exact integer, so the DuckDB oracles compare bit-for-bit.
+
+_LANG_HASHES_CTES = rf"""words AS (
+  SELECT DISTINCT lang AS grp, w FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+),
+hashes AS (SELECT DISTINCT grp, {_duck_minhash_base('w')} AS h FROM words)"""
+
+_KMV_K = 64
+
+
+def _text_kmv_distinct(spark, sf_dir):
+    # K-minimum-values distinct-token estimate per language: the sketch
+    # is the k smallest distinct hashes; est = (k-1)*2^32 div kth_hash.
+    # Two-stage lossless prune instead of one giant per-group sort (see
+    # training/sketch.py:kmv_distinct for the scale argument).
+    from dr_source_spark.training.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "documents"), k=_KMV_K)
+
+
+_TEXT_KMV_SQL = rf"""
+WITH {_LANG_HASHES_CTES},
+ranked AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM hashes),
+kept AS (SELECT grp, h FROM ranked WHERE r <= {_KMV_K})
+SELECT grp, {_KMV_K}::BIGINT AS k, count(*)::BIGINT AS n_kept, max(h) AS kth_hash,
+  (CASE WHEN count(*) < {_KMV_K} THEN count(*)
+        ELSE {(_KMV_K - 1) * (2 ** 32)} // max(h) END)::BIGINT AS est_distinct
+FROM kept GROUP BY grp
+"""
+
+
+def _text_hll_registers(spark, sf_dir):
+    # HyperLogLog register summary per language (p=6, m=64): bucket from
+    # the low bits, rho from the leading-zero rank of the rest; the
+    # harmonic denominator is the EXACT scaled integer sum(2^(27 - r)),
+    # zero registers contributing 2^27 each — the float alpha correction
+    # is a read-time computation, so the oracle stays integer-exact.
+    from dr_source_spark.training.sketch import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "documents"), p=6)
+
+
+_TEXT_HLL_SQL = rf"""
+WITH {_LANG_HASHES_CTES},
+regs AS (
+  SELECT grp, h % 64 AS bucket,
+    max(CASE WHEN h // 64 = 0 THEN 27 ELSE 26 - length(bin(h // 64)) + 1 END) AS r
+  FROM hashes GROUP BY grp, bucket)
+SELECT grp, 64::BIGINT AS m, count(*)::BIGINT AS used_regs,
+  (64 - count(*))::BIGINT AS zero_regs, sum(r)::BIGINT AS sum_rho,
+  (sum(1::BIGINT << (27 - r)) + (64 - count(*)) * (1::BIGINT << 27))::BIGINT AS harmonic_scaled
+FROM regs GROUP BY grp
+"""
+
+_CMS_W, _CMS_TOP = 256, 20
+
+
+def _text_cms_heavy_hitters(spark, sf_dir):
+    # count-min sketch (4 x 256 counters, the shared deterministic hash
+    # family) vs exact counts for the corpus's top-20 tokens — the min of
+    # a token's counters can only OVER-estimate, so the collision error
+    # is directly visible in the output.
+    from dr_source_spark.training.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "documents"), depth=4, width=_CMS_W, top=_CMS_TOP
+    )
+
+
+_TEXT_CMS_SQL = rf"""
+WITH {_duck_minhash_seeds(4)},
+toks AS (SELECT w AS word FROM (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) WHERE w <> ''),
+hashed AS (SELECT word, {_duck_minhash_base('word')} AS h FROM toks),
+positions AS (SELECT s.seed AS row, ((s.a * t.h + s.b) % {_MINHASH_P}) % {_CMS_W} AS pos
+              FROM hashed t CROSS JOIN seeds s),
+regs AS (SELECT row, pos, count(*) AS cnt FROM positions GROUP BY row, pos),
+exact AS (SELECT word, h, count(*) AS exact_cnt FROM hashed GROUP BY word, h),
+topk AS (SELECT word, h, exact_cnt FROM exact ORDER BY exact_cnt DESC, word ASC LIMIT {_CMS_TOP}),
+probe AS (SELECT t.word, t.exact_cnt, s.seed AS row,
+                 ((s.a * t.h + s.b) % {_MINHASH_P}) % {_CMS_W} AS pos
+          FROM topk t CROSS JOIN seeds s)
+SELECT p.word, p.exact_cnt::BIGINT AS exact_cnt, min(r.cnt)::BIGINT AS cms_est
+FROM probe p JOIN regs r ON p.row = r.row AND p.pos = r.pos
+GROUP BY p.word, p.exact_cnt
+"""
+
+
 def _dedup_minhash_shingles(spark, sf_dir):
     # shingle→minhash: character 5-gram tokens instead of words (catches
     # reordered-word / punctuation-edit near-dups word-set Jaccard misses)
@@ -3312,11 +3404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) queries added this round; long-green queries rotate to the back.
     # r4 window = dict entries 1-50 of the r4 ordering; the never-rowed
     # queries now leading were past it (6 never driver-checked in any
-    # round). 45 queries have never had a driver row and the window holds
-    # 50, so kg_node_degrees and kg_severity_histogram — both driver-green
-    # in r3 — rotate to the back to make room for every never-rowed query;
-    # after r5 every query in this dict has a green driver row in some
-    # round's CORRECTNESS file.
+    # round). 48 queries have never had a driver row and the window holds
+    # 50, so five r3-driver-green queries (kg_node_degrees,
+    # kg_severity_histogram, kg_pagerank, kg_components, tier_error_rate)
+    # rotate to the back to make room for every never-rowed query; after
+    # r5 every query in this dict has a green driver row in some round's
+    # CORRECTNESS file.
     return {
         "kg_triangles": _kg_triangles,
         "kg_reachability": _kg_reachability,
@@ -3327,6 +3420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late round-5 additions (new, need their first driver row)
         "dedup_minhash_oph": _dedup_minhash_oph,
         "dedup_lsh_oph_candidates": _dedup_lsh_oph,
+        "text_kmv_distinct": _text_kmv_distinct,
+        "text_hll_registers": _text_hll_registers,
+        "text_cms_heavy_hitters": _text_cms_heavy_hitters,
         "stream_join_attrib": _stream_join_attrib,
         "events_funnel": _events_funnel,
         "events_asof_enrich": _events_asof_enrich,
@@ -3343,9 +3439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_plan": _corpus_shard_plan,
         "corpus_curation_summary": _corpus_curation_summary,
         "events_stickiness": _events_stickiness,
-        "kg_pagerank": _kg_pagerank,
-        "kg_components": _kg_components,
-        "tier_error_rate": _tier_error_rate,
         "stream_windowed_counts": _stream_windowed_counts,
         "stream_risk_ledger": _stream_risk_ledger,
         # round-5 additions (inside the driver's 50-entry window)
@@ -3374,6 +3467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row from an earlier round ---
         "kg_node_degrees": _kg_node_degrees,
         "kg_severity_histogram": _kg_severity_histogram,
+        "kg_pagerank": _kg_pagerank,
+        "kg_components": _kg_components,
+        "tier_error_rate": _tier_error_rate,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -3447,6 +3543,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _DEDUP_MINHASH_SQL,
         "dedup_minhash_oph": _DEDUP_OPH_SQL,
         "dedup_lsh_oph_candidates": _DEDUP_LSH_OPH_SQL,
+        "text_kmv_distinct": _TEXT_KMV_SQL,
+        "text_hll_registers": _TEXT_HLL_SQL,
+        "text_cms_heavy_hitters": _TEXT_CMS_SQL,
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
