@@ -678,6 +678,65 @@ SELECT grp, 64::BIGINT AS m, count(*)::BIGINT AS used_regs,
 FROM regs GROUP BY grp
 """
 
+# --- data-layout planning (operators/layout.py) --------------------------
+
+_Z_BITS, _Z_SPAN = 8, 256
+
+
+def _events_zorder_manifest(spark, sf_dir):
+    # OPTIMIZE ZORDER dry-run: Morton-interleave (user bucket, hour
+    # bucket), chop the Z-space into target files, emit the manifest with
+    # the per-file min/max pruning stats a lakehouse format would keep.
+    from dr_source_spark.operators.layout import zorder_manifest
+
+    return zorder_manifest(_t(spark, sf_dir, "events"), dim_bits=_Z_BITS, file_span=_Z_SPAN)
+
+
+_Z_ILEAVE = " + ".join(
+    f"((u // {1 << i}) % 2) * {1 << (2 * i + 1)} + ((t // {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(_Z_BITS)
+)
+
+_EVENTS_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT user_id, user_id % {1 << _Z_BITS} AS u,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % {1 << _Z_BITS} AS t
+  FROM events),
+z AS (SELECT user_id, u, t, ({_Z_ILEAVE})::BIGINT AS z FROM b)
+SELECT z // {_Z_SPAN} AS file_id, count(*)::BIGINT AS n_events,
+  min(z) AS z_lo, max(z) AS z_hi, count(DISTINCT user_id)::BIGINT AS n_users,
+  min(u)::BIGINT AS u_lo, max(u)::BIGINT AS u_hi,
+  min(t)::BIGINT AS t_lo, max(t)::BIGINT AS t_hi
+FROM z GROUP BY file_id
+"""
+
+_HIST_B = 16
+
+
+def _events_value_histogram(spark, sf_dir):
+    # optimizer-style equi-depth column stats, tie-coalesced, built
+    # WITHOUT a global sort: distinct-value counts -> two-level global
+    # prefix-sum rank (operators/prefix.py) -> bucket = rank*B div N.
+    from dr_source_spark.operators.layout import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf_dir, "events"), buckets=_HIST_B)
+
+
+_EVENTS_HIST_SQL = f"""
+WITH g AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS vk, count(*)::BIGINT AS cnt,
+         min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY vk),
+t AS (SELECT sum(cnt)::BIGINT AS n FROM g),
+p AS (SELECT vk, cnt, lo, hi,
+  coalesce(sum(cnt) OVER (ORDER BY vk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM g)
+SELECT (pre * {_HIST_B}) // n AS bucket, sum(cnt)::BIGINT AS n_rows,
+  count(*)::BIGINT AS n_values, min(lo) AS v_lo, max(hi) AS v_hi
+FROM p CROSS JOIN t GROUP BY bucket
+"""
+
+
 _CMS_W, _CMS_TOP = 256, 20
 
 
@@ -3404,11 +3463,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) queries added this round; long-green queries rotate to the back.
     # r4 window = dict entries 1-50 of the r4 ordering; the never-rowed
     # queries now leading were past it (6 never driver-checked in any
-    # round). 48 queries have never had a driver row and the window holds
-    # 50, so five r3-driver-green queries (kg_node_degrees,
-    # kg_severity_histogram, kg_pagerank, kg_components, tier_error_rate)
-    # rotate to the back to make room for every never-rowed query; after
-    # r5 every query in this dict has a green driver row in some round's
+    # round). Exactly 50 queries have never had a driver row and the
+    # window holds 50, so the verdict's seven r3-driver-green queries
+    # (kg_node_degrees, kg_severity_histogram, kg_pagerank,
+    # kg_components, tier_error_rate, stream_windowed_counts,
+    # stream_risk_ledger) rotate to the back to make room; after r5 every
+    # query in this dict has a green driver row in some round's
     # CORRECTNESS file.
     return {
         "kg_triangles": _kg_triangles,
@@ -3423,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kmv_distinct": _text_kmv_distinct,
         "text_hll_registers": _text_hll_registers,
         "text_cms_heavy_hitters": _text_cms_heavy_hitters,
+        "events_zorder_manifest": _events_zorder_manifest,
+        "events_value_histogram": _events_value_histogram,
         "stream_join_attrib": _stream_join_attrib,
         "events_funnel": _events_funnel,
         "events_asof_enrich": _events_asof_enrich,
@@ -3439,8 +3501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_plan": _corpus_shard_plan,
         "corpus_curation_summary": _corpus_curation_summary,
         "events_stickiness": _events_stickiness,
-        "stream_windowed_counts": _stream_windowed_counts,
-        "stream_risk_ledger": _stream_risk_ledger,
         # round-5 additions (inside the driver's 50-entry window)
         "text_boilerplate_spans": _text_boilerplate_spans,
         "text_bpe_merges": _text_bpe_merges,
@@ -3470,6 +3530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
         "tier_error_rate": _tier_error_rate,
+        "stream_windowed_counts": _stream_windowed_counts,
+        "stream_risk_ledger": _stream_risk_ledger,
         "q1_pricing_summary": _q1_pricing_summary,
         "a6_dedup_groups": _a6_dedup,
         "a8_run_summary": _a8_summary,
@@ -3546,6 +3608,8 @@ def oracle_sql() -> dict[str, str]:
         "text_kmv_distinct": _TEXT_KMV_SQL,
         "text_hll_registers": _TEXT_HLL_SQL,
         "text_cms_heavy_hitters": _TEXT_CMS_SQL,
+        "events_zorder_manifest": _EVENTS_ZORDER_SQL,
+        "events_value_histogram": _EVENTS_HIST_SQL,
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,
         "dedup_lsh_candidates": _DEDUP_LSH_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,

@@ -1,0 +1,142 @@
+"""Data-layout planning operators: Z-order file manifests and
+equi-depth column histograms.
+
+Two planning primitives a 100 TB table maintenance loop runs constantly,
+as deterministic, exactly-oracle-checkable queries:
+
+* ``zorder_manifest`` — the dry-run of an OPTIMIZE ZORDER BY (a, b):
+  interleave the bits of two bucketed dimensions into a Z-value (Morton
+  order), range-chop the Z-space into target files, and emit the file
+  manifest with min/max stats. Files built this way are simultaneously
+  clustered on BOTH dimensions, so a point/range predicate on either one
+  prunes most files (the min/max stats in the manifest are exactly what
+  a format like Iceberg/Delta keeps per file to do that pruning).
+* ``equidepth_histogram`` — optimizer-style column statistics: B buckets
+  with ~equal row counts, tie-coalesced (all rows of one value land in
+  one bucket, as in real engine NDV histograms). Built WITHOUT a global
+  sort: distinct values are counted (a massive reduction at scale),
+  globally ranked by the existing two-level ``global_prefix_sum``
+  (operators/prefix.py — the only single-partition exchange is over the
+  tiny bucket totals), and assigned bucket = rank * B div N by integer
+  arithmetic both engines floor identically.
+
+Everything is integer math over built-in expressions — no UDFs, no
+floats in any grouping key — so the DuckDB oracles in
+``__spark_entry__`` compare cell-for-cell.
+
+The reference has no layout/statistics surface; this extends the engine
+along the at-scale-operations axis of the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dr_source_spark.operators.prefix import global_prefix_sum
+
+
+def interleave_bits(a: Column, b: Column, bits: int = 8) -> Column:
+    """Morton/Z-value of two ``bits``-wide non-negative ints: bit i of
+    ``a`` lands at position 2i+1, bit i of ``b`` at 2i. Pure integer
+    div/mod arithmetic (no engine-specific bit intrinsics) so the exact
+    expression transliterates to the SQL oracle."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.floor(a / (1 << i)) % 2) * (1 << (2 * i + 1))
+            + (F.floor(b / (1 << i)) % 2) * (1 << (2 * i))
+        )
+    return z.cast("long")
+
+
+def zorder_manifest(
+    events: DataFrame, dim_bits: int = 8, file_span: int = 256
+) -> DataFrame:
+    """(file_id, n_events, z_lo, z_hi, n_users, u_lo, u_hi, t_lo, t_hi):
+    target-file manifest of a Z-order layout of ``events`` over
+    (user-bucket, hour-bucket).
+
+    Dimensions: u = user_id % 2^dim_bits, t = (epoch-hour) % 2^dim_bits —
+    cyclic bucketing keeps both dimensions dense, which is what Z-order
+    wants (sparse dimensions waste interleaved bits). Each target file
+    covers ``file_span`` consecutive Z-values; the emitted per-file
+    min/max of BOTH raw dimensions is the pruning-stats payload a lakehouse
+    manifest would carry, and directly shows the locality win: with
+    interleaving, each file spans a narrow range of u AND of t.
+
+    Scale shape: one projection + one groupBy(file_id) with full map-side
+    combine — output rows = 2^(2*dim_bits)/file_span regardless of input
+    size. The actual rewrite (repartitionByRange(file_id) + write) is a
+    sort the engine would do ONCE per OPTIMIZE run; the manifest is the
+    plan for it."""
+    m = 1 << dim_bits
+    u = F.col("user_id") % m
+    t = F.floor(F.unix_timestamp("ts") / 3600) % m
+    z = interleave_bits(u, t, dim_bits)
+    return (
+        events.select(
+            "user_id",
+            u.alias("u"),
+            t.alias("t"),
+            (F.floor(z / file_span)).cast("long").alias("file_id"),
+            z.alias("z"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("u").cast("long").alias("u_lo"),
+            F.max("u").cast("long").alias("u_hi"),
+            F.min("t").cast("long").alias("t_lo"),
+            F.max("t").cast("long").alias("t_hi"),
+        )
+    )
+
+
+def equidepth_histogram(
+    events: DataFrame, value_col: str = "value", buckets: int = 16, scale: int = 100
+) -> DataFrame:
+    """(bucket, n_rows, n_values, v_lo, v_hi): tie-coalesced equi-depth
+    histogram of ``value_col``.
+
+    Values are keyed by ``vk = round(value * scale)`` (the synthetic data
+    is 2-decimal; a finer column just coalesces sub-resolution ties —
+    documented, not silent: n_values counts the distinct keys). Pipeline:
+    groupBy(vk) -> (cnt, min/max raw value); exclusive global rank of
+    each vk via the two-level prefix sum over cnt; bucket = rank * B div
+    N. All rows sharing a value share a bucket, so bucket counts deviate
+    from N/B only at value-frequency boundaries — exactly how engine NDV
+    histograms behave.
+
+    Scale shape: the only full-data shuffle is groupBy(vk) (map-side
+    combined, output = distinct-value count); the prefix sum's lone
+    SinglePartition window is over its bucket totals (plan-gated in
+    tests/test_plans.py for the underlying helper); N rides a broadcast
+    1-row cross join, not a driver action."""
+    vk = F.round(F.col(value_col) * scale).cast("long")
+    per_value = (
+        events.select(vk.alias("vk"), F.col(value_col).alias("_v"))
+        .groupBy("vk")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )
+    ranked = global_prefix_sum(per_value, "vk", "cnt", out_col="rank_excl")
+    total = per_value.agg(F.sum("cnt").cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", F.expr(f"(rank_excl * {buckets}) div _n"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_values"),
+            F.min("lo").alias("v_lo"),
+            F.max("hi").alias("v_hi"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Gates for the data-layout planning operators (operators/layout.py):
+Z-order file manifests and equi-depth histograms. DuckDB value-hash
+oracles live in __spark_entry__ (events_zorder_manifest,
+events_value_histogram)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dr_source_spark.operators.layout import (
+    equidepth_histogram,
+    interleave_bits,
+    zorder_manifest,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_interleave_matches_python_model(spark):
+    """The Morton expression equals the textbook bit interleave for every
+    (a, b) pair of a full 16x16 grid."""
+    df = spark.range(256).select(
+        (F.col("id") / 16).cast("long").alias("a"), (F.col("id") % 16).alias("b")
+    )
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", interleave_bits(F.col("a"), F.col("b"), 4).alias("z")).collect()}
+
+    def model(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert got == {(a, b): model(a, b) for a in range(16) for b in range(16)}
+    # Morton order is a bijection on the grid
+    assert len(set(got.values())) == 256
+
+
+def test_zorder_manifest_locality(spark):
+    """The point of Z-order: every target file's manifest spans a NARROW
+    range of BOTH dimensions, so predicates on either column prune files.
+    Build a uniform 64x64 (user, hour) grid and check each file covers at
+    most a 16-wide slab of u and of t (a perfect 4096-cell Z-curve cut
+    into 16 files yields exactly 16x16 tiles), while a time-sorted layout
+    of the same data would span all 64 u values in every file."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u * 64 + t, base + datetime.timedelta(hours=t), u, 1.0)
+        for u in range(64)
+        for t in range(64)
+    ]
+    man = zorder_manifest(_events(spark, rows), dim_bits=6, file_span=256).collect()
+    assert len(man) == 16 and sum(r.n_events for r in man) == 4096
+    for r in man:
+        assert r.u_hi - r.u_lo <= 15 and r.t_hi - r.t_lo <= 15, r
+        # z ranges are disjoint consecutive spans
+        assert r.z_hi - r.z_lo <= 255
+
+
+def test_zorder_manifest_counts_and_stats(spark):
+    """Counts, distinct users and min/max stats are exact (duplicate
+    users across files counted per-file)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=i % 3), i % 5, 1.0) for i in range(100)]
+    man = zorder_manifest(_events(spark, rows), dim_bits=2, file_span=4).collect()
+    assert sum(r.n_events for r in man) == 100
+    assert all(r.z_lo >= r.file_id * 4 and r.z_hi < (r.file_id + 1) * 4 for r in man)
+    assert all(1 <= r.n_users <= 5 for r in man)
+
+
+def test_equidepth_histogram_matches_python_model(spark):
+    """Tie-coalesced equi-depth: each distinct value's bucket is
+    rank_of_first_row * B div N; per-bucket counts/min/max exact. Skewed
+    multiplicities exercise the tie-coalescing (one heavy value keeps all
+    its rows together even when that overflows the even split)."""
+    base = datetime.datetime(2024, 1, 1)
+    vals = [1.25] * 40 + [2.5] * 10 + [round(3 + 0.01 * i, 2) for i in range(50)]
+    rows = [(i, base, 0, v) for i, v in enumerate(vals)]
+    got = {r.bucket: (r.n_rows, r.n_values, r.v_lo, r.v_hi)
+           for r in equidepth_histogram(_events(spark, rows), buckets=4).collect()}
+
+    counts = {}
+    for v in vals:
+        counts[v] = counts.get(v, 0) + 1
+    n, rank, exp = len(vals), 0, {}
+    for v in sorted(counts):
+        b = rank * 4 // n
+        nr, nv, lo, hi = exp.get(b, (0, 0, v, v))
+        exp[b] = (nr + counts[v], nv + 1, min(lo, v), max(hi, v))
+        rank += counts[v]
+    assert got == exp
+    # the 40-row value 1.25 lands whole in bucket 0
+    assert got[0][0] >= 40
+
+
+def test_equidepth_histogram_plan_is_scalable(spark):
+    """Same gate as the prefix helper's own (tests/test_pack.py): at most
+    ONE SinglePartition exchange (the bucket-totals window over
+    n_buckets rows), the data path shuffled by the prefix bucket — plus
+    no Cartesian (the N join is an explicit 1-row broadcast)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, 0, float(i % 97)) for i in range(500)]
+    df = equidepth_histogram(_events(spark, rows), buckets=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # two SinglePartition exchanges are allowed, and each must feed from
+    # an aggregate (bucket totals = n_buckets rows; the global-N sum = one
+    # partial row per task) — never from un-aggregated data
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) <= 2
+    for i in sp:
+        assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+    assert "hashpartitioning(_b" in plan
+    assert sum(r.n_rows for r in df.collect()) == 500
