@@ -70,14 +70,43 @@ def kmv_distinct(documents: DataFrame, k: int = 64, group_col: str = "lang") -> 
     Groups with fewer than k distinct hashes fall back to their exact
     count (n_kept < k => est = n_kept, kth_hash = largest kept), the
     standard small-set KMV convention."""
+    return kmv_estimate(kmv_sketch(documents, k, group_col), k)
+
+
+def kmv_sketch(documents: DataFrame, k: int = 64, group_col: str = "lang") -> DataFrame:
+    """(grp, h): the KMV sketch payload — the k smallest distinct token
+    hashes per group. This IS the mergeable state: the k smallest of a
+    union are among the union of each side's k smallest, so per-day /
+    per-partition sketches combine via `kmv_merge` without rescanning."""
+    return _k_smallest(_distinct_group_hashes(documents, group_col), k)
+
+
+def _k_smallest(hashes: DataFrame, k: int) -> DataFrame:
+    """Two-stage lossless k-smallest per group (see kmv_distinct)."""
     nbuckets = 32
-    hashes = _distinct_group_hashes(documents, group_col)
     w1 = Window.partitionBy("grp", F.col("h") % nbuckets).orderBy("h")
     pruned = hashes.withColumn("_r1", F.row_number().over(w1)).where(F.col("_r1") <= k)
     w2 = Window.partitionBy("grp").orderBy("h")
-    kept = pruned.withColumn("_r", F.row_number().over(w2)).where(F.col("_r") <= k)
     return (
-        kept.groupBy("grp")
+        pruned.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Union two KMV sketches into the sketch of the combined input:
+    kmv_merge(kmv_sketch(A), kmv_sketch(B)) == kmv_sketch(A ∪ B) exactly
+    (pytest law in tests/test_sketch.py). Inputs are <= k rows per group,
+    so the re-prune is over at most 2k rows per group."""
+    return _k_smallest(a.unionByName(b).distinct(), k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Summary row per group off a (grp, h) sketch — the read-time half
+    of `kmv_distinct`, reusable on merged sketches."""
+    return (
+        sketch.groupBy("grp")
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
         .select(
             "grp",
@@ -113,18 +142,41 @@ def hll_registers(documents: DataFrame, p: int = 6, group_col: str = "lang") -> 
 
     Scale shape: distinct + two narrow groupBys with full map-side
     combine; output is m rows per group regardless of input size."""
+    return hll_summary(hll_register_table(documents, p, group_col), p)
+
+
+def hll_register_table(
+    documents: DataFrame, p: int = 6, group_col: str = "lang"
+) -> DataFrame:
+    """(grp, bucket, r): the HLL register payload — max rho per bucket.
+    This IS the mergeable state (registers combine by max): per-day /
+    per-partition tables combine via `hll_merge` without rescanning."""
     m = 1 << p
     maxrho = 32 - p + 1
     rem = F.floor(F.col("h") / (1 << p))
     rho = F.when(rem == 0, F.lit(maxrho)).otherwise(
         F.lit(32 - p) - F.length(F.bin(rem)) + 1
     )
-    regs = (
+    return (
         _distinct_group_hashes(documents, group_col)
         .select("grp", (F.col("h") % m).alias("bucket"), rho.alias("rho"))
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two HLL register tables into the table of the combined
+    input: hll_merge(regs(A), regs(B)) == regs(A ∪ B) exactly — max is
+    idempotent and associative per (grp, bucket) (pytest law)."""
+    return a.unionByName(b).groupBy("grp", "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_summary(regs: DataFrame, p: int) -> DataFrame:
+    """Summary row per group off a (grp, bucket, r) register table — the
+    read-time half of `hll_registers`, reusable on merged tables."""
+    m = 1 << p
+    maxrho = 32 - p + 1
     return regs.groupBy("grp").agg(
         F.lit(m).cast("long").alias("m"),
         F.count("*").alias("used_regs"),
@@ -136,6 +188,56 @@ def hll_registers(documents: DataFrame, p: int = 6, group_col: str = "lang") -> 
         )
         .cast("long")
         .alias("harmonic_scaled"),
+    )
+
+
+def _cms_tokens(documents: DataFrame) -> DataFrame:
+    """(word, h) token INSTANCES (multiplicity preserved — frequencies,
+    not sets, so no array_distinct)."""
+    raw_words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    return documents.select(F.explode(raw_words).alias("word")).select(
+        "word", _minhash_base(F.col("word")).alias("h")
+    )
+
+
+def _cms_positions(depth: int, width: int):
+    """array<struct<row,pos>> counter coordinates of the ``h`` column —
+    row d uses the shared deterministic pairwise-independent family."""
+    from dr_source_spark.training.dedup import _MINHASH_P
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("row"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P) % width)
+                .cast("int")
+                .alias("pos"),
+            )
+            for d, (a, b) in enumerate(minhash_family(depth))
+        ]
+    )
+
+
+def cms_registers(documents: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """(row, pos, cnt): the count-min register payload — the mergeable
+    state (counters combine by addition): per-day / per-partition
+    sketches combine via `cms_merge` without rescanning."""
+    return (
+        _cms_tokens(documents)
+        .select(F.explode(_cms_positions(depth, width)).alias("rp"))
+        .groupBy(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Add two CMS register tables: cms_merge(regs(A), regs(B)) ==
+    regs(A ++ B) exactly — counters are sums, sums are associative
+    (pytest law)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
 
 
@@ -160,24 +262,8 @@ def cms_heavy_hitters(
     The exact top-k is itself a big groupBy at 100 TB; that is the point
     of the query — it shows what the sketch replaces. The top-k join back
     to registers broadcasts ``top * depth`` rows."""
-    from dr_source_spark.training.dedup import _MINHASH_P
-
-    raw_words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    toks = documents.select(F.explode(raw_words).alias("word")).select(
-        "word", _minhash_base(F.col("word")).alias("h")
-    )
-    fam = minhash_family(depth)
-    positions = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("int").alias("row"),
-                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P) % width)
-                .cast("int")
-                .alias("pos"),
-            )
-            for d, (a, b) in enumerate(fam)
-        ]
-    )
+    toks = _cms_tokens(documents)
+    positions = _cms_positions(depth, width)
     regs = (
         toks.select(F.explode(positions).alias("rp"))
         .groupBy(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))

@@ -147,3 +147,63 @@ def test_cms_plan_has_no_cartesian(spark):
     plan = cms_heavy_hitters(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Merge laws — the property that makes a sketch a sketch: combining two
+# corpora's summaries equals summarizing the combined corpus, exactly.
+
+
+def _rows(prefix, n, lang="aa", start=0):
+    return [(start + i, " ".join(f"{prefix}{i}_{j}" for j in range(20)) + " shared common", lang)
+            for i in range(n)]
+
+
+def test_kmv_merge_law(spark):
+    """kmv_merge(sketch(A), sketch(B)) == sketch(A ∪ B) cell-for-cell,
+    including overlapping tokens across the halves, and the merged
+    estimate equals the combined-corpus estimate."""
+    from dr_source_spark.training.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    k = 16
+    a = _docs(spark, _rows("a", 10))
+    b = _docs(spark, _rows("b", 10, start=100))
+    both = a.unionByName(b)
+    merged = kmv_merge(kmv_sketch(a, k), kmv_sketch(b, k), k)
+    direct = kmv_sketch(both, k)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    assert (sorted(map(tuple, kmv_estimate(merged, k).collect()))
+            == sorted(map(tuple, kmv_estimate(direct, k).collect())))
+
+
+def test_hll_merge_law(spark):
+    """hll_merge(regs(A), regs(B)) == regs(A ∪ B) — registers combine by
+    max — and the summaries agree."""
+    from dr_source_spark.training.sketch import (
+        hll_merge,
+        hll_register_table,
+        hll_summary,
+    )
+
+    a = _docs(spark, _rows("a", 8))
+    b = _docs(spark, _rows("b", 8, start=100))
+    both = a.unionByName(b)
+    merged = hll_merge(hll_register_table(a, p=5), hll_register_table(b, p=5))
+    direct = hll_register_table(both, p=5)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    assert (sorted(map(tuple, hll_summary(merged, 5).collect()))
+            == sorted(map(tuple, hll_summary(direct, 5).collect())))
+
+
+def test_cms_merge_law(spark):
+    """cms_merge(regs(A), regs(B)) == regs(A ++ B) — counters add, and
+    multiplicity across the halves is preserved (the shared tokens appear
+    in both halves and must count twice)."""
+    from dr_source_spark.training.sketch import cms_merge, cms_registers
+
+    a = _docs(spark, _rows("a", 6))
+    b = _docs(spark, _rows("b", 6, start=100))
+    both = a.unionByName(b)
+    merged = cms_merge(cms_registers(a, 4, 64), cms_registers(b, 4, 64))
+    direct = cms_registers(both, 4, 64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
