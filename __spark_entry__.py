@@ -726,7 +726,7 @@ _EVENTS_HIST_SQL = f"""
 WITH g AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS vk, count(*)::BIGINT AS cnt,
          min(value) AS lo, max(value) AS hi
-  FROM events GROUP BY vk),
+  FROM events WHERE value IS NOT NULL GROUP BY vk),
 t AS (SELECT sum(cnt)::BIGINT AS n FROM g),
 p AS (SELECT vk, cnt, lo, hi,
   coalesce(sum(cnt) OVER (ORDER BY vk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre

@@ -117,9 +117,15 @@ def equidepth_histogram(
     SinglePartition window is over its bucket totals (plan-gated in
     tests/test_plans.py for the underlying helper); N rides a broadcast
     1-row cross join, not a driver action."""
+    # histograms cover NON-NULL values (null_count is a separate stat in
+    # every engine's column statistics) — the filter is explicit here and
+    # in the SQL oracle; without it, NULL keys would silently vanish in
+    # the prefix join (join-on-NULL never matches) while the oracle kept
+    # them: an engine-divergence class, not just a semantics choice.
     vk = F.round(F.col(value_col) * scale).cast("long")
     per_value = (
-        events.select(vk.alias("vk"), F.col(value_col).alias("_v"))
+        events.where(F.col(value_col).isNotNull())
+        .select(vk.alias("vk"), F.col(value_col).alias("_v"))
         .groupBy("vk")
         .agg(
             F.count("*").cast("long").alias("cnt"),

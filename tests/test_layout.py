@@ -117,3 +117,30 @@ def test_equidepth_histogram_plan_is_scalable(spark):
         assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
     assert "hashpartitioning(_b" in plan
     assert sum(r.n_rows for r in df.collect()) == 500
+
+
+def test_histogram_excludes_nulls_explicitly(spark):
+    """NULL values are excluded by an EXPLICIT filter (null_count is a
+    separate column stat), matching the oracle's WHERE clause — without
+    it the prefix join's join-on-NULL would drop them on the Spark side
+    only, a cross-engine divergence. Empty input yields an empty
+    histogram."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, base, 0, None), (2, base, 0, 2.5), (3, base, 0, None), (4, base, 0, 7.5)]
+    out = equidepth_histogram(_events(spark, rows), buckets=2).collect()
+    assert sorted((r.bucket, r.n_rows, r.v_lo) for r in out) == [(0, 1, 2.5), (1, 1, 7.5)]
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, value double")
+    assert equidepth_histogram(empty).count() == 0
+
+
+def test_zorder_null_rows_form_a_visible_null_file(spark):
+    """Rows with NULL user/ts land in a single NULL-keyed manifest row
+    (SQL GROUP BY semantics, identical in DuckDB) — visible, never
+    silently dropped. Empty input yields an empty manifest."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, None, None, 1.0), (2, base, 5, 2.0)]
+    out = {r.file_id: r for r in zorder_manifest(_events(spark, rows), dim_bits=2, file_span=4).collect()}
+    assert None in out and out[None].n_events == 1 and out[None].n_users == 0
+    assert len(out) == 2
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, value double")
+    assert zorder_manifest(empty).count() == 0

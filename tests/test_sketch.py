@@ -207,3 +207,18 @@ def test_cms_merge_law(spark):
     merged = cms_merge(cms_registers(a, 4, 64), cms_registers(b, 4, 64))
     direct = cms_registers(both, 4, 64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_sketches_on_empty_and_null_inputs(spark):
+    """Empty corpora yield empty outputs in all three sketches; a NULL
+    group key forms its own group (SQL GROUP BY semantics, identical in
+    DuckDB) and NULL text contributes nothing."""
+    from dr_source_spark.training.sketch import hll_registers
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert kmv_distinct(empty).count() == 0
+    assert hll_registers(empty).count() == 0
+    assert cms_heavy_hitters(empty).count() == 0
+    nd = _docs(spark, [(1, "a b c", None), (2, None, "aa"), (3, "x y", "aa")])
+    got = {(r.grp or "<null>"): r.n_kept for r in kmv_distinct(nd, k=4).collect()}
+    assert got == {"<null>": 3, "aa": 2}
