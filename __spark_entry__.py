@@ -1951,6 +1951,58 @@ SELECT * FROM wav UNION ALL SELECT * FROM bmp
 """
 
 
+def _media_codec_features(spark, sf_dir):
+    # REAL compressed-image decode (round 5): valid PNG (stdlib-zlib
+    # inflate + all five scanline filter predictors) and GIF87a (hand
+    # rolled variable-width LZW) payloads built from closed-form pixel
+    # formulas, decoded by training/codecs.py, features as exact integers
+    from dr_source_spark.training.codecs import synth_compressed_media
+    from dr_source_spark.training.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(synth_compressed_media(docs))
+
+
+# Oracle: pixel formulas from codecs.png_bytes / gif_bytes + gif_palette,
+# never touching the binary. Even doc_id -> PNG: w=4+id%5, h=5+id%5,
+# r=(id*7+3x+11y)%256 g=(id*11+5x+3y)%256 b=(id*13+9x+7y)%256. Odd -> GIF:
+# w=5+id%4, h=4+id%3, palette[(id+3x+5y)%256] with
+# palette(i)=((7i+1)%256,(11i+3)%256,(13i+5)%256).
+_MEDIA_CODEC_SQL = """
+WITH png AS (
+  SELECT d.doc_id AS media_id, 'png' AS format,
+         CAST((4 + d.doc_id % 5) * (5 + d.doc_id % 5) AS BIGINT) AS n_units,
+         CAST(max(greatest((d.doc_id * 7 + x.x * 3 + y.y * 11) % 256,
+                           (d.doc_id * 11 + x.x * 5 + y.y * 3) % 256,
+                           (d.doc_id * 13 + x.x * 9 + y.y * 7) % 256)) AS BIGINT) AS peak,
+         CAST(sum((d.doc_id * 7 + x.x * 3 + y.y * 11) % 256
+                + (d.doc_id * 11 + x.x * 5 + y.y * 3) % 256
+                + (d.doc_id * 13 + x.x * 9 + y.y * 7) % 256) AS BIGINT) AS checksum
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(3 + d.doc_id % 5 AS INT))) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(4 + d.doc_id % 5 AS INT))) AS y) y
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id
+),
+gif AS (
+  SELECT d.doc_id AS media_id, 'gif' AS format,
+         CAST((5 + d.doc_id % 4) * (4 + d.doc_id % 3) AS BIGINT) AS n_units,
+         CAST(max(greatest((((d.doc_id + 3 * x.x + 5 * y.y) % 256) * 7 + 1) % 256,
+                           (((d.doc_id + 3 * x.x + 5 * y.y) % 256) * 11 + 3) % 256,
+                           (((d.doc_id + 3 * x.x + 5 * y.y) % 256) * 13 + 5) % 256)) AS BIGINT) AS peak,
+         CAST(sum((((d.doc_id + 3 * x.x + 5 * y.y) % 256) * 7 + 1) % 256
+                + (((d.doc_id + 3 * x.x + 5 * y.y) % 256) * 11 + 3) % 256
+                + (((d.doc_id + 3 * x.x + 5 * y.y) % 256) * 13 + 5) % 256) AS BIGINT) AS checksum
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(4 + d.doc_id % 4 AS INT))) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(3 + d.doc_id % 3 AS INT))) AS y) y
+  WHERE d.doc_id % 2 = 1
+  GROUP BY d.doc_id
+)
+SELECT * FROM png UNION ALL SELECT * FROM gif
+"""
+
+
 def _media_audio_energy(spark, sf_dir):
     # REAL audio feature extraction: WAV-PCM payloads decoded and windowed
     # into 25-sample frames with exact-integer energy (sum of squares) and
@@ -3572,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _media_metadata,
         "media_chunk_plan": _media_chunk_plan,
         "media_decode_features": _media_decode_features,
+        "media_codec_features": _media_codec_features,
         "media_resize_features": _media_resize_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -3694,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _MEDIA_METADATA_SQL,
         "media_chunk_plan": _MEDIA_CHUNK_SQL,
         "media_decode_features": _MEDIA_DECODE_SQL,
+        "media_codec_features": _MEDIA_CODEC_SQL,
         "media_resize_features": _MEDIA_RESIZE_SQL,
         "scalar_trace_roundtrip": _SCALAR_TRACE_SQL,
         "ann_cosine_topk": _ANN_SQL,

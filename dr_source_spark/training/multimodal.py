@@ -4,8 +4,11 @@ Images/audio/video ride as opaque ``binary`` columns with typed metadata.
 What's REAL here (and tested): the Spark plumbing — schemas, Arrow-batched
 ``mapInPandas`` signatures, header (magic-byte) metadata parsing in pure
 Python, deterministic feature extraction, partitioning discipline (binary
-payloads are dropped before any shuffle). What's STUBBED (this container
-has no image/audio codecs): pixel/sample decoding — ``decode_media`` raises
+payloads are dropped before any shuffle) — and FOUR real decode paths:
+16-bit PCM WAV and 24-bit BMP (struct walk, below), plus 8-bit truecolor
+PNG and GIF87a/89a (stdlib-zlib inflate / hand-rolled LZW, in
+``training/codecs.py``). What's STUBBED (this container has no
+entropy-coded-DCT codecs): JPEG/MP4/MP3 — ``decode_media`` raises
 NotImplementedError unless ``fake=True``, which produces a deterministic
 sha256-seeded surrogate so downstream stages are exercisable end-to-end.
 
@@ -124,13 +127,16 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode payloads to raw samples. STUB for codec-requiring formats
-    (JPEG/PNG/MP4 — no codec libraries exist in this environment):
+    """Decode payloads to raw samples. STUB for entropy-coded-DCT formats
+    (JPEG/MP4/MP3 — no codec libraries exist in this environment):
     ``fake=True`` yields a deterministic sha256-seeded surrogate (32
     floats in [0,1)) so downstream plumbing is testable; ``fake=False``
-    raises NotImplementedError at plan time (fail fast). For formats a
-    pure struct walk CAN decode — 16-bit PCM WAV and 24-bit BMP — use
-    ``decode_features`` below: a REAL, oracle-verified decode path."""
+    raises NotImplementedError at plan time (fail fast). For formats this
+    package CAN really decode — 16-bit PCM WAV, 24-bit BMP (struct walk),
+    8-bit truecolor PNG (stdlib zlib + all five filter predictors) and
+    GIF87a/89a (hand-rolled variable-width LZW) — use ``decode_features``
+    below: a REAL, oracle-verified decode path (PNG/GIF live in
+    ``training/codecs.py``)."""
     if not fake:
         raise NotImplementedError(
             "media decoding requires codec libraries (PIL/ffmpeg) not present "
@@ -356,16 +362,20 @@ DECODE_FEATURES_SCHEMA = StructType(
 
 def decode_features(media: DataFrame) -> DataFrame:
     """REAL decode → integer features per payload: WAV PCM (n_samples,
-    peak |sample|, sum |sample|) and BMP (n_pixels, peak byte, byte sum);
-    any other format raises NotImplementedError (fail fast — no silent
-    skips). Integer features so any engine reproduces them exactly.
-    Arrow-batched; binary dies inside the stage (only 5 narrow columns
-    come out)."""
+    peak |sample|, sum |sample|), BMP (n_pixels, peak byte, byte sum),
+    PNG (zlib inflate + five-filter reconstruction) and GIF (real LZW)
+    — pixel formats report (n_pixels, peak channel byte, channel-byte
+    sum); any other format raises NotImplementedError (fail fast — no
+    silent skips). Integer features so any engine reproduces them
+    exactly. Arrow-batched; binary dies inside the stage (only 5 narrow
+    columns come out)."""
     from ..deploy import ensure_shipped
 
     ensure_shipped(media.sparkSession)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import PNG_SIG, decode_gif, decode_png
+
         cols = [f.name for f in DECODE_FEATURES_SCHEMA.fields]
         for pdf in batches:
             rows = []
@@ -377,6 +387,18 @@ def decode_features(media: DataFrame) -> DataFrame:
                 elif payload[:2] == b"BM":
                     fmt = "bmp"
                     n, peak, checksum = _decode_bmp(payload)
+                elif payload[:8] == PNG_SIG:
+                    fmt = "png"
+                    w, h, grid = decode_png(payload)
+                    n = w * h
+                    peak = max(max(r) for r in grid) if grid else 0
+                    checksum = sum(sum(r) for r in grid)
+                elif payload[:4] == b"GIF8":
+                    fmt = "gif"
+                    w, h, grid = decode_gif(payload)
+                    n = w * h
+                    peak = max(max(r) for r in grid) if grid else 0
+                    checksum = sum(sum(r) for r in grid)
                 else:
                     raise NotImplementedError(
                         f"no stdlib decoder for payload starting {payload[:8]!r}"
