@@ -771,6 +771,118 @@ GROUP BY p.word, p.exact_cnt
 """
 
 
+def _text_hdr_quantiles(spark, sf_dir):
+    # HDR-histogram quantile sketch (log-linear integer buckets, K=16 per
+    # octave): mergeable bucket counts replace the per-group sort an exact
+    # quantile needs at 100 TB; the exact rank statistic rides beside the
+    # sketched [est_lo, est_hi] so the <= 1/16 error bound is visible
+    from dr_source_spark.training.sketch import hdr_length_quantiles
+
+    return hdr_length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_HDR_SQL = r"""
+WITH vals AS (
+  SELECT lang AS grp, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS v
+  FROM documents
+),
+sk AS (
+  SELECT grp,
+    CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT) ELSE
+      CAST((length(bin(v)) - 1) * 16 AS BIGINT)
+      + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+    END AS bucket, count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bucket, cnt,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM sk
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q),
+picked AS (
+  SELECT grp, q, n AS n_docs, min(bucket) AS bucket
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (q * n + 99) // 100
+  GROUP BY grp, q, n
+),
+bounds AS (
+  SELECT grp, q, n_docs,
+    CASE WHEN bucket < 0 THEN 0 ELSE
+      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+      + ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
+    END AS est_lo,
+    CASE WHEN bucket < 0 THEN 0 ELSE
+      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+      + (((bucket % 16) + 1) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16 - 1
+    END AS est_hi
+  FROM picked
+),
+ranked AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM vals
+),
+exact AS (
+  SELECT grp, q, v AS exact_len FROM ranked CROSS JOIN qs
+  WHERE rn = (q * n + 99) // 100
+)
+SELECT b.grp, CAST(b.q AS INT) AS q, CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.est_lo AS BIGINT) AS est_lo, CAST(b.est_hi AS BIGINT) AS est_hi,
+       CAST(e.exact_len AS BIGINT) AS exact_len
+FROM bounds b JOIN exact e ON b.grp = e.grp AND b.q = e.q
+"""
+
+
+def _text_bloom_decontam(spark, sf_dir):
+    # Bloom pre-filter for benchmark decontamination: the benchmark's
+    # distinct 3-grams build a <= 16384-row bit table (broadcast); every
+    # corpus gram probes it with 3 modular hash positions. n_member <=
+    # n_bloom_pass is the no-false-negative law; n_false_pos is the
+    # exact-join work the filter could not save
+    from dr_source_spark.training.sketch import bloom_decontam_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontam_stats(docs, docs.filter(F.col("doc_id") % 17 == 0))
+
+
+_TEXT_BLOOM_SQL = rf"""
+WITH {_duck_minhash_seeds(3)},
+c AS (SELECT doc_id, lang, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS gram
+  FROM c
+),
+bench_grams AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+bench_keys AS (SELECT gram, {_duck_minhash_base('gram')} AS h FROM bench_grams),
+bits AS (SELECT DISTINCT ((s.a * k.h + s.b) % {_MINHASH_P}) % 16384 AS pos
+         FROM bench_keys k CROSS JOIN seeds s),
+probe AS (SELECT lang, gram, {_duck_minhash_base('gram')} AS h
+          FROM (SELECT DISTINCT lang, gram FROM g)),
+hits AS (
+  SELECT p.lang, p.gram, (count(bits.pos) = 3) AS bloom_pass
+  FROM probe p CROSS JOIN seeds s
+  LEFT JOIN bits ON ((s.a * p.h + s.b) % {_MINHASH_P}) % 16384 = bits.pos
+  GROUP BY p.lang, p.gram
+),
+flagged AS (
+  SELECT h.lang, h.bloom_pass, (b.gram IS NOT NULL) AS member
+  FROM hits h LEFT JOIN bench_grams b ON h.gram = b.gram
+)
+SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+            - sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM flagged GROUP BY lang
+"""
+
+
 def _dedup_minhash_shingles(spark, sf_dir):
     # shingle→minhash: character 5-gram tokens instead of words (catches
     # reordered-word / punctuation-edit near-dups word-set Jaccard misses)
@@ -3625,6 +3737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_chunk_plan": _media_chunk_plan,
         "media_decode_features": _media_decode_features,
         "media_codec_features": _media_codec_features,
+        "text_hdr_quantiles": _text_hdr_quantiles,
+        "text_bloom_decontam": _text_bloom_decontam,
         "media_resize_features": _media_resize_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -3661,6 +3775,8 @@ def oracle_sql() -> dict[str, str]:
         "text_kmv_distinct": _TEXT_KMV_SQL,
         "text_hll_registers": _TEXT_HLL_SQL,
         "text_cms_heavy_hitters": _TEXT_CMS_SQL,
+        "text_hdr_quantiles": _TEXT_HDR_SQL,
+        "text_bloom_decontam": _TEXT_BLOOM_SQL,
         "events_zorder_manifest": _EVENTS_ZORDER_SQL,
         "events_value_histogram": _EVENTS_HIST_SQL,
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,

@@ -280,3 +280,257 @@ def cms_heavy_hitters(
         .agg(F.min("cnt").cast("long").alias("cms_est"))
         .select("word", F.col("exact_cnt").cast("long"), "cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram-style quantile sketch (log-linear integer buckets)
+# ---------------------------------------------------------------------------
+
+_HDR_K = 16  # sub-buckets per octave → relative error ≤ 1/16 ≈ 6.25 %
+
+
+def _hdr_bucket(vcol: str):
+    """Integer log-linear bucket id of a non-negative BIGINT column
+    (HdrHistogram's scheme, no floats): v = 0 → bucket -1; v ≥ 1 →
+    e*K + (v - 2^e)*K div 2^e with e = bit_length(v) - 1 = the octave.
+    ``length(bin(v)) - 1`` and ``shiftleft`` keep every step in exact
+    int64 arithmetic, so DuckDB (`bin`, `<<`, `//`) reproduces the
+    bucket id bit-for-bit — no float log2 to diverge across engines."""
+    K = _HDR_K
+    return F.expr(
+        f"CASE WHEN {vcol} <= 0 THEN CAST(-1 AS BIGINT) ELSE "
+        f"CAST((length(bin({vcol})) - 1) * {K} AS BIGINT)"
+        f" + CAST(({vcol} - shiftleft(1L, length(bin({vcol})) - 1)) * {K} AS BIGINT)"
+        f" div shiftleft(1L, length(bin({vcol})) - 1) END"
+    )
+
+
+def _hdr_bounds(bucket_col: str):
+    """(lo, hi) exact integer value bounds of a bucket id: e = b div K,
+    sub = b % K, lo = 2^e + ceil(sub * 2^e / K), hi = lo(b+1) - 1 (the
+    octave boundary falls out of the same formula: sub = K gives
+    2^(e+1)). Bucket -1 (the zero bucket) is [0, 0]. Ceil-division keeps
+    the bounds exact when an octave is narrower than K sub-buckets
+    (e < 4), where only some sub ids are inhabited."""
+    K = _HDR_K
+    b = F.col(bucket_col)
+    e = (b / K).cast("long")
+    sub = b % K
+
+    def _lo(e_expr, sub_expr):
+        base = F.expr(f"shiftleft(1L, CAST({bucket_col} div {K} AS INT))")
+        return base + ((sub_expr * base + K - 1) / K).cast("long")
+
+    lo = F.when(b < 0, F.lit(0)).otherwise(_lo(e, sub))
+    hi = F.when(b < 0, F.lit(0)).otherwise(_lo(e, sub + 1) - 1)
+    return lo.cast("long"), hi.cast("long")
+
+
+def hdr_sketch(values: DataFrame) -> DataFrame:
+    """(grp, bucket, cnt) from a (grp, v) table — the mergeable quantile
+    state: counts add (`hdr_merge`), so per-day / per-partition sketches
+    combine without rescanning, and a group's payload is bounded by the
+    number of inhabited buckets (≤ K * 63 + 1 for int64 values) no
+    matter how many rows went in. One narrow groupBy with full map-side
+    combine — at 100 TB this replaces the per-group sort an exact
+    quantile needs."""
+    return (
+        values.select("grp", _hdr_bucket("v").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Add two HDR sketches: hdr_merge(sk(A), sk(B)) == sk(A ++ B)
+    exactly — bucket counts are sums (pytest law in tests/test_sketch.py)."""
+    return (
+        a.unionByName(b)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantile_bounds(sketch: DataFrame, qs=(50, 90, 99)) -> DataFrame:
+    """(grp, q, n_values, est_lo, est_hi) per requested percentile off a
+    (grp, bucket, cnt) sketch: rank = ceil(q*N/100) (integer arithmetic),
+    chosen bucket = the smallest bucket whose cumulative count reaches
+    the rank, bounds from `_hdr_bounds`. The true rank-th value is
+    GUARANTEED inside [est_lo, est_hi] (bucket membership is exact), so
+    the sketch's error bound is structural, not statistical."""
+    w_cum = Window.partitionBy("grp").orderBy("bucket")
+    w_all = Window.partitionBy("grp")
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n_values", F.sum("cnt").over(w_all))
+    )
+    qd = cum.select(
+        "grp", "bucket", "cum", "n_values",
+        F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "rank", ((F.col("q") * F.col("n_values") + 99) / 100).cast("long")
+    )
+    picked = (
+        qd.where(F.col("cum") >= F.col("rank"))
+        .groupBy("grp", "q", "n_values")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    lo, hi = _hdr_bounds("bucket")
+    return picked.select(
+        "grp",
+        F.col("q").cast("int"),
+        F.col("n_values").cast("long"),
+        lo.alias("est_lo"),
+        hi.alias("est_hi"),
+    )
+
+
+def doc_length_values(documents: DataFrame, group_col: str = "lang") -> DataFrame:
+    """(grp, v): document byte lengths per group; NULL text counts as an
+    empty document (v = 0) so every row is accounted for — the same
+    audit invariant the curation verdicts keep."""
+    return documents.select(
+        F.col(group_col).alias("grp"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("v"),
+    )
+
+
+def hdr_length_quantiles(documents: DataFrame, qs=(50, 90, 99)) -> DataFrame:
+    """(grp, q, n_docs, est_lo, est_hi, exact_len): sketched percentile
+    bounds of per-language document byte lengths NEXT TO the exact
+    rank-statistic (same ceil-rank convention), making the ≤ 1/K error
+    bound directly visible — like cms_heavy_hitters, the exact side is
+    the expensive per-group sort the sketch replaces at 100 TB."""
+    vals = doc_length_values(documents)
+    bounds = hdr_quantile_bounds(hdr_sketch(vals), qs).withColumnRenamed(
+        "n_values", "n_docs"
+    )
+    w_rn = Window.partitionBy("grp").orderBy("v")
+    w_all = Window.partitionBy("grp")
+    ranked = vals.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+    exact = (
+        ranked.select(
+            "grp", "v", "rn", "n",
+            F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+        )
+        .where(F.col("rn") == ((F.col("q") * F.col("n") + 99) / 100).cast("long"))
+        .select("grp", "q", F.col("v").alias("exact_len"))
+    )
+    return bounds.join(exact, ["grp", "q"]).select(
+        "grp", "q", "n_docs", "est_lo", "est_hi", F.col("exact_len").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch) — the decontamination pre-filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384  # bits; size to ~4-5 bits per expected key (see stats fn)
+_BLOOM_K = 3  # hash functions, from the shared deterministic family
+
+
+def bloom_bits(keys: DataFrame, k: int = _BLOOM_K, m: int = _BLOOM_M) -> DataFrame:
+    """(pos) — the set bit positions of a Bloom filter over a column
+    ``h`` of 32-bit key hashes; hash function d sets bit
+    (a_d*h + b_d) % P % m with the same deterministic pairwise family as
+    the minhash/CMS sketches. ≤ m rows regardless of key count — always
+    broadcastable. Mergeable by union-distinct (`bloom_merge`): the OR
+    of two filters IS the filter of the union."""
+    from dr_source_spark.training.dedup import _MINHASH_P
+
+    pos = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P) % m).cast("int")
+            for a, b in minhash_family(k)
+        ]
+    )
+    return keys.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two Bloom filters: bloom_merge(bits(A), bits(B)) ==
+    bits(A ∪ B) exactly (pytest law) — bit-set union is union-distinct
+    on positions."""
+    return a.unionByName(b).distinct()
+
+
+def _gram_stream(df: DataFrame, n: int) -> DataFrame:
+    """(lang, gram) distinct word n-grams per document language — the
+    key stream both decontamination sides share (text.ngram_overlap uses
+    the same slice/concat shape)."""
+    g = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN"
+        f" transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        f" ELSE array() END"
+    )
+    return (
+        df.withColumn("_toks", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+        .select("lang", F.explode(g).alias("gram"))
+        .distinct()
+    )
+
+
+def bloom_decontam_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    k: int = _BLOOM_K,
+    m: int = _BLOOM_M,
+) -> DataFrame:
+    """(grp, n_grams, n_bloom_pass, n_member, n_false_pos) per corpus
+    language: what a Bloom pre-filter saves the exact decontamination
+    join (text.ngram_overlap). The benchmark's distinct n-grams build a
+    Bloom (≤ m rows, broadcast); every corpus gram probes it (k modular
+    position computations + a broadcast join — no shuffle of the gram
+    stream); only Bloom-positive grams would continue to the exact join.
+
+    Invariants the oracle checks cell-for-cell: n_member ≤ n_bloom_pass
+    (a Bloom filter has NO false negatives — every true member passes),
+    and n_false_pos = n_bloom_pass - n_member is the exact-join work the
+    filter could not save. Sizing rule: FPR ≈ (1 - e^(-k·n_keys/m))^k —
+    keep m ≥ ~5 bits per expected benchmark gram.
+
+    Scale shape: the corpus gram stream is never shuffled — positions
+    explode k-fold, hit the broadcast bit table, and collapse back in
+    one map-side-combined groupBy; the per-language stats are 5 narrow
+    integer columns."""
+    bench_keys = (
+        _gram_stream(benchmark, n)
+        .select("gram")
+        .distinct()
+        .select("gram", _minhash_base(F.col("gram")).alias("h"))
+    )
+    bits = bloom_bits(bench_keys, k=k, m=m)
+    from dr_source_spark.training.dedup import _MINHASH_P
+
+    probe = _gram_stream(corpus, n).select(
+        "lang", "gram", _minhash_base(F.col("gram")).alias("h")
+    )
+    pos = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P) % m).cast("int")
+            for a, b in minhash_family(k)
+        ]
+    )
+    hits = (
+        probe.select("lang", "gram", F.explode(pos).alias("pos"))
+        .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy("lang", "gram")
+        .agg((F.count("_set") == k).alias("bloom_pass"))
+    )
+    member = bench_keys.select("gram").withColumn("_member", F.lit(1))
+    flagged = hits.join(F.broadcast(member), "gram", "left")
+    return (
+        flagged.groupBy(F.col("lang").alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_bloom_pass"),
+            F.count("_member").cast("long").alias("n_member"),
+            (F.sum(F.col("bloom_pass").cast("long")) - F.count("_member"))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )

@@ -222,3 +222,177 @@ def test_sketches_on_empty_and_null_inputs(spark):
     nd = _docs(spark, [(1, "a b c", None), (2, None, "aa"), (3, "x y", "aa")])
     got = {(r.grp or "<null>"): r.n_kept for r in kmv_distinct(nd, k=4).collect()}
     assert got == {"<null>": 3, "aa": 2}
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _hdr_bucket_py(v: int, K: int = 16) -> int:
+    if v <= 0:
+        return -1
+    e = v.bit_length() - 1
+    return e * K + (v - (1 << e)) * K // (1 << e)
+
+
+def _hdr_bounds_py(b: int, K: int = 16):
+    if b < 0:
+        return (0, 0)
+
+    def lo(bb):
+        e, sub = divmod(bb, K)
+        return (1 << e) + (sub * (1 << e) + K - 1) // K
+
+    return lo(b), lo(b + 1) - 1
+
+
+def test_hdr_bucket_matches_python_model_and_bounds_contain(spark):
+    """Cell-exact bucket ids vs the pure-Python HdrHistogram model over
+    a probe set covering every edge: 0 (the -1 bucket), 1..17 (octaves
+    narrower than K, where ceil-division matters), exact powers of two,
+    power-of-two ± 1, and large 40-bit values. Each value must land
+    inside its own bucket's [lo, hi] with relative width ≤ 1/K."""
+    from dr_source_spark.training.sketch import _hdr_bounds, _hdr_bucket
+
+    probes = (
+        list(range(0, 18))
+        + [(1 << e) + d for e in (4, 5, 10, 20, 40) for d in (-1, 0, 1)]
+        + [12345, 999_999_937, (1 << 41) + 12_345_678_901]
+    )
+    df = spark.createDataFrame([(v,) for v in probes], "v long").select(
+        "v", _hdr_bucket("v").alias("bucket")
+    )
+    lo, hi = _hdr_bounds("bucket")
+    rows = df.select("v", "bucket", lo.alias("lo"), hi.alias("hi")).collect()
+    assert len(rows) == len(probes)
+    for r in rows:
+        assert r.bucket == _hdr_bucket_py(r.v), (r.v, r.bucket)
+        assert (r.lo, r.hi) == _hdr_bounds_py(r.bucket), (r.v, r.bucket)
+        assert r.lo <= r.v <= r.hi, (r.v, r.lo, r.hi)
+        if r.lo >= 16:  # full-width octaves: the 1/K relative-error bound
+            assert (r.hi - r.lo) <= r.lo / 16 + 1, (r.v, r.lo, r.hi)
+
+
+def test_hdr_quantile_bounds_contain_exact_rank_statistic(spark):
+    """On a deterministic skewed value set, every sketched [est_lo,
+    est_hi] contains the true ceil-rank percentile — the structural
+    (not statistical) guarantee — and the zero-heavy group pins the
+    v=0 bucket path end to end."""
+    from dr_source_spark.training.sketch import hdr_quantile_bounds, hdr_sketch
+
+    vals = [("g1", (i * i * 7919) % 100_000 + 1) for i in range(500)]
+    vals += [("g0", 0)] * 60 + [("g0", 5)] * 40
+    df = spark.createDataFrame(vals, "grp string, v long")
+    got = {
+        (r.grp, r.q): r
+        for r in hdr_quantile_bounds(hdr_sketch(df), qs=(50, 90, 99)).collect()
+    }
+    by_grp = {"g1": sorted(v for g, v in vals if g == "g1"),
+              "g0": sorted(v for g, v in vals if g == "g0")}
+    assert len(got) == 6
+    for (grp, q), r in got.items():
+        xs = by_grp[grp]
+        exact = xs[(q * len(xs) + 99) // 100 - 1]
+        assert r.n_values == len(xs)
+        assert r.est_lo <= exact <= r.est_hi, (grp, q, exact, r)
+    assert got[("g0", 50)].est_lo == 0 and got[("g0", 50)].est_hi == 0
+
+
+def test_hdr_merge_law(spark):
+    """hdr_merge(sk(A), sk(B)) == sk(A ++ B) cell-for-cell — counts add,
+    multiplicity across halves preserved — and quantile bounds off the
+    merged sketch equal those off the direct sketch."""
+    from dr_source_spark.training.sketch import (
+        hdr_merge,
+        hdr_quantile_bounds,
+        hdr_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [("g", (i * 37) % 1000) for i in range(200)], "grp string, v long"
+    )
+    b = spark.createDataFrame(
+        [("g", (i * 41) % 5000) for i in range(150)], "grp string, v long"
+    )
+    both = a.unionByName(b)
+    merged = hdr_merge(hdr_sketch(a), hdr_sketch(b))
+    direct = hdr_sketch(both)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    assert (sorted(map(tuple, hdr_quantile_bounds(merged).collect()))
+            == sorted(map(tuple, hdr_quantile_bounds(direct).collect())))
+
+
+def test_hdr_length_quantiles_on_documents_shape(spark):
+    """End-to-end operator over a documents-shaped table: NULL text is a
+    0-length document (audit invariant), every row carries the exact
+    rank statistic inside the sketched bounds."""
+    from dr_source_spark.training.sketch import hdr_length_quantiles
+
+    docs = _docs(
+        spark,
+        [(i, "x" * (10 * i + 1), "aa") for i in range(30)] + [(99, None, "nn")],
+    )
+    rows = hdr_length_quantiles(docs).collect()
+    assert len(rows) == 6  # 2 langs x 3 percentiles
+    for r in rows:
+        assert r.est_lo <= r.exact_len <= r.est_hi, r
+    nn = {r.q: r for r in rows if r.grp == "nn"}
+    assert nn[50].exact_len == 0 and nn[50].n_docs == 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_stats(spark):
+    """The Bloom law: every true member passes (n_member ≤ n_bloom_pass
+    with equality on the member subset), checked per-gram — a member
+    gram whose probe fails would be a correctness bug, not noise."""
+    from dr_source_spark.training.sketch import bloom_decontam_stats
+
+    corpus = _docs(spark, _rows("c", 20) + _rows("d", 10, lang="bb"))
+    bench = _docs(spark, _rows("c", 5))  # subset → true members exist
+    rows = {r.grp: r for r in bloom_decontam_stats(corpus, bench).collect()}
+    assert set(rows) == {"aa", "bb"}
+    for r in rows.values():
+        assert r.n_member <= r.n_bloom_pass <= r.n_grams
+        assert r.n_false_pos == r.n_bloom_pass - r.n_member
+    assert rows["aa"].n_member > 0  # the planted overlap is seen
+
+
+def test_bloom_merge_law(spark):
+    """bloom_merge(bits(A), bits(B)) == bits(A ∪ B) exactly — bit-set
+    union is union-distinct on positions."""
+    from pyspark.sql import functions as F
+
+    from dr_source_spark.training.sketch import _minhash_base, bloom_bits, bloom_merge
+
+    def keys(prefix, n):
+        df = spark.createDataFrame([(f"{prefix}{i}",) for i in range(n)], "gram string")
+        return df.select("gram", _minhash_base(F.col("gram")).alias("h"))
+
+    a, b = keys("a", 300), keys("b", 300)
+    both = a.unionByName(b)
+    merged = bloom_merge(bloom_bits(a), bloom_bits(b))
+    direct = bloom_bits(both)
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in direct.collect()
+    )
+
+
+def test_hdr_bloom_on_empty_inputs(spark):
+    """Empty corpora yield empty sketches and empty stats — same gate
+    the KMV/HLL/CMS family has."""
+    from dr_source_spark.training.sketch import (
+        bloom_decontam_stats,
+        hdr_length_quantiles,
+        hdr_sketch,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    empty_vals = spark.createDataFrame([], "grp string, v long")
+    assert hdr_sketch(empty_vals).count() == 0
+    assert hdr_length_quantiles(empty_docs).count() == 0
+    assert bloom_decontam_stats(empty_docs, empty_docs).count() == 0
