@@ -655,6 +655,83 @@ FROM kept GROUP BY grp
 """
 
 
+def _text_kmv_overlap(spark, sf_dir):
+    # theta-sketch set-overlap estimate between the even- and odd-doc_id
+    # halves of the corpus, per language: vocabulary intersection/union
+    # estimated from two k=64 KMV sketches (theta = min of the sides'
+    # effective thresholds; common-below-theta is a uniform sample of the
+    # true intersection), with the exact hash-set join/union riding
+    # beside — the expensive side the sketch replaces at 100 TB
+    from dr_source_spark.training.sketch import kmv_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=_KMV_K,
+    )
+
+
+def _duck_half_hashes(name: str, parity: int) -> str:
+    """CTE pair: distinct per-language token hashes of one doc_id-parity
+    half of documents (the same token/hash pipeline as _LANG_HASHES_CTES)."""
+    return rf"""w{name} AS (
+  SELECT DISTINCT lang AS grp, w FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents WHERE doc_id % 2 = {parity}
+  ) WHERE w <> ''
+),
+h{name} AS (SELECT DISTINCT grp, {_duck_minhash_base('w')} AS h FROM w{name})"""
+
+
+_TEXT_KMV_OVERLAP_SQL = rf"""
+WITH {_duck_half_hashes('a', 0)},
+{_duck_half_hashes('b', 1)},
+sa AS (SELECT grp, h FROM (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM ha) WHERE r <= {_KMV_K}),
+sb AS (SELECT grp, h FROM (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM hb) WHERE r <= {_KMV_K}),
+side_a AS (SELECT grp, count(*) AS n_a, max(h) AS kth_a FROM sa GROUP BY grp),
+side_b AS (SELECT grp, count(*) AS n_b, max(h) AS kth_b FROM sb GROUP BY grp),
+th AS (
+  SELECT a.grp, a.n_a, b.n_b,
+    least(CASE WHEN a.n_a < {_KMV_K} THEN {2 ** 32} ELSE a.kth_a END,
+          CASE WHEN b.n_b < {_KMV_K} THEN {2 ** 32} ELSE b.kth_b END) AS theta
+  FROM side_a a JOIN side_b b ON a.grp = b.grp
+),
+common AS (
+  SELECT sa.grp, count(*) AS n_common
+  FROM sa JOIN sb ON sa.grp = sb.grp AND sa.h = sb.h
+  JOIN th ON th.grp = sa.grp
+  WHERE sa.h <= th.theta GROUP BY sa.grp
+),
+merged AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM (SELECT DISTINCT grp, h FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb))
+  ) WHERE r <= {_KMV_K}
+),
+eu AS (
+  SELECT grp, CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                   ELSE {(_KMV_K - 1) * (2 ** 32)} // max(h) END AS est_union
+  FROM merged GROUP BY grp
+),
+ec AS (SELECT ha.grp, count(*) AS exact_common
+       FROM ha JOIN hb ON ha.grp = hb.grp AND ha.h = hb.h GROUP BY ha.grp),
+eun AS (SELECT grp, count(DISTINCT h) AS exact_union
+        FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb) GROUP BY grp)
+SELECT th.grp, th.n_a::BIGINT AS n_a, th.n_b::BIGINT AS n_b,
+  th.theta::BIGINT AS theta, coalesce(c.n_common, 0)::BIGINT AS n_common,
+  (coalesce(c.n_common, 0) * {2 ** 32} // th.theta)::BIGINT AS est_intersect,
+  eu.est_union::BIGINT AS est_union,
+  coalesce(ec.exact_common, 0)::BIGINT AS exact_common,
+  eun.exact_union::BIGINT AS exact_union
+FROM th
+LEFT JOIN common c ON c.grp = th.grp
+JOIN eu ON eu.grp = th.grp
+LEFT JOIN ec ON ec.grp = th.grp
+JOIN eun ON eun.grp = th.grp
+"""
+
+
 def _text_hll_registers(spark, sf_dir):
     # HyperLogLog register summary per language (p=6, m=64): bucket from
     # the low bits, rho from the leading-zero rank of the rest; the
@@ -880,6 +957,87 @@ SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
             - sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
 FROM flagged GROUP BY lang
+"""
+
+
+def _stream_hdr_quantiles(spark, sf_dir):
+    # the HDR sketch AS STREAMING STATE: hdr_sketch is a plain
+    # groupBy-count, so the SAME operator runs unchanged as a Structured
+    # Streaming aggregation (complete mode, availableNow) — this is the
+    # whole point of a mergeable sketch at 100 TB: quantile monitoring
+    # whose state is bounded bucket counts, not the value stream. The
+    # drained bucket table then yields percentile bounds at read time.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.training.sketch import hdr_quantile_bounds, hdr_sketch
+
+    tag = hashlib.md5((sf_dir + "hdr").encode()).hexdigest()[:8]
+    base = f"/tmp/drs_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .write.mode("overwrite").parquet(f"{base}/src")
+    )
+    stream = spark.readStream.schema("lang string, text string").parquet(f"{base}/src")
+    vals = stream.select(
+        F.col("lang").alias("grp"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("v"),
+    )
+    qname = f"hdr_{tag}"
+    q = (
+        hdr_sketch(vals)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return hdr_quantile_bounds(spark.table(qname)).withColumnRenamed(
+        "n_values", "n_docs"
+    )
+
+
+# _TEXT_HDR_SQL minus the exact rank statistic: row_number over the value
+# stream is exactly what a streaming job cannot do — only the sketch side
+# is streamable, so only it is emitted (and checked) here
+_STREAM_HDR_SQL = r"""
+WITH vals AS (
+  SELECT lang AS grp, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS v
+  FROM documents
+),
+sk AS (
+  SELECT grp,
+    CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT) ELSE
+      CAST((length(bin(v)) - 1) * 16 AS BIGINT)
+      + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+    END AS bucket, count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bucket, cnt,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM sk
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q),
+picked AS (
+  SELECT grp, q, n AS n_docs, min(bucket) AS bucket
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (q * n + 99) // 100
+  GROUP BY grp, q, n
+)
+SELECT grp, CAST(q AS INT) AS q, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(CASE WHEN bucket < 0 THEN 0 ELSE
+    (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+    + ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
+  END AS BIGINT) AS est_lo,
+  CAST(CASE WHEN bucket < 0 THEN 0 ELSE
+    (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+    + (((bucket % 16) + 1) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16 - 1
+  END AS BIGINT) AS est_hi
+FROM picked
 """
 
 
@@ -3739,6 +3897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_codec_features": _media_codec_features,
         "text_hdr_quantiles": _text_hdr_quantiles,
         "text_bloom_decontam": _text_bloom_decontam,
+        "text_kmv_overlap": _text_kmv_overlap,
+        "stream_hdr_quantiles": _stream_hdr_quantiles,
         "media_resize_features": _media_resize_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -3777,6 +3937,8 @@ def oracle_sql() -> dict[str, str]:
         "text_cms_heavy_hitters": _TEXT_CMS_SQL,
         "text_hdr_quantiles": _TEXT_HDR_SQL,
         "text_bloom_decontam": _TEXT_BLOOM_SQL,
+        "text_kmv_overlap": _TEXT_KMV_OVERLAP_SQL,
+        "stream_hdr_quantiles": _STREAM_HDR_SQL,
         "events_zorder_manifest": _EVENTS_ZORDER_SQL,
         "events_value_histogram": _EVENTS_HIST_SQL,
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,

@@ -123,6 +123,90 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
     )
 
 
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, k: int = 64, group_col: str = "lang"
+) -> DataFrame:
+    """(grp, n_a, n_b, theta, n_common, est_intersect, est_union,
+    exact_common, exact_union): theta-sketch-style set-overlap estimate
+    between two corpora from their KMV sketches — "how much does corpus
+    A's vocabulary overlap corpus B's" WITHOUT joining the corpora.
+
+    Theta semantics (Dasgupta et al., the DataSketches theta sketch): a
+    side's effective threshold is its k-th smallest hash when the sketch
+    is full, else 2^32 (a non-full sketch IS its whole set); theta =
+    min of the two. Every common hash ≤ theta is guaranteed present in
+    BOTH sketches (it is among each side's k smallest), so n_common is
+    an exact count over a uniform theta/2^32 sample of the true
+    intersection and est_intersect = n_common * 2^32 div theta — pure
+    int64 arithmetic (n_common ≤ k, no overflow), exact by construction
+    when both sketches are non-full (theta = 2^32 divides out).
+    est_union reads `kmv_estimate` off the merged sketch.
+
+    The exact_{common,union} columns are the full hash-set inner
+    join/union the sketch replaces — emitted beside the estimates (the
+    cms/hdr pattern) so the error is oracle-visible. Scale shape: the
+    sketch path touches ≤ 2k rows per group after the two `kmv_sketch`
+    shuffles; at 100 TB the exact side is the one you stop running."""
+    full = F.lit(_HASH_SPACE).cast("long")
+    sa, sb = kmv_sketch(a, k, group_col), kmv_sketch(b, k, group_col)
+
+    def _side(sk, n_name):
+        return sk.groupBy("grp").agg(
+            F.count("*").cast("long").alias(n_name), F.max("h").alias(f"_kth_{n_name}")
+        )
+
+    th = (
+        _side(sa, "n_a")
+        .join(_side(sb, "n_b"), "grp")
+        .withColumn(
+            "theta",
+            F.least(
+                F.when(F.col("n_a") < k, full).otherwise(F.col("_kth_n_a")),
+                F.when(F.col("n_b") < k, full).otherwise(F.col("_kth_n_b")),
+            ).cast("long"),
+        )
+        .select("grp", "n_a", "n_b", "theta")
+    )
+    common = (
+        sa.join(sb, ["grp", "h"])
+        .join(F.broadcast(th.select("grp", "theta")), "grp")
+        .where(F.col("h") <= F.col("theta"))
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    est_union = kmv_estimate(kmv_merge(sa, sb, k), k).select(
+        "grp", F.col("est_distinct").alias("est_union")
+    )
+    ha = _distinct_group_hashes(a, group_col)
+    hb = _distinct_group_hashes(b, group_col)
+    exact_common = (
+        ha.join(hb, ["grp", "h"]).groupBy("grp")
+        .agg(F.count("*").cast("long").alias("exact_common"))
+    )
+    exact_union = (
+        ha.unionByName(hb).distinct().groupBy("grp")
+        .agg(F.count("*").cast("long").alias("exact_union"))
+    )
+    return (
+        th.join(common, "grp", "left")
+        .na.fill({"n_common": 0})
+        # integer `div` (DuckDB `//`): float division could round the
+        # floor differently across engines
+        .withColumn(
+            "est_intersect",
+            F.expr(f"CAST(n_common * {_HASH_SPACE} AS BIGINT) div theta"),
+        )
+        .join(est_union, "grp")
+        .join(exact_common, "grp", "left")
+        .na.fill({"exact_common": 0})
+        .join(exact_union, "grp")
+        .select(
+            "grp", "n_a", "n_b", "theta", "n_common",
+            "est_intersect", "est_union", "exact_common", "exact_union",
+        )
+    )
+
+
 def hll_registers(documents: DataFrame, p: int = 6, group_col: str = "lang") -> DataFrame:
     """(grp, m, used_regs, zero_regs, sum_rho, harmonic_scaled):
     HyperLogLog register summary per group, every cell an exact integer.

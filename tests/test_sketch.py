@@ -225,6 +225,71 @@ def test_sketches_on_empty_and_null_inputs(spark):
 
 
 # ---------------------------------------------------------------------------
+# KMV theta-style set-overlap estimate
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_overlap_exact_when_sketches_not_full(spark):
+    """When both sides have < k distinct tokens the sketches ARE the
+    sets: theta = 2^32, the estimates must equal the exact overlap —
+    the integer-arithmetic exactness falls out of the theta formula,
+    not a special case."""
+    from dr_source_spark.training.sketch import kmv_overlap
+
+    a = _docs(spark, [(1, "w1 w2 w3 w4 shared1 shared2", "aa")])
+    b = _docs(spark, [(2, "x1 x2 shared1 shared2", "aa")])
+    r = kmv_overlap(a, b, k=64).collect()[0]
+    assert r.theta == 1 << 32
+    assert r.n_common == r.exact_common == 2
+    assert r.est_intersect == 2
+    assert r.est_union == r.exact_union == 8
+
+
+def test_kmv_overlap_estimates_planted_overlap(spark):
+    """Deterministic big-vocabulary corpora with a planted ~50% overlap:
+    the theta estimate must land within the sketch's sampling error of
+    the exact intersection (fixed corpus → fixed number, not a flaky
+    bound), and n_common must be exactly the common-below-theta count
+    both engines agree on."""
+    from dr_source_spark.training.sketch import kmv_overlap
+
+    shared = [" ".join(f"sh{i}_{j}" for j in range(40)) for i in range(25)]
+    a = _docs(
+        spark,
+        [(i, f"{shared[i % 25]} " + " ".join(f"a{i}_{j}" for j in range(20)), "aa")
+         for i in range(50)],
+    )
+    b = _docs(
+        spark,
+        [(100 + i, f"{shared[i % 25]} " + " ".join(f"b{i}_{j}" for j in range(20)), "aa")
+         for i in range(50)],
+    )
+    r = kmv_overlap(a, b, k=64).collect()[0]
+    assert r.exact_common == 1000  # the planted shared vocabulary
+    assert r.n_common > 0
+    # k=64 theta sampling: ~1/sqrt(n_common) relative error; assert a
+    # generous 2x envelope that still catches a broken estimator
+    assert r.exact_common / 2 <= r.est_intersect <= r.exact_common * 2, r
+    assert r.exact_union / 2 <= r.est_union <= r.exact_union * 2, r
+
+
+def test_kmv_overlap_no_common_and_empty_side(spark):
+    """Disjoint vocabularies → n_common = est_intersect = exact_common
+    = 0 (groups survive via the left joins); an empty side drops the
+    group entirely (inner-join semantics, same as the oracle)."""
+    from dr_source_spark.training.sketch import kmv_overlap
+
+    a = _docs(spark, [(1, "only in a", "aa")])
+    b = _docs(spark, [(2, "solely from b", "aa")])
+    r = kmv_overlap(a, b, k=64).collect()[0]
+    assert r.n_common == 0 and r.est_intersect == 0 and r.exact_common == 0
+    assert r.exact_union == 6
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert kmv_overlap(a, empty, k=64).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # HDR-histogram quantile sketch
 # ---------------------------------------------------------------------------
 

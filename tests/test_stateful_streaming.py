@@ -197,3 +197,48 @@ def test_interval_join_boundaries_batch_mode(spark):
         for r in interval_join(clicks, purchases, gap_minutes=30).collect()
     }
     assert got == {(1, 100, 10, 1800), (2, 102, 20, 300)}
+
+
+def test_hdr_sketch_accumulates_across_microbatches(spark, tmp_path_factory):
+    """hdr_sketch as STREAMING STATE: with maxFilesPerTrigger=1 the two
+    source files arrive in separate micro-batches, and the complete-mode
+    result must equal the batch sketch of all rows — bucket counts
+    accumulate across batches rather than reflecting only the last one
+    (the mergeability property, exercised by the engine's own streaming
+    runtime instead of hdr_merge)."""
+    from dr_source_spark.training.sketch import hdr_quantile_bounds, hdr_sketch
+
+    src = str(tmp_path_factory.mktemp("hdr_src"))
+    ckpt = str(tmp_path_factory.mktemp("hdr_ckpt"))
+
+    rows_a = [("g", (i * 37) % 1000 + 1) for i in range(80)]
+    rows_b = [("g", (i * 41) % 5000 + 1) for i in range(70)]
+    spark.createDataFrame(rows_a, "grp string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows_b, "grp string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("grp string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        hdr_sketch(stream)
+        .writeStream.format("memory").queryName("hdr_micro")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None  # the stream really ran
+
+    got = sorted(map(tuple, spark.table("hdr_micro").collect()))
+    want_df = hdr_sketch(
+        spark.createDataFrame(rows_a + rows_b, "grp string, v long")
+    )
+    assert got == sorted(map(tuple, want_df.collect()))
+    # and the read-time quantiles agree too
+    assert (sorted(map(tuple, hdr_quantile_bounds(spark.table("hdr_micro")).collect()))
+            == sorted(map(tuple, hdr_quantile_bounds(want_df).collect())))
