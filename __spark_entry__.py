@@ -1041,6 +1041,76 @@ FROM picked
 """
 
 
+def _dedup_incremental(spark, sf_dir):
+    # the daily-ingest dedup shape: docs with doc_id % 3 == 0 arrive as a
+    # NEW batch and are admitted/rejected against the % 3 != 0 corpus —
+    # the index side's band signatures never re-dedup and never shuffle
+    # (the small batch is broadcast onto them); candidates verify with
+    # exact integer word-set Jaccard, best match ties to lowest doc_id
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup_decisions(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+
+
+_DEDUP_INCR_SQL = rf"""
+WITH {_WORDS_CTE}, {_duck_minhash_seeds(_LSH_HASHES)},
+base AS (SELECT doc_id, {_duck_minhash_base('w')} AS h FROM words),
+sigs AS (
+  SELECT doc_id, seed, CAST(seed // {_LSH_HASHES // _LSH_BANDS} AS INT) AS band,
+         min((a * h + b) % {_MINHASH_P}) AS minhash
+  FROM base CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band_sigs AS (
+  SELECT doc_id, band,
+         string_agg(minhash::VARCHAR, '|' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, band
+),
+idx AS (SELECT * FROM band_sigs WHERE doc_id % 3 <> 0),
+newb AS (SELECT * FROM band_sigs WHERE doc_id % 3 = 0),
+kept AS (
+  SELECT band, band_sig FROM idx GROUP BY band, band_sig HAVING count(*) <= {_LSH_CAP}
+),
+cands AS (
+  SELECT DISTINCT n.doc_id, i.doc_id AS idx_id
+  FROM newb n
+  JOIN kept k ON n.band = k.band AND n.band_sig = k.band_sig
+  JOIN idx i ON i.band = k.band AND i.band_sig = k.band_sig
+),
+counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, c.idx_id, count(*) AS i
+  FROM cands c
+  JOIN words a ON a.doc_id = c.doc_id
+  JOIN words b ON b.doc_id = c.idx_id AND a.w = b.w
+  GROUP BY c.doc_id, c.idx_id
+),
+scored AS (
+  SELECT c.doc_id, c.idx_id,
+         100 * coalesce(i.i, 0) // (ca.n + cb.n - coalesce(i.i, 0)) AS pct
+  FROM cands c
+  LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.idx_id = c.idx_id
+  JOIN counts ca ON ca.doc_id = c.doc_id
+  JOIN counts cb ON cb.doc_id = c.idx_id
+),
+ranked AS (
+  SELECT doc_id, idx_id, pct,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pct DESC, idx_id) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS nc
+  FROM scored
+),
+best AS (SELECT doc_id, nc, idx_id, pct FROM ranked WHERE rn = 1)
+SELECT d.doc_id, coalesce(b.nc, 0)::BIGINT AS n_candidates,
+  b.idx_id::BIGINT AS best_match_id, b.pct::BIGINT AS best_jaccard_pct,
+  CASE WHEN b.pct >= 70 THEN 'duplicate' ELSE 'admitted' END AS verdict
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
 def _dedup_minhash_shingles(spark, sf_dir):
     # shingle→minhash: character 5-gram tokens instead of words (catches
     # reordered-word / punctuation-edit near-dups word-set Jaccard misses)
@@ -3899,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bloom_decontam": _text_bloom_decontam,
         "text_kmv_overlap": _text_kmv_overlap,
         "stream_hdr_quantiles": _stream_hdr_quantiles,
+        "dedup_incremental": _dedup_incremental,
         "media_resize_features": _media_resize_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -3939,6 +4010,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bloom_decontam": _TEXT_BLOOM_SQL,
         "text_kmv_overlap": _TEXT_KMV_OVERLAP_SQL,
         "stream_hdr_quantiles": _STREAM_HDR_SQL,
+        "dedup_incremental": _DEDUP_INCR_SQL,
         "events_zorder_manifest": _EVENTS_ZORDER_SQL,
         "events_value_histogram": _EVENTS_HIST_SQL,
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,

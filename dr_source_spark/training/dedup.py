@@ -690,3 +690,100 @@ def substring_cut_plan(
             (F.col("cut_end") - F.col("cut_start") + 1).alias("n_toks_cut"),
         )
     )
+
+
+def incremental_dedup_decisions(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = 112,
+    bands: int = 14,
+    threshold_pct: int = 70,
+    max_cluster: int = 1000,
+) -> DataFrame:
+    """(doc_id, n_candidates, best_match_id, best_jaccard_pct, verdict) —
+    one row per NEW document: admit it or reject it as a duplicate of an
+    EXISTING corpus, without re-deduping the corpus.
+
+    This is the daily-ingest shape at 100 TB: the corpus-side band
+    signatures are computed ONCE (in production they live as a persisted
+    table keyed by (band, band_sig) — exactly what `_band_signatures`
+    emits) and each incoming batch probes them. The batch side is tiny
+    relative to the index, so its signatures are broadcast: the index
+    never shuffles, the probe is a map-side join against the big table.
+    Candidate pairs then verify with exact word-set Jaccard (token sets
+    joined back ONLY for candidates, never all-pairs), reported as the
+    integer percentage ``100 * |A∩B| div |A∪B]`` so any ANSI-SQL engine
+    reproduces the ranking bit-for-bit.
+
+    Hot index signatures (> ``max_cluster`` docs sharing one band sig)
+    are excluded like `minhash_lsh_candidates` does — a viral duplicate
+    cluster would otherwise fan every colliding new doc out to g index
+    rows — with the same non-silent ``observe`` metric. Decision: the
+    best candidate is the highest-Jaccard index doc (ties to the lowest
+    doc_id, deterministic); verdict 'duplicate' iff its percentage meets
+    ``threshold_pct``, else 'admitted'. New docs with no candidates —
+    including token-free docs, which emit no signature — are admitted
+    with n_candidates = 0 and NULL best columns."""
+    from pyspark.sql.window import Window
+
+    idx = _band_signatures(index_docs, num_hashes, bands).withColumnRenamed(
+        "doc_id", "idx_id"
+    )
+    if max_cluster:
+        hot = F.col("_n") > max_cluster
+        counts = idx.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
+        counts = counts.observe(
+            f"lsh_cap_drops_{next(_LSH_OBS_SEQ)}",
+            F.sum(F.when(hot, 1).otherwise(0)).alias("n_oversized_clusters"),
+            F.sum(F.when(hot, F.col("_n")).otherwise(0)).alias("n_docs_in_oversized"),
+        )
+        idx = idx.join(
+            counts.filter(~hot).select("band", "band_sig"), ["band", "band_sig"]
+        )
+    new_sigs = _band_signatures(new_docs, num_hashes, bands)
+    cands = (
+        F.broadcast(new_sigs)
+        .join(idx, ["band", "band_sig"])
+        .select("doc_id", "idx_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(new_docs.select("doc_id", _words().alias("_wa")), "doc_id")
+        .join(
+            index_docs.select(F.col("doc_id").alias("idx_id"), _words().alias("_wb")),
+            "idx_id",
+        )
+        .select(
+            "doc_id",
+            "idx_id",
+            F.expr(
+                "CAST(100 * size(array_intersect(_wa, _wb)) AS BIGINT)"
+                " div CAST(size(array_union(_wa, _wb)) AS BIGINT)"
+            ).alias("jaccard_pct"),
+        )
+    )
+    w = Window.partitionBy("doc_id")
+    best = (
+        scored.withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col("jaccard_pct").desc(), "idx_id")),
+        )
+        .withColumn("_nc", F.count("*").over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("_nc").cast("long").alias("n_candidates"),
+            F.col("idx_id").alias("best_match_id"),
+            F.col("jaccard_pct").alias("best_jaccard_pct"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .na.fill({"n_candidates": 0})
+        .withColumn(
+            "verdict",
+            F.when(F.col("best_jaccard_pct") >= threshold_pct, F.lit("duplicate"))
+            .otherwise(F.lit("admitted")),
+        )
+    )

@@ -306,3 +306,20 @@ def test_interval_bucket_join_is_equi_join(spark):
     )
     plan = _plan(interval_bucket_join(ev.filter(F.col("value").isNotNull()), bands, value_col="value"))
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_incremental_dedup_probe_is_broadcast_no_cartesian(spark):
+    """incremental_dedup_decisions: the new-batch band signatures are the
+    broadcast probe onto the (huge, never-shuffled-for-the-probe) index
+    signature table — the plan must contain a BroadcastHashJoin and no
+    Cartesian/BNLJ anywhere (the verify stage joins back token sets only
+    for candidates)."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = incremental_dedup_decisions(
+        docs.filter("doc_id % 3 != 0"), docs.filter("doc_id % 3 = 0")
+    )
+    plan = _plan(out)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1283,3 +1283,82 @@ def test_oph_sparse_corpus_observably_flagged(spark):
     # doc 1 has 3 tokens -> <8 real bins (sparse); doc 2 has 64 tokens
     # hitting >=8 of 16 bins w.h.p. under md5 (deterministic here)
     assert row.getLong(0) == 1 and row.getLong(1) == 2
+
+
+def _idocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_incremental_dedup_planted_duplicate_rejected(spark):
+    """A new doc that near-duplicates an index doc is rejected with the
+    index doc as best match; an unrelated new doc is admitted with zero
+    candidates and NULL best columns."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    index = _idocs(spark, [(1, body, "aa"), (2, "совершенно другой текст", "aa")])
+    new = _idocs(
+        spark,
+        [(100, body + " extra", "aa"), (101, "nothing in common here at all", "aa")],
+    )
+    got = {r.doc_id: r for r in incremental_dedup_decisions(index, new).collect()}
+    assert got[100].verdict == "duplicate" and got[100].best_match_id == 1
+    # J = 40/41 -> integer pct 97
+    assert got[100].best_jaccard_pct == 97 and got[100].n_candidates == 1
+    assert got[101].verdict == "admitted" and got[101].n_candidates == 0
+    assert got[101].best_match_id is None and got[101].best_jaccard_pct is None
+
+
+def test_incremental_dedup_tie_breaks_to_lowest_index_id(spark):
+    """Two index docs with IDENTICAL text give equal Jaccard: best match
+    must deterministically be the lower doc_id."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    body = " ".join(f"w{i}" for i in range(30))
+    index = _idocs(spark, [(7, body, "aa"), (3, body, "aa")])
+    new = _idocs(spark, [(50, body, "aa")])
+    r = incremental_dedup_decisions(index, new).collect()[0]
+    assert r.n_candidates == 2 and r.best_match_id == 3
+    assert r.best_jaccard_pct == 100 and r.verdict == "duplicate"
+
+
+def test_incremental_dedup_below_threshold_admitted_with_match(spark):
+    """A candidate that collides in a band but verifies below the
+    threshold is admitted — with the match still reported (audit trail)."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    index = _idocs(spark, [(1, shared + " " + " ".join(f"ix{i}" for i in range(20)), "aa")])
+    new = _idocs(spark, [(60, shared + " " + " ".join(f"nw{i}" for i in range(20)), "aa")])
+    rows = incremental_dedup_decisions(index, new, threshold_pct=70).collect()
+    r = rows[0]
+    assert r.verdict == "admitted"
+    if r.n_candidates:  # banding may or may not collide at J=16/56
+        assert r.best_jaccard_pct < 70 and r.best_match_id == 1
+
+
+def test_incremental_dedup_token_free_new_doc_admitted(spark):
+    """NULL/empty-text new docs emit no signature, hence no candidates —
+    they are admitted rows, never dropped (every new doc gets a verdict)."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    index = _idocs(spark, [(1, "some index text here", "aa")])
+    new = _idocs(spark, [(70, None, "aa"), (71, "   ", "aa")])
+    got = {r.doc_id: r.verdict for r in incremental_dedup_decisions(index, new).collect()}
+    assert got == {70: "admitted", 71: "admitted"}
+
+
+def test_incremental_dedup_hot_index_group_capped(spark):
+    """An index band-signature group larger than max_cluster is excluded
+    from candidate generation (deterministically, like the batch LSH cap):
+    a new doc identical to the viral cluster comes back admitted."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    body = " ".join(f"viral{i}" for i in range(25))
+    index = _idocs(spark, [(i, body, "aa") for i in range(1, 6)])
+    new = _idocs(spark, [(90, body, "aa")])
+    r = incremental_dedup_decisions(index, new, max_cluster=3).collect()[0]
+    assert r.verdict == "admitted" and r.n_candidates == 0
+    # and with the cap lifted the same doc is a duplicate of doc 1
+    r2 = incremental_dedup_decisions(index, new, max_cluster=0).collect()[0]
+    assert r2.verdict == "duplicate" and r2.best_match_id == 1 and r2.n_candidates == 5
