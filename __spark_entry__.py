@@ -1111,6 +1111,97 @@ LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+def _text_dsir_select(spark, sf_dir):
+    # DSIR-style data selection (Xie et al. 2023): docs with doc_id % 10
+    # == 0 act as the curated TARGET set; every other doc is scored by
+    # the mean hashed-token importance weight (smoothed target/raw
+    # frequency ratio in 2^16 fixed point) and selected iff it tilts
+    # target-ward — the 256-row weight table broadcasts, the corpus
+    # gram stream never shuffles for the scoring join
+    from dr_source_spark.training.select import importance_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_select(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
+_DSIR_BUCKETS, _DSIR_FP = 256, 65536
+
+_TEXT_DSIR_SQL = rf"""
+WITH tg AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % 10 = 0
+),
+rg AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % 10 <> 0
+),
+tb AS (
+  SELECT CAST({_duck_minhash_base('w')} % {_DSIR_BUCKETS} AS INT) AS bucket,
+         count(*) AS n_target
+  FROM tg WHERE w <> '' GROUP BY 1
+),
+rb AS (
+  SELECT CAST({_duck_minhash_base('w')} % {_DSIR_BUCKETS} AS INT) AS bucket,
+         count(*) AS n_raw
+  FROM (SELECT w FROM rg) WHERE w <> '' GROUP BY 1
+),
+wt AS (
+  SELECT s.i AS bucket,
+         {_DSIR_FP} * (coalesce(tb.n_target, 0) + 1) // (coalesce(rb.n_raw, 0) + 1) AS weight
+  FROM generate_series(0, {_DSIR_BUCKETS - 1}) s(i)
+  LEFT JOIN tb ON tb.bucket = s.i
+  LEFT JOIN rb ON rb.bucket = s.i
+),
+scored AS (
+  SELECT rg.doc_id, count(*) AS n_grams, sum(wt.weight) AS score
+  FROM rg
+  JOIN wt ON wt.bucket = CAST({_duck_minhash_base('rg.w')} % {_DSIR_BUCKETS} AS INT)
+  WHERE rg.w <> ''
+  GROUP BY rg.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+  s.score::BIGINT AS score, (s.score // s.n_grams)::BIGINT AS avg_weight,
+  CASE WHEN s.score // s.n_grams >= {_DSIR_FP} THEN 'selected'
+       ELSE 'rejected' END AS verdict
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+def _corpus_mix_plan(spark, sf_dir):
+    # per-language sampling plan for an equal-share 100k-token mixture:
+    # oversized domains downsample (rate_ppm), undersized ones repeat
+    # (epochs) — the budgeting arithmetic behind domain-mixture training
+    from dr_source_spark.training.select import mix_plan
+
+    return mix_plan(_t(spark, sf_dir, "documents"), token_budget=100_000)
+
+
+_MIX_BUDGET = 100_000
+
+_CORPUS_MIX_SQL = rf"""
+WITH per AS (
+  SELECT lang AS grp, count(*) AS n_docs,
+    sum(length(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY lang
+),
+g AS (SELECT count(*) AS ng FROM per)
+SELECT grp, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+  ({_MIX_BUDGET} // ng)::BIGINT AS quota,
+  CAST(CASE WHEN n_tokens <= 0 THEN 0
+       ELSE least(1000000, 1000000 * ({_MIX_BUDGET} // ng) // n_tokens)
+  END AS BIGINT) AS rate_ppm,
+  CAST(CASE WHEN n_tokens <= 0 THEN 0
+       ELSE greatest(1, (({_MIX_BUDGET} // ng) + n_tokens - 1) // n_tokens)
+  END AS BIGINT) AS epochs
+FROM per CROSS JOIN g
+"""
+
+
 def _dedup_minhash_shingles(spark, sf_dir):
     # shingle→minhash: character 5-gram tokens instead of words (catches
     # reordered-word / punctuation-edit near-dups word-set Jaccard misses)
@@ -3970,6 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kmv_overlap": _text_kmv_overlap,
         "stream_hdr_quantiles": _stream_hdr_quantiles,
         "dedup_incremental": _dedup_incremental,
+        "text_dsir_select": _text_dsir_select,
+        "corpus_mix_plan": _corpus_mix_plan,
         "media_resize_features": _media_resize_features,
         "scalar_trace_roundtrip": _scalar_trace_roundtrip,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -4011,6 +4104,8 @@ def oracle_sql() -> dict[str, str]:
         "text_kmv_overlap": _TEXT_KMV_OVERLAP_SQL,
         "stream_hdr_quantiles": _STREAM_HDR_SQL,
         "dedup_incremental": _DEDUP_INCR_SQL,
+        "text_dsir_select": _TEXT_DSIR_SQL,
+        "corpus_mix_plan": _CORPUS_MIX_SQL,
         "events_zorder_manifest": _EVENTS_ZORDER_SQL,
         "events_value_histogram": _EVENTS_HIST_SQL,
         "dedup_minhash_shingles": _DEDUP_SHINGLE_SQL,

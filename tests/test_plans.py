@@ -323,3 +323,19 @@ def test_incremental_dedup_probe_is_broadcast_no_cartesian(spark):
     plan = _plan(out)
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_importance_scoring_join_is_broadcast(spark):
+    """importance_select: the bucket-weight table (<= buckets rows)
+    broadcasts onto the raw gram stream — BroadcastHashJoin on the
+    scoring join, no Cartesian anywhere (the only BNLJ-free corpus-side
+    plan shape that survives 100 TB)."""
+    from dr_source_spark.training.select import importance_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = importance_select(
+        docs.filter("doc_id % 10 = 0"), docs.filter("doc_id % 10 != 0")
+    )
+    plan = _plan(out)
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1362,3 +1362,82 @@ def test_incremental_dedup_hot_index_group_capped(spark):
     # and with the cap lifted the same doc is a duplicate of doc 1
     r2 = incremental_dedup_decisions(index, new, max_cluster=0).collect()[0]
     assert r2.verdict == "duplicate" and r2.best_match_id == 1 and r2.n_candidates == 5
+
+
+def test_importance_select_separates_target_like_from_raw_like(spark):
+    """DSIR-style selection: a raw doc written in the target vocabulary
+    is selected; a raw doc in vocabulary the target never uses is
+    rejected (its buckets carry only smoothed raw mass, weight < 1.0)."""
+    from dr_source_spark.training.select import importance_select
+
+    tvocab = " ".join(f"target{i}" for i in range(30))
+    rvocab = " ".join(f"rawonly{i}" for i in range(30))
+    target = _idocs(spark, [(i, tvocab, "aa") for i in range(5)])
+    raw = _idocs(spark, [(100, tvocab, "aa"), (101, rvocab, "aa")])
+    got = {r.doc_id: r for r in importance_select(target, raw).collect()}
+    assert got[100].verdict == "selected" and got[101].verdict == "rejected"
+    assert got[100].avg_weight > got[101].avg_weight
+    assert got[100].n_grams == 30 and got[101].n_grams == 30
+
+
+def test_importance_select_null_text_rejected_with_row(spark):
+    """Token-free raw docs still get a verdict row: n_grams 0, NULL
+    score columns, 'rejected' — no doc silently vanishes from selection."""
+    from dr_source_spark.training.select import importance_select
+
+    target = _idocs(spark, [(1, "some target words here", "aa")])
+    raw = _idocs(spark, [(50, None, "aa"), (51, "  ", "aa")])
+    rows = {r.doc_id: r for r in importance_select(target, raw).collect()}
+    for d in (50, 51):
+        assert rows[d].verdict == "rejected" and rows[d].n_grams == 0
+        assert rows[d].score is None and rows[d].avg_weight is None
+
+
+def test_importance_weights_match_python_model(spark):
+    """The weight table holds exactly `buckets` rows and every weight
+    obeys the fixed-point smoothed-ratio law vs a pure-Python recount."""
+    import hashlib
+
+    from dr_source_spark.training.select import importance_weights
+
+    target = _idocs(spark, [(1, "alpha beta beta", "aa")])
+    raw = _idocs(spark, [(2, "alpha gamma gamma gamma", "aa")])
+    B = 16
+    rows = importance_weights(target, raw, buckets=B).collect()
+    assert len(rows) == B and sorted(r.bucket for r in rows) == list(range(B))
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+    nt, nr = [0] * B, [0] * B
+    for w in "alpha beta beta".split():
+        nt[bucket(w)] += 1
+    for w in "alpha gamma gamma gamma".split():
+        nr[bucket(w)] += 1
+    for r in rows:
+        assert r.n_target == nt[r.bucket] and r.n_raw == nr[r.bucket]
+        assert r.weight == 65536 * (r.n_target + 1) // (r.n_raw + 1)
+
+
+def test_mix_plan_known_budget_arithmetic(spark):
+    """Equal-share budgeting on a tiny known corpus: the oversized
+    domain downsamples, the undersized one repeats, and a token-free
+    domain pins rate and epochs to 0."""
+    from dr_source_spark.training.select import mix_plan
+
+    docs = _idocs(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(10)), "big"),
+            (2, "x y z", "small"),
+            (3, None, "empty"),
+        ],
+    )
+    got = {r.grp: r for r in mix_plan(docs, token_budget=12).collect()}
+    assert got["big"].quota == got["small"].quota == got["empty"].quota == 4
+    assert got["big"].n_tokens == 10 and got["big"].rate_ppm == 400000
+    assert got["big"].epochs == 1
+    assert got["small"].n_tokens == 3 and got["small"].rate_ppm == 1000000
+    assert got["small"].epochs == 2  # ceil(4 / 3)
+    assert got["empty"].n_tokens == 0 and got["empty"].rate_ppm == 0
+    assert got["empty"].epochs == 0
