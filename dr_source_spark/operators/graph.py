@@ -28,6 +28,7 @@ def pagerank_fixed_point(
     iterations: int = 10,
     scale: int = PAGERANK_SCALE,
     damping_pct: int = 85,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """PageRank in 64-bit FIXED-POINT arithmetic: ranks are integers in
     ``scale`` units and every division is an integer floor (`div`), so the
@@ -45,7 +46,16 @@ def pagerank_fixed_point(
     is O(1) driver data, read from an ``observe`` metric piggybacked on the
     iteration's own checkpoint materialization, so each iteration is ONE
     Spark job (a separate scalar-aggregate job per round doubled the
-    per-iteration fixed cost at small scale — round-3 postmortem)."""
+    per-iteration fixed cost at small scale — round-3 postmortem).
+
+    Graphs at or under ``driver_max_edges`` (default: the shared
+    DRIVER_CC_MAX_EDGES threshold) short-circuit to a driver loop with
+    the identical integer arithmetic — BIT-EXACT output (integer sums
+    are order-free; pytest parity gate) while replacing ``iterations``
+    fixed-cost Spark jobs with driver CPU: kg_pagerank at sf0.1 measured
+    3.1–4.5 s distributed vs 1.47 s best-of-3 with the short-circuit
+    (round 5). Pass ``driver_max_edges=0`` to force the distributed
+    path, which remains the design for billions-edge graphs."""
     # e and deg feed EVERY iteration's join — checkpoint once or each
     # iteration re-runs the distinct/groupBy shuffles from the raw edges
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
@@ -70,6 +80,30 @@ def pagerank_fixed_point(
             f"pagerank scale {scale} too small for {n} nodes — use scale >= n * 1000"
         )
     base = (scale * (100 - damping_pct)) // (100 * n)
+
+    # adaptive small-graph path (same principle as the component
+    # short-circuit above): every quantity is 64-bit integer arithmetic
+    # with order-free integer sums, so the driver loop reproduces the
+    # distributed result BIT-EXACTLY (pytest parity gate) while replacing
+    # `iterations` fixed-cost Spark jobs with milliseconds of driver CPU.
+    # The distributed loop below remains the design for billions-edge
+    # graphs; this is the small-input escape hatch.
+    m = e.count()
+    cutoff = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if 0 < m <= cutoff:
+        import pandas as pd
+
+        edge_rows = [(r[0], r[1]) for r in e.collect()]
+        ranks_pdf = pd.DataFrame(
+            _driver_pagerank(edge_rows, iterations, scale, damping_pct, n, base),
+            columns=["node", "rank"],
+        )
+        out_schema = nodes.select("node").withColumn(
+            "rank", F.lit(0).cast("long")
+        ).schema
+        for df in (e, deg, nodes):
+            df.unpersist()
+        return edges.sparkSession.createDataFrame(ranks_pdf, out_schema)
 
     def _ckpt(df: DataFrame):
         obs = Observation(f"pagerank_dangling_{next(_OBS_SEQ)}")
@@ -119,6 +153,31 @@ def pagerank_fixed_point(
 # path is the small-input escape hatch. Both paths produce the identical
 # (node, min-of-component) edge list and both are pytest-gated.
 DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_pagerank(
+    edge_rows, iterations: int, scale: int, damping_pct: int, n: int, base: int
+) -> list:
+    """The distributed fixed-point loop, line for line, in pure-Python
+    integers: per iteration every node sends rank*damping_pct //
+    (100*out_deg) along each out-edge, dangling mass redistributes as a
+    floored even share, every node adds the (1-d) base. Integer sums are
+    associative, so partition order cannot make the two paths diverge —
+    identical `iterations`, identical floors, identical output."""
+    from collections import Counter, defaultdict
+
+    deg = Counter(s for s, _ in edge_rows)
+    node_list = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    assert len(node_list) == n
+    rank = {v: scale // n for v in node_list}
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in node_list if v not in deg)
+        share = (dangling * damping_pct) // (100 * n)
+        contrib = defaultdict(int)
+        for s, d in edge_rows:
+            contrib[d] += (rank[s] * damping_pct) // (100 * deg[s])
+        rank = {v: base + share + contrib[v] for v in node_list}
+    return [(v, rank[v]) for v in node_list]
 
 
 def _driver_union_find(rows) -> list:

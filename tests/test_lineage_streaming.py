@@ -154,3 +154,69 @@ def test_sessionize_gap_boundary(spark, tmp_path_factory):
         for r in spark.table("sess_gap_test").collect()
     }
     assert got == {(1, 3, 7.0), (1, 1, 16.0), (2, 1, 8.0)}
+
+
+# ---------------------------------------------------------------------------
+# Resumable curation (training/curate_job.py)
+# ---------------------------------------------------------------------------
+
+
+def _cur_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_curation_stage1_interrupt_resume_and_parity(spark, tmp_path_factory):
+    """Interrupted stage-1 run resumes without re-processing; the staged
+    two-phase keep list equals the one-shot final_keep_list operator
+    row-for-row (same thresholds) — the checkpointed-artifact pipeline is
+    the SAME verdict, just resumable."""
+    from dr_source_spark.training.curate import final_keep_list
+    from dr_source_spark.training.curate_job import (
+        _completed,
+        curate_finalize,
+        curate_stage1_with_lineage,
+    )
+
+    docs = _cur_docs(spark)
+    out = str(tmp_path_factory.mktemp("curate_out"))
+
+    run1 = curate_stage1_with_lineage(
+        spark, docs, out, "curA", num_splits=8, num_batches=4, max_batches=2
+    )
+    assert run1.batches_run == 2
+    assert 0 < len(_completed(spark, f"{out}/lineage", "curA")) < 8
+
+    run2 = curate_stage1_with_lineage(
+        spark, docs, out, "curA", num_splits=8, num_batches=4
+    )
+    assert run2.splits_done == 8
+
+    staged = curate_finalize(spark, docs, out, "curA")
+    want = final_keep_list(docs)
+    assert staged.count() == docs.count()
+    assert staged.exceptAll(want).count() == 0
+    assert want.exceptAll(staged).count() == 0
+
+
+def test_curation_stage1_rerun_completed_is_noop(spark, tmp_path_factory):
+    from dr_source_spark.training.curate_job import curate_stage1_with_lineage
+
+    docs = _cur_docs(spark).filter(F.col("doc_id") < 30)
+    out = str(tmp_path_factory.mktemp("curate_noop"))
+    curate_stage1_with_lineage(spark, docs, out, "curB", num_splits=4, num_batches=2)
+    again = curate_stage1_with_lineage(
+        spark, docs, out, "curB", num_splits=4, num_batches=2
+    )
+    assert again.batches_run == 0
+
+
+def test_curation_lineage_counts_cover_corpus(spark, tmp_path_factory):
+    from dr_source_spark.training.curate_job import curate_stage1_with_lineage
+
+    docs = _cur_docs(spark).filter(F.col("doc_id") < 50)
+    out = str(tmp_path_factory.mktemp("curate_counts"))
+    curate_stage1_with_lineage(spark, docs, out, "curC", num_splits=4, num_batches=1)
+    lin = spark.read.parquet(f"{out}/lineage").filter(F.col("run_id") == "curC")
+    assert lin.agg(F.sum("docs")).first()[0] == docs.count()
+    stats = spark.read.parquet(f"{out}/doc_stats").filter(F.col("run_id") == "curC")
+    assert stats.count() == docs.count()

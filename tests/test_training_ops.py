@@ -1441,3 +1441,24 @@ def test_mix_plan_known_budget_arithmetic(spark):
     assert got["small"].epochs == 2  # ceil(4 / 3)
     assert got["empty"].n_tokens == 0 and got["empty"].rate_ppm == 0
     assert got["empty"].epochs == 0
+
+
+def test_pagerank_driver_path_bit_equal_to_distributed(spark):
+    """The adaptive driver short-circuit and the distributed fixed-point
+    loop must agree BIT-EXACTLY (integer sums are order-free, so there is
+    no tolerance — equality or bug), on a graph with dangling nodes,
+    multi-in-degree hubs, and an isolated 2-cycle."""
+    from dr_source_spark.operators.graph import pagerank_fixed_point
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("d", "a"),
+        ("x", "y"), ("y", "x"),
+        ("c", "a"),  # cycle back so mass circulates
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    fast = {r.node: r.rank for r in pagerank_fixed_point(edges, iterations=8).collect()}
+    slow = {
+        r.node: r.rank
+        for r in pagerank_fixed_point(edges, iterations=8, driver_max_edges=0).collect()
+    }
+    assert fast == slow and len(fast) == 6
