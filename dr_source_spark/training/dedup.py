@@ -699,10 +699,17 @@ def incremental_dedup_decisions(
     bands: int = 14,
     threshold_pct: int = 70,
     max_cluster: int = 1000,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """(doc_id, n_candidates, best_match_id, best_jaccard_pct, verdict) —
     one row per NEW document: admit it or reject it as a duplicate of an
     EXISTING corpus, without re-deduping the corpus.
+
+    ``broadcast_new`` (default True) forces the batch-side signatures to
+    broadcast — correct for the daily-ingest shape where the batch is
+    tiny next to the index. Pass False for a batch too large to
+    broadcast (e.g. a backfill): the probe becomes a plain shuffled
+    equi-join on (band, band_sig), still never all-pairs.
 
     This is the daily-ingest shape at 100 TB: the corpus-side band
     signatures are computed ONCE (in production they live as a persisted
@@ -741,9 +748,10 @@ def incremental_dedup_decisions(
             counts.filter(~hot).select("band", "band_sig"), ["band", "band_sig"]
         )
     new_sigs = _band_signatures(new_docs, num_hashes, bands)
+    if broadcast_new:
+        new_sigs = F.broadcast(new_sigs)
     cands = (
-        F.broadcast(new_sigs)
-        .join(idx, ["band", "band_sig"])
+        new_sigs.join(idx, ["band", "band_sig"])
         .select("doc_id", "idx_id")
         .distinct()
     )

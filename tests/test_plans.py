@@ -339,3 +339,19 @@ def test_importance_scoring_join_is_broadcast(spark):
     plan = _plan(out)
     assert "Cartesian" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_backfill_mode_shuffled_equi(spark):
+    """broadcast_new=False (backfill batches too large to broadcast):
+    the probe degrades to a shuffled equi-join on (band, band_sig) —
+    still no Cartesian/BNLJ anywhere."""
+    from dr_source_spark.training.dedup import incremental_dedup_decisions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = incremental_dedup_decisions(
+        docs.filter("doc_id % 3 != 0"),
+        docs.filter("doc_id % 3 = 0"),
+        broadcast_new=False,
+    )
+    plan = _plan(out)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
