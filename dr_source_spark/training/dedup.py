@@ -613,6 +613,12 @@ def repeated_spans(
         F.col("_f") <= max_gram_freq
     ).drop("_f")
 
+    # Measured and rejected (round 5): localCheckpoint on the candidate
+    # pairs and/or the gram stream. Stage decomposition at sf0.1 showed
+    # Catalyst plans the LSH candidate pipeline ONCE here (3.8 s cands +
+    # 5.8 s gram-join/windows ≈ the 10.8 s total), so a checkpoint only
+    # adds 956 k rows of eager materialization — flat for this query and
+    # 9.9 → 13.3 s WORSE for substring_cut_plan built on top.
     pa, pb = grams.alias("pa"), grams.alias("pb")
     m = (
         candidates.select("doc_a", "doc_b")
