@@ -387,7 +387,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def bfs_distances(
-    edges: DataFrame, seeds: DataFrame, max_hops: int = 6, undirected: bool = True
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 6, undirected: bool = True,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Minimum hop distance from ANY seed node: (node, hops), seeds at 0,
     nodes unreachable within ``max_hops`` absent.
@@ -398,10 +399,43 @@ def bfs_distances(
     dense bipartite graphs; the frontier is bounded by the node set).
     Termination (empty frontier) reads an ``observe`` metric off the
     round's own checkpoint — one job per hop, same pattern as
-    pagerank/components above."""
+    pagerank/components above.
+
+    Graphs at or under ``driver_max_edges`` (default DRIVER_CC_MAX_EDGES)
+    short-circuit to a driver BFS — min-hop labels are order-free, so the
+    output is IDENTICAL (pytest parity gate); ``driver_max_edges=0``
+    forces the distributed loop, the design for billions-edge graphs."""
     e = edges.select("src", "dst")
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) if undirected else e
     sym = sym.distinct().localCheckpoint(eager=True)
+
+    cutoff = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    m = sym.count()
+    if 0 < m <= cutoff:
+        import pandas as pd
+
+        adj = {}
+        for s, d in sym.collect():
+            adj.setdefault(s, []).append(d)
+        dist = {r[0]: 0 for r in seeds.select("node").distinct().collect()}
+        frontier = list(dist)
+        for hop in range(1, max_hops + 1):
+            nxt = sorted(
+                {d for s in frontier for d in adj.get(s, ())} - dist.keys()
+            )
+            if not nxt:
+                break
+            for v in nxt:
+                dist[v] = hop
+            frontier = nxt
+        schema = (
+            seeds.select("node").withColumn("hops", F.lit(0).cast("long")).schema
+        )
+        sym.unpersist()
+        if not dist:
+            return edges.sparkSession.createDataFrame([], schema)
+        pdf = pd.DataFrame(sorted(dist.items()), columns=["node", "hops"])
+        return edges.sparkSession.createDataFrame(pdf, schema)
 
     def _ckpt_counted(df: DataFrame):
         obs = Observation(f"bfs_frontier_{next(_OBS_SEQ)}")

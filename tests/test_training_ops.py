@@ -1462,3 +1462,25 @@ def test_pagerank_driver_path_bit_equal_to_distributed(spark):
         for r in pagerank_fixed_point(edges, iterations=8, driver_max_edges=0).collect()
     }
     assert fast == slow and len(fast) == 6
+
+
+def test_bfs_driver_path_identical_to_distributed(spark):
+    """The adaptive driver BFS and the distributed frontier loop must
+    return the identical (node, hops) set — min-hop labels are order-free
+    — including seeds-only components, unreachable nodes (absent), and
+    the max_hops cutoff."""
+    from dr_source_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("d", "e"), ("e", "f")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+    for hops in (2, 6):
+        fast = {(r.node, r.hops) for r in bfs_distances(edges, seeds, max_hops=hops).collect()}
+        slow = {
+            (r.node, r.hops)
+            for r in bfs_distances(edges, seeds, max_hops=hops, driver_max_edges=0).collect()
+        }
+        assert fast == slow
+    assert ("f", 5) in fast and ("y", 1) in fast
