@@ -776,8 +776,12 @@ _Z_ILEAVE = " + ".join(
 
 _EVENTS_ZORDER_SQL = f"""
 WITH b AS (
-  SELECT user_id, user_id % {1 << _Z_BITS} AS u,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % {1 << _Z_BITS} AS t
+  -- pmod, not sign-preserving %: negative ids / pre-1970 timestamps must
+  -- land in [0, 2^bits) before the bit interleave (matches F.pmod)
+  SELECT user_id,
+         ((user_id % {1 << _Z_BITS}) + {1 << _Z_BITS}) % {1 << _Z_BITS} AS u,
+         ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % {1 << _Z_BITS})
+            + {1 << _Z_BITS}) % {1 << _Z_BITS} AS t
   FROM events),
 z AS (SELECT user_id, u, t, ({_Z_ILEAVE})::BIGINT AS z FROM b)
 SELECT z // {_Z_SPAN} AS file_id, count(*)::BIGINT AS n_events,
@@ -858,18 +862,47 @@ def _text_hdr_quantiles(spark, sf_dir):
     return hdr_length_quantiles(_t(spark, sf_dir, "documents"))
 
 
-_TEXT_HDR_SQL = r"""
+# shared HDR fragments — the bucket id and [lo, hi] bound formulas used by
+# BOTH hdr oracles, mirroring training/sketch.py's exact-integer scheme
+# (e >= 4 divides/multiplies by 2^(e-4) instead of forming a *16 product,
+# and hi folds its -1 into the sum, so the full int64 domain stays exact)
+
+
+def _duck_hdr_bucket(v: str, K: int = 16) -> str:
+    e = f"(length(bin({v})) - 1)"
+    base = f"(CAST(1 AS BIGINT) << {e})"
+    return (
+        f"CASE WHEN {v} <= 0 THEN CAST(-1 AS BIGINT) ELSE "
+        f"CAST({e} * {K} AS BIGINT) + "
+        f"CASE WHEN {e} >= 4 THEN ({v} - {base}) // (CAST(1 AS BIGINT) << ({e} - 4)) "
+        f"ELSE (({v} - {base}) * {K}) // {base} END END"
+    )
+
+
+def _duck_hdr_bounds(b: str = "bucket", K: int = 16) -> tuple[str, str]:
+    e = f"CAST({b} // {K} AS INT)"
+    base = f"(CAST(1 AS BIGINT) << {e})"
+
+    def c(s: str) -> str:
+        return (
+            f"CASE WHEN {e} >= 4 THEN ({s}) * (CAST(1 AS BIGINT) << ({e} - 4)) "
+            f"ELSE (({s}) * {base} + {K - 1}) // {K} END"
+        )
+
+    lo = f"CASE WHEN {b} < 0 THEN 0 ELSE {base} + {c(f'({b} % {K})')} END"
+    hi = f"CASE WHEN {b} < 0 THEN 0 ELSE {base} - 1 + {c(f'({b} % {K}) + 1')} END"
+    return lo, hi
+
+
+_HDR_LO_SQL, _HDR_HI_SQL = _duck_hdr_bounds()
+
+_TEXT_HDR_SQL = rf"""
 WITH vals AS (
   SELECT lang AS grp, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS v
   FROM documents
 ),
 sk AS (
-  SELECT grp,
-    CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT) ELSE
-      CAST((length(bin(v)) - 1) * 16 AS BIGINT)
-      + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
-        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
-    END AS bucket, count(*) AS cnt
+  SELECT grp, {_duck_hdr_bucket('v')} AS bucket, count(*) AS cnt
   FROM vals GROUP BY 1, 2
 ),
 cum AS (
@@ -887,14 +920,8 @@ picked AS (
 ),
 bounds AS (
   SELECT grp, q, n_docs,
-    CASE WHEN bucket < 0 THEN 0 ELSE
-      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
-      + ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
-    END AS est_lo,
-    CASE WHEN bucket < 0 THEN 0 ELSE
-      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
-      + (((bucket % 16) + 1) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16 - 1
-    END AS est_hi
+    {_HDR_LO_SQL} AS est_lo,
+    {_HDR_HI_SQL} AS est_hi
   FROM picked
 ),
 ranked AS (
@@ -1001,18 +1028,13 @@ def _stream_hdr_quantiles(spark, sf_dir):
 # _TEXT_HDR_SQL minus the exact rank statistic: row_number over the value
 # stream is exactly what a streaming job cannot do — only the sketch side
 # is streamable, so only it is emitted (and checked) here
-_STREAM_HDR_SQL = r"""
+_STREAM_HDR_SQL = rf"""
 WITH vals AS (
   SELECT lang AS grp, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS v
   FROM documents
 ),
 sk AS (
-  SELECT grp,
-    CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT) ELSE
-      CAST((length(bin(v)) - 1) * 16 AS BIGINT)
-      + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
-        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
-    END AS bucket, count(*) AS cnt
+  SELECT grp, {_duck_hdr_bucket('v')} AS bucket, count(*) AS cnt
   FROM vals GROUP BY 1, 2
 ),
 cum AS (
@@ -1029,14 +1051,8 @@ picked AS (
   GROUP BY grp, q, n
 )
 SELECT grp, CAST(q AS INT) AS q, CAST(n_docs AS BIGINT) AS n_docs,
-  CAST(CASE WHEN bucket < 0 THEN 0 ELSE
-    (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
-    + ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
-  END AS BIGINT) AS est_lo,
-  CAST(CASE WHEN bucket < 0 THEN 0 ELSE
-    (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
-    + (((bucket % 16) + 1) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16 - 1
-  END AS BIGINT) AS est_hi
+  CAST({_HDR_LO_SQL} AS BIGINT) AS est_lo,
+  CAST({_HDR_HI_SQL} AS BIGINT) AS est_hi
 FROM picked
 """
 
@@ -1112,18 +1128,23 @@ LEFT JOIN best b ON b.doc_id = d.doc_id
 
 
 def _text_dsir_select(spark, sf_dir):
-    # DSIR-style data selection (Xie et al. 2023): docs with doc_id % 10
-    # == 0 act as the curated TARGET set; every other doc is scored by
-    # the mean hashed-token importance weight (smoothed target/raw
-    # frequency ratio in 2^16 fixed point) and selected iff it tilts
-    # target-ward — the 256-row weight table broadcasts, the corpus
-    # gram stream never shuffles for the scoring join
+    # DSIR-style data selection (Xie et al. 2023): even-id ENGLISH docs
+    # act as the curated TARGET set; every other doc is scored by the
+    # mean hashed-token importance weight (size-normalized smoothed
+    # target/raw frequency ratio in 2^16 fixed point) and selected iff
+    # it tilts target-ward. The synthetic corpus shares one vocabulary
+    # across langs, so what separates here is each doc's sampling tilt
+    # toward the target's token distribution — a small 'selected' set
+    # over a centered estimator (true vocabulary separation is pinned by
+    # the planted-vocab pytest). The 256-row weight table broadcasts;
+    # the corpus gram stream never shuffles for the scoring join
     from dr_source_spark.training.select import importance_select
 
     docs = _t(spark, sf_dir, "documents")
+    is_target = (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
     return importance_select(
-        docs.filter(F.col("doc_id") % 10 == 0),
-        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(is_target),
+        docs.filter(~F.coalesce(is_target, F.lit(False))),
     )
 
 
@@ -1132,11 +1153,11 @@ _DSIR_BUCKETS, _DSIR_FP = 256, 65536
 _TEXT_DSIR_SQL = rf"""
 WITH tg AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-  FROM documents WHERE doc_id % 10 = 0
+  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
 ),
 rg AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-  FROM documents WHERE doc_id % 10 <> 0
+  FROM documents WHERE NOT coalesce(lang = 'en' AND doc_id % 2 = 0, FALSE)
 ),
 tb AS (
   SELECT CAST({_duck_minhash_base('w')} % {_DSIR_BUCKETS} AS INT) AS bucket,
@@ -1149,11 +1170,17 @@ rb AS (
   FROM (SELECT w FROM rg) WHERE w <> '' GROUP BY 1
 ),
 wt AS (
+  -- size-normalized smoothed frequency ratio (DSIR's probability ratio),
+  -- staged integer division exactly as the engine computes it
   SELECT s.i AS bucket,
-         {_DSIR_FP} * (coalesce(tb.n_target, 0) + 1) // (coalesce(rb.n_raw, 0) + 1) AS weight
+         (({_DSIR_FP} * (coalesce(tb.n_target, 0) + 1))
+            // (tt.t + {_DSIR_BUCKETS}))
+           * (rt.r + {_DSIR_BUCKETS}) // (coalesce(rb.n_raw, 0) + 1) AS weight
   FROM generate_series(0, {_DSIR_BUCKETS - 1}) s(i)
   LEFT JOIN tb ON tb.bucket = s.i
   LEFT JOIN rb ON rb.bucket = s.i
+  CROSS JOIN (SELECT count(*) AS t FROM tg WHERE w <> '') tt
+  CROSS JOIN (SELECT count(*) AS r FROM rg WHERE w <> '') rt
 ),
 scored AS (
   SELECT rg.doc_id, count(*) AS n_grams, sum(wt.weight) AS score
@@ -1166,7 +1193,8 @@ SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
   s.score::BIGINT AS score, (s.score // s.n_grams)::BIGINT AS avg_weight,
   CASE WHEN s.score // s.n_grams >= {_DSIR_FP} THEN 'selected'
        ELSE 'rejected' END AS verdict
-FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+FROM (SELECT doc_id FROM documents
+      WHERE NOT coalesce(lang = 'en' AND doc_id % 2 = 0, FALSE)) d
 LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 

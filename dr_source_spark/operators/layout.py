@@ -58,9 +58,12 @@ def zorder_manifest(
     target-file manifest of a Z-order layout of ``events`` over
     (user-bucket, hour-bucket).
 
-    Dimensions: u = user_id % 2^dim_bits, t = (epoch-hour) % 2^dim_bits —
-    cyclic bucketing keeps both dimensions dense, which is what Z-order
-    wants (sparse dimensions waste interleaved bits). Each target file
+    Dimensions: u = pmod(user_id, 2^dim_bits), t = pmod(epoch-hour,
+    2^dim_bits) — cyclic bucketing keeps both dimensions dense, which is
+    what Z-order wants (sparse dimensions waste interleaved bits). pmod,
+    not %: a negative user_id or pre-1970 timestamp under sign-preserving
+    % would feed a negative bucket into the bit interleave and produce
+    garbage Z-values and overlapping file stats. Each target file
     covers ``file_span`` consecutive Z-values; the emitted per-file
     min/max of BOTH raw dimensions is the pruning-stats payload a lakehouse
     manifest would carry, and directly shows the locality win: with
@@ -72,8 +75,8 @@ def zorder_manifest(
     sort the engine would do ONCE per OPTIMIZE run; the manifest is the
     plan for it."""
     m = 1 << dim_bits
-    u = F.col("user_id") % m
-    t = F.floor(F.unix_timestamp("ts") / 3600) % m
+    u = F.pmod(F.col("user_id"), F.lit(m))
+    t = F.pmod(F.floor(F.unix_timestamp("ts") / 3600), F.lit(m))
     z = interleave_bits(u, t, dim_bits)
     return (
         events.select(

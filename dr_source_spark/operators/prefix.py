@@ -42,6 +42,10 @@ def global_prefix_sum(
     first). ``order_col`` must be integral and unique; ``df`` should
     already be projected narrow — every column rides the bucket shuffle.
 
+    A NULL ``order_col`` is a contract violation that would otherwise be
+    SILENT row loss (the NULL bucket never matches the offsets join), so
+    it fails fast — the check rides the min/max aggregate job for free.
+
     Cost: one min/max aggregate job (narrow), one hash shuffle of the
     input by bucket, one tiny single-partition window over ``n_buckets``
     totals, one broadcast join. No full-data single-partition exchange at
@@ -49,7 +53,18 @@ def global_prefix_sum(
     """
     spark = df.sparkSession
     nb = n_buckets or spark.sparkContext.defaultParallelism * 4
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    lo, hi, n_null = df.agg(
+        F.min(order_col),
+        F.max(order_col),
+        F.count(F.when(F.col(order_col).isNull(), 1)),
+    ).first()
+    if n_null:
+        raise ValueError(
+            f"global_prefix_sum: {n_null} rows have NULL {order_col!r} — "
+            f"they would silently vanish in the bucket-offset join. Filter "
+            f"or key them upstream (see equidepth_histogram's explicit "
+            f"NULL handling)."
+        )
     if lo is None:  # empty input
         return df.withColumn(out_col, F.lit(0).cast("long"))
     span = int(hi) - int(lo) + 1

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from .curate import REASON_KEPT, quality_reason_expr
 from .dedup import _band_signatures, _pairs_from_band_sigs, duplicate_clusters, ngram_jaccard
@@ -50,8 +51,16 @@ def _with_split(documents: DataFrame, num_splits: int) -> DataFrame:
 def _completed(spark: SparkSession, lineage_path: str, run_id: str) -> list[int]:
     try:
         lin = spark.read.parquet(lineage_path)
-    except Exception:
-        return []
+    except AnalysisException as e:
+        # Only a missing lineage table means "fresh run". Any OTHER read
+        # failure (permissions, corrupt footer, transient storage) must
+        # propagate — swallowing it would silently re-process every split
+        # of the corpus and misreport splits_done.
+        if "PATH_NOT_FOUND" in str(getattr(e, "errorClass", "") or "") or (
+            "Path does not exist" in str(e)
+        ):
+            return []
+        raise
     rows = (
         lin.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
         .select("split_key").distinct().collect()
@@ -162,7 +171,28 @@ def curate_finalize(
 
     Output is row-identical to ``training.curate.final_keep_list``
     (pytest parity gate): near_duplicate > too_short > low_stopword_ratio
-    > kept."""
+    > kept.
+
+    Refuses to run on an incomplete stage 1: the checkpointed doc_stats
+    must cover the input documents row-for-row (one metadata-cheap count
+    on each side), otherwise documents from unprocessed splits would be
+    dropped by the inner join below and escape curation UNAUDITED — the
+    exact failure the keep-list's every-doc-gets-a-verdict invariant
+    exists to prevent."""
+    stats = (
+        spark.read.parquet(f"{output_dir}/doc_stats")
+        .filter(F.col("run_id") == run_id)
+        .select("doc_id", "quality_reason")
+    )
+    n_docs, n_stats = documents.count(), stats.count()
+    if n_docs != n_stats:
+        done = _completed(spark, f"{output_dir}/lineage", run_id)
+        raise ValueError(
+            f"curate_finalize: stage 1 incomplete for run {run_id!r} — "
+            f"{n_stats} checkpointed doc_stats rows vs {n_docs} input "
+            f"documents (lineage reports {len(done)} splits done). Resume "
+            f"curate_stage1_with_lineage to completion first."
+        )
     sigs = (
         spark.read.parquet(f"{output_dir}/signatures")
         .filter(F.col("run_id") == run_id)
@@ -173,11 +203,6 @@ def curate_finalize(
         F.col("jaccard") >= jaccard_threshold
     )
     clusters = duplicate_clusters(documents, pairs=verified)
-    stats = (
-        spark.read.parquet(f"{output_dir}/doc_stats")
-        .filter(F.col("run_id") == run_id)
-        .select("doc_id", "quality_reason")
-    )
     reason = F.when(
         F.col("cluster_id") != F.col("doc_id"), F.lit("near_duplicate")
     ).otherwise(F.col("quality_reason"))

@@ -39,13 +39,34 @@ def importance_weights(
     """(bucket, n_target, n_raw, weight): DSIR-style hashed-feature
     importance weights. Token occurrences hash into ``buckets`` buckets
     (the paper's hashed n-gram features — collisions are part of the
-    estimator, not a bug); weight = FP_SCALE * (n_target+1) div
-    (n_raw+1), an add-one-smoothed target/raw frequency ratio in 2^16
-    fixed point. Buckets the target likes more than the raw pool score
-    above FP_SCALE; buckets dominated by raw-pool mass score below.
+    estimator, not a bug). The weight is the add-one-smoothed TARGET/RAW
+    FREQUENCY ratio in 2^16 fixed point — each side's count is
+    normalized by its own corpus token mass, so the estimator is
+    invariant to the (usually enormous) size imbalance between a small
+    curated target set and the raw pool (DSIR's ratio is of
+    probabilities, not counts — unnormalized counts would reject
+    everything whenever the raw pool dwarfs the target):
+
+        p_t = (n_target + 1) / (t_total + buckets)
+        p_r = (n_raw   + 1) / (r_total + buckets)
+        weight ~= FP_SCALE * p_t / p_r
+
+    computed as staged exact-integer division (target frequency first,
+    then the raw side), keeping every intermediate inside int64 for raw
+    pools up to ~1.4e14 tokens (FP_SCALE * r_total must fit in int64):
+
+        weight = ((FP_SCALE * (n_target+1)) div (t_total+buckets))
+                 * (r_total+buckets) div (n_raw+1)
+
+    Buckets the target favors relative to the raw pool score above
+    FP_SCALE; buckets dominated by raw-pool mass score below. The first
+    div quantizes the target frequency to 1/FP_SCALE, a <= 0.01%
+    absolute granularity — negligible against the hashing noise of the
+    estimator itself.
 
     Scale shape: two map-side-combinable counts over the gram streams,
-    then a ``buckets``-row table — always broadcastable, built once per
+    then a ``buckets``-row table (totals are sums OVER that tiny table,
+    not extra corpus scans) — always broadcastable, built once per
     target definition and reused across every scoring batch."""
     bucket = (_minhash_base(F.col("w")) % buckets).cast("int").alias("bucket")
     tc = _gram_stream(target_docs).select(bucket).groupBy("bucket").agg(
@@ -54,6 +75,8 @@ def importance_weights(
     rc = _gram_stream(raw_docs).select(bucket).groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_raw")
     )
+    tt = tc.agg(F.coalesce(F.sum("n_target"), F.lit(0)).cast("long").alias("t_total"))
+    rt = rc.agg(F.coalesce(F.sum("n_raw"), F.lit(0)).cast("long").alias("r_total"))
     all_buckets = (
         target_docs.sparkSession.range(buckets)
         .select(F.col("id").cast("int").alias("bucket"))
@@ -62,10 +85,17 @@ def importance_weights(
         all_buckets.join(tc, "bucket", "left")
         .join(rc, "bucket", "left")
         .na.fill({"n_target": 0, "n_raw": 0})
+        .join(F.broadcast(tt))
+        .join(F.broadcast(rt))
         .withColumn(
             "weight",
-            F.expr(f"CAST({_FP_SCALE} * (n_target + 1) AS BIGINT) div (n_raw + 1)"),
+            F.expr(
+                f"((CAST({_FP_SCALE} AS BIGINT) * (n_target + 1))"
+                f" div (t_total + {buckets}))"
+                f" * (r_total + {buckets}) div (n_raw + 1)"
+            ),
         )
+        .select("bucket", "n_target", "n_raw", "weight")
     )
 
 

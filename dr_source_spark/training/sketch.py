@@ -348,11 +348,7 @@ def cms_heavy_hitters(
     to registers broadcasts ``top * depth`` rows."""
     toks = _cms_tokens(documents)
     positions = _cms_positions(depth, width)
-    regs = (
-        toks.select(F.explode(positions).alias("rp"))
-        .groupBy(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
-        .agg(F.count("*").alias("cnt"))
-    )
+    regs = cms_registers(documents, depth, width)
     exact = toks.groupBy("word", "h").agg(F.count("*").alias("exact_cnt"))
     topk = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(top)
     probe = topk.select(
@@ -379,34 +375,51 @@ def _hdr_bucket(vcol: str):
     e*K + (v - 2^e)*K div 2^e with e = bit_length(v) - 1 = the octave.
     ``length(bin(v)) - 1`` and ``shiftleft`` keep every step in exact
     int64 arithmetic, so DuckDB (`bin`, `<<`, `//`) reproduces the
-    bucket id bit-for-bit — no float log2 to diverge across engines."""
+    bucket id bit-for-bit — no float log2 to diverge across engines.
+
+    For e >= 4 the sub-bucket is (v - 2^e) div 2^(e-4) — K = 16 divides
+    2^e exactly, and dividing FIRST (instead of multiplying by K into a
+    2^66 intermediate) keeps the whole computation inside int64 for the
+    FULL non-negative int64 domain, v up to 2^63 - 1 (pytest-pinned at
+    the extremes against a Python model and DuckDB)."""
     K = _HDR_K
+    e = f"(length(bin({vcol})) - 1)"
+    base = f"shiftleft(1L, {e})"
     return F.expr(
         f"CASE WHEN {vcol} <= 0 THEN CAST(-1 AS BIGINT) ELSE "
-        f"CAST((length(bin({vcol})) - 1) * {K} AS BIGINT)"
-        f" + CAST(({vcol} - shiftleft(1L, length(bin({vcol})) - 1)) * {K} AS BIGINT)"
-        f" div shiftleft(1L, length(bin({vcol})) - 1) END"
+        f"CAST({e} * {K} AS BIGINT) + "
+        f"CASE WHEN {e} >= 4 THEN ({vcol} - {base}) div shiftleft(1L, {e} - 4) "
+        f"ELSE (({vcol} - {base}) * {K}) div {base} END END"
     )
 
 
 def _hdr_bounds(bucket_col: str):
     """(lo, hi) exact integer value bounds of a bucket id: e = b div K,
-    sub = b % K, lo = 2^e + ceil(sub * 2^e / K), hi = lo(b+1) - 1 (the
-    octave boundary falls out of the same formula: sub = K gives
-    2^(e+1)). Bucket -1 (the zero bucket) is [0, 0]. Ceil-division keeps
-    the bounds exact when an octave is narrower than K sub-buckets
-    (e < 4), where only some sub ids are inhabited."""
+    sub = b % K, lo = 2^e + c(sub), hi = 2^e - 1 + c(sub + 1) where
+    c(s) = ceil(s * 2^e / K) — hi is lo(next bucket) - 1 with the -1
+    folded INTO the sum so the topmost bucket's bound (2^(e+1) - 1,
+    representable) never forms the 2^(e+1) intermediate (which overflows
+    at e = 62). Bucket -1 (the zero bucket) is [0, 0].
+
+    c(s): for e >= 4, K = 16 divides 2^e, so c(s) = s * 2^(e-4) exactly
+    (no 2^66 product, full int64 domain); the e < 4 ceil-division keeps
+    the bounds exact where an octave is narrower than K sub-buckets and
+    only some sub ids are inhabited. Everything is integer div — no
+    double arithmetic to diverge from the SQL oracle at large values."""
     K = _HDR_K
     b = F.col(bucket_col)
-    e = (b / K).cast("long")
-    sub = b % K
+    e = f"CAST({bucket_col} div {K} AS INT)"
+    base = f"shiftleft(1L, {e})"
 
-    def _lo(e_expr, sub_expr):
-        base = F.expr(f"shiftleft(1L, CAST({bucket_col} div {K} AS INT))")
-        return base + ((sub_expr * base + K - 1) / K).cast("long")
+    def c(s: str) -> str:
+        return (
+            f"CASE WHEN {e} >= 4 THEN ({s}) * shiftleft(1L, {e} - 4) "
+            f"ELSE (({s}) * {base} + {K - 1}) div {K} END"
+        )
 
-    lo = F.when(b < 0, F.lit(0)).otherwise(_lo(e, sub))
-    hi = F.when(b < 0, F.lit(0)).otherwise(_lo(e, sub + 1) - 1)
+    sub = f"({bucket_col} % {K})"
+    lo = F.when(b < 0, F.lit(0)).otherwise(F.expr(f"{base} + {c(sub)}"))
+    hi = F.when(b < 0, F.lit(0)).otherwise(F.expr(f"{base} - 1 + {c(sub + ' + 1')}"))
     return lo.cast("long"), hi.cast("long")
 
 
@@ -452,7 +465,9 @@ def hdr_quantile_bounds(sketch: DataFrame, qs=(50, 90, 99)) -> DataFrame:
         "grp", "bucket", "cum", "n_values",
         F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
     ).withColumn(
-        "rank", ((F.col("q") * F.col("n_values") + 99) / 100).cast("long")
+        # integer div, not double '/': at huge counts a truncated double
+        # rank could pick a different bucket than the oracle's exact '//'
+        "rank", F.expr("(q * n_values + 99) div 100")
     )
     picked = (
         qd.where(F.col("cum") >= F.col("rank"))
@@ -499,7 +514,7 @@ def hdr_length_quantiles(documents: DataFrame, qs=(50, 90, 99)) -> DataFrame:
             "grp", "v", "rn", "n",
             F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
         )
-        .where(F.col("rn") == ((F.col("q") * F.col("n") + 99) / 100).cast("long"))
+        .where(F.col("rn") == F.expr("(q * n + 99) div 100"))
         .select("grp", "q", F.col("v").alias("exact_len"))
     )
     return bounds.join(exact, ["grp", "q"]).select(
@@ -515,22 +530,29 @@ _BLOOM_M = 16384  # bits; size to ~4-5 bits per expected key (see stats fn)
 _BLOOM_K = 3  # hash functions, from the shared deterministic family
 
 
-def bloom_bits(keys: DataFrame, k: int = _BLOOM_K, m: int = _BLOOM_M) -> DataFrame:
-    """(pos) — the set bit positions of a Bloom filter over a column
-    ``h`` of 32-bit key hashes; hash function d sets bit
-    (a_d*h + b_d) % P % m with the same deterministic pairwise family as
-    the minhash/CMS sketches. ≤ m rows regardless of key count — always
-    broadcastable. Mergeable by union-distinct (`bloom_merge`): the OR
-    of two filters IS the filter of the union."""
+def _bloom_positions(k: int, m: int):
+    """The k bit positions of the key hash in column ``h``: hash d maps
+    to (a_d*h + b_d) % P % m with the shared deterministic pairwise
+    family. The SINGLE source of this arithmetic — build (`bloom_bits`)
+    and probe (`bloom_decontam_stats`) both consume it, so they cannot
+    drift apart and silently break the no-false-negative law."""
     from dr_source_spark.training.dedup import _MINHASH_P
 
-    pos = F.array(
+    return F.array(
         *[
             ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P) % m).cast("int")
             for a, b in minhash_family(k)
         ]
     )
-    return keys.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_bits(keys: DataFrame, k: int = _BLOOM_K, m: int = _BLOOM_M) -> DataFrame:
+    """(pos) — the set bit positions of a Bloom filter over a column
+    ``h`` of 32-bit key hashes (positions from `_bloom_positions`).
+    ≤ m rows regardless of key count — always broadcastable. Mergeable
+    by union-distinct (`bloom_merge`): the OR of two filters IS the
+    filter of the union."""
+    return keys.select(F.explode(_bloom_positions(k, m)).alias("pos")).distinct()
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -550,8 +572,16 @@ def _gram_stream(df: DataFrame, n: int) -> DataFrame:
         f" i -> concat_ws(' ', slice(_toks, i, {n})))"
         f" ELSE array() END"
     )
+    # drop the [''] artifact splitting a NULL/empty text produces —
+    # without this, n=1 would emit an empty-string gram for token-free
+    # docs (and register empty corpus/benchmark docs as mutual
+    # "contamination"), diverging from text.ngram_overlap's key stream
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
     return (
-        df.withColumn("_toks", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+        df.withColumn("_toks", toks)
         .select("lang", F.explode(g).alias("gram"))
         .distinct()
     )
@@ -588,19 +618,11 @@ def bloom_decontam_stats(
         .select("gram", _minhash_base(F.col("gram")).alias("h"))
     )
     bits = bloom_bits(bench_keys, k=k, m=m)
-    from dr_source_spark.training.dedup import _MINHASH_P
-
     probe = _gram_stream(corpus, n).select(
         "lang", "gram", _minhash_base(F.col("gram")).alias("h")
     )
-    pos = F.array(
-        *[
-            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P) % m).cast("int")
-            for a, b in minhash_family(k)
-        ]
-    )
     hits = (
-        probe.select("lang", "gram", F.explode(pos).alias("pos"))
+        probe.select("lang", "gram", F.explode(_bloom_positions(k, m)).alias("pos"))
         .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
         .groupBy("lang", "gram")
         .agg((F.count("_set") == k).alias("bloom_pass"))

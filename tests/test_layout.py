@@ -144,3 +144,19 @@ def test_zorder_null_rows_form_a_visible_null_file(spark):
     assert len(out) == 2
     empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, value double")
     assert zorder_manifest(empty).count() == 0
+
+
+def test_zorder_negative_ids_and_pre_epoch_ts_stay_in_range(spark):
+    """pmod bucketing: negative user_ids and pre-1970 timestamps must
+    land in [0, 2^bits) like any other value — under sign-preserving %
+    they produced negative buckets, garbage Z-values and negative
+    file_ids."""
+    base = datetime.datetime(1969, 12, 30)  # pre-epoch hours
+    rows = [
+        (-5, base + datetime.timedelta(hours=h), -3, 1.0) for h in range(4)
+    ] + [(7, datetime.datetime(2024, 1, 1), 2, 1.0)]
+    man = zorder_manifest(_events(spark, rows), dim_bits=4, file_span=8).collect()
+    assert sum(r.n_events for r in man) == 5
+    for r in man:
+        assert r.file_id >= 0 and r.z_lo >= 0, r
+        assert 0 <= r.u_lo <= r.u_hi < 16 and 0 <= r.t_lo <= r.t_hi < 16, r

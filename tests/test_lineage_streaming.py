@@ -220,3 +220,24 @@ def test_curation_lineage_counts_cover_corpus(spark, tmp_path_factory):
     assert lin.agg(F.sum("docs")).first()[0] == docs.count()
     stats = spark.read.parquet(f"{out}/doc_stats").filter(F.col("run_id") == "curC")
     assert stats.count() == docs.count()
+
+
+def test_curation_finalize_refuses_incomplete_stage1(spark, tmp_path_factory):
+    """finalize on an interrupted stage 1 must raise, not silently drop
+    the unprocessed splits' documents from the keep list (the audit
+    invariant: every input doc gets a verdict row)."""
+    import pytest
+
+    from dr_source_spark.training.curate_job import (
+        curate_finalize,
+        curate_stage1_with_lineage,
+    )
+
+    docs = _cur_docs(spark)
+    out = str(tmp_path_factory.mktemp("curate_partial"))
+    run = curate_stage1_with_lineage(
+        spark, docs, out, "curD", num_splits=8, num_batches=4, max_batches=2
+    )
+    assert 0 < run.splits_done < 8
+    with pytest.raises(ValueError, match="stage 1 incomplete"):
+        curate_finalize(spark, docs, out, "curD")

@@ -135,3 +135,16 @@ def test_shard_plan_packs_kept_docs_in_order(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         shard_plan(docs, keep, shard_tokens=0)
+
+
+def test_prefix_sum_rejects_null_order_keys(spark):
+    """A NULL order key would silently vanish in the bucket-offset join
+    (join-on-NULL never matches) — the helper must fail fast instead of
+    losing rows."""
+    import pytest
+
+    from dr_source_spark.operators.prefix import global_prefix_sum
+
+    df = spark.createDataFrame([(1, 10), (None, 20), (3, 30)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL 'k'"):
+        global_prefix_sum(df, "k", "v").collect()

@@ -461,3 +461,45 @@ def test_hdr_bloom_on_empty_inputs(spark):
     assert hdr_sketch(empty_vals).count() == 0
     assert hdr_length_quantiles(empty_docs).count() == 0
     assert bloom_decontam_stats(empty_docs, empty_docs).count() == 0
+
+
+def test_hdr_extreme_int64_values_match_model_and_duckdb(spark):
+    """The FULL non-negative int64 domain is exact: near 2^63 - 1 the
+    naive (v - 2^e) * K product and the hi-bound's 2^(e+1) intermediate
+    overflow int64 — the divide-first scheme (K | 2^e for e >= 4) and
+    the folded -1 in hi must agree with the arbitrary-precision Python
+    model AND with the DuckDB oracle fragments cell-for-cell at the
+    extremes."""
+    import duckdb
+
+    from __spark_entry__ import _duck_hdr_bounds, _duck_hdr_bucket
+    from dr_source_spark.training.sketch import _hdr_bounds, _hdr_bucket
+
+    probes = [
+        (1 << 59) - 1,
+        1 << 59,
+        (1 << 62) - 1,
+        1 << 62,
+        (1 << 62) + (1 << 61),
+        (1 << 63) - 2,
+        (1 << 63) - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in probes], "v long").select(
+        "v", _hdr_bucket("v").alias("bucket")
+    )
+    lo, hi = _hdr_bounds("bucket")
+    rows = df.select("v", "bucket", lo.alias("lo"), hi.alias("hi")).collect()
+    assert len(rows) == len(probes)
+
+    dlo, dhi = _duck_hdr_bounds("b")
+    con = duckdb.connect()
+    for r in rows:
+        b = _hdr_bucket_py(r.v)
+        assert r.bucket == b, (r.v, r.bucket, b)
+        assert (r.lo, r.hi) == _hdr_bounds_py(b), (r.v, r.lo, r.hi)
+        assert r.lo <= r.v <= r.hi, (r.v, r.lo, r.hi)
+        got = con.execute(
+            f"SELECT {_duck_hdr_bucket('v')}, {dlo}, {dhi} FROM "
+            f"(SELECT CAST({r.v} AS BIGINT) AS v, CAST({b} AS BIGINT) AS b)"
+        ).fetchone()
+        assert got == (r.bucket, r.lo, r.hi), (r.v, got)

@@ -1414,9 +1414,13 @@ def test_importance_weights_match_python_model(spark):
         nt[bucket(w)] += 1
     for w in "alpha gamma gamma gamma".split():
         nr[bucket(w)] += 1
+    tt, rt = sum(nt), sum(nr)
     for r in rows:
         assert r.n_target == nt[r.bucket] and r.n_raw == nr[r.bucket]
-        assert r.weight == 65536 * (r.n_target + 1) // (r.n_raw + 1)
+        # size-normalized smoothed frequency ratio, staged integer div
+        assert r.weight == (
+            (65536 * (r.n_target + 1) // (tt + B)) * (rt + B) // (r.n_raw + 1)
+        )
 
 
 def test_mix_plan_known_budget_arithmetic(spark):
