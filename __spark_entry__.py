@@ -428,7 +428,7 @@ def _dedup_exact(spark, sf_dir):
 
 
 _DEDUP_EXACT_SQL = r"""
-SELECT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+SELECT sha256(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fingerprint,
        min(doc_id) AS canonical_id, count(*) AS dup_count
 FROM documents GROUP BY 1
 """
@@ -1445,7 +1445,9 @@ WITH corpus AS (
     (2000003, CAST(NULL AS VARCHAR))) v(doc_id, text)
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t,
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS t,
          sha256(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp
   FROM corpus
 ),
@@ -2312,10 +2314,15 @@ def _text_sample(spark, sf_dir):
 
 
 def _sample_sql() -> str:
+    # rate >= 1 keeps the stratum unconditionally — mirrors
+    # sample_stratified's guard against dropping 'ffffffff'-prefix docs
     conds = " OR ".join(
-        f"(lang = '{s}' AND substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f"(lang = '{s}')"
+        if float(r) >= 1.0
+        else f"(lang = '{s}' AND substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)"
         f" < '{format(int(float(r) * 0xFFFFFFFF), '08x')}')"
         for s, r in _SAMPLE_RATES.items()
+        if float(r) > 0.0
     )
     return f"SELECT doc_id, lang FROM documents WHERE {conds}"
 
@@ -2872,6 +2879,11 @@ def _kg_label_prop_sql(rounds: int = _LPA_ROUNDS) -> str:
         "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
         " SELECT src, dst FROM kg_e WHERE src <> dst"
         " UNION ALL SELECT dst, src FROM kg_e WHERE src <> dst)),",
+        # node universe from the UNFILTERED endpoints: a self-loop-only
+        # node keeps its own label but must still appear (mirrors
+        # label_propagation's isolated-node append)
+        "allnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ("
+        " SELECT src FROM kg_e UNION ALL SELECT dst FROM kg_e)),",
         "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),",
     ]
     for i in range(1, rounds + 1):
@@ -2883,7 +2895,11 @@ def _kg_label_prop_sql(rounds: int = _LPA_ROUNDS) -> str:
             f" ORDER BY c DESC, label) AS rn FROM cnt{i}) WHERE rn = 1),"
         )
     body = "\n".join(parts).rstrip(",")
-    return f"{body}\nSELECT node, label FROM l{rounds}"
+    return (
+        f"{body}\nSELECT node, label FROM l{rounds}\n"
+        f"UNION ALL\nSELECT node, node AS label FROM allnodes\n"
+        f"WHERE node NOT IN (SELECT node FROM l{rounds})"
+    )
 
 
 def _kg_source_sink_paths(spark, sf_dir):
@@ -3379,12 +3395,15 @@ WITH corpus AS (
   SELECT text FROM documents
   UNION ALL SELECT CAST(NULL AS VARCHAR)
 ),
-t AS (SELECT coalesce(text, '') AS text FROM corpus)
+t AS (SELECT coalesce(text, '') AS text,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS tk
+      FROM corpus)
 SELECT DISTINCT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
-       CASE WHEN length(string_split_regex(trim(text), '\s+')) < 5 THEN 'too_short'
-            WHEN round(length(list_filter(string_split_regex(trim(text), '\s+'),
+       CASE WHEN length(tk) < 5 THEN 'too_short'
+            WHEN round(length(list_filter(tk,
                        x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
-                 / greatest(length(string_split_regex(trim(text), '\s+')), 1), 4) < 0.05
+                 / greatest(length(tk), 1), 4) < 0.05
                  THEN 'low_stopword_ratio'
             ELSE 'kept' END AS reason
 FROM t
@@ -3716,7 +3735,10 @@ def _text_quality(spark, sf_dir):
 
 _TEXT_QUALITY_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
 )
 SELECT doc_id, lang,
        CAST(length(t) AS BIGINT) AS n_tokens,

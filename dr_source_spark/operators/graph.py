@@ -289,12 +289,12 @@ def alternating_star_components(
         schema = cur.schema
         pairs = _driver_union_find([(r[0], r[1]) for r in cur.collect()])
         cur.unpersist()
+        if not pairs:
+            return edges.sparkSession.createDataFrame([], schema)
         # Arrow-path createDataFrame (a pandas frame, not a tuple list):
         # near the 2M-edge threshold the pickle path would cost ~20 s of
         # driver serialization and hand the advantage back
         pdf = pd.DataFrame(pairs, columns=[f.name for f in schema.fields])
-        if not pairs:
-            return edges.sparkSession.createDataFrame([], schema)
         return edges.sparkSession.createDataFrame(pdf, schema)
     rounds_left = max_rounds
     while rounds_left > 0:
@@ -534,7 +534,18 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     Per round: one equi-join (symmetrized edges × labels) + a
     (node, label) count + a per-node argmax window — all narrow-key
     shuffles; labels are node ids, so no state beyond the label table
-    exists, and the table is checkpointed per round to truncate lineage."""
+    exists, and the table is checkpointed per round to truncate lineage.
+
+    The node set comes from the UNFILTERED endpoints: a node whose only
+    edges are self-loops has no neighbors after the simple-graph filter
+    and keeps its own label — but it must still get a row ("every node
+    starts labeled with its own id"), so such nodes are appended after
+    the sweeps rather than silently omitted."""
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -565,7 +576,10 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         )
         labels.unpersist()
         labels = new_labels
-    return labels
+    isolated = all_nodes.join(labels, "node", "left_anti").withColumn(
+        "label", F.col("node")
+    )
+    return labels.unionByName(isolated)
 
 
 def two_hop_paths(

@@ -33,8 +33,14 @@ def quality_reason_expr(text_col, min_tokens: int = 5, min_stopword_ratio: float
     (``__spark_entry__._stream_curation``) consumes it directly, so the two
     paths cannot drift. Null-safe: NULL text is scored as the empty string
     (0 tokens -> too_short) — a curation verdict must exist for every row.
+    The empty-token filter makes that literal: splitting a blank string
+    yields [''], which would count 1 token and let a blank doc slip past
+    too_short at min_tokens=1.
     """
-    toks = F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
     n_toks = F.size(toks)
     stop_ratio = F.round(
         F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))

@@ -44,10 +44,19 @@ def _shingles(n: int, col="text"):
     """Distinct character n-grams of the lowercased text (JVM-side:
     substr over a generated positions array — no UDF). Character shingles
     catch near-duplicates that word-set Jaccard misses (reordered words,
-    punctuation/space edits) at the cost of larger token sets."""
+    punctuation/space edits) at the cost of larger token sets.
+
+    Token-free text (NULL/empty/whitespace) yields an EMPTY array —
+    matching `_words`, so the no-signature-for-token-free-docs invariant
+    holds in shingle mode too. Without the guard, '' emitted the ['']
+    shingle (making all empty docs certain near-dup candidates of each
+    other) and NULL emitted a NULL-minhash signature row."""
     t = F.lower(F.col(col))
     positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(positions, lambda i: t.substr(i, F.lit(n))))
+    grams = F.array_distinct(F.transform(positions, lambda i: t.substr(i, F.lit(n))))
+    return F.when(
+        F.trim(F.coalesce(t, F.lit(""))) == "", F.array().cast("array<string>")
+    ).otherwise(grams)
 
 
 # Universal-hash MinHash family: h_i(w) = (a_i * base(w) + b_i) % P with
@@ -181,40 +190,61 @@ def minhash_lsh_candidates(
     ``lsh_oversized_clusters`` query, which remains the detail view. Such
     clusters are near-identical text and are handled by the cheaper
     exact-dedup pass. The group count uses a map-side partial aggregate
-    (narrow keys), so a hot signature never pins one task before the cap.
-    Set max_cluster=0 to disable.
+    (narrow keys), so a hot signature never pins one task before the cap,
+    and it runs BEFORE the per-group id arrays are collected (see
+    ``_pairs_from_band_sigs``), so a viral cluster never materializes its
+    id array in an aggregation buffer either. Set max_cluster=0 to
+    disable.
 
     Pair generation is ONE groupBy over the band signatures plus an
     in-plan combination explode — NOT a self-join. A self-join here plans
     the whole signature pipeline (explode + ``num_hashes`` md5 aggregates)
     once per join side plus once for the cap pre-pass: three full
     computations per materialization (measured 3x the signature cost at
-    sf0.1, round 5). The grouped form computes signatures once, and the
-    per-group id array is bounded by ``max_cluster`` — the same cap that
-    already protects the pair count — so collect_list cannot blow up a
-    task."""
+    sf0.1, round 5). The grouped form computes signatures once for the
+    pair stage (the cap's count pre-pass adds a second, noise-level
+    evaluation — numbers in ``_pairs_from_band_sigs``), and the per-group
+    id array is genuinely bounded by ``max_cluster``."""
     return _pairs_from_band_sigs(_band_signatures(documents, num_hashes, bands), max_cluster)
 
 
 def _pairs_from_band_sigs(band_sigs: DataFrame, max_cluster: int) -> DataFrame:
     """Grouped candidate-pair generation shared by the classic and OPH
-    LSH paths: one groupBy over (band, band_sig), cap check + observe
-    metric, in-plan combination explode (see minhash_lsh_candidates for
-    the why of each piece)."""
-    groups = band_sigs.groupBy("band", "band_sig").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
-        F.count("*").alias("_n"),
-    )
+    LSH paths: one groupBy over (band, band_sig), in-plan combination
+    explode (see minhash_lsh_candidates for the why of each piece).
+
+    The viral-cluster cap runs as a COUNT-ONLY pre-pass joined back as a
+    filter BEFORE the per-group id array is built: filtering after
+    collect_list would still materialize a viral cluster's full id array
+    (10^7 ids ≈ an 80 MB single aggregation buffer, per colliding band)
+    — the exact task blowup the cap exists to prevent. The count
+    aggregate is narrow keys with full map-side combine; the join-back
+    is an equi-join on the same keys. The signature subplan is evaluated
+    by both branches — A/B at sf0.1 (5 000 docs, 112 hashes, best-of-3,
+    identical 955 745 pairs): post-collect filter 3.96 s, this shape
+    4.46 s, a window-count filter (single evaluation, spill-buffered
+    groups) 4.22 s at high steal. The ~0.5 s is the price of an actual
+    (not claimed-only) bound on the aggregation buffer; the window
+    variant was rejected because `observe` cannot express the per-GROUP
+    drop metrics over exploded rows (no distinct aggregates)."""
     if max_cluster:
+        counts = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
         oversized = F.col("_n") > max_cluster
         # metric names must be unique within one physical plan — suffix a
         # per-call sequence so two candidate sets can be unioned/joined
-        groups = groups.observe(
+        counts = counts.observe(
             f"lsh_cap_drops_{next(_LSH_OBS_SEQ)}",
             F.sum(F.when(oversized, 1).otherwise(0)).alias("n_oversized_clusters"),
             F.sum(F.when(oversized, F.col("_n")).otherwise(0)).alias("n_docs_in_oversized"),
         )
-        groups = groups.filter(~oversized)
+        band_sigs = band_sigs.join(
+            counts.filter(~oversized).select("band", "band_sig"),
+            ["band", "band_sig"],
+        )
+    groups = band_sigs.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+        F.count("*").alias("_n"),
+    )
     pairs = (
         groups.filter(F.col("_n") >= 2)
         .select(

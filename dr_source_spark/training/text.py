@@ -24,8 +24,14 @@ def quality_score(documents: DataFrame) -> DataFrame:
     """Cheap quality heuristics: length, mean token length, stopword ratio.
 
     Rounded to fixed decimals so results are engine-portable (oracle parity).
+    Token-free text (NULL/empty/whitespace) counts 0 tokens — the ['']
+    artifact of splitting a blank string would otherwise report 1 token,
+    disagreeing with token_count's regexp-based 0.
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
     n_toks = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
     return documents.select(
@@ -61,18 +67,32 @@ LANG_MARKERS = [
 ]
 
 
+def _lang_scores_and_decision():
+    """(scores dict, best, decision) — the ONE construction of the
+    marker-score map and the tie-precedence argmax when-chain. lang_id
+    and lang_mismatch both consume it, so the mismatch screen can never
+    drift from the lang_id it claims to build on."""
+    scores = {
+        lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        for lang, pat in LANG_MARKERS
+    }
+    best = F.greatest(*scores.values())
+    decision = None
+    for lang, _ in LANG_MARKERS:
+        cond = scores[lang] == best
+        decision = (
+            F.when(cond, F.lit(lang)) if decision is None else decision.when(cond, F.lit(lang))
+        )
+    return scores, best, decision
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language identification: per-language marker-hit counts
     (one vectorized JVM regexp_count per language — no Python), argmax with
     a fixed precedence order for ties (the LANG_MARKERS order). Returns the
     per-language scores alongside the decision so downstream filters can
     threshold on confidence."""
-    scores = {lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long") for lang, pat in LANG_MARKERS}
-    best = F.greatest(*scores.values())
-    decision = None
-    for lang, _ in LANG_MARKERS:
-        cond = scores[lang] == best
-        decision = F.when(cond, F.lit(lang)) if decision is None else decision.when(cond, F.lit(lang))
+    scores, best, decision = _lang_scores_and_decision()
     return documents.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
@@ -82,8 +102,14 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: sha256 of normalized text
-    (lower, collapsed whitespace). The exact-dedup key."""
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    (lower, collapsed whitespace). The exact-dedup key.
+
+    NULL text fingerprints as the empty string — the SAME normalization
+    curation_decisions applies, so exact_duplicates' canonical set and the
+    curation verdicts agree on corpora mixing NULL and '' texts (without
+    the coalesce, NULL docs formed their own NULL-key group and each
+    became its own canonical while curation marked them duplicates)."""
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
     return documents.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
 
 
@@ -268,12 +294,21 @@ def sample_stratified(
     The threshold compare is on the raw 8-hex-digit prefix as a STRING
     (equal-length lowercase hex orders identically to its numeric value),
     so any engine reproduces the exact sample with plain string
-    comparison — no numeric hex conversion needed."""
+    comparison — no numeric hex conversion needed. rate >= 1 keeps the
+    stratum unconditionally (the strict u < 'ffffffff' compare would
+    silently drop the ~1-in-2^32 docs whose prefix is exactly
+    'ffffffff' — at corpus scale, real documents); rate <= 0 drops it."""
     u = F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8)
     keep = None
     for stratum, rate in rates.items():
-        threshold = format(int(float(rate) * 0xFFFFFFFF), "08x")
-        cond = (F.col(strata_col) == stratum) & (u < threshold)
+        if float(rate) <= 0.0:
+            continue
+        in_stratum = F.col(strata_col) == stratum
+        if float(rate) >= 1.0:
+            cond = in_stratum
+        else:
+            threshold = format(int(float(rate) * 0xFFFFFFFF), "08x")
+            cond = in_stratum & (u < threshold)
         keep = cond if keep is None else (keep | cond)
     return documents.filter(keep if keep is not None else F.lit(False)).select(
         "doc_id", strata_col
@@ -527,18 +562,10 @@ def lang_mismatch(documents: DataFrame) -> DataFrame:
     the declared-language score, the detected-language score, and the
     integer evidence margin between them. Pure column arithmetic on the
     lang_id projection joined back to the declared lang — one narrow
-    shuffle-free pass (lang rides the projection)."""
-    scores = {
-        lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
-        for lang, pat in LANG_MARKERS
-    }
-    best = F.greatest(*scores.values())
-    decision = None
-    for lang, _ in LANG_MARKERS:
-        cond = scores[lang] == best
-        decision = (
-            F.when(cond, F.lit(lang)) if decision is None else decision.when(cond, F.lit(lang))
-        )
+    shuffle-free pass (lang rides the projection). The score map and
+    argmax chain come from the shared `_lang_scores_and_decision`, not a
+    re-implementation."""
+    scores, best, decision = _lang_scores_and_decision()
     declared_score = None
     for lang, _ in LANG_MARKERS:
         cond = F.col("lang") == lang

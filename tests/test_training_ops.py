@@ -1488,3 +1488,81 @@ def test_bfs_driver_path_identical_to_distributed(spark):
         }
         assert fast == slow
     assert ("f", 5) in fast and ("y", 1) in fast
+
+
+def test_shingle_mode_token_free_docs_emit_no_signature(spark):
+    """The no-signature-for-token-free-docs invariant holds in SHINGLE
+    mode too: NULL/empty/whitespace texts must emit zero signature rows
+    (the ungated substr walk emitted [''] for empty text — making all
+    empty docs certain near-dup candidates of each other — and a
+    NULL-minhash row for NULL text)."""
+    from dr_source_spark.training.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "hello world of shingles"), (2, None), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=5).collect()
+    assert {r.doc_id for r in sigs} == {1}
+    assert all(r.minhash is not None for r in sigs) and len(sigs) == 4
+
+
+def test_label_propagation_keeps_self_loop_only_nodes(spark):
+    """A node whose only edges are self-loops has no neighbors after the
+    simple-graph filter but must still get a label row (its own id) —
+    it was silently omitted before."""
+    from dr_source_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("x", "x"), ("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, rounds=2).collect()}
+    assert set(got) == {"x", "a", "b", "c"}
+    assert got["x"] == "x"
+
+
+def test_sample_stratified_rate_bounds(spark):
+    """rate >= 1.0 keeps the whole stratum unconditionally (the strict
+    u < 'ffffffff' compare dropped md5-prefix-ffffffff docs); rate <= 0
+    drops the stratum entirely."""
+    from dr_source_spark.training.text import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en") for i in range(50)] + [(100 + i, "t", "de") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sample_stratified(docs, {"en": 1.0, "de": 0.0}).collect()
+    assert len(kept) == 50 and all(r.lang == "en" for r in kept)
+    assert sample_stratified(docs, {"en": 0.0}).count() == 0
+
+
+def test_quality_score_blank_docs_count_zero_tokens(spark):
+    """Blank/NULL docs report 0 tokens, agreeing with token_count's
+    regexp-based count (the [''] split artifact reported 1)."""
+    from dr_source_spark.training.text import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "two words", "en"), (2, "   ", "en"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert got[1].n_tokens == 2
+    assert got[2].n_tokens == 0 and got[3].n_tokens == 0
+
+
+def test_exact_duplicates_groups_null_with_empty_text(spark):
+    """exact_duplicates and curation_decisions share one normalization:
+    NULL text fingerprints as '' and groups with empty docs — previously
+    NULL docs formed a separate NULL-key group, so the canonical sets of
+    the two surfaces disagreed."""
+    from dr_source_spark.training.curate import curation_decisions
+    from dr_source_spark.training.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "real text here")], "doc_id long, text string"
+    )
+    groups = exact_duplicates(docs).collect()
+    by_canon = {r.canonical_id: r.dup_count for r in groups}
+    assert by_canon == {1: 2, 3: 1}
+    cur = {r.doc_id: r.reason for r in curation_decisions(docs).collect()}
+    assert cur[2] == "exact_duplicate"  # same canonical choice: doc 1
