@@ -421,6 +421,96 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def _q3_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape (adapted to this schema: o_orderpriority stands in
+    # for o_shippriority): unshipped-revenue per order for one market
+    # segment — two selective date filters pushed to both scans, customer
+    # broadcast, decimal-exact revenue, deterministic top-10 (rounded
+    # revenue desc, orderkey asc — the tie-break is a unique key, so both
+    # engines select the identical boundary rows)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    cut = "1998-01-01"
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cut).cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp")),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def _q18_large_volume_customer(spark, sf_dir):
+    # TPC-H Q18 shape: large-volume orders — the HAVING-subquery pattern
+    # as an aggregate-then-join: per-order quantity totals (decimal-exact
+    # so the > threshold classifies identically in both engines), the
+    # qualifying keys joined back to orders + broadcast customer. The
+    # qualifying side is tiny by construction, so Catalyst broadcasts it.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qsum"))
+        .filter(F.col("qsum") > F.lit(300).cast("decimal(18,4)"))
+        .select("l_orderkey", F.col("qsum").cast("long").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(qty), o["o_orderkey"] == qty["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
+       CAST(CAST(q.qsum AS DECIMAL(18,4)) AS BIGINT) AS total_qty
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > CAST(300 AS DECIMAL(18,4))) q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     from dr_source_spark.training.dedup import exact_duplicates
 
@@ -1381,6 +1471,79 @@ def _dedup_triangles(spark, sf_dir):
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return triangle_counts(edges).select(
         F.col("node").cast("bigint").alias("doc_id"), "n_triangles"
+    )
+
+
+def _dedup_hyperball(spark, sf_dir):
+    # HyperBall 2-hop neighborhood sketch (Boldi & Vigna 2013) over the
+    # SAME verified near-dup graph dedup_clusters consumes: per-doc exact
+    # <=1/<=2-hop ball sizes, doubled truncated harmonic centrality, and
+    # the p=4 HLL register summary of the 2-hop ball. The oracle
+    # materializes each ball as a SET and sketches it directly, so the
+    # equality IS the HyperBall propagation law (max-merge == set-union
+    # sketch) checked cross-engine, register for register.
+    from dr_source_spark.operators.graph import hyperball_neighborhoods
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard(docs, minhash_lsh_candidates(docs))
+        .filter(F.col("jaccard") >= 0.9)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    nodes = docs.select(F.col("doc_id").cast("bigint").alias("node"))
+    return hyperball_neighborhoods(edges, nodes, p=4).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def _dedup_hyperball_sql(threshold: float = 0.9) -> str:
+    # ball_t as explicit (node, member) SETs via UNION (dedup), then the
+    # register arithmetic of _TEXT_HLL_SQL at p=4 (maxrho = 29) applied to
+    # the member hashes — every cell integer-exact in both engines
+    return (
+        _lsh_pairs_ctes()
+        + ","
+        + _JAC_TAIL
+        + f"""
+hedges AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+  FROM jac WHERE jaccard >= {threshold} AND doc_a <> doc_b),
+sedges AS (SELECT a AS src, b AS dst FROM hedges UNION SELECT b, a FROM hedges),
+ball1 AS (
+  SELECT d.doc_id AS node, d.doc_id AS member FROM documents d
+  UNION SELECT e.src, e.dst FROM sedges e),
+ball2 AS (
+  SELECT node, member FROM ball1
+  UNION SELECT b.node, e.dst FROM ball1 b JOIN sedges e ON e.src = b.member),
+bsz AS (
+  SELECT b1.node, b1.n AS ball1_exact, b2.n AS ball2_exact
+  FROM (SELECT node, count(*) AS n FROM ball1 GROUP BY node) b1
+  JOIN (SELECT node, count(*) AS n FROM ball2 GROUP BY node) b2 ON b1.node = b2.node),
+mh AS (
+  SELECT node, {_duck_minhash_base('CAST(member AS VARCHAR)')} AS h FROM ball2),
+hregs AS (
+  SELECT node, h % 16 AS bucket,
+    max(CASE WHEN h // 16 = 0 THEN 29 ELSE 28 - length(bin(h // 16)) + 1 END) AS r
+  FROM mh GROUP BY node, bucket),
+summ AS (
+  SELECT node, count(*)::BIGINT AS used_regs, (16 - count(*))::BIGINT AS zero_regs,
+         sum(r)::BIGINT AS sum_rho,
+         (sum(1::BIGINT << (29 - r)) + (16 - count(*)) * (1::BIGINT << 29))::BIGINT AS harmonic_scaled
+  FROM hregs GROUP BY node)
+SELECT CAST(b.node AS BIGINT) AS doc_id, ball1_exact::BIGINT AS ball1_exact,
+       ball2_exact::BIGINT AS ball2_exact,
+       (2 * (ball1_exact - 1) + (ball2_exact - ball1_exact))::BIGINT AS harmonic_x2,
+       16::BIGINT AS m, used_regs, zero_regs, sum_rho, harmonic_scaled
+FROM bsz b JOIN summ s ON s.node = b.node
+"""
     )
 
 
@@ -4123,6 +4286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonicalize": _kg_canonicalize,
         "kg_graph_edges": _kg_graph_edges,
         "kg_graph_nodes": _kg_graph_nodes,
+        # round-5 late additions — deliberately PAST the driver's 50-entry
+        # window (the never-rowed arrangement above stays intact); each is
+        # value-hash-verified by tools/oracle_check.py and pytest-gated
+        "dedup_hyperball": _dedup_hyperball,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q18_large_volume_customer": _q18_large_volume_customer,
     }
 
 
@@ -4166,6 +4335,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_triangles": _dedup_triangles_sql(),
+        "dedup_hyperball": _dedup_hyperball_sql(),
+        "q3_shipping_priority": _Q3_SQL,
+        "q18_large_volume_customer": _Q18_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -617,3 +617,132 @@ def two_hop_paths(
     else:
         raise ValueError(f"unknown shape: {shape!r}")
     return a.join(b, "mid").select("node_a", "mid", "node_b").distinct()
+
+
+def _hash32(col):
+    """32-bit md5-prefix hash — same family as ``training.dedup._minhash_base``
+    (inlined here: training imports this module, so importing back would
+    cycle). DuckDB mirror: ``_duck_minhash_base`` in ``__spark_entry__``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hyperball_registers(
+    edges: DataFrame, nodes: DataFrame, p: int = 4, rounds: int = 2
+) -> DataFrame:
+    """(node, bucket, r): HyperLogLog register table of each node's
+    <=``rounds``-hop out-neighborhood, via HyperBall propagation (Boldi &
+    Vigna, "In-Core Computation of Geometric Centralities with HyperBall",
+    2013 — public paper; no reference analogue).
+
+    R_0(v) = sketch({v}); R_{t+1}(v) = max-merge(R_t(v), R_t(u) for every
+    edge (v, u)). Register max-merge IS sketch-of-set-union, so after t
+    rounds R_t(v) == sketch(ball_t(v)) exactly — path multiplicity and
+    visit order cannot perturb a max. That identity is the cross-engine
+    oracle law: the DuckDB oracle materializes the <=t-hop ball as a SET
+    and sketches it directly, and every register must agree.
+
+    Scale shape: the state is O(nodes x 2^p) narrow integer rows — the
+    whole point of HyperBall is that the neighborhood function of a
+    10^12-edge graph fits where the exact per-node ball (quadratic blow-up
+    on dense components) cannot. Each round is one equi-join on the edge
+    key plus a map-side-combinable max-aggregate; no floats, no UDFs.
+    Fixed small ``rounds`` keeps the plan linear (callers wanting deep
+    radii should checkpoint between rounds like ``bfs_distances``)."""
+    m = 1 << p
+    maxrho = 32 - p + 1
+    h = _hash32(F.col("node").cast("string"))
+    rem = F.floor(h / m)
+    rho = F.when(rem == 0, F.lit(maxrho)).otherwise(
+        F.lit(32 - p) - F.length(F.bin(rem)) + 1
+    )
+    regs = nodes.select(
+        "node", (h % m).alias("bucket"), rho.cast("int").alias("r")
+    )
+    for _ in range(rounds):
+        prop = edges.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "bucket", "r")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+    return regs
+
+
+def exact_ball(edges: DataFrame, nodes: DataFrame, hops: int) -> DataFrame:
+    """(node, member): the exact <=``hops``-hop reachable set per node,
+    self included — the ground truth ``hyperball_registers`` sketches.
+    Quadratic on dense components by construction (a k-clique stores k^2
+    rows): benchmark-scale validation, not the 10^12-edge path."""
+    ball = nodes.select("node", F.col("node").alias("member"))
+    for _ in range(hops):
+        ext = ball.join(
+            edges.withColumnRenamed("src", "member"), "member"
+        ).select("node", F.col("dst").alias("member"))
+        ball = ball.unionByName(ext).distinct()
+    return ball
+
+
+def hyperball_neighborhoods(
+    edges: DataFrame, nodes: DataFrame, p: int = 4
+) -> DataFrame:
+    """(node, ball1_exact, ball2_exact, harmonic_x2, m, used_regs,
+    zero_regs, sum_rho, harmonic_scaled): per-node 2-hop neighborhood
+    summary — the HyperBall register sketch beside the exact ball sizes,
+    every cell an exact integer.
+
+    * ball1_exact / ball2_exact: |<=1-hop| and |<=2-hop| reachable sets
+      (self included) — makes the sketch's error oracle-visible, the same
+      pattern as ``hdr_quantile_bounds`` emitting bounds beside the exact
+      rank statistic.
+    * harmonic_x2: doubled truncated harmonic centrality
+      2*(ball1-1) + (ball2-ball1) — distance-1 nodes weigh 1, distance-2
+      nodes weigh 1/2; doubling keeps it integer.
+    * the register summary mirrors ``sketch.hll_summary`` per node:
+      harmonic_scaled = sum_j 2^(maxrho - r_j) with absent buckets
+      contributing 2^maxrho, so the float alpha correction stays a
+      read-time computation.
+
+    At 100 TB only the register half runs (rounds bounded, state linear in
+    nodes); the exact half is the benchmark-scale witness."""
+    m = 1 << p
+    maxrho = 32 - p + 1
+    regs = hyperball_registers(edges, nodes, p=p, rounds=2)
+    summ = regs.groupBy("node").agg(
+        F.lit(m).cast("long").alias("m"),
+        F.count("*").alias("used_regs"),
+        (F.lit(m) - F.count("*")).alias("zero_regs"),
+        F.sum("r").cast("long").alias("sum_rho"),
+        (
+            F.sum(F.pow(F.lit(2), F.lit(maxrho) - F.col("r")).cast("long"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << maxrho)
+        )
+        .cast("long")
+        .alias("harmonic_scaled"),
+    )
+    b1 = (
+        exact_ball(edges, nodes, hops=1)
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("ball1_exact"))
+    )
+    b2 = (
+        exact_ball(edges, nodes, hops=2)
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("ball2_exact"))
+    )
+    return (
+        b1.join(b2, "node")
+        .withColumn(
+            "harmonic_x2",
+            (
+                F.lit(2) * (F.col("ball1_exact") - 1)
+                + (F.col("ball2_exact") - F.col("ball1_exact"))
+            ).cast("long"),
+        )
+        .join(summ, "node")
+        .select(
+            "node", "ball1_exact", "ball2_exact", "harmonic_x2", "m",
+            "used_regs", "zero_regs", "sum_rho", "harmonic_scaled",
+        )
+    )

@@ -1566,3 +1566,76 @@ def test_exact_duplicates_groups_null_with_empty_text(spark):
     assert by_canon == {1: 2, 3: 1}
     cur = {r.doc_id: r.reason for r in curation_decisions(docs).collect()}
     assert cur[2] == "exact_duplicate"  # same canonical choice: doc 1
+
+
+def _py_hyperball_regs(members, p=4):
+    """Pure-Python register sketch of a member SET — the ground truth the
+    HyperBall propagation law is checked against (same md5-prefix hash,
+    bucket = low bits, rho = leading-zero rank of the rest)."""
+    import hashlib
+
+    m = 1 << p
+    maxrho = 32 - p + 1
+    out = {}
+    for mem in members:
+        h = int(hashlib.md5(str(mem).encode()).hexdigest()[:8], 16)
+        b = h % m
+        rem = h // m
+        rho = maxrho if rem == 0 else (32 - p) - rem.bit_length() + 1
+        out[b] = max(out.get(b, 0), rho)
+    return out
+
+
+def test_hyperball_registers_equal_ball_sketch_law(spark):
+    """The HyperBall law: after t rounds of max-merge propagation the
+    register table of node v EQUALS the sketch of v's exact <=t-hop ball
+    computed as a set — path multiplicity and merge order cannot perturb
+    a max. Checked register-for-register on a graph with a cycle (path
+    multiplicity), a hub, and an isolated node."""
+    from dr_source_spark.operators.graph import hyperball_registers
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (4, 6), (4, 7), (8, 8)]
+    sym = [(a, b) for a, b in und if a != b]
+    sym += [(b, a) for a, b in sym]
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    all_nodes = sorted({n for e in und for n in e})
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in all_nodes], "node long")
+    got = {}
+    for r in hyperball_registers(edges, nodes, p=4, rounds=2).collect():
+        got.setdefault(r.node, {})[r.bucket] = r.r
+    for v in all_nodes:
+        ball = {v} | adj.get(v, set())
+        ball = ball | {w for u in ball for w in adj.get(u, set())}
+        assert got[v] == _py_hyperball_regs(ball), (v, ball)
+
+
+def test_hyperball_neighborhoods_known_graph(spark):
+    """Path 1-2-3-4-5 + isolated 6: exact ball sizes, doubled harmonic
+    centrality, and the register-summary invariants (used+zero = m,
+    harmonic_scaled counts every register exactly once)."""
+    from dr_source_spark.operators.graph import hyperball_neighborhoods
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in range(1, 7)], "node long")
+    rows = {r.node: r for r in hyperball_neighborhoods(edges, nodes, p=4).collect()}
+    assert len(rows) == 6
+    expect = {  # node: (ball1, ball2, harmonic_x2)
+        1: (2, 3, 3), 2: (3, 4, 5), 3: (3, 5, 6),
+        4: (3, 4, 5), 5: (2, 3, 3), 6: (1, 1, 0),
+    }
+    for n, (b1, b2, hx2) in expect.items():
+        r = rows[n]
+        assert (r.ball1_exact, r.ball2_exact, r.harmonic_x2) == (b1, b2, hx2), (n, r)
+        assert r.m == 16 and r.used_regs + r.zero_regs == 16
+        # every used register contributes 2^(29-r) < 2^29; every zero
+        # register exactly 2^29 — so the scaled harmonic sum is bounded
+        assert r.zero_regs * (1 << 29) < r.harmonic_scaled <= 16 * (1 << 29)
+    # isolated node: sketch of {6} alone — exactly one used register
+    assert rows[6].used_regs == 1
+    exp6 = _py_hyperball_regs({6})
+    assert rows[6].sum_rho == sum(exp6.values())
