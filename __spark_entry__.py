@@ -2919,6 +2919,63 @@ def _kg_pagerank_sql(iterations: int = 10, scale: int = 10**12, dp: int = 85) ->
     return f"{body}\nSELECT node, rank FROM pr{iterations}"
 
 
+def _kg_ppr_exposure(spark, sf_dir):
+    # personalized PageRank seeded at every weakness-class node (CWE-*)
+    # over the UNDIRECTED KG — "rank every entity by exposure to known
+    # weakness classes": restart mass returns to the seeds, so rank decays
+    # with graph distance from them (operators/graph.personalized_pagerank,
+    # same 64-bit fixed-point arithmetic as kg_pagerank)
+    from dr_source_spark.operators.graph import personalized_pagerank
+
+    edges = _kg_triples(spark, sf_dir).edges
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node").like("CWE-%"))
+    return personalized_pagerank(sym, seeds, iterations=8)
+
+
+def _kg_ppr_sql(iterations: int = 8, scale: int = 10**12, dp: int = 85) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # unrolled like _kg_pagerank_sql, with three seed-conditional terms:
+    # initial mass, restart base, and dangling share all go to the seeds
+    # (CWE-* nodes) only. Symmetric edge table (exposure flows both ways),
+    # so dangling mass is structurally zero — the term stays for parity
+    # with the operator, which keeps it for general edge tables.
+    parts = [
+        f"WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e),",
+        "e AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),",
+        "sc AS MATERIALIZED (SELECT count(*) AS ns FROM nodes WHERE node LIKE 'CWE-%'),",
+        f"pr0 AS MATERIALIZED (SELECT node, CASE WHEN node LIKE 'CWE-%'"
+        f" THEN CAST({scale} // sc.ns AS BIGINT) ELSE 0 END AS rank"
+        f" FROM nodes CROSS JOIN sc),",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"pr{k - 1}"
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm FROM {prev}"
+            f" WHERE node NOT IN (SELECT src FROM deg)),\n"
+            f"contrib{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum((r.rank * {dp}) // (100 * deg.d)) AS cb"
+            f" FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON deg.src = e.src"
+            f" GROUP BY e.dst),\n"
+            f"pr{k} AS MATERIALIZED (SELECT nodes.node,"
+            f" CAST(CASE WHEN nodes.node LIKE 'CWE-%'"
+            f" THEN ({scale} * {100 - dp}) // (100 * sc.ns)"
+            f" + (dang{k}.dm * {dp}) // (100 * sc.ns) ELSE 0 END"
+            f" + coalesce(contrib{k}.cb, 0) AS BIGINT) AS rank"
+            f" FROM nodes CROSS JOIN sc CROSS JOIN dang{k}"
+            f" LEFT JOIN contrib{k} ON contrib{k}.node = nodes.node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, rank FROM pr{iterations}"
+
+
 def _kg_triples_diff(spark, sf_dir):
     # incremental-KG maintenance: triples added/removed between two corpus
     # versions (v2 drops every 5th doc, adds every 13th re-synthesized at
@@ -4292,6 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_hyperball": _dedup_hyperball,
         "q3_shipping_priority": _q3_shipping_priority,
         "q18_large_volume_customer": _q18_large_volume_customer,
+        "kg_ppr_exposure": _kg_ppr_exposure,
     }
 
 
@@ -4338,6 +4396,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_hyperball": _dedup_hyperball_sql(),
         "q3_shipping_priority": _Q3_SQL,
         "q18_large_volume_customer": _Q18_SQL,
+        "kg_ppr_exposure": _kg_ppr_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -746,3 +746,143 @@ def hyperball_neighborhoods(
             "used_regs", "zero_regs", "sum_rho", "harmonic_scaled",
         )
     )
+
+
+def _driver_ppr(
+    edge_rows, seed_set, iterations: int, scale: int, damping_pct: int
+) -> list:
+    """`personalized_pagerank`'s distributed loop in pure-Python integers
+    — same floors, same iteration count, order-free integer sums, so the
+    two paths are BIT-EXACT (pytest parity gate)."""
+    from collections import Counter, defaultdict
+
+    deg = Counter(s for s, _ in edge_rows)
+    node_list = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    ns = len(seed_set)
+    base = (scale * (100 - damping_pct)) // (100 * ns)
+    rank = {v: (scale // ns if v in seed_set else 0) for v in node_list}
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in node_list if v not in deg)
+        share = (dangling * damping_pct) // (100 * ns)
+        contrib = defaultdict(int)
+        for s, d in edge_rows:
+            contrib[d] += (rank[s] * damping_pct) // (100 * deg[s])
+        rank = {
+            v: (base + share if v in seed_set else 0) + contrib[v]
+            for v in node_list
+        }
+    return [(v, rank[v]) for v in node_list]
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 8,
+    scale: int = PAGERANK_SCALE,
+    damping_pct: int = 85,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) in the same
+    64-bit fixed-point arithmetic as ``pagerank_fixed_point`` — the
+    seeded-relevance query a KG consumer runs constantly ("rank every
+    entity by exposure to THESE nodes"). Differences from global
+    PageRank, all three exactly mirrored in the DuckDB oracle:
+
+    * initial mass ``scale // n_seeds`` sits on the seeds, 0 elsewhere;
+    * the (1-d) restart base returns to the SEEDS (floored even share),
+      not to every node;
+    * dangling mass redistributes to the seeds.
+
+    Seeds outside the edge node set are ignored (they can neither send
+    nor receive mass). Raises on an empty effective seed set.
+
+    Scale shape: identical to the global loop — one narrow equi-join +
+    map-side-combinable sum per iteration, dangling mass folded into the
+    iteration's own checkpoint via ``observe`` (one job per round); the
+    seed flag is a broadcast-joined boolean on the node table. Small
+    graphs take the driver escape hatch (bit-exact, see
+    ``DRIVER_CC_MAX_EDGES``); ``driver_max_edges=0`` forces distributed."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    seed_nodes = seeds.select(F.col("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")), "node", "left")
+        .join(F.broadcast(seed_nodes.withColumn("seed", F.lit(True))), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("dang"), F.lit(True)).alias("dang"),
+            F.coalesce(F.col("seed"), F.lit(False)).alias("seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ns = nodes.filter(F.col("seed")).count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: no seed intersects the edge node set")
+    if scale < ns * 1000:
+        raise ValueError(f"ppr scale {scale} too small for {ns} seeds")
+    base = (scale * (100 - damping_pct)) // (100 * ns)
+
+    m = e.count()
+    cutoff = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if 0 < m <= cutoff:
+        import pandas as pd
+
+        edge_rows = [(r[0], r[1]) for r in e.collect()]
+        seed_set = {r[0] for r in nodes.filter(F.col("seed")).select("node").collect()}
+        ranks_pdf = pd.DataFrame(
+            _driver_ppr(edge_rows, seed_set, iterations, scale, damping_pct),
+            columns=["node", "rank"],
+        )
+        out_schema = nodes.select("node").withColumn("rank", F.lit(0).cast("long")).schema
+        for df in (e, deg, nodes):
+            df.unpersist()
+        return edges.sparkSession.createDataFrame(ranks_pdf, out_schema)
+
+    def _ckpt(df: DataFrame):
+        obs = Observation(f"ppr_dangling_{next(_OBS_SEQ)}")
+        df = df.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0))), F.lit(0)
+            ).alias("dangling"),
+        )
+        return df.localCheckpoint(eager=True), obs
+
+    ranks, obs = _ckpt(
+        nodes.withColumn(
+            "rank",
+            F.when(F.col("seed"), F.lit(scale // ns)).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    for _ in range(iterations):
+        share = (int(obs.get["dangling"]) * damping_pct) // (100 * ns)
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {damping_pct}) div (100 * d)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks, obs = _ckpt(
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "dang",
+                "seed",
+                (
+                    F.when(F.col("seed"), F.lit(base + share)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select("node", "rank")

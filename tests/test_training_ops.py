@@ -1639,3 +1639,36 @@ def test_hyperball_neighborhoods_known_graph(spark):
     assert rows[6].used_regs == 1
     exp6 = _py_hyperball_regs({6})
     assert rows[6].sum_rho == sum(exp6.values())
+
+
+def test_personalized_pagerank_parity_and_semantics(spark):
+    """Driver and distributed PPR paths are BIT-EXACT on the same graph;
+    mass concentrates on/near the seeds (restart goes to seeds only) and
+    non-seed rank decays with distance; a seed off the edge node set is
+    ignored and an empty effective seed set raises."""
+    import pytest
+
+    from dr_source_spark.operators.graph import personalized_pagerank
+
+    # NON-bipartite on purpose: a bipartite path makes the 8-round walk
+    # oscillate between parity classes (period-2), so per-node ordering
+    # assertions would test the iteration count, not the operator. The
+    # triangle s-a-b plus pendant chain b-c-d converges.
+    und = [("s", "a"), ("s", "b"), ("a", "b"), ("b", "c"), ("c", "d")]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    seeds = spark.createDataFrame([("s",), ("zzz-not-in-graph",)], "node string")
+    drv = {r.node: r.rank for r in personalized_pagerank(edges, seeds).collect()}
+    dist = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, driver_max_edges=0).collect()
+    }
+    assert drv == dist  # bit-exact across the two execution paths
+    # seed holds the most mass; rank decays down the pendant chain
+    assert drv["s"] > drv["b"] and drv["a"] > drv["c"] > drv["d"] > 0
+    # fixed-point floors dissipate only a ~1e-10 fraction of the mass
+    assert 0.999 * 10**12 < sum(drv.values()) <= 10**12
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("nope",)], "node string")
+        )
