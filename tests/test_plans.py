@@ -355,3 +355,33 @@ def test_incremental_dedup_backfill_mode_shuffled_equi(spark):
     )
     plan = _plan(out)
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hyperball_propagation_equi_joins_only(spark):
+    """HyperBall's per-round register propagation is an equi-join on the
+    edge endpoint plus a max-aggregate; the exact-ball witness joins on
+    the member key. No Cartesian/BNLJ anywhere — an all-pairs shape here
+    would be fatal on a 10^12-edge graph."""
+    from dr_source_spark.operators.graph import hyperball_neighborhoods
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    plan = _plan(hyperball_neighborhoods(edges, nodes, p=4))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_personalized_pagerank_seed_flag_is_broadcast(spark):
+    """The seed flag joins onto the node table as a broadcast (the seed
+    set is small by construction); the distributed rank loop itself is
+    equi-join + partial aggregate. Forced distributed path so the gate
+    sees the real iteration plan, not the driver escape hatch."""
+    from dr_source_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "s"), ("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    plan = _plan(personalized_pagerank(edges, seeds, iterations=1, driver_max_edges=0))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
