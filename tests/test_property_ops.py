@@ -101,3 +101,70 @@ def test_asof_join_property_vs_brute_force(spark):
             cands = [(rt, v) for k, rt, v in rts if k == key and rt <= ts]
             want = max(cands) if cands else (None, None)
             assert got[eid] == want, f"trial {trial} event {eid}"
+
+
+def test_hyperball_law_random_graphs(spark):
+    """On random graphs (dense, sparse, with isolates and self-loops) the
+    propagated register table equals the pure-Python sketch of each
+    node's exact <=2-hop ball — the HyperBall max-merge == set-union law
+    on arbitrary topology, not just the handcrafted fixture."""
+    from dr_source_spark.operators.graph import hyperball_registers
+    from tests.test_training_ops import _py_hyperball_regs
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n = rng.randrange(4, 28)
+        density = rng.choice([0.08, 0.25, 0.5])
+        und = [
+            (a, b)
+            for a in range(n)
+            for b in range(a, n)
+            if rng.random() < density
+        ]
+        sym = [(a, b) for a, b in und if a != b]
+        sym += [(b, a) for a, b in sym]
+        adj = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+        nodes_l = list(range(n))
+        if not sym:
+            sym = [(0, 1), (1, 0)]
+            adj = {0: {1}, 1: {0}}
+        edges = spark.createDataFrame(sym, "src long, dst long")
+        nodes = spark.createDataFrame([(v,) for v in nodes_l], "node long")
+        got = {}
+        for r in hyperball_registers(edges, nodes, p=4, rounds=2).collect():
+            got.setdefault(r.node, {})[r.bucket] = r.r
+        for v in nodes_l:
+            ball = {v} | adj.get(v, set())
+            ball |= {w for u in ball for w in adj.get(u, set())}
+            assert got[v] == _py_hyperball_regs(ball), (trial, v)
+
+
+def test_personalized_pagerank_paths_agree_random_graphs(spark):
+    """Driver and distributed PPR are bit-exact on random directed graphs
+    with random seed sets — including dangling nodes (the dangling-mass
+    share path) and seeds that are themselves dangling."""
+    from dr_source_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(37)
+    for trial in range(3):
+        n = rng.randrange(5, 18)
+        m = rng.randrange(n, 4 * n)
+        e = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        e = [(a, b) for a, b in e if a != b] or [(0, 1)]
+        node_set = {x for p in e for x in p}
+        seeds_l = rng.sample(sorted(node_set), k=max(1, len(node_set) // 3))
+        edges = spark.createDataFrame(e, "src long, dst long")
+        seeds = spark.createDataFrame([(s,) for s in seeds_l], "node long")
+        drv = {
+            r.node: r.rank
+            for r in personalized_pagerank(edges, seeds, iterations=5).collect()
+        }
+        dist = {
+            r.node: r.rank
+            for r in personalized_pagerank(
+                edges, seeds, iterations=5, driver_max_edges=0
+            ).collect()
+        }
+        assert drv == dist, trial
