@@ -3479,6 +3479,40 @@ def _stream_sessionize(spark, sf_dir):
     )
 
 
+def _events_session_stats(spark, sf_dir):
+    # BATCH sessionization (operators/relational.session_stats): identical
+    # 30-min strictly-greater gap rule as stream_sessionize, rolled up to
+    # per-user session statistics — islands via lag + running break-sum,
+    # one exchange for the whole query (plan-gated)
+    from dr_source_spark.operators.relational import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_SESSION_STATS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), per AS (
+  SELECT user_id, sid, count(*) AS n_ev,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+       CAST(max(dur) AS BIGINT) AS longest_session_secs
+FROM per GROUP BY user_id
+"""
+
+
 _STREAM_SESSION_SQL = """
 WITH d AS (
   SELECT user_id, ts, value,
@@ -4350,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "q18_large_volume_customer": _q18_large_volume_customer,
         "kg_ppr_exposure": _kg_ppr_exposure,
+        "events_session_stats": _events_session_stats,
     }
 
 
@@ -4397,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL,
         "q18_large_volume_customer": _Q18_SQL,
         "kg_ppr_exposure": _kg_ppr_sql(),
+        "events_session_stats": _EVENTS_SESSION_STATS_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

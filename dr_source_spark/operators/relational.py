@@ -278,3 +278,58 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
         )
 
     return fin(hour, "hour").unionByName(fin(day, "day"))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, n_sessions, n_events, max_session_events,
+    longest_session_secs): BATCH gaps-and-islands sessionization — the
+    same strictly-greater 30-min gap rule as the streaming
+    ``session_window`` operator (streaming/incremental.sessionize), so
+    the two surfaces cannot disagree on what a session is.
+
+    Islands: lag over (user, ts) marks a break where the gap exceeds
+    ``gap_minutes``; a running sum of breaks numbers the sessions; two
+    stacked aggregates produce per-user stats. Tied timestamps are safe:
+    the break flags depend only on the sorted ts VALUES, so any tie
+    order yields identical per-user statistics (both engines rely on
+    this).
+
+    Scale shape: both window specs share the (user_id) partitioning and
+    the two groupBys cluster on supersets of it, so Catalyst plans ONE
+    exchange for the whole query (plan-gated) — at 100 TB the events
+    table shuffles exactly once."""
+    # timestampdiff(MICROSECOND, ...), not unix_timestamp: the events
+    # carry sub-second parts, and a floored-seconds diff disagrees with
+    # the oracle's exact interval comparison right at the gap boundary
+    # (1800.5 s is a break; floor(1800) is not). timestampdiff is also
+    # wall-clock pure — it accepts TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ, which is what parquet scans produce
+    # here) and never consults the session timezone.
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        events.select("user_id", "ts")
+        .withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev, ts)") > F.lit(gap_us)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_ev"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts)) div 1000000").alias("dur"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+        F.max("dur").cast("long").alias("longest_session_secs"),
+    )

@@ -385,3 +385,15 @@ def test_personalized_pagerank_seed_flag_is_broadcast(spark):
     seeds = spark.createDataFrame([("s",)], "node string")
     plan = _plan(personalized_pagerank(edges, seeds, iterations=1, driver_max_edges=0))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_session_stats_single_exchange(spark):
+    """Both window specs and both stacked aggregates cluster on (or on a
+    superset of) user_id, so the whole sessionization query shuffles the
+    events exactly ONCE — at 100 TB a second exchange here would double
+    the job's network cost."""
+    from dr_source_spark.operators.relational import session_stats
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(session_stats(events))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

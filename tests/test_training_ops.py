@@ -1672,3 +1672,26 @@ def test_personalized_pagerank_parity_and_semantics(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([("nope",)], "node string")
         )
+
+
+def test_session_stats_known_timeline(spark):
+    """Hand-built timeline: user 1 has two sessions (a 31-min gap splits,
+    an exactly-30-min gap does NOT — the strictly-greater rule matches
+    stream_sessionize); user 2 has one single-event session."""
+    import datetime as dt
+
+    from dr_source_spark.operators.relational import session_stats
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),      # ==30min gap: same session
+        (1, t0 + dt.timedelta(minutes=61, seconds=1)),  # >30min: new session
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: r for r in session_stats(df).collect()}
+    assert got[1].n_sessions == 2 and got[1].n_events == 3
+    assert got[1].max_session_events == 2
+    assert got[1].longest_session_secs == 1800
+    assert got[2].n_sessions == 1 and got[2].longest_session_secs == 0
