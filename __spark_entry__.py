@@ -942,6 +942,55 @@ GROUP BY p.word, p.exact_cnt
 """
 
 
+def _stream_cms_registers(spark, sf_dir):
+    # the count-min sketch AS STREAMING STATE: cms_registers is explode +
+    # groupBy-count, so the SAME operator runs unchanged as a Structured
+    # Streaming aggregation (complete mode, availableNow) — counter
+    # ADDITION is exactly what Spark's streaming state update does per
+    # micro-batch, so the drained register table must equal the batch
+    # sketch cell-for-cell (the mergeability law exercised by the
+    # engine's own state store rather than cms_merge)
+    import hashlib
+    import shutil
+
+    from dr_source_spark.training.sketch import cms_registers
+
+    tag = hashlib.md5((sf_dir + "cms").encode()).hexdigest()[:8]
+    base = f"/tmp/drs_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(f"{base}/src")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(f"{base}/src")
+    qname = f"cms_{tag}"
+    q = (
+        cms_registers(stream, depth=4, width=_CMS_W)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("row").cast("int").alias("row"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+_STREAM_CMS_SQL = rf"""
+WITH {_duck_minhash_seeds(4)},
+toks AS (SELECT w AS word FROM (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) WHERE w <> ''),
+hashed AS (SELECT word, {_duck_minhash_base('word')} AS h FROM toks),
+positions AS (SELECT s.seed AS row, ((s.a * t.h + s.b) % {_MINHASH_P}) % {_CMS_W} AS pos
+              FROM hashed t CROSS JOIN seeds s)
+SELECT CAST(row AS INT) AS row, CAST(pos AS INT) AS pos, count(*)::BIGINT AS cnt
+FROM positions GROUP BY 1, 2
+"""
+
+
 def _text_hdr_quantiles(spark, sf_dir):
     # HDR-histogram quantile sketch (log-linear integer buckets, K=16 per
     # octave): mergeable bucket counts replace the per-group sort an exact
@@ -4385,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customer": _q18_large_volume_customer,
         "kg_ppr_exposure": _kg_ppr_exposure,
         "events_session_stats": _events_session_stats,
+        "stream_cms_registers": _stream_cms_registers,
     }
 
 
@@ -4433,6 +4483,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customer": _Q18_SQL,
         "kg_ppr_exposure": _kg_ppr_sql(),
         "events_session_stats": _EVENTS_SESSION_STATS_SQL,
+        "stream_cms_registers": _STREAM_CMS_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -242,3 +242,51 @@ def test_hdr_sketch_accumulates_across_microbatches(spark, tmp_path_factory):
     # and the read-time quantiles agree too
     assert (sorted(map(tuple, hdr_quantile_bounds(spark.table("hdr_micro")).collect()))
             == sorted(map(tuple, hdr_quantile_bounds(want_df).collect())))
+
+
+def test_cms_registers_accumulate_across_microbatches(spark, tmp_path_factory):
+    """cms_registers as STREAMING STATE: two source files arrive in
+    separate micro-batches (maxFilesPerTrigger=1); the complete-mode
+    register table must equal the batch sketch of the concatenated
+    corpus — counter ADDITION is the state update, so this exercises the
+    CMS merge law through Spark's own state store instead of cms_merge."""
+    from dr_source_spark.training.sketch import cms_registers
+
+    src = str(tmp_path_factory.mktemp("cms_src"))
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+
+    rows_a = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)]
+    rows_b = [(100 + i, f"tok{i % 5} shared other") for i in range(30)]
+    spark.createDataFrame(rows_a, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows_b, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cms_registers(stream, depth=4, width=64)
+        .writeStream.format("memory").queryName("cms_micro")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    got = sorted(map(tuple, spark.table("cms_micro").collect()))
+    want = sorted(
+        map(
+            tuple,
+            cms_registers(
+                spark.createDataFrame(rows_a + rows_b, "doc_id long, text string"),
+                depth=4,
+                width=64,
+            ).collect(),
+        )
+    )
+    assert got == want
