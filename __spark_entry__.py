@@ -421,6 +421,43 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def _orders_cube_status_priority(spark, sf_dir):
+    # CUBE over (status, priority): all four grouping sets in one pass —
+    # the multidimensional-rollup surface (Catalyst expands the cube and
+    # plans ONE aggregate; at 100 TB that is one shuffle for all 2^k
+    # subtotal combinations, not k separate jobs). grouping_id
+    # disambiguates real NULL dimension values from subtotal rows.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping_id is only defined inside the cube's aggregate
+            # (post-select the grouping metadata is gone)
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_ORDERS_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def _q3_shipping_priority(spark, sf_dir):
     # TPC-H Q3 shape (adapted to this schema: o_orderpriority stands in
     # for o_shippriority): unshipped-revenue per order for one market
@@ -4435,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr_exposure": _kg_ppr_exposure,
         "events_session_stats": _events_session_stats,
         "stream_cms_registers": _stream_cms_registers,
+        "orders_cube_status_priority": _orders_cube_status_priority,
     }
 
 
@@ -4484,6 +4522,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_exposure": _kg_ppr_sql(),
         "events_session_stats": _EVENTS_SESSION_STATS_SQL,
         "stream_cms_registers": _STREAM_CMS_SQL,
+        "orders_cube_status_priority": _ORDERS_CUBE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
