@@ -421,6 +421,45 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def _lineitem_unpivot_metrics(spark, sf_dir):
+    # UNPIVOT (melt): the wide lineitem metric columns rotated into
+    # (metric, value) rows, then a per-metric profile — the inverse of
+    # the PIVOT surface (orders_pivot_priority); Spark's unpivot is a
+    # zero-shuffle Expand node, so the only exchange is the final
+    # 4-group aggregate
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.select("l_orderkey", *cols)
+        .unpivot(
+            ids=["l_orderkey"], values=cols,
+            variableColumnName="metric", valueColumnName="v",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("v").cast("decimal(18,4)")).cast("double"), 2).alias("total"),
+            F.round(F.min("v").cast("double"), 4).alias("vmin"),
+            F.round(F.max("v").cast("double"), 4).alias("vmax"),
+        )
+    )
+
+
+_LINEITEM_UNPIVOT_SQL = """
+WITH m AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+       round(CAST(min(v) AS DOUBLE), 4) AS vmin,
+       round(CAST(max(v) AS DOUBLE), 4) AS vmax
+FROM m GROUP BY metric
+"""
+
+
 def _orders_cube_status_priority(spark, sf_dir):
     # CUBE over (status, priority): all four grouping sets in one pass —
     # the multidimensional-rollup surface (Catalyst expands the cube and
@@ -3165,6 +3204,65 @@ def _kg_triangles(spark, sf_dir):
     return triangle_counts(_kg_triples(spark, sf_dir).edges)
 
 
+def _kg_hyperball(spark, sf_dir):
+    # neighborhood function of the knowledge graph: per-entity exact
+    # <=1/<=2-hop ball sizes + truncated harmonic centrality + the p=4
+    # HLL register summary of the 2-hop ball, via HyperBall max-merge
+    # propagation over the symmetric KG (same operator as
+    # dedup_hyperball; here it answers "how much of the graph is within
+    # two hops of each file/CWE/rule entity")
+    from dr_source_spark.operators.graph import hyperball_neighborhoods
+
+    edges = _kg_triples(spark, sf_dir).edges
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    return hyperball_neighborhoods(sym, nodes, p=4)
+
+
+def _kg_hyperball_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # balls materialized as SETs over the symmetric KG edges, then the
+    # p=4 register arithmetic of _dedup_hyperball_sql on the member ids
+    # (node ids are strings here, hashed directly — no CAST)
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e WHERE src <> dst),
+sedges AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sedges),
+ball1 AS (
+  SELECT n.node, n.node AS member FROM nodes n
+  UNION SELECT e.src, e.dst FROM sedges e),
+ball2 AS (
+  SELECT node, member FROM ball1
+  UNION SELECT b.node, e.dst FROM ball1 b JOIN sedges e ON e.src = b.member),
+bsz AS (
+  SELECT b1.node, b1.n AS ball1_exact, b2.n AS ball2_exact
+  FROM (SELECT node, count(*) AS n FROM ball1 GROUP BY node) b1
+  JOIN (SELECT node, count(*) AS n FROM ball2 GROUP BY node) b2 ON b1.node = b2.node),
+mh AS (
+  SELECT node, {_duck_minhash_base('member')} AS h FROM ball2),
+hregs AS (
+  SELECT node, h % 16 AS bucket,
+    max(CASE WHEN h // 16 = 0 THEN 29 ELSE 28 - length(bin(h // 16)) + 1 END) AS r
+  FROM mh GROUP BY node, bucket),
+summ AS (
+  SELECT node, count(*)::BIGINT AS used_regs, (16 - count(*))::BIGINT AS zero_regs,
+         sum(r)::BIGINT AS sum_rho,
+         (sum(1::BIGINT << (29 - r)) + (16 - count(*)) * (1::BIGINT << 29))::BIGINT AS harmonic_scaled
+  FROM hregs GROUP BY node)
+SELECT b.node, ball1_exact::BIGINT AS ball1_exact, ball2_exact::BIGINT AS ball2_exact,
+       (2 * (ball1_exact - 1) + (ball2_exact - ball1_exact))::BIGINT AS harmonic_x2,
+       16::BIGINT AS m, used_regs, zero_regs, sum_rho, harmonic_scaled
+FROM bsz b JOIN summ s ON s.node = b.node
+"""
+
+
 _LPA_ROUNDS = 4
 
 
@@ -3596,6 +3694,31 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(max(n_ev) AS BIGINT) AS max_session_events,
        CAST(max(dur) AS BIGINT) AS longest_session_secs
 FROM per GROUP BY user_id
+"""
+
+
+def _events_zscore_outliers(spark, sf_dir):
+    # per-user anomaly screen (operators/relational.zscore_outlier_counts):
+    # |value - user mean| > 3 sigma flags, decided in exact integer
+    # arithmetic (squared z-test on 1e4-fixed-point values) so the flag
+    # cannot straddle a float rounding boundary between engines
+    from dr_source_spark.operators.relational import zscore_outlier_counts
+
+    return zscore_outlier_counts(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_ZSCORE_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(floor(value * 10000) AS BIGINT) AS v FROM events
+), s AS (
+  SELECT user_id, v,
+         count(*) OVER w AS n, sum(v) OVER w AS s1, sum(v * v) OVER w AS s2
+  FROM b WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (n*v - s1) * (n*v - s1) > 9 * (n*s2 - s1*s1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM s GROUP BY user_id
 """
 
 
@@ -4473,6 +4596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": _events_session_stats,
         "stream_cms_registers": _stream_cms_registers,
         "orders_cube_status_priority": _orders_cube_status_priority,
+        "kg_hyperball": _kg_hyperball,
+        "events_zscore_outliers": _events_zscore_outliers,
+        "lineitem_unpivot_metrics": _lineitem_unpivot_metrics,
     }
 
 
@@ -4523,6 +4649,9 @@ def oracle_sql() -> dict[str, str]:
         "events_session_stats": _EVENTS_SESSION_STATS_SQL,
         "stream_cms_registers": _STREAM_CMS_SQL,
         "orders_cube_status_priority": _ORDERS_CUBE_SQL,
+        "kg_hyperball": _kg_hyperball_sql(),
+        "events_zscore_outliers": _EVENTS_ZSCORE_SQL,
+        "lineitem_unpivot_metrics": _LINEITEM_UNPIVOT_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

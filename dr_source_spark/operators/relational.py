@@ -333,3 +333,52 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("n_ev").cast("long").alias("max_session_events"),
         F.max("dur").cast("long").alias("longest_session_secs"),
     )
+
+
+def zscore_outlier_counts(
+    events: DataFrame, k: int = 3, scale: int = 10_000
+) -> DataFrame:
+    """(user_id, n_events, n_outliers): per-user count of events whose
+    value sits more than ``k`` standard deviations from the user's own
+    mean — the per-entity anomaly screen a metrics pipeline runs
+    constantly, in EXACT integer arithmetic so both engines agree
+    bit-for-bit on every flag.
+
+    The z-test is squared to stay integer: with v the value in
+    ``scale``-fixed-point (floor), n the user's event count, s1 = sum(v),
+    s2 = sum(v^2),
+
+        |v - s1/n| > k * sigma   <=>   (n*v - s1)^2 > k^2 * (n*s2 - s1^2)
+
+    (multiply through by n^2; sigma^2 = (n*s2 - s1^2)/n^2). No sqrt, no
+    floats past the initial fixed-point floor — the flag cannot straddle
+    a rounding boundary between engines. int64 budget at scale=10^4:
+    values up to ~10^3 and ~10^2 events/user put (n*v)^2 ~ 3e17 and
+    k^2*(n*s2 - s1^2) ~ 3e18, inside int64 with ~3x headroom; a corpus
+    with 100x more events per user needs scale=10^2.
+
+    Scale shape: one window over user_id for (n, s1, s2) and a final
+    groupBy on the same key — the events shuffle exactly once."""
+    w = Window.partitionBy("user_id")
+    base = events.select(
+        "user_id", F.floor(F.col("value") * scale).cast("long").alias("v")
+    )
+    s = base.select(
+        "user_id",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("v") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        s.withColumn(
+            "is_out", (dev * dev > F.lit(k * k) * var_n2).cast("int")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+    )

@@ -1695,3 +1695,25 @@ def test_session_stats_known_timeline(spark):
     assert got[1].max_session_events == 2
     assert got[1].longest_session_secs == 1800
     assert got[2].n_sessions == 1 and got[2].longest_session_secs == 0
+
+
+def test_zscore_outlier_counts_known_values(spark):
+    """Hand-checkable: user 1 has fifteen 10.0s and one 100.0 — the spike
+    is > 3 sigma out (a lone spike among n points caps at z ~ sqrt(n), so
+    9+1 would land at EXACTLY 3.0 and the strict inequality correctly
+    rejects it — 15+1 clears the bar); user 2's uniform values yield zero
+    outliers; a single-event user yields zero (deviation and variance
+    both zero, 0 > 0 is false)."""
+    from dr_source_spark.operators.relational import zscore_outlier_counts
+
+    rows = [(1, 10.0)] * 15 + [(1, 100.0)] + [(2, 5.0)] * 4 + [(3, 42.0)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r.user_id: (r.n_events, r.n_outliers) for r in zscore_outlier_counts(df).collect()}
+    # verify the flag against the pure-Python integer inequality
+    vs = [100_000] * 15 + [1_000_000]
+    n, s1 = len(vs), sum(vs)
+    s2 = sum(v * v for v in vs)
+    spike_out = (n * 1_000_000 - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+    base_out = (n * 100_000 - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+    assert spike_out and not base_out  # the fixture is what we think it is
+    assert got == {1: (16, 1), 2: (4, 0), 3: (1, 0)}
