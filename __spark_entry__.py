@@ -421,6 +421,48 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def _customer_acctbal_quartiles(spark, sf_dir):
+    # ntile(4) quartile binning per nation — the bucketed-rank window
+    # class (ntile) with a unique-key tie-break (acctbal DESC, custkey)
+    # so both engines assign the identical boundary rows, then a
+    # per-(nation, quartile) profile to keep the output narrow
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.min("c_acctbal").cast("double"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal").cast("double"), 2).alias("max_bal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("quartile").cast("long").alias("quartile"),
+            "n_customers", "min_bal", "max_bal",
+        )
+    )
+
+
+_CUSTOMER_NTILE_SQL = """
+WITH q AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(min(c_acctbal) AS DOUBLE), 2) AS min_bal,
+       round(CAST(max(c_acctbal) AS DOUBLE), 2) AS max_bal
+FROM q GROUP BY 1, 2
+"""
+
+
 def _lineitem_unpivot_metrics(spark, sf_dir):
     # UNPIVOT (melt): the wide lineitem metric columns rotated into
     # (metric, value) rows, then a per-metric profile — the inverse of
@@ -4599,6 +4641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hyperball": _kg_hyperball,
         "events_zscore_outliers": _events_zscore_outliers,
         "lineitem_unpivot_metrics": _lineitem_unpivot_metrics,
+        "customer_acctbal_quartiles": _customer_acctbal_quartiles,
     }
 
 
@@ -4652,6 +4695,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hyperball": _kg_hyperball_sql(),
         "events_zscore_outliers": _EVENTS_ZSCORE_SQL,
         "lineitem_unpivot_metrics": _LINEITEM_UNPIVOT_SQL,
+        "customer_acctbal_quartiles": _CUSTOMER_NTILE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
