@@ -602,7 +602,11 @@ def _q18_large_volume_customer(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qsum"))
         .filter(F.col("qsum") > F.lit(300).cast("decimal(18,4)"))
-        .select("l_orderkey", F.col("qsum").cast("long").alias("total_qty"))
+        # explicit floor, not a bare long cast: Spark's decimal->long cast
+        # truncates while DuckDB's rounds half-up, so a fractional qsum
+        # would silently diverge; floor() is the same operation in both
+        # engines (quantities are positive)
+        .select("l_orderkey", F.floor("qsum").cast("long").alias("total_qty"))
     )
     return (
         o.join(F.broadcast(qty), o["o_orderkey"] == qty["l_orderkey"])
@@ -620,7 +624,7 @@ def _q18_large_volume_customer(spark, sf_dir):
 _Q18_SQL = """
 SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        round(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
-       CAST(CAST(q.qsum AS DECIMAL(18,4)) AS BIGINT) AS total_qty
+       CAST(floor(q.qsum) AS BIGINT) AS total_qty
 FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > CAST(300 AS DECIMAL(18,4))) q

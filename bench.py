@@ -154,16 +154,18 @@ def main():
     # query cost, and best-of-2 can't mask it
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     bench_kg_extract(spark)
-    # warm the dedup/LSH/components plan family on a small prefix too:
-    # the dedup_clusters extra series otherwise pays whole-stage codegen
-    # + shuffle-machinery first-touch in its first timed sample (observed
-    # as a 19-25 s cold sample vs 5-7 s warm on the same box), which
-    # best-of-2 then misreports as a regression
+    # warm the dedup/LSH/components plan family too: the dedup_clusters
+    # extra series otherwise pays whole-stage codegen + shuffle
+    # first-touch in its first timed sample (observed 19-25 s cold vs
+    # 5-7 s warm on the same box), which best-of-2 then misreports as a
+    # regression. Warm on the FULL bench input, not a limit() prefix — a
+    # shrunken input compiles different plan shapes (broadcast
+    # thresholds, candidate-pair volume) and a 400-doc warm pass still
+    # left a ~16 s first timed sample (141 % spread) on the very series
+    # it was meant to fix
     from dr_source_spark.training.dedup import duplicate_clusters
 
-    duplicate_clusters(
-        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(400)
-    ).count()
+    duplicate_clusters(spark.read.parquet(f"{SF_DIR}/documents.parquet")).count()
 
     # host-steal instrumentation: this sandbox is a VM on a shared host,
     # and host CPU steal (invisible to guest loadavg — the r5 postmortem

@@ -647,7 +647,12 @@ def hyperball_registers(
     on dense components) cannot. Each round is one equi-join on the edge
     key plus a map-side-combinable max-aggregate; no floats, no UDFs.
     Fixed small ``rounds`` keeps the plan linear (callers wanting deep
-    radii should checkpoint between rounds like ``bfs_distances``)."""
+    radii should checkpoint between rounds like ``bfs_distances``).
+
+    The node universe is ``nodes`` UNION every edge endpoint — an edge
+    endpoint missing from ``nodes`` would otherwise have no initial
+    self-register and its neighbors' sketches would silently miss it,
+    breaking the law above (``exact_ball`` normalizes identically)."""
     m = 1 << p
     maxrho = 32 - p + 1
     h = _hash32(F.col("node").cast("string"))
@@ -655,7 +660,8 @@ def hyperball_registers(
     rho = F.when(rem == 0, F.lit(maxrho)).otherwise(
         F.lit(32 - p) - F.length(F.bin(rem)) + 1
     )
-    regs = nodes.select(
+    universe = _node_universe(edges, nodes)
+    regs = universe.select(
         "node", (h % m).alias("bucket"), rho.cast("int").alias("r")
     )
     for _ in range(rounds):
@@ -670,12 +676,31 @@ def hyperball_registers(
     return regs
 
 
+def _node_universe(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """``nodes`` plus every edge endpoint — the node set both hyperball
+    halves operate on, so the registers == sketch(ball) law holds for any
+    caller-supplied node table (a missing endpoint would get phantom
+    registers on one side and a counted membership on the other)."""
+    return (
+        nodes.select("node")
+        .union(edges.select(F.col("src").alias("node")))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
 def exact_ball(edges: DataFrame, nodes: DataFrame, hops: int) -> DataFrame:
     """(node, member): the exact <=``hops``-hop reachable set per node,
     self included — the ground truth ``hyperball_registers`` sketches.
-    Quadratic on dense components by construction (a k-clique stores k^2
-    rows): benchmark-scale validation, not the 10^12-edge path."""
-    ball = nodes.select("node", F.col("node").alias("member"))
+    Node universe normalized like ``hyperball_registers``. Quadratic on
+    dense components by construction (a k-clique stores k^2 rows):
+    benchmark-scale validation, not the 10^12-edge path."""
+    ball = _node_universe(edges, nodes).select("node", F.col("node").alias("member"))
+    return _extend_ball(ball, edges, hops)
+
+
+def _extend_ball(ball: DataFrame, edges: DataFrame, hops: int) -> DataFrame:
+    """Extend a (node, member) set table by ``hops`` one-hop expansions."""
     for _ in range(hops):
         ext = ball.join(
             edges.withColumnRenamed("src", "member"), "member"
@@ -721,13 +746,14 @@ def hyperball_neighborhoods(
         .cast("long")
         .alias("harmonic_scaled"),
     )
-    b1 = (
-        exact_ball(edges, nodes, hops=1)
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("ball1_exact"))
-    )
+    # ONE expansion per hop: ball2 extends ball1 instead of re-running
+    # the 1-hop join from scratch inside a hops=2 call (the exact witness
+    # is already quadratic on dense components — no need to pay the first
+    # hop twice)
+    ball1 = exact_ball(edges, nodes, hops=1)
+    b1 = ball1.groupBy("node").agg(F.count("*").cast("long").alias("ball1_exact"))
     b2 = (
-        exact_ball(edges, nodes, hops=2)
+        _extend_ball(ball1, edges, hops=1)
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("ball2_exact"))
     )
@@ -774,6 +800,27 @@ def _driver_ppr(
     return [(v, rank[v]) for v in node_list]
 
 
+def _ppr_node_table(e: DataFrame, deg: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(node, dang, seed) for `personalized_pagerank` — separate so the
+    plan gate can inspect the PRE-checkpoint plan (after localCheckpoint
+    the executed plan is a Scan ExistingRDD and every join assertion is
+    vacuous). The seed flag joins as an explicit broadcast: the seed set
+    is small by construction."""
+    seed_nodes = seeds.select(F.col("node")).distinct()
+    return (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")), "node", "left")
+        .join(F.broadcast(seed_nodes.withColumn("seed", F.lit(True))), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("dang"), F.lit(True)).alias("dang"),
+            F.coalesce(F.col("seed"), F.lit(False)).alias("seed"),
+        )
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -804,20 +851,7 @@ def personalized_pagerank(
     ``DRIVER_CC_MAX_EDGES``); ``driver_max_edges=0`` forces distributed."""
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
-    seed_nodes = seeds.select(F.col("node")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")), "node", "left")
-        .join(F.broadcast(seed_nodes.withColumn("seed", F.lit(True))), "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("dang"), F.lit(True)).alias("dang"),
-            F.coalesce(F.col("seed"), F.lit(False)).alias("seed"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    nodes = _ppr_node_table(e, deg, seeds).localCheckpoint(eager=True)
     ns = nodes.filter(F.col("seed")).count()
     if ns == 0:
         raise ValueError("personalized_pagerank: no seed intersects the edge node set")

@@ -374,17 +374,23 @@ def test_hyperball_propagation_equi_joins_only(spark):
 
 def test_personalized_pagerank_seed_flag_is_broadcast(spark):
     """The seed flag joins onto the node table as a broadcast (the seed
-    set is small by construction); the distributed rank loop itself is
-    equi-join + partial aggregate. Forced distributed path so the gate
-    sees the real iteration plan, not the driver escape hatch."""
-    from dr_source_spark.operators.graph import personalized_pagerank
+    set is small by construction). Gated on the PRE-checkpoint node-table
+    plan via _ppr_node_table — the operator's returned DataFrame sits
+    behind localCheckpoint, where the executed plan is a Scan ExistingRDD
+    and any join assertion would be vacuous."""
+    from dr_source_spark.operators.graph import _ppr_node_table
 
     edges = spark.createDataFrame(
         [("s", "a"), ("a", "s"), ("a", "b"), ("b", "a")], "src string, dst string"
     )
     seeds = spark.createDataFrame([("s",)], "node string")
-    plan = _plan(personalized_pagerank(edges, seeds, iterations=1, driver_max_edges=0))
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    plan = _plan(_ppr_node_table(e, deg, seeds))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the seed flag really does broadcast: dropping F.broadcast would
+    # shuffle the node table instead
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
 def test_session_stats_single_exchange(spark):

@@ -1717,3 +1717,26 @@ def test_zscore_outlier_counts_known_values(spark):
     base_out = (n * 100_000 - s1) ** 2 > 9 * (n * s2 - s1 * s1)
     assert spike_out and not base_out  # the fixture is what we think it is
     assert got == {1: (16, 1), 2: (4, 0), 3: (1, 0)}
+
+
+def test_hyperball_law_holds_with_partial_node_table(spark):
+    """An edge endpoint missing from the caller's node table must not
+    break the registers == sketch(exact ball) law: both halves normalize
+    to nodes UNION endpoints (a missing endpoint previously got phantom
+    registers on one side and a counted membership on the other)."""
+    from dr_source_spark.operators.graph import (
+        exact_ball,
+        hyperball_registers,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,)], "node long")  # node 2 omitted
+    got = {}
+    for r in hyperball_registers(edges, nodes, p=4, rounds=2).collect():
+        got.setdefault(r.node, {})[r.bucket] = r.r
+    balls = {}
+    for r in exact_ball(edges, nodes, hops=2).collect():
+        balls.setdefault(r.node, set()).add(r.member)
+    assert set(got) == {1, 2} and balls == {1: {1, 2}, 2: {1, 2}}
+    for v, ball in balls.items():
+        assert got[v] == _py_hyperball_regs(ball), (v, ball)

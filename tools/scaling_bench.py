@@ -113,7 +113,7 @@ worker pool warmed; only the detector stage is timed.
 | 8 → 32 | {eff_8_32:.2f} | at local[32] the single box runs ~64 runnable threads on 32 cores — the 4N side is hardware-oversubscribed, which a real 4N-executor cluster would not be; a pure-Python 32-process burn on this box caps at 0.85 for the same pair |
 
 Target ≥ 0.8 (north rule). On a real cluster each executor adds cores AND
-memory bandwidth; the 4→16 pair is the faithful single-box proxy. The
+memory bandwidth; the 2→8 pair is the faithful single-box proxy. The
 detector stage itself is embarrassingly parallel (per-file, no cross-task
 state): the only sub-linear terms are the shared-box memory bandwidth and
 Arrow IPC threads measured here.
