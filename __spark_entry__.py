@@ -421,6 +421,56 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def _orders_mom_growth(spark, sf_dir):
+    # month-over-month revenue trend: lag over the aggregated month series
+    # (window on top of an aggregate — the report shape behind every
+    # growth dashboard). Growth is an integer-scaled basis-point delta
+    # ((cur-prev)*10000 div prev) on decimal-exact monthly sums, NULL for
+    # the first month — no float division to disagree on
+    # integer cents; division is plain `div` — VERIFIED that DuckDB's
+    # `//` truncates toward zero exactly like Spark's `div` (-7//2 = -3
+    # in both), so negative growth months agree with no floor emulation
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+    ).select(
+        "month",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        (F.col("rev") * 100).cast("long").alias("rev_c"),
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_c", F.lag("rev_c").over(w))
+        .withColumn("a", (F.col("rev_c") - F.col("prev_c")) * 10000)
+        .select(
+            "month",
+            "revenue",
+            F.expr("a div prev_c").cast("long").alias("growth_bp"),
+        )
+    )
+
+
+_ORDERS_MOM_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT month, round(CAST(rev AS DOUBLE), 2) AS revenue,
+         CAST(rev * 100 AS BIGINT) AS rev_c
+  FROM m
+)
+SELECT month, revenue,
+       CAST((rev_c - lag(rev_c) OVER (ORDER BY month)) * 10000
+            // lag(rev_c) OVER (ORDER BY month) AS BIGINT) AS growth_bp
+FROM c
+"""
+
+
 def _customer_acctbal_quartiles(spark, sf_dir):
     # ntile(4) quartile binning per nation — the bucketed-rank window
     # class (ntile) with a unique-key tie-break (acctbal DESC, custkey)
@@ -4646,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore_outliers": _events_zscore_outliers,
         "lineitem_unpivot_metrics": _lineitem_unpivot_metrics,
         "customer_acctbal_quartiles": _customer_acctbal_quartiles,
+        "orders_mom_growth": _orders_mom_growth,
     }
 
 
@@ -4700,6 +4751,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore_outliers": _EVENTS_ZSCORE_SQL,
         "lineitem_unpivot_metrics": _LINEITEM_UNPIVOT_SQL,
         "customer_acctbal_quartiles": _CUSTOMER_NTILE_SQL,
+        "orders_mom_growth": _ORDERS_MOM_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
