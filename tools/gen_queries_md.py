@@ -42,7 +42,9 @@ OVERRIDES = {
 FAMILIES = [
     ("KG construction & graph analytics", lambda q: q.startswith("kg_")),
     ("Detector & findings store (reference surface)",
-     lambda q: q.startswith(("a", "b1", "tier_", "scalar_"))),
+     lambda q: q.startswith(
+         ("a6_", "a8_", "a9_", "a10_", "a11_", "b1_", "tier_", "scalar_")
+     )),
     ("Deduplication", lambda q: q.startswith("dedup_")),
     ("Text curation & analysis", lambda q: q.startswith(("text_", "corpus_"))),
     ("Embeddings & ANN", lambda q: q.startswith(("emb_", "ann_"))),
