@@ -440,7 +440,9 @@ def _orders_mom_growth(spark, sf_dir):
     ).select(
         "month",
         F.round(F.col("rev").cast("double"), 2).alias("revenue"),
-        (F.col("rev") * 100).cast("long").alias("rev_c"),
+        # floor(), not a bare long cast — same cross-engine hazard as q18
+        # (Spark truncates, DuckDB rounds); integral today at 2dp prices
+        F.floor(F.col("rev") * 100).cast("long").alias("rev_c"),
     )
     w = Window.orderBy("month")
     return (
@@ -461,7 +463,7 @@ WITH m AS (
   FROM orders GROUP BY 1
 ), c AS (
   SELECT month, round(CAST(rev AS DOUBLE), 2) AS revenue,
-         CAST(rev * 100 AS BIGINT) AS rev_c
+         CAST(floor(rev * 100) AS BIGINT) AS rev_c
   FROM m
 )
 SELECT month, revenue,

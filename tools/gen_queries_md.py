@@ -58,27 +58,29 @@ def main() -> None:
     src = open(f"{REPO}/__spark_entry__.py").read()
     import __spark_entry__ as E
 
-    qs = list(E.queries())
+    registry = E.queries()
+    qs = list(registry)
     assert set(qs) == set(E.oracle_sql()), "query/oracle key mismatch"
-    fn_of = {}
-    for k, v in re.findall(r'"([a-z0-9_]+)":\s*(_[a-zA-Z0-9_]+),', src):
-        fn_of.setdefault(k, v)  # first match = queries() dict
+    # the registry values ARE the functions — no source parsing needed
+    fn_of = {k: v.__name__ for k, v in registry.items()}
 
     def desc(q: str) -> str:
         if q in OVERRIDES:
             return OVERRIDES[q]
-        fn = fn_of.get(q, "")
         g = re.search(
-            rf"\ndef {re.escape(fn)}\(.*?\):\n(.*?)(?=\ndef |\nclass |\n_[A-Z]|\Z)",
+            rf"\ndef {re.escape(fn_of[q])}\(.*?\):\n(.*?)(?=\ndef |\nclass |\n_[A-Z]|\Z)",
             src, re.S,
         )
         block = []
         if g:
             for line in g.group(1).splitlines():
-                s = line.strip()
-                if s.startswith("#"):
-                    block.append(s.lstrip("#").strip())
-                elif block:
+                stripped = line.strip()
+                if stripped.startswith("#"):
+                    block.append(stripped.lstrip("#").strip())
+                else:
+                    # LEADING comments only: anything else (code, docstring,
+                    # blank) ends the scan, so an unrelated inner comment
+                    # can never ship as the catalog description
                     break
         return re.sub(r"\s+", " ", " ".join(block))
 
@@ -101,9 +103,12 @@ def main() -> None:
         "`python tools/gen_queries_md.py`.", "",
     ]
     for fam, _ in FAMILIES:
-        out.append(f"## {fam} ({len(groups[fam])})")
+        fam_qs = groups.get(fam, [])
+        if not fam_qs:
+            continue
+        out.append(f"## {fam} ({len(fam_qs)})")
         out.append("")
-        for q in groups[fam]:
+        for q in fam_qs:
             out.append(f"* **`{q}`** — {desc(q)}")
         out.append("")
     open(f"{REPO}/docs/QUERIES.md", "w").write("\n".join(out) + "\n")
