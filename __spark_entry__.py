@@ -3765,10 +3765,15 @@ def _events_session_stats(spark, sf_dir):
     # BATCH sessionization (operators/relational.session_stats): identical
     # 30-min strictly-greater gap rule as stream_sessionize, rolled up to
     # per-user session statistics — islands via lag + running break-sum,
-    # one exchange for the whole query (plan-gated)
+    # one exchange for the whole query (plan-gated). A planted NULL-ts
+    # row proves the operator's NULL-drop is oracle-gated (Spark and
+    # DuckDB order NULLs on opposite ends, so an ordered NULL would
+    # diverge)
     from dr_source_spark.operators.relational import session_stats
 
-    return session_stats(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    planted = ev.limit(1).select("user_id", F.lit(None).cast("timestamp").alias("ts"))
+    return session_stats(ev.unionByName(planted))
 
 
 _EVENTS_SESSION_STATS_SQL = """
@@ -3777,6 +3782,7 @@ WITH d AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts,
@@ -3799,15 +3805,20 @@ def _events_zscore_outliers(spark, sf_dir):
     # per-user anomaly screen (operators/relational.zscore_outlier_counts):
     # |value - user mean| > 3 sigma flags, decided in exact integer
     # arithmetic (squared z-test on 1e4-fixed-point values) so the flag
-    # cannot straddle a float rounding boundary between engines
+    # cannot straddle a float rounding boundary between engines. A
+    # planted NULL-value row proves the operator's NULL-drop is
+    # oracle-gated (count(*) would otherwise include a row the sums skip)
     from dr_source_spark.operators.relational import zscore_outlier_counts
 
-    return zscore_outlier_counts(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    planted = ev.limit(1).select("user_id", F.lit(None).cast("double").alias("value"))
+    return zscore_outlier_counts(ev.unionByName(planted))
 
 
 _EVENTS_ZSCORE_SQL = """
 WITH b AS (
   SELECT user_id, CAST(floor(value * 10000) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
 ), s AS (
   SELECT user_id, v,
          count(*) OVER w AS n, sum(v) OVER w AS s1, sum(v * v) OVER w AS s2

@@ -308,7 +308,12 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
     sess = (
+        # NULL timestamps are dropped, not ordered: Spark sorts NULLS
+        # FIRST ascending while DuckDB sorts NULLS LAST, so a NULL-ts
+        # event would land in a different window position per engine —
+        # and an unordered event has no defined session anyway
         events.select("user_id", "ts")
+        .filter(F.col("ts").isNotNull())
         .withColumn("prev", F.lag("ts").over(w))
         .withColumn(
             "brk",
@@ -360,7 +365,10 @@ def zscore_outlier_counts(
     Scale shape: one window over user_id for (n, s1, s2) and a final
     groupBy on the same key — the events shuffle exactly once."""
     w = Window.partitionBy("user_id")
-    base = events.select(
+    # NULL values are dropped BEFORE the stats: count(*) would include a
+    # NULL-v row while sum()/sum(v*v) skip it, silently biasing n against
+    # s1/s2 (identically in both engines — consistent but wrong)
+    base = events.filter(F.col("value").isNotNull()).select(
         "user_id", F.floor(F.col("value") * scale).cast("long").alias("v")
     )
     s = base.select(

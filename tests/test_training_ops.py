@@ -1740,3 +1740,50 @@ def test_hyperball_law_holds_with_partial_node_table(spark):
     assert set(got) == {1, 2} and balls == {1: {1, 2}, 2: {1, 2}}
     for v, ball in balls.items():
         assert got[v] == _py_hyperball_regs(ball), (v, ball)
+
+
+def test_new_ops_empty_and_null_inputs(spark):
+    """Empty/NULL-input gates for the final-session operators, matching
+    the house convention the sketches follow: empty in, empty (not
+    crash) out; NULL ts/value rows are DROPPED (Spark and DuckDB order
+    NULLs on opposite ends, and count(*) would diverge from NULL-skipping
+    sums), pinned here so the hardening cannot regress silently."""
+    import datetime as dt
+
+    from dr_source_spark.operators.graph import (
+        hyperball_neighborhoods,
+        personalized_pagerank,
+    )
+    from dr_source_spark.operators.relational import (
+        session_stats,
+        zscore_outlier_counts,
+    )
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    empty_nodes = spark.createDataFrame([], "node long")
+    assert hyperball_neighborhoods(empty_edges, empty_nodes).count() == 0
+
+    empty_events = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert session_stats(empty_events).count() == 0
+    assert zscore_outlier_counts(empty_events).count() == 0
+
+    # PPR on empty edges: no node can intersect the seed set -> ValueError
+    import pytest
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(empty_edges, spark.createDataFrame([(1,)], "node long"))
+
+    # NULL-row drop: the NULL-ts event joins no session; the NULL-value
+    # event counts toward neither n_events nor the sums
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 5.0), (1, t0 + dt.timedelta(minutes=5), 7.0), (1, None, 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    s = session_stats(ev).collect()[0]
+    assert (s.n_sessions, s.n_events) == (1, 2)
+    ev2 = spark.createDataFrame(
+        [(1, t0, 5.0), (1, t0, None)], "user_id long, ts timestamp, value double"
+    )
+    z = zscore_outlier_counts(ev2).collect()[0]
+    assert (z.n_events, z.n_outliers) == (1, 0)
