@@ -685,6 +685,276 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def _q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape: the EXISTS-subquery operator class as a LEFT SEMI
+    # join — orders in one quarter having at least one RETURNED lineitem
+    # (this schema has no commitdate/receiptdate, so l_returnflag = 'R'
+    # stands in for the late-delivery predicate), counted per priority.
+    # The lineitem side's filter + column pruning reach the scan; the
+    # semi-join shuffles only (orderkey) pairs — at 100 TB neither side
+    # materializes the other's payload columns, which is the whole point
+    # of semi-join vs join+distinct.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    return (
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            o["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def _q13_customer_distribution(spark, sf_dir):
+    # TPC-H Q13 shape: the OUTER-join distribution report — customers
+    # LEFT JOINed to their non-urgent orders (the extra predicate lives
+    # in the join condition, so order-less customers survive with
+    # c_count = 0), rolled up twice: orders per customer, then customers
+    # per order-count. The first aggregate reuses the join's custkey
+    # partitioning (no second exchange); the second groups a
+    # cardinality-of-distinct-counts table that is tiny at any scale.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def _q16_supplier_variety(spark, sf_dir):
+    # TPC-H Q16 shape: the NOT-IN / ANTI-join + COUNT DISTINCT operator
+    # class. This schema has no partsupp table, so the observed
+    # part-supplier relation is DISTINCT (l_partkey, l_suppkey) from
+    # lineitem; "complaint" suppliers are the deterministic s_acctbal < 0
+    # set (6 rows at sf0.01), excluded with a LEFT ANTI join Catalyst
+    # broadcasts. supplier_cnt per (brand, type, size) is a real
+    # count-distinct (expand + two-phase aggregate) — the shuffle key is
+    # the narrow distinct pair, never lineitem payload.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .filter(F.col("p_brand") != "Brand#45")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q17_small_quantity(spark, sf_dir):
+    # TPC-H Q17 shape: the CORRELATED-scalar-subquery class, decorrelated
+    # the way every engine plans it — aggregate the inner relation once
+    # per key, join back, filter. The threshold test l_quantity <
+    # 0.2 * avg(per-part quantity) is restated in EXACT decimal integer
+    # arithmetic (5 * qty * cnt < sum) so no float division can classify
+    # a boundary row differently across engines. The per-part aggregate
+    # and the join-back share the partkey shuffle; part is broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(dec("l_quantity")).alias("qsum"),
+        F.count("*").alias("qcnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(per_part, li["l_partkey"] == per_part["ap_partkey"])
+        .filter(dec("l_quantity") * F.lit(5) * F.col("qcnt") < F.col("qsum"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS ap_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
+             count(*) AS qcnt
+      FROM lineitem GROUP BY 1) pa ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#12'
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * qcnt < qsum
+GROUP BY p_brand
+"""
+
+
+def _q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: the DISJUNCTIVE-predicate class — an OR of three
+    # (brand, size-range, quantity-range) conjunction groups over the
+    # part join. Catalyst extracts the common l_partkey = p_partkey
+    # conjunct so this still plans a broadcast HASH join (not BNLJ), and
+    # pushes the OR-of-brands IN-list to the part scan; the residual
+    # disjunction evaluates post-join inside codegen. One broadcast, one
+    # 1-row aggregate — no shuffle of lineitem at any scale.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    grp = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(grp)
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q22_dormant_customers(spark, sf_dir):
+    # TPC-H Q22 shape: scalar-aggregate subquery + NOT EXISTS. Every
+    # customer has SOME order at this SF, so "dormant" = no order since
+    # 2000-01-01 (LEFT ANTI against the date-filtered orders). The
+    # global-average threshold is an exact integer restatement
+    # (acctbal * n_positive > sum_positive, decimal arithmetic) of
+    # c_acctbal > avg(positive acctbals); the scalar side joins in as an
+    # explicit broadcast cross join — the build side is EXACTLY ONE ROW
+    # by construction (a global aggregate), so the resulting
+    # BroadcastNestedLoopJoin is a per-row constant comparison, the same
+    # plan Spark itself produces for a scalar subquery. Shuffle-free on
+    # the scalar side at any scale.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum(dec("c_acctbal")).alias("sum_pos")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.round(F.sum(dec("c_acctbal")).cast("double"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_acctbal
+FROM customer,
+     (SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos
+      FROM customer WHERE c_acctbal > 0) g
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def _events_cep_sequence(spark, sf_dir):
+    # MATCH_RECOGNIZE-style complex-event-processing: STRICTLY CONSECUTIVE
+    # view -> click -> purchase per user (ordered by ts with the unique
+    # event_id as tie-break — no two lag chains can disagree across
+    # engines). This differs from events_funnel, which only needs the
+    # steps to occur in order SOMEWHERE in the history; a CEP pattern
+    # requires adjacency, which is lag(event_type, 1..2) over the user
+    # timeline. Both the window and the rollup cluster on user_id, so the
+    # whole query plans ONE exchange — at 100 TB the events table
+    # shuffles exactly once, like events_session_stats.
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("p1"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("p1") == "click")
+            & (F.col("p2") == "view")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_sequences"))
+    )
+
+
+_EVENTS_CEP_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sequences
+FROM (SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
+GROUP BY user_id
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     from dr_source_spark.training.dedup import exact_duplicates
 
@@ -4710,6 +4980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot_metrics": _lineitem_unpivot_metrics,
         "customer_acctbal_quartiles": _customer_acctbal_quartiles,
         "orders_mom_growth": _orders_mom_growth,
+        "q4_order_priority": _q4_order_priority,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q17_small_quantity": _q17_small_quantity,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_dormant_customers": _q22_dormant_customers,
+        "events_cep_sequence": _events_cep_sequence,
     }
 
 
@@ -4765,6 +5042,13 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_unpivot_metrics": _LINEITEM_UNPIVOT_SQL,
         "customer_acctbal_quartiles": _CUSTOMER_NTILE_SQL,
         "orders_mom_growth": _ORDERS_MOM_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q16_supplier_variety": _Q16_SQL,
+        "q17_small_quantity": _Q17_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q22_dormant_customers": _Q22_SQL,
+        "events_cep_sequence": _EVENTS_CEP_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -1,0 +1,140 @@
+"""Gates for the round-5 relational operator-class queries (TPC-H Q4 /
+Q13 / Q16 / Q17 / Q19 / Q22 shapes + the CEP sequence query): full DuckDB
+oracle parity at sf0.001 (the same cell-exact compare tools/oracle_check.py
+runs at sf0.01), plus physical-plan assertions for the scale properties
+each class exists to provide (semi/anti joins instead of join+distinct,
+hash join under a disjunctive predicate, one exchange for the CEP window)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "events_cep_sequence",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity_sf0001(spark, oracle_con, name):
+    sdf = _norm(E.queries()[name](spark, SF).toPandas())
+    odf = _norm(oracle_con.execute(E.oracle_sql()[name]).fetchdf())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf) and len(sdf) > 0, (len(sdf), len(odf))
+    for c in sdf.columns:
+        a, b = sdf[c], odf[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = (a.isna() & b.isna()) | (abs(a.astype(float) - b.astype(float)) < 1e-12)
+        else:
+            ok = a.astype(str) == b.astype(str)
+        assert ok.all(), f"{name}.{c}: {a[~ok].head(3)} vs {b[~ok].head(3)}"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_plans_semi_join(spark):
+    """The EXISTS decorrelates to a LEFT SEMI join — never join+distinct
+    (which would shuffle and materialize the full match multiplicity) and
+    never a nested loop; the returnflag filter reaches the lineitem scan."""
+    plan = _plan(E.queries()["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln)
+    assert "l_returnflag" in scan  # pushed filter, pruned columns
+
+
+def test_q16_plans_anti_join(spark):
+    """NOT IN over a non-nullable key plans a (broadcast) LEFT ANTI join;
+    the 6-row complaint set must broadcast, not shuffle the distinct
+    part-supplier pairs a second time."""
+    plan = _plan(E.queries()["q16_supplier_variety"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """The OR of three conjunction groups shares the l_partkey = p_partkey
+    equi-conjunct; Catalyst must extract it and plan a broadcast HASH join.
+    A BNLJ here is the classic disjunctive-join scale killer."""
+    plan = _plan(E.queries()["q19_disjunctive_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q22_scalar_join_and_anti(spark):
+    """The dormancy screen is a LEFT ANTI join, and the scalar threshold
+    joins in as Spark's standard scalar-subquery shape: exactly one
+    BroadcastNestedLoopJoin whose broadcast side is the 1-row global
+    aggregate (a per-row constant comparison, not an all-pairs join) —
+    never a CartesianProduct."""
+    plan = _plan(E.queries()["q22_dormant_customers"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # the build side of that BNLJ (the IdentityBroadcastMode exchange) is
+    # the 1-row global aggregate, not a table scan
+    build = plan.split("IdentityBroadcastMode", 1)[1]
+    assert "HashAggregate" in build.split("FileScan", 1)[0], plan
+    assert "Cartesian" not in plan
+
+
+def test_cep_single_exchange(spark):
+    """Both the lag window and the rollup cluster on user_id, so the whole
+    CEP pattern query shuffles events exactly once — the same guarantee
+    events_session_stats carries."""
+    plan = _plan(E.queries()["events_cep_sequence"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cep_requires_adjacency_unlike_funnel(spark):
+    """Semantics pin: a user whose view -> click -> purchase steps are in
+    order but NOT consecutive matches the funnel, not the CEP pattern —
+    the two queries answer different questions."""
+    rows = [
+        # user 1: strictly consecutive triple -> CEP match
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, ""),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, ""),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 1.0, ""),
+        # user 2: ordered but interrupted by an error event -> no CEP match
+        (4, "2024-01-01 10:00:00", 2, "view", 1.0, ""),
+        (5, "2024-01-01 10:01:00", 2, "click", 1.0, ""),
+        (6, "2024-01-01 10:01:30", 2, "error", 1.0, ""),
+        (7, "2024-01-01 10:02:00", 2, "purchase", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {r.user_id: r.n_sequences for r in E.queries()["events_cep_sequence"](spark, d).collect()}
+    assert got == {1: 1}
