@@ -3674,6 +3674,51 @@ def _kg_label_prop_sql(rounds: int = _LPA_ROUNDS) -> str:
     )
 
 
+def _kg_neighbor_jaccard(spark, sf_dir):
+    # link-prediction / structural entity-resolution over the KG:
+    # neighbor-set Jaccard between node pairs sharing >= 2 neighbors
+    # (wedge join at the shared neighbor — never all-pairs; integer
+    # 100*|∩| div |∪| so both engines agree bit-for-bit). "Which files
+    # carry the same vuln profile / which weakness classes hit the same
+    # code" — the graph-side complement of content dedup.
+    from dr_source_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _kg_triples(spark, sf_dir).edges, min_pct=50, min_common=2
+    )
+
+
+_KG_NEIGHBOR_JACCARD_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS neigh FROM und
+  UNION ALL SELECT b AS node, a AS neigh FROM und),
+deg AS MATERIALIZED (SELECT node, count(*) AS d FROM adj GROUP BY node),
+wed AS (SELECT x.node AS node_a, y.node AS node_b, count(*) AS n_common
+        FROM adj x JOIN adj y ON x.neigh = y.neigh AND x.node < y.node
+        GROUP BY 1, 2
+        HAVING count(*) >= 2)
+SELECT node_a, node_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(da.d AS BIGINT) AS deg_a,
+       CAST(db.d AS BIGINT) AS deg_b,
+       CAST(100 * n_common // (da.d + db.d - n_common) AS BIGINT) AS jaccard_pct
+FROM wed
+JOIN deg da ON node_a = da.node
+JOIN deg db ON node_b = db.node
+WHERE 100 * n_common // (da.d + db.d - n_common) >= 50
+"""
+
+
+def _kg_neighbor_jaccard_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_NEIGHBOR_JACCARD_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
 def _kg_source_sink_paths(spark, sf_dir):
     # SPARQL-style length-2 property path: var -TAINTED_BY-> source and
     # var -FLOWS_TO-> sink joined on the variable — "which taint sources
@@ -4987,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_dormant_customers": _q22_dormant_customers,
         "events_cep_sequence": _events_cep_sequence,
+        "kg_neighbor_jaccard": _kg_neighbor_jaccard,
     }
 
 
@@ -5049,6 +5095,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": _Q19_SQL,
         "q22_dormant_customers": _Q22_SQL,
         "events_cep_sequence": _EVENTS_CEP_SQL,
+        "kg_neighbor_jaccard": _kg_neighbor_jaccard_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -386,6 +386,92 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_pct: int = 50,
+    min_common: int = 2,
+    max_hub_degree: int = 0,
+) -> DataFrame:
+    """Link-prediction / structural entity-resolution: neighbor-set
+    Jaccard between every node pair sharing >= ``min_common`` neighbors
+    over the undirected simple graph — "which entities occupy the same
+    structural position" (two files with the same vuln profile, two
+    weakness classes hitting the same files). This is the graph-side
+    complement of content dedup: candidates come from SHARED STRUCTURE,
+    not shared text. Returns (node_a, node_b, n_common, deg_a, deg_b,
+    jaccard_pct) with node_a < node_b; jaccard_pct is the exact integer
+    ``100 * |N(a) ∩ N(b)| div |N(a) ∪ N(b)|`` so any ANSI engine
+    reproduces it bit-for-bit.
+
+    Scale shape: pairs are enumerated ONLY at shared neighbors (a wedge
+    join on the center node), never all-pairs, and the intersection size
+    is a narrow (node_a, node_b) groupBy — the same
+    candidates-then-verify discipline as the LSH dedup family. A wedge
+    center of degree d contributes C(d, 2) pairs — that is the true
+    co-neighbor result, not an artifact, but a celebrity hub (a CWE node
+    touching 10^7 files) would dominate the output with weak pairs, so
+    ``max_hub_degree`` (0 = off) drops wedge CENTERS above the cap
+    before the join. The drop is never silent: an in-plan ``observe``
+    metric (n_hub_centers / n_adj_rows_at_hubs) rides the result, the
+    same non-silent-cap pattern as the LSH ``lsh_cap_drops`` metric.
+    min_pct/min_common prune AFTER the exact counts, so they change the
+    output rows, never the arithmetic."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("neigh")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("neigh"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    if max_hub_degree:
+        hub = F.col("d") > max_hub_degree
+        # observe rides the per-center degree table (one row per center),
+        # where the drop metrics are plain sums — observe() rejects
+        # DISTINCT aggregates, the same constraint the LSH cap hit
+        center_deg = deg.observe(
+            f"neighbor_jaccard_hub_drops_{next(_OBS_SEQ)}",
+            F.sum(F.when(hub, 1).otherwise(0)).alias("n_hub_centers"),
+            F.sum(F.when(hub, F.col("d")).otherwise(0)).alias("n_adj_rows_at_hubs"),
+        )
+        wedge_adj = adj.join(
+            center_deg.filter(~hub).select(F.col("node").alias("neigh")), "neigh"
+        ).select("node", "neigh")
+    else:
+        wedge_adj = adj
+    x, y = wedge_adj.alias("x"), wedge_adj.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        inter.join(deg.select(F.col("node").alias("node_a"), F.col("d").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("node").alias("node_b"), F.col("d").alias("deg_b")), "node_b")
+        .withColumn(
+            "jaccard_pct",
+            F.expr("CAST(100 * n_common AS BIGINT) div (deg_a + deg_b - n_common)"),
+        )
+        .filter(F.col("jaccard_pct") >= min_pct)
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.col("jaccard_pct").cast("long").alias("jaccard_pct"),
+        )
+    )
+
+
 def bfs_distances(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 6, undirected: bool = True,
     driver_max_edges: int | None = None,

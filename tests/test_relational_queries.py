@@ -114,6 +114,21 @@ def test_cep_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_neighbor_jaccard_wedge_is_equi_join(spark):
+    """Pairs are generated ONLY at shared neighbors: the wedge join must
+    plan as a hash/sort-merge EQUI-join on the center node (the node_a <
+    node_b order predicate rides as a join filter), never a
+    CartesianProduct or BNLJ — all-pairs here is the structural-similarity
+    scale killer."""
+    from dr_source_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 4), (2, 4), (5, 3)], "src long, dst long"
+    )
+    plan = _plan(neighbor_jaccard(edges, min_pct=0, min_common=1, max_hub_degree=100))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
 def test_cep_requires_adjacency_unlike_funnel(spark):
     """Semantics pin: a user whose view -> click -> purchase steps are in
     order but NOT consecutive matches the funnel, not the CEP pattern —

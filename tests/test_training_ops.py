@@ -522,6 +522,54 @@ def test_triangle_counts_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}, got
 
 
+def test_neighbor_jaccard_known_graph(spark):
+    """Hand-checked wedge graph: nodes 1 and 2 both neighbor {3, 4}
+    (and each other via nothing else), so N(1) = N(2) = {3, 4} -> 100 %;
+    node 5 neighbors {3} only -> shares 1 neighbor with 1/2, below
+    min_common=2. Duplicate/reversed edges must not inflate counts."""
+    from dr_source_spark.operators.graph import neighbor_jaccard
+
+    edges = [(1, 3), (3, 1), (1, 4), (2, 3), (2, 4), (4, 2), (5, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {
+        (r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b, r.jaccard_pct)
+        for r in neighbor_jaccard(df, min_pct=0, min_common=2).collect()
+    }
+    # (1,2) share {3,4} with N(1)=N(2)={3,4} -> 100 %; (3,4) share {1,2}
+    # with N(3)={1,2,5}, N(4)={1,2} -> 2/3 -> 66
+    assert rows == {(1, 2): (2, 2, 2, 100), (3, 4): (2, 3, 2, 66)}, rows
+    # min_common=1 admits the weak single-shared-neighbor pairs:
+    # (1,5),(2,5) share {3} with |union| = 2 -> 50
+    weak = {
+        (r.node_a, r.node_b): r.jaccard_pct
+        for r in neighbor_jaccard(df, min_pct=0, min_common=1).collect()
+    }
+    assert weak == {(1, 2): 100, (1, 5): 50, (2, 5): 50, (3, 4): 66}, weak
+
+
+def test_neighbor_jaccard_hub_cap_drops_centers_not_arithmetic(spark):
+    """With max_hub_degree=2 the degree-3 hub (node 3) stops generating
+    wedges, so pairs that only co-occur at the hub disappear — but pairs
+    surviving via other centers keep their EXACT degree arithmetic (the
+    cap prunes candidates, never corrupts |N(a)|/|N(b)|)."""
+    from dr_source_spark.operators.graph import neighbor_jaccard
+
+    edges = [(1, 3), (2, 3), (5, 3), (1, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    capped = {
+        (r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b)
+        for r in neighbor_jaccard(
+            df, min_pct=0, min_common=1, max_hub_degree=2
+        ).collect()
+    }
+    # the degree-3 hub stops generating wedges, so (1,2)'s shared-neighbor
+    # count drops from 2 to 1 (only center 4 survives); node 3 still
+    # participates as a wedge LEAF at centers 1/2, and deg_a/deg_b stay
+    # the true degrees everywhere — the cap prunes candidates, never
+    # corrupts the arithmetic
+    assert capped == {(1, 2): (1, 2, 2), (3, 4): (2, 3, 2)}, capped
+
+
 def test_triangle_counts_duplicate_and_reversed_edges(spark):
     """(a,b) + (b,a) + repeats are ONE undirected edge — the triangle
     count must not inflate."""
