@@ -1918,6 +1918,67 @@ walk(node, lbl) AS (
     return prefix + f", clusters AS (\n{final}\n)\n" + tail
 
 
+def _dedup_contamination_dist(spark, sf_dir):
+    # weighted SSSP (bounded Bellman-Ford, operators/graph.weighted_sssp)
+    # through duplicate space: edge weight = 100 - integer word-set
+    # Jaccard pct over the verified LSH pairs (pct >= 50), seeds = the
+    # doc_id % 97 "eval set" the decontamination queries use. dist is the
+    # cheapest <= 4-edge dissimilarity chain from any benchmark doc —
+    # "how close is this document to the eval set through chains of
+    # near-duplicates", the transitive version of text_ngram_decontam's
+    # direct-overlap screen. Exact integer weights; the oracle unrolls
+    # the same 4 sweeps.
+    from dr_source_spark.operators.graph import weighted_sssp
+    from dr_source_spark.training.dedup import minhash_lsh_candidates, ngram_jaccard_pct
+
+    docs = _t(spark, sf_dir, "documents")
+    pct = ngram_jaccard_pct(docs, minhash_lsh_candidates(docs))
+    edges = pct.filter(F.col("jaccard_pct") >= 50).select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        (F.lit(100) - F.col("jaccard_pct")).alias("w"),
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return weighted_sssp(edges, seeds, rounds=4).select(
+        F.col("node").cast("long").alias("doc_id"), "dist"
+    )
+
+
+def _dedup_contamination_sql(rounds: int = 4) -> str:
+    parts = [
+        _lsh_pairs_ctes()
+        + """,
+counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN words a ON a.doc_id = p.doc_a JOIN words b ON b.doc_id = p.doc_b AND a.w = b.w
+  GROUP BY p.doc_a, p.doc_b
+),
+pct AS (
+  SELECT i.doc_a, i.doc_b, CAST(100 * i.i AS BIGINT) // (ca.n + cb.n - i.i) AS jaccard_pct
+  FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id = i.doc_b
+),
+sym AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT doc_a AS src, doc_b AS dst, 100 - jaccard_pct AS w FROM pct WHERE jaccard_pct >= 50
+    UNION ALL
+    SELECT doc_b, doc_a, 100 - jaccard_pct FROM pct WHERE jaccard_pct >= 50
+  ) GROUP BY src, dst
+),
+d0 AS (SELECT DISTINCT doc_id AS node, CAST(0 AS BIGINT) AS dist
+       FROM documents WHERE doc_id % 97 = 0),"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, min(dist) AS dist FROM ("
+            f" SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL SELECT e.dst, d.dist + e.w FROM d{i - 1} d"
+            f" JOIN sym e ON e.src = d.node) GROUP BY node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT CAST(node AS BIGINT) AS doc_id, dist FROM d{rounds}"
+
+
 def _corpus_keep_list(spark, sf_dir):
     # the end-of-pipeline verdict: near-dup canonical AND quality screen,
     # one row per doc (training/curate.py::final_keep_list)
@@ -5033,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": _q22_dormant_customers,
         "events_cep_sequence": _events_cep_sequence,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
+        "dedup_contamination_dist": _dedup_contamination_dist,
     }
 
 
@@ -5096,6 +5158,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_dormant_customers": _Q22_SQL,
         "events_cep_sequence": _EVENTS_CEP_SQL,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard_sql(),
+        "dedup_contamination_dist": _dedup_contamination_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

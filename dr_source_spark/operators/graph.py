@@ -386,6 +386,56 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def weighted_sssp(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Bounded single-source-shortest-path over INTEGER edge weights
+    (Bellman-Ford relaxation): distance 0 at every seed, then ``rounds``
+    synchronous sweeps of ``dist(v) = min(dist(v), min over (u,v,w) of
+    dist(u) + w)`` over the symmetrized multigraph (parallel edges keep
+    their minimum weight; self-loops dropped — they can never improve a
+    distance). Returns (node, dist) for nodes reachable within
+    ``rounds`` hops; after k sweeps dist is EXACTLY the cheapest path
+    using <= k edges, so a SQL oracle unrolling the same k sweeps
+    reproduces it bit-for-bit (the same bounded-iteration contract as
+    label_propagation). Integer weights make every distance exact — no
+    float accumulation to disagree on.
+
+    Scale shape: per sweep one equi-join (edges x frontier distances, key
+    = src node) + a min-groupBy on the destination — narrow keys, full
+    map-side combine; the distance table is the only state and is
+    checkpointed per sweep to truncate lineage. Weighted SSSP is the
+    missing sibling of bfs_distances (hop counts) — 'how DISSIMILAR is
+    the cheapest chain linking this node to the seed set', not 'how many
+    links'."""
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "w")
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relax = sym.join(dist, sym["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new_dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist.unpersist()
+        dist = new_dist
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     min_pct: int = 50,

@@ -423,6 +423,31 @@ def ngram_jaccard(documents: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def ngram_jaccard_pct(documents: DataFrame, candidates: DataFrame) -> DataFrame:
+    """ngram_jaccard's exact-integer sibling: verify candidate pairs with
+    word-set Jaccard as the integer percentage ``100 * |A∩B| div |A∪B|``
+    (the same engine-bit-exact arithmetic incremental_dedup_decisions
+    uses), so downstream consumers that derive integer edge WEIGHTS from
+    the similarity (weighted_sssp's ``100 - pct`` dissimilarity) stay
+    reproducible across engines. Same scale shape as ngram_jaccard: token
+    sets join back only for the candidate pairs, never all-pairs."""
+    toks = documents.select("doc_id", _words().alias("words"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        candidates.join(a, candidates["doc_a"] == F.col("a.doc_id"))
+        .join(b, candidates["doc_b"] == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(100 * size(array_intersect(a.words, b.words)) AS BIGINT)"
+                " div CAST(size(array_union(a.words, b.words)) AS BIGINT)"
+            ).alias("jaccard_pct"),
+        )
+    )
+
+
 def simhash(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over portable md5 word hashes, returned as a 16-char
     hex string (JVM-side; bit votes via aggregate over exploded words).

@@ -522,6 +522,54 @@ def test_triangle_counts_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}, got
 
 
+def test_weighted_sssp_cheap_detour_beats_direct_edge(spark):
+    """1 -10-> 4 direct, but 1 -1-> 2 -1-> 3 -1-> 4 costs 3: after enough
+    sweeps the detour must win. Parallel edges keep their min weight;
+    reversed duplicates collapse; the seed itself is dist 0."""
+    from dr_source_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 1, 5), (2, 3, 1), (3, 4, 1), (1, 2, 7)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r.node: r.dist for r in weighted_sssp(edges, seeds, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}, got
+
+
+def test_weighted_sssp_rounds_bound_path_length(spark):
+    """After k sweeps dist is the cheapest path using <= k EDGES — the
+    bounded-iteration contract the unrolled SQL oracle relies on. On the
+    weighted line 1-2-3-4 (w=1 each) plus the w=10 shortcut 1->4,
+    rounds=1 sees only the direct edge (10); rounds=3 finds the length-3
+    path (3). Unreached nodes have no row."""
+    from dr_source_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (8, 9, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    r1 = {r.node: r.dist for r in weighted_sssp(edges, seeds, rounds=1).collect()}
+    assert r1 == {1: 0, 2: 1, 4: 10}, r1
+    r3 = {r.node: r.dist for r in weighted_sssp(edges, seeds, rounds=3).collect()}
+    assert r3 == {1: 0, 2: 1, 3: 2, 4: 3}, r3
+
+
+def test_weighted_sssp_multi_seed_and_self_loop(spark):
+    """Multiple seeds relax independently (each node takes the nearest);
+    self-loops are dropped (they can never improve a distance); an
+    edge-less seed still reports dist 0."""
+    from dr_source_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (3, 2, 1), (2, 2, 0)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,), (7,)], "doc_id long")
+    got = {r.node: r.dist for r in weighted_sssp(edges, seeds, rounds=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 7: 0}, got
+
+
 def test_neighbor_jaccard_known_graph(spark):
     """Hand-checked wedge graph: nodes 1 and 2 both neighbor {3, 4}
     (and each other via nothing else), so N(1) = N(2) = {3, 4} -> 100 %;
