@@ -912,6 +912,42 @@ GROUP BY c_nationkey
 """
 
 
+def _events_topk_per_type(spark, sf_dir):
+    # deterministic top-k PER GROUP (k=3): the most common production
+    # window query, distinct from a10_latest_per_group's rank-1 shape.
+    # row_number over (value desc, event_id asc) — the tie-break is the
+    # unique key, so both engines select identical boundary rows even
+    # when values collide. Plan: one exchange on event_type, then the
+    # window + filter run in-partition; at 100 TB a groupBy-collect_list
+    # alternative would materialize whole groups, the window streams
+    # them sorted.
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("rank").cast("long").alias("rank"),
+            "event_id",
+            F.round(F.col("value").cast("double"), 4).alias("value"),
+        )
+    )
+
+
+_EVENTS_TOPK_SQL = """
+SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+       round(CAST(value AS DOUBLE), 4) AS value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rank
+      FROM events)
+WHERE rank <= 3
+"""
+
+
 def _events_cep_sequence(spark, sf_dir):
     # MATCH_RECOGNIZE-style complex-event-processing: STRICTLY CONSECUTIVE
     # view -> click -> purchase per user (ordered by ts with the unique
@@ -5095,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cep_sequence": _events_cep_sequence,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "dedup_contamination_dist": _dedup_contamination_dist,
+        "events_topk_per_type": _events_topk_per_type,
     }
 
 
@@ -5159,6 +5196,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cep_sequence": _EVENTS_CEP_SQL,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard_sql(),
         "dedup_contamination_dist": _dedup_contamination_sql(),
+        "events_topk_per_type": _EVENTS_TOPK_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

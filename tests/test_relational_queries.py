@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
     "events_cep_sequence",
+    "events_topk_per_type",
 ]
 
 
@@ -112,6 +113,15 @@ def test_cep_single_exchange(spark):
     events_session_stats carries."""
     plan = _plan(E.queries()["events_cep_sequence"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_topk_per_type_single_exchange(spark):
+    """The per-group top-k is one exchange on the group key followed by an
+    in-partition window sort + filter — never a groupBy-collect_list
+    (which would materialize whole groups in aggregation buffers)."""
+    plan = _plan(E.queries()["events_topk_per_type"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "collect_list" not in plan
 
 
 def test_neighbor_jaccard_wedge_is_equi_join(spark):
