@@ -1361,6 +1361,68 @@ SELECT z // {_Z_SPAN} AS file_id, count(*)::BIGINT AS n_events,
 FROM z GROUP BY file_id
 """
 
+_H_BITS, _H_SPAN = 6, 64
+
+
+def _events_hilbert_manifest(spark, sf_dir):
+    # the seam-free sibling of the Z-order dry-run: Hilbert-walk the
+    # (user bucket, hour bucket) grid, chop the key space into target
+    # files, emit the manifest with per-file min/max pruning stats.
+    # Consecutive Hilbert cells are always grid-adjacent, so no file ever
+    # straddles a quadrant seam (the Z-curve's teleport points).
+    from dr_source_spark.operators.layout import hilbert_manifest
+
+    return hilbert_manifest(_t(spark, sf_dir, "events"), dim_bits=_H_BITS, file_span=_H_SPAN)
+
+
+def _hilbert_level_ctes(bits: int) -> str:
+    # one CTE per curve level — the same chained-projection shape the
+    # Spark side uses (layout.with_hilbert_index), transliterated: within
+    # a SELECT, x/y/d references read the PREVIOUS level's columns
+    n = 1 << bits
+    ctes = []
+    for idx, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        prev = "hb" if idx == 0 else f"h{idx - 1}"
+        ctes.append(
+            f"h{idx} AS (SELECT user_id, u, t,\n"
+            f"  d + {s * s} * (CASE WHEN (x // {s}) % 2 = 0 THEN (y // {s}) % 2"
+            f" ELSE 3 - (y // {s}) % 2 END) AS d,\n"
+            f"  CASE WHEN (y // {s}) % 2 = 1 THEN x"
+            f" WHEN (x // {s}) % 2 = 1 THEN {n - 1} - y ELSE y END AS x,\n"
+            f"  CASE WHEN (y // {s}) % 2 = 1 THEN y"
+            f" WHEN (x // {s}) % 2 = 1 THEN {n - 1} - x ELSE x END AS y\n"
+            f"  FROM {prev})"
+        )
+    return ",\n".join(ctes)
+
+
+_EVENTS_HILBERT_SQL = f"""
+WITH hb AS (
+  -- pmod bucketing, as in the Z-order oracle; x/y walk the recurrence,
+  -- u/t keep the original buckets for the manifest stats
+  SELECT user_id,
+         ((user_id % {1 << _H_BITS}) + {1 << _H_BITS}) % {1 << _H_BITS} AS u,
+         ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % {1 << _H_BITS})
+            + {1 << _H_BITS}) % {1 << _H_BITS} AS t,
+         ((user_id % {1 << _H_BITS}) + {1 << _H_BITS}) % {1 << _H_BITS} AS x,
+         ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % {1 << _H_BITS})
+            + {1 << _H_BITS}) % {1 << _H_BITS} AS y,
+         0::BIGINT AS d
+  FROM events),
+{_hilbert_level_ctes(_H_BITS)},
+z AS (SELECT user_id, u, t,
+  -- single-sided NULL would leak a garbage digit through the CASE
+  -- else-branches — mask exactly as the Spark side does
+  CASE WHEN u IS NULL OR t IS NULL THEN NULL ELSE d END::BIGINT AS h
+  FROM h{_H_BITS - 1})
+SELECT (h // {_H_SPAN})::BIGINT AS file_id, count(*)::BIGINT AS n_events,
+  min(h) AS h_lo, max(h) AS h_hi, count(DISTINCT user_id)::BIGINT AS n_users,
+  min(u)::BIGINT AS u_lo, max(u)::BIGINT AS u_hi,
+  min(t)::BIGINT AS t_lo, max(t)::BIGINT AS t_hi
+FROM z GROUP BY file_id
+"""
+
 _HIST_B = 16
 
 
@@ -5132,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "dedup_contamination_dist": _dedup_contamination_dist,
         "events_topk_per_type": _events_topk_per_type,
+        "events_hilbert_manifest": _events_hilbert_manifest,
     }
 
 
@@ -5197,6 +5260,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_jaccard": _kg_neighbor_jaccard_sql(),
         "dedup_contamination_dist": _dedup_contamination_sql(),
         "events_topk_per_type": _EVENTS_TOPK_SQL,
+        "events_hilbert_manifest": _EVENTS_HILBERT_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

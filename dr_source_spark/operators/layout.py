@@ -100,6 +100,120 @@ def zorder_manifest(
     )
 
 
+def with_hilbert_index(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 6, out_col: str = "hkey"
+) -> DataFrame:
+    """Append ``out_col`` = Hilbert-curve index of (``x_col``, ``y_col``)
+    on a ``2^bits`` x ``2^bits`` grid (the standard xy2d recurrence:
+    quadrant digit + rotate/flip per level, most-significant level
+    first).
+
+    Why Hilbert next to Morton (``interleave_bits``): consecutive Hilbert
+    cells are always GRID-ADJACENT (|du| + |dt| = 1 — pytest-pinned as an
+    exact law over the full grid), while the Z-curve teleports across
+    quadrant seams (max jump 2^bits at the middle seam). Files cut from
+    consecutive key ranges therefore never straddle a seam, which tightens
+    the per-file min/max pruning stats at the quadrant boundaries.
+
+    Plan shape: the recurrence updates (x, y, d) per level, so each level
+    is its OWN ``select`` stage — Catalyst's CollapseProject keeps
+    multi-referenced non-trivial aliases as separate Projects instead of
+    substituting them, so the expression tree stays linear in ``bits``
+    (the naive single-expression form grows ~8x per level). All integer
+    div/mod arithmetic — no bit intrinsics — so the SQL oracle is a
+    direct transliteration (chained CTEs, one per level). NULL inputs
+    propagate to a NULL key (the manifest shows them as one visible NULL
+    file, same convention as ``zorder_manifest``)."""
+    n = 1 << bits
+    keep = list(df.columns)
+    out = df.select(
+        *keep,
+        F.col(x_col).cast("long").alias("_hx"),
+        F.col(y_col).cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.floor(F.col("_hx") / s) % 2
+        ry = F.floor(F.col("_hy") / s) % 2
+        quadrant = F.when(rx == 0, ry).otherwise(3 - ry)
+        # rotate/flip: ry=1 keeps (x, y); ry=0 swaps, flipping both when
+        # rx=1 — NULL x/y falls through every branch and stays NULL
+        nx = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, n - 1 - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        ny = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, n - 1 - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        out = out.select(
+            *keep,
+            nx.cast("long").alias("_hx"),
+            ny.cast("long").alias("_hy"),
+            (F.col("_hd") + F.lit(s * s).cast("long") * quadrant).cast("long").alias("_hd"),
+        )
+    # a single-sided NULL (x NULL, y not) would otherwise leak a garbage
+    # non-NULL digit through the rotation's otherwise-branches — mask the
+    # key to NULL whenever EITHER input is NULL, matching the Z-order
+    # convention (NULL rows form one visible NULL file)
+    null_in = F.col(x_col).isNull() | F.col(y_col).isNull()
+    return out.select(
+        *keep,
+        F.when(null_in, F.lit(None).cast("long")).otherwise(F.col("_hd")).alias(out_col),
+    )
+
+
+def hilbert_manifest(
+    events: DataFrame, dim_bits: int = 6, file_span: int = 64
+) -> DataFrame:
+    """(file_id, n_events, h_lo, h_hi, n_users, u_lo, u_hi, t_lo, t_hi):
+    target-file manifest of a HILBERT layout of ``events`` over
+    (user-bucket, hour-bucket) — the seam-free sibling of
+    ``zorder_manifest``.
+
+    Same cyclic ``pmod`` bucketing as the Z-order manifest (negative ids
+    / pre-epoch timestamps must land in [0, 2^bits) before the curve
+    walk). With ``file_span = 4^k``, every aligned span of consecutive
+    Hilbert keys is EXACTLY one 2^k x 2^k subsquare — so on a uniform
+    grid each file's (u, t) bounding box is provably minimal for its
+    cell count, which is the pruning-stats win over the Z-curve's
+    seam-straddling files (pytest pins both laws).
+
+    Scale shape: identical to ``zorder_manifest`` — one projection
+    (``bits`` chained narrow Projects, no shuffle) + one map-side-combined
+    groupBy(file_id); output rows = 4^dim_bits / file_span regardless of
+    input size."""
+    m = 1 << dim_bits
+    u = F.pmod(F.col("user_id"), F.lit(m))
+    t = F.pmod(F.floor(F.unix_timestamp("ts") / 3600), F.lit(m))
+    keyed = with_hilbert_index(
+        events.select("user_id", u.alias("u"), t.alias("t")), "u", "t", dim_bits, "h"
+    )
+    return (
+        keyed.select(
+            "user_id",
+            "u",
+            "t",
+            "h",
+            (F.floor(F.col("h") / file_span)).cast("long").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("h").alias("h_lo"),
+            F.max("h").alias("h_hi"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("u").cast("long").alias("u_lo"),
+            F.max("u").cast("long").alias("u_hi"),
+            F.min("t").cast("long").alias("t_lo"),
+            F.max("t").cast("long").alias("t_hi"),
+        )
+    )
+
+
 def equidepth_histogram(
     events: DataFrame, value_col: str = "value", buckets: int = 16, scale: int = 100
 ) -> DataFrame:
