@@ -1449,6 +1449,39 @@ SELECT (pre * {_HIST_B}) // n AS bucket, sum(cnt)::BIGINT AS n_rows,
 FROM p CROSS JOIN t GROUP BY bucket
 """
 
+_ADVICE_PARTS = 8
+
+
+def _events_partition_advice(spark, sf_dir):
+    # the histogram wired into a repartitioning advisor: exact range
+    # boundaries + per-partition load (skew_pct, 100 = balanced) + the
+    # salt verdict on each partition's heaviest indivisible value —
+    # what repartitionByRange's sampler guesses, computed exactly with
+    # the same no-global-sort prefix-sum shape.
+    from dr_source_spark.operators.layout import range_partition_advice
+
+    return range_partition_advice(_t(spark, sf_dir, "events"), parts=_ADVICE_PARTS)
+
+
+_EVENTS_ADVICE_SQL = f"""
+WITH g AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS vk, count(*)::BIGINT AS cnt,
+         min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY vk),
+t AS (SELECT sum(cnt)::BIGINT AS n FROM g),
+p AS (SELECT vk, cnt, lo, hi,
+  coalesce(sum(cnt) OVER (ORDER BY vk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM g),
+a AS (SELECT (pre * {_ADVICE_PARTS}) // n AS partition, cnt, lo, hi, n
+      FROM p CROSS JOIN t)
+SELECT partition, sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_values,
+  min(lo) AS v_lo, max(hi) AS v_hi,
+  ((sum(cnt) * 100 * {_ADVICE_PARTS}) // max(n))::BIGINT AS skew_pct,
+  max(cnt)::BIGINT AS max_value_rows,
+  ((max(cnt) * {_ADVICE_PARTS} + max(n) - 1) // max(n))::BIGINT AS salt_factor
+FROM a GROUP BY partition
+"""
+
 
 _CMS_W, _CMS_TOP = 256, 20
 
@@ -5195,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination_dist": _dedup_contamination_dist,
         "events_topk_per_type": _events_topk_per_type,
         "events_hilbert_manifest": _events_hilbert_manifest,
+        "events_partition_advice": _events_partition_advice,
     }
 
 
@@ -5261,6 +5295,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_contamination_dist": _dedup_contamination_sql(),
         "events_topk_per_type": _EVENTS_TOPK_SQL,
         "events_hilbert_manifest": _EVENTS_HILBERT_SQL,
+        "events_partition_advice": _EVENTS_ADVICE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -263,3 +263,67 @@ def equidepth_histogram(
             F.max("hi").alias("v_hi"),
         )
     )
+
+def range_partition_advice(
+    events: DataFrame, value_col: str = "value", parts: int = 8, scale: int = 100
+) -> DataFrame:
+    """(partition, n_rows, n_values, v_lo, v_hi, skew_pct, max_value_rows,
+    salt_factor): the equi-depth histogram wired into a repartitioning
+    advisor — the exact version of what ``repartitionByRange``'s sampler
+    guesses.
+
+    Each row is one target range partition: ``v_lo``/``v_hi`` are its
+    boundary values (feed them to a range partitioner), ``skew_pct`` is
+    its relative load (100 = a perfectly balanced share; tie-coalescing
+    means a heavy value can push its partition past 100 — exactly the
+    skew a sampled partitioner discovers only at runtime), and
+    ``salt_factor`` is the advisor's verdict on the partition's single
+    heaviest value: ceil(max_value_rows * parts / N) — 1 means even the
+    heaviest key fits a balanced share, k > 1 means that ONE key alone
+    carries k shares and range partitioning cannot split it (identical
+    sort keys are indivisible), so the consumer should salt it into k
+    subkeys before the shuffle.
+
+    All integer arithmetic (rank * parts div N assignment, ceil as
+    (a*parts + N - 1) div N) over the same two-level prefix-sum rank as
+    ``equidepth_histogram`` — no global sort, no sampling, no floats.
+    Scale shape: identical to the histogram — the only full-data shuffle
+    is the map-side-combined groupBy(vk); output rows = ``parts``."""
+    vk = F.round(F.col(value_col) * scale).cast("long")
+    per_value = (
+        events.where(F.col(value_col).isNotNull())
+        .select(vk.alias("vk"), F.col(value_col).alias("_v"))
+        .groupBy("vk")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )
+    ranked = global_prefix_sum(per_value, "vk", "cnt", out_col="rank_excl")
+    total = per_value.agg(F.sum("cnt").cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("partition", F.expr(f"(rank_excl * {parts}) div _n"))
+        .groupBy("partition")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_values"),
+            F.min("lo").alias("v_lo"),
+            F.max("hi").alias("v_hi"),
+            F.max("cnt").cast("long").alias("max_value_rows"),
+            F.max("_n").alias("_n"),
+        )
+        .select(
+            "partition",
+            "n_rows",
+            "n_values",
+            "v_lo",
+            "v_hi",
+            F.expr(f"(n_rows * 100 * {parts}) div _n").cast("long").alias("skew_pct"),
+            "max_value_rows",
+            F.expr(f"(max_value_rows * {parts} + _n - 1) div _n")
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )

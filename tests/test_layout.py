@@ -11,6 +11,7 @@ from dr_source_spark.operators.layout import (
     equidepth_histogram,
     hilbert_manifest,
     interleave_bits,
+    range_partition_advice,
     with_hilbert_index,
     zorder_manifest,
 )
@@ -273,3 +274,69 @@ def test_hilbert_plan_stays_linear_and_shuffles_once(spark):
     assert plan.count("Exchange hashpartitioning(file_id") == 2, plan
     assert "SinglePartition" not in plan
     assert len(plan) < 100_000, len(plan)
+
+
+def test_partition_advice_flags_indivisible_heavy_key(spark):
+    """The advisor's whole point: a single value carrying several
+    balanced shares is indivisible under range partitioning, so its
+    partition reports skew_pct > 100 and salt_factor = the number of
+    shares that ONE key carries (ceil(max_value_rows * parts / N)) —
+    uniform partitions report salt_factor 1 and skew ~100."""
+    base = datetime.datetime(2024, 1, 1)
+    # 64 uniform values x 1 row + one value with 64 rows => N=128, parts=4,
+    # ideal share 32: the heavy value alone is exactly 2 shares
+    vals = [round(1 + 0.01 * i, 2) for i in range(64)] + [9.99] * 64
+    rows = [(i, base, 0, v) for i, v in enumerate(vals)]
+    out = {r.partition: r for r in
+           range_partition_advice(_events(spark, rows), parts=4).collect()}
+    assert sum(r.n_rows for r in out.values()) == 128
+    heavy = max(out.values(), key=lambda r: r.max_value_rows)
+    assert heavy.max_value_rows == 64 and heavy.salt_factor == 2
+    assert heavy.skew_pct > 100
+    assert all(r.salt_factor == 1 for r in out.values() if r is not heavy)
+    # boundaries are disjoint and ordered: consumable by a range partitioner
+    parts = sorted(out.values(), key=lambda r: r.partition)
+    assert all(a.v_hi <= b.v_lo for a, b in zip(parts, parts[1:]))
+
+
+def test_partition_advice_matches_python_model(spark):
+    """Cell-for-cell against a direct Python restatement of the integer
+    arithmetic (rank*parts div N assignment, exact ceil salt)."""
+    base = datetime.datetime(2024, 1, 1)
+    vals = [float(v) for v in [1, 1, 1, 2, 3, 3, 4, 5, 5, 5, 5, 6]]
+    rows = [(i, base, 0, v) for i, v in enumerate(vals)]
+    got = {r.partition: (r.n_rows, r.n_values, r.v_lo, r.v_hi, r.skew_pct,
+                         r.max_value_rows, r.salt_factor)
+           for r in range_partition_advice(_events(spark, rows), parts=3).collect()}
+
+    counts = {}
+    for v in vals:
+        counts[v] = counts.get(v, 0) + 1
+    n, rank, exp = len(vals), 0, {}
+    for v in sorted(counts):
+        p = rank * 3 // n
+        nr, nv, lo, hi, mx = exp.get(p, (0, 0, v, v, 0))
+        exp[p] = (nr + counts[v], nv + 1, min(lo, v), max(hi, v), max(mx, counts[v]))
+        rank += counts[v]
+    exp = {p: (nr, nv, lo, hi, nr * 100 * 3 // n, mx, (mx * 3 + n - 1) // n)
+           for p, (nr, nv, lo, hi, mx) in exp.items()}
+    assert got == exp
+
+
+def test_partition_advice_plan_and_nulls(spark):
+    """Same scalable shape as the histogram it derives from: at most two
+    SinglePartition exchanges, each fed by an aggregate; NULL values
+    excluded by the explicit filter; empty input yields empty advice."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, 0, float(i % 37) if i % 5 else None) for i in range(300)]
+    df = range_partition_advice(_events(spark, rows), parts=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) <= 2
+    for i in sp:
+        assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+    assert sum(r.n_rows for r in df.collect()) == 240  # the 60 NULLs excluded
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, value double")
+    assert range_partition_advice(empty).count() == 0
