@@ -4939,6 +4939,109 @@ SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node"""
 
 
+_ER_B, _ER_DF_PCT, _ER_BUCKET, _ER_MIN_PCT = 4, 5, 64, 60
+
+
+def _er_planted_mentions(spark, sf_dir):
+    # deterministic dirty-mention benchmark: three variants per customer
+    # — verbatim, one char deleted at k%len, one char replaced by 'x' at
+    # (7k+3)%len — over the normalized (name || synthetic address). The
+    # sf tables carry no address column, so the address is md5(custkey)
+    # hex (32 chars of per-entity entropy both engines compute
+    # identically); ER must re-link the variants without ever merging
+    # distinct customers, whose names share the 'customer000...' prefix
+    # the stop-gram screen exists for.
+    from dr_source_spark.operators.entity_link import normalize_mention
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").cast("long").alias("k"),
+            normalize_mention(
+                F.concat(F.col("c_name"), F.md5(F.col("c_custkey").cast("string")))
+            ).alias("_t"),
+        )
+    )
+    v0 = base.select((F.col("k") * 4).alias("mention_id"), F.col("_t").alias("name"))
+    v1 = base.selectExpr(
+        "k * 4 + 1 AS mention_id",
+        "concat(substring(_t, 1, cast(k % length(_t) as int)), "
+        "substring(_t, cast(k % length(_t) as int) + 2)) AS name",
+    )
+    v2 = base.selectExpr(
+        "k * 4 + 2 AS mention_id",
+        "concat(substring(_t, 1, cast((k * 7 + 3) % length(_t) as int)), 'x', "
+        "substring(_t, cast((k * 7 + 3) % length(_t) as int) + 2)) AS name",
+    )
+    return v0.unionByName(v1).unionByName(v2)
+
+
+def _customer_er_entities(spark, sf_dir):
+    # record-level entity resolution (operators/entity_link.py): stop-gram
+    # blocking on the b smallest trigram hashes, capped buckets, exact
+    # integer-Jaccard verify, component merge — every planted mention
+    # labeled with its canonical entity id.
+    from dr_source_spark.operators.entity_link import er_entities
+
+    return er_entities(
+        _er_planted_mentions(spark, sf_dir),
+        b=_ER_B,
+        df_cap_pct=_ER_DF_PCT,
+        max_bucket=_ER_BUCKET,
+        min_pct=_ER_MIN_PCT,
+    )
+
+
+def _customer_er_sql() -> str:
+    return f"""WITH RECURSIVE base AS (
+  SELECT c_custkey::BIGINT AS k,
+         regexp_replace(lower(c_name || md5(c_custkey::VARCHAR)), '[^a-z0-9]', '', 'g') AS t
+  FROM customer),
+men AS (
+  SELECT k * 4 AS mention_id, t AS name FROM base
+  UNION ALL
+  SELECT k * 4 + 1,
+         substr(t, 1, CAST(k % length(t) AS INT)) ||
+         substr(t, CAST(k % length(t) AS INT) + 2) FROM base
+  UNION ALL
+  SELECT k * 4 + 2,
+         substr(t, 1, CAST((k * 7 + 3) % length(t) AS INT)) || 'x' ||
+         substr(t, CAST((k * 7 + 3) % length(t) AS INT) + 2) FROM base),
+grams AS (
+  SELECT DISTINCT mention_id, {_duck_minhash_base('g')} AS h FROM (
+    SELECT mention_id,
+           unnest(list_transform(generate_series(1, CAST(length(name) - 2 AS BIGINT)),
+                                 i -> substr(name, CAST(i AS INT), 3))) AS g
+    FROM men WHERE length(name) >= 3)),
+dfreq AS (SELECT h, count(*) AS df FROM grams GROUP BY h),
+tot AS (SELECT count(DISTINCT mention_id) AS nm FROM grams),
+rare AS (SELECT g.mention_id, g.h FROM grams g JOIN dfreq d ON g.h = d.h
+         CROSS JOIN tot WHERE d.df * 100 <= {_ER_DF_PCT} * tot.nm),
+keys AS (SELECT mention_id, h FROM (
+  SELECT mention_id, h, row_number() OVER (PARTITION BY mention_id ORDER BY h) AS r
+  FROM rare) WHERE r <= {_ER_B}),
+bsz AS (SELECT h, count(*) AS c FROM keys GROUP BY h),
+cand AS (SELECT DISTINCT a.mention_id AS ia, b2.mention_id AS ib
+         FROM keys a JOIN keys b2 ON a.h = b2.h AND a.mention_id < b2.mention_id
+         JOIN bsz ON bsz.h = a.h WHERE bsz.c <= {_ER_BUCKET}),
+sizes AS (SELECT mention_id, count(*) AS sz FROM grams GROUP BY mention_id),
+inter AS (SELECT c.ia, c.ib, count(*) AS n_common
+          FROM cand c JOIN grams ga ON ga.mention_id = c.ia
+                      JOIN grams gb ON gb.mention_id = c.ib AND gb.h = ga.h
+          GROUP BY c.ia, c.ib),
+ver AS (SELECT i.ia, i.ib FROM inter i
+        JOIN sizes sa ON sa.mention_id = i.ia
+        JOIN sizes sb ON sb.mention_id = i.ib
+        WHERE (i.n_common * 100) // (sa.sz + sb.sz - i.n_common) >= {_ER_MIN_PCT}),
+edges AS (SELECT ia AS src, ib AS dst FROM ver UNION ALL SELECT ib, ia FROM ver),
+walk(node, lbl) AS (
+  SELECT mention_id, mention_id FROM men
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+SELECT CAST(node AS BIGINT) AS mention_id, CAST(min(lbl) AS BIGINT) AS entity_id
+FROM walk GROUP BY node"""
+
+
 def _text_bigram_diversity(spark, sf_dir):
     # libm-free entropy proxy: distinct/total char bigrams — the
     # gibberish screen (training/text.py::bigram_diversity)
@@ -5229,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_type": _events_topk_per_type,
         "events_hilbert_manifest": _events_hilbert_manifest,
         "events_partition_advice": _events_partition_advice,
+        "customer_er_entities": _customer_er_entities,
     }
 
 
@@ -5296,6 +5400,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_per_type": _EVENTS_TOPK_SQL,
         "events_hilbert_manifest": _EVENTS_HILBERT_SQL,
         "events_partition_advice": _EVENTS_ADVICE_SQL,
+        "customer_er_entities": _customer_er_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

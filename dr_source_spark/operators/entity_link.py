@@ -1,0 +1,219 @@
+"""Record-level entity resolution / linking: blocking → pairwise
+verification → transitive merge over an arbitrary (mention_id, text)
+mention table.
+
+This generalizes the engine's two existing linking surfaces — finding
+canonicalization (operators/canonicalize.py, exact composite keys) and
+document near-dup clustering (training/dedup.py, word-token sets) — to
+DIRTY RECORD STRINGS, the classic entity-linking shape: one real-world
+entity appears under typo'd / truncated / reformatted variants and every
+variant must receive one canonical id. The reference has no record-ER
+surface (its linking is the finding-level dedup this repo's
+canonicalize.py reimplements, dr_source/core/scanner.py); this extends
+the engine along the KG-construction axis of the brief.
+
+Stages, each its own composable function:
+
+1. ``mention_grams`` — normalized (lower, alnum-only) character-trigram
+   sets, hashed with the dedup stack's shared 32-bit base hash so the
+   DuckDB oracles reuse ``_duck_minhash_base``.
+2. ``er_blocking_keys`` — per mention, the ``b`` smallest hashes of its
+   NON-STOP trigrams (min-wise LSH on the trigram set). Stop-grams —
+   trigrams whose document frequency exceeds ``df_cap_pct`` percent of
+   mentions — are excluded from BLOCKING (they stay in scoring): a
+   shared prefix like ``Customer#00000`` would otherwise put one
+   globally-minimal trigram hash into every mention's key set and
+   funnel the whole table into a single bucket. This is the ER analogue
+   of removing 'smith' from a name-blocking key, made deterministic
+   (document frequency is data-derived, no stopword list).
+3. ``er_candidate_pairs`` — equi-join within blocking buckets; viral
+   buckets are capped COUNT-FIRST with non-silent ``observe`` drop
+   metrics (the LSH-cap pattern from training/dedup.py — the count
+   pre-pass bounds the per-group id array BEFORE it is built).
+4. ``er_verified_pairs`` — exact integer trigram-Jaccard
+   ``100*|∩| div |∪|`` over the FULL gram sets (stop-grams included —
+   they discriminate fine at scoring time, only blocking degenerates)
+   at ``min_pct``.
+5. ``er_entities`` — connected components over the verified pairs
+   (operators/graph.alternating_star_components), ``entity_id`` = the
+   component's minimum mention_id; unmatched mentions keep their own id
+   so the output covers every input mention.
+
+Scale shape: no all-pairs join anywhere — pairs exist only inside
+blocking buckets, bucket size is hard-capped, the verify join is
+pair × gram equi-joins on narrow keys, and the component step is the
+same O(log n)-round star machinery every other clustering surface uses.
+All arithmetic is integer (hash, df threshold, Jaccard pct), so the
+driver query's DuckDB oracle reproduces every cell.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dr_source_spark.training.dedup import _minhash_base
+
+_ER_OBS_SEQ = itertools.count()
+
+
+def normalize_mention(col: Column) -> Column:
+    """Lowercase, alnum-only view of a mention string — the
+    normalization both the gram extraction and the SQL oracle apply."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def mention_grams(
+    mentions: DataFrame, id_col: str = "mention_id", text_col: str = "name"
+) -> DataFrame:
+    """(mention_id, h): the DISTINCT hashed character trigrams of each
+    normalized mention. Mentions shorter than one trigram after
+    normalization vanish here and resurface in ``er_entities`` as
+    singletons (nothing to block or score on)."""
+    norm = normalize_mention(F.col(text_col))
+    return (
+        mentions.select(F.col(id_col).alias("mention_id"), norm.alias("_t"))
+        .where(F.length("_t") >= 3)
+        .select(
+            "mention_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))")
+            ).alias("_g"),
+        )
+        .select("mention_id", _minhash_base(F.col("_g")).alias("h"))
+        .distinct()
+    )
+
+
+def er_blocking_keys(
+    grams: DataFrame, b: int = 4, df_cap_pct: int = 5
+) -> DataFrame:
+    """(mention_id, h): each mention's ``b`` smallest non-stop trigram
+    hashes — its blocking-bucket memberships.
+
+    The document-frequency screen and the mention total are both
+    aggregates in-plan (broadcast 1-row total, narrow groupBy(h) for
+    df) — no driver action, no sampling. ``df * 100 <= cap * n`` keeps
+    the comparison integer-exact in both engines."""
+    df_per_gram = grams.groupBy("h").agg(F.count("*").alias("_df"))
+    total = grams.agg(F.countDistinct("mention_id").alias("_nm"))
+    rare = (
+        grams.join(df_per_gram, "h")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_df") * 100 <= F.lit(df_cap_pct) * F.col("_nm"))
+        .select("mention_id", "h")
+    )
+    w = Window.partitionBy("mention_id").orderBy("h")
+    return (
+        rare.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= b)
+        .select("mention_id", "h")
+    )
+
+
+def er_candidate_pairs(
+    grams: DataFrame, b: int = 4, df_cap_pct: int = 5, max_bucket: int = 64
+) -> DataFrame:
+    """(ia, ib) with ia < ib: distinct candidate mention pairs sharing a
+    blocking bucket. Buckets larger than ``max_bucket`` are dropped
+    COUNT-FIRST (before any id array exists) with observe metrics
+    ``er_cap_drops_*``: n_oversized_buckets / n_keys_in_oversized — the
+    non-silent cap contract every other LSH surface here honors."""
+    keys = er_blocking_keys(grams, b, df_cap_pct)
+    counts = keys.groupBy("h").agg(F.count("*").alias("_n"))
+    oversized = F.col("_n") > max_bucket
+    counts = counts.observe(
+        f"er_cap_drops_{next(_ER_OBS_SEQ)}",
+        F.sum(F.when(oversized, 1).otherwise(0)).alias("n_oversized_buckets"),
+        F.sum(F.when(oversized, F.col("_n")).otherwise(0)).alias("n_keys_in_oversized"),
+    )
+    keys = keys.join(counts.filter(~oversized).select("h"), "h")
+    groups = keys.groupBy("h").agg(
+        F.sort_array(F.collect_list("mention_id")).alias("_ids"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        groups.filter(F.col("_n") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids)), y -> "
+                    "struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ia", "p.ib")
+        .distinct()
+    )
+
+
+def er_verified_pairs(
+    grams: DataFrame, pairs: DataFrame, min_pct: int = 60
+) -> DataFrame:
+    """(ia, ib, n_common, n_union, jaccard_pct) for candidate pairs whose
+    exact integer trigram-Jaccard percentage clears ``min_pct``. Scoring
+    uses the FULL gram sets — the stop-gram screen only applies to
+    blocking, where high-frequency grams destroy bucket selectivity; at
+    scoring time they contribute valid overlap evidence like any other
+    gram."""
+    sizes = grams.groupBy("mention_id").agg(F.count("*").alias("_sz"))
+    ga = grams.select(F.col("mention_id").alias("ia"), "h")
+    gb = grams.select(F.col("mention_id").alias("ib"), "h")
+    inter = (
+        pairs.join(ga, "ia")
+        .join(gb, ["ib", "h"])
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("mention_id", "ia").withColumnRenamed("_sz", "_sa"), "ia")
+        .join(sizes.withColumnRenamed("mention_id", "ib").withColumnRenamed("_sz", "_sb"), "ib")
+        .select(
+            "ia",
+            "ib",
+            "n_common",
+            (F.col("_sa") + F.col("_sb") - F.col("n_common")).cast("long").alias("n_union"),
+        )
+        .withColumn("jaccard_pct", F.expr("(n_common * 100) div n_union").cast("long"))
+        .where(F.col("jaccard_pct") >= min_pct)
+    )
+
+
+def er_entities(
+    mentions: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "name",
+    b: int = 4,
+    df_cap_pct: int = 5,
+    max_bucket: int = 64,
+    min_pct: int = 60,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(mention_id, entity_id): every input mention labeled with its
+    canonical entity — the component minimum over the verified-match
+    graph; mentions with no verified match (including too-short-to-gram
+    mentions) keep their own id."""
+    from dr_source_spark.operators.graph import alternating_star_components
+
+    grams = mention_grams(mentions, id_col, text_col)
+    pairs = er_candidate_pairs(grams, b, df_cap_pct, max_bucket)
+    verified = er_verified_pairs(grams, pairs, min_pct)
+    stars = alternating_star_components(
+        verified.select(F.col("ia").alias("src"), F.col("ib").alias("dst")),
+        max_rounds=max_rounds,
+    )
+    all_ids = mentions.select(F.col(id_col).cast("long").alias("mention_id"))
+    return all_ids.join(
+        stars.select(
+            F.col("src").cast("long").alias("mention_id"),
+            F.col("dst").cast("long").alias("_root"),
+        ),
+        "mention_id",
+        "left",
+    ).select(
+        "mention_id",
+        F.coalesce(F.col("_root"), F.col("mention_id")).cast("long").alias("entity_id"),
+    )
