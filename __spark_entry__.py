@@ -5042,6 +5042,83 @@ SELECT CAST(node AS BIGINT) AS mention_id, CAST(min(lbl) AS BIGINT) AS entity_id
 FROM walk GROUP BY node"""
 
 
+_KTRUSS_K, _KTRUSS_ROUNDS, _KTRUSS_MIN_CO = 3, 3, 2
+
+
+def _parts_ktruss(spark, sf_dir):
+    # k-truss decomposition (operators/graph.py::ktruss_edges) over the
+    # co-purchase graph: parts co-ordered in >= 2 distinct orders, peel
+    # edges in < k-2 triangles for a fixed number of rounds
+    # (rounds-bound contract, as weighted_sssp), emit survivors with
+    # their final triangle support. 3445 edges -> 181 cohesive-community
+    # edges at sf0.01.
+    from dr_source_spark.operators.graph import ktruss_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+            F.col("x.l_orderkey").alias("_o"),
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= _KTRUSS_MIN_CO)
+        .select("src", "dst")
+    )
+    return ktruss_edges(co, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+
+
+def _parts_ktruss_sql() -> str:
+    # unrolled peel rounds: with canonical a < b edges, triangle
+    # x < y < z is exactly the 3-way join on edges (x,y),(y,z),(x,z) —
+    # orientation-free, same triangles the degree-ordered Spark
+    # enumeration finds. LEFT join + coalesce keeps the k-2 = 0 case
+    # honest (parity with the Spark side's zero-fill).
+    # every e{i}/t{i} is referenced 3-4 times by the next round: AS
+    # MATERIALIZED stops DuckDB's CTE inlining, which would otherwise
+    # expand the base scan 4^rounds times (measured: "Too many open
+    # files" on the raw form)
+    rounds = []
+    for i in range(_KTRUSS_ROUNDS):
+        rounds.append(
+            f"""t{i} AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e{i} ab JOIN e{i} bc ON bc.a = ab.b
+  JOIN e{i} ac ON ac.a = ab.a AND ac.b = bc.b),
+s{i} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+  SELECT x AS a, y AS b FROM t{i}
+  UNION ALL SELECT x, z FROM t{i}
+  UNION ALL SELECT y, z FROM t{i}) GROUP BY a, b),
+e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.sup, 0) >= {_KTRUSS_K - 2})"""
+        )
+    r = _KTRUSS_ROUNDS
+    chain = ",\n".join(rounds)
+    return f"""WITH co AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS o
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+e0 AS MATERIALIZED (SELECT a, b FROM co GROUP BY a, b HAVING count(*) >= {_KTRUSS_MIN_CO}),
+{chain},
+tf AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e{r} ab JOIN e{r} bc ON bc.a = ab.b
+  JOIN e{r} ac ON ac.a = ab.a AND ac.b = bc.b),
+sf AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+  SELECT x AS a, y AS b FROM tf
+  UNION ALL SELECT x, z FROM tf
+  UNION ALL SELECT y, z FROM tf) GROUP BY a, b)
+SELECT e.a::BIGINT AS a, e.b::BIGINT AS b,
+  coalesce(s.sup, 0)::BIGINT AS support
+FROM e{r} e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b"""
+
+
 def _text_bigram_diversity(spark, sf_dir):
     # libm-free entropy proxy: distinct/total char bigrams — the
     # gibberish screen (training/text.py::bigram_diversity)
@@ -5333,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hilbert_manifest": _events_hilbert_manifest,
         "events_partition_advice": _events_partition_advice,
         "customer_er_entities": _customer_er_entities,
+        "parts_ktruss": _parts_ktruss,
     }
 
 
@@ -5401,6 +5479,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hilbert_manifest": _EVENTS_HILBERT_SQL,
         "events_partition_advice": _EVENTS_ADVICE_SQL,
         "customer_er_entities": _customer_er_sql(),
+        "parts_ktruss": _parts_ktruss_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

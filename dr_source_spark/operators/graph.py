@@ -386,6 +386,111 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _triangle_list(und: DataFrame) -> DataFrame:
+    """(w0, w1, w2): every triangle of the canonical undirected edge set
+    ``(a, b)`` with a < b, enumerated ONCE each via the same
+    degree-ordered orientation as ``triangle_counts`` (wedges form only
+    at their lowest-(degree, id) vertex — a celebrity node never
+    materializes its neighbor pairs). Vertex order in the output row is
+    orientation order, not sorted."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    j = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            F.struct(F.col("o1.dv"), F.col("o1.v"))
+            < F.struct(F.col("o2.dv"), F.col("o2.v"))
+        ),
+    ).select(
+        F.col("o1.u").alias("w0"), F.col("o1.v").alias("w1"), F.col("o2.v").alias("w2")
+    )
+    closing = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    return wedges.join(closing, ["w1", "w2"])
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support) for every canonical edge: the number of triangles
+    the edge closes (0-filled). Each triangle contributes to exactly its
+    three edges via an in-plan explode — narrow keys, full map-side
+    combine, no per-edge neighbor-set materialization."""
+    tri = _triangle_list(und)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("w0", "w1").alias("a"), F.greatest("w0", "w1").alias("b")
+                ),
+                F.struct(
+                    F.least("w0", "w2").alias("a"), F.greatest("w0", "w2").alias("b")
+                ),
+                F.struct(
+                    F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """(a, b, support): the edges surviving ``rounds`` peeling iterations
+    of k-truss decomposition — drop every edge in fewer than k-2
+    triangles, recount, repeat — plus each survivor's triangle support
+    within the FINAL surviving graph.
+
+    Rounds-bound contract (the weighted_sssp convention): the result is
+    exactly the ``rounds``-th peel iterate, so an unrolled SQL oracle
+    reproduces it bit-for-bit; peeling is monotone (edge sets only
+    shrink) and idempotent at the fixed point, so overshooting
+    convergence re-derives the identical edge list — pytest pins
+    fixpoint on the fixtures. The true k-truss is the fixed point;
+    callers wanting it raise ``rounds`` (support only drops when an
+    incident edge died last round, so diameter-many rounds suffice).
+
+    Scale shape: each round is one degree-ordered triangle enumeration
+    (the Suri-Vassilvitskii orientation — no celebrity blowup), one
+    3-way explode + narrow (a, b) groupBy for supports, one equi-join
+    filter. The shrinking edge list is checkpointed per round, so round
+    r+1's plan starts from materialized data instead of r stacked
+    enumerations. Self-loops are dropped, parallel edges collapse in
+    the canonicalization — both engines agree by construction."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        und = (
+            _edge_support(und)
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return _edge_support(und)
+
+
 def weighted_sssp(
     edges: DataFrame, seeds: DataFrame, rounds: int = 4
 ) -> DataFrame:
