@@ -369,6 +369,610 @@ GROUP BY r_name, n_name
 """
 
 
+_DEC = "decimal(18,4)"
+
+
+def _rev_dec():
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+def _q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape: the pure scan-aggregate class — every predicate
+    # pushes to the parquet scan (year band, discount band, quantity
+    # cap), one decimal-exact conditional sum, zero joins and zero
+    # shuffles past the partial agg. The simplest query in the deck and
+    # the purest pushdown/codegen check.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q7_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 shape: the bidirectional nation-pair class — the same
+    # dimension table joined twice under different roles (supplier
+    # nation / customer nation) with a symmetric disjunctive pair
+    # filter, revenue by (supp_nation, cust_nation, year). Both nation
+    # legs broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_4")
+    ) | ((F.col("supp_nation") == "NATION_4") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+   OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def _q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: market share — one nation's slice of a
+    # region+part-type market per year. The ratio is integer basis
+    # points over floor-cents decimal sums (the mom-growth idiom): no
+    # float division for the engines to round apart.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    ns = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    base = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_sk"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.floor(F.sum(_rev_dec()) * 100).cast("long").alias("_tot_c"),
+            F.floor(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev_dec()).otherwise(F.lit(0).cast(_DEC))) * 100
+            ).cast("long").alias("_nat_c"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_tot_c") / 100.0, 2).alias("total_revenue"),
+            F.round(F.col("_nat_c") / 100.0, 2).alias("nation_revenue"),
+            F.expr("(_nat_c * 10000) div _tot_c").cast("long").alias("share_bp"),
+        )
+    )
+
+
+_Q8_SQL = f"""
+WITH base AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year, n1.n_name AS supp_nation,
+         {_REV_SQL} AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey),
+agg AS (
+  SELECT o_year,
+         CAST(floor(sum(rev) * 100) AS BIGINT) AS tot_c,
+         CAST(floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) * 100) AS BIGINT) AS nat_c
+  FROM base GROUP BY o_year)
+SELECT o_year, round(tot_c / 100.0, 2) AS total_revenue,
+       round(nat_c / 100.0, 2) AS nation_revenue,
+       ((nat_c * 10000) // tot_c)::BIGINT AS share_bp
+FROM agg
+"""
+
+
+def _q10_returned_items(spark, sf_dir):
+    # TPC-H Q10 shape: top-N report with a deterministic cut — revenue
+    # ordering on exact floor-cents (never the rounded double) with a
+    # unique-key tie-break, so both engines cut the same 20 customers.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.floor(F.sum(_rev_dec()) * 100).cast("long").alias("_rev_c"))
+        .orderBy(F.col("_rev_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long"),
+            "c_name",
+            F.round(F.col("_rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+_Q10_SQL = f"""
+WITH agg AS (
+  SELECT c_custkey::BIGINT AS c_custkey, c_name, c_acctbal, n_name,
+         CAST(floor(sum({_REV_SQL}) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1, 2, 3, 4)
+SELECT c_custkey, c_name, round(rev_c / 100.0, 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM agg ORDER BY rev_c DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def _q12_priority_lines(spark, sf_dir):
+    # TPC-H Q12 shape: two-way conditional aggregation — per shipping
+    # category (this schema has no l_shipmode; l_returnflag is the
+    # category stand-in, the operator class is identical), count lines
+    # of high- vs low-priority orders inside a shipdate year.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def _q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: the view + global-scalar-max class — quarterly
+    # revenue per supplier, keep the supplier(s) AT the maximum.
+    # Equality runs on exact floor-cents (a rounded double could admit
+    # near-ties differently per engine); the 1-row max broadcasts.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.floor(F.sum(_rev_dec()) * 100).cast("long").alias("_rev_c"))
+    )
+    mx = srev.agg(F.max("_rev_c").alias("_mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev_c") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long"),
+            "s_name",
+            F.round(F.col("_rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH srev AS (
+  SELECT l_suppkey, CAST(floor(sum({_REV_SQL}) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name, round(rev_c / 100.0, 2) AS total_revenue
+FROM srev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM srev)
+"""
+
+
+def _q21_waiting_suppliers(spark, sf_dir):
+    # TPC-H Q21 shape: the dual-correlation class — EXISTS and NOT
+    # EXISTS against the SAME table under different predicates. This
+    # schema has no commit/receipt dates, so "late" is restated as
+    # shipped > 60 days after the order date (timestamp + interval in
+    # both engines); the operator class — semi-join for "another
+    # supplier participated", anti-join for "no OTHER supplier was also
+    # late" — is the original's.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    ).alias("l2")
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    ).alias("l3")
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("_ok2"))
+            & (F.col("l1.l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("_ok3"))
+            & (F.col("l1.l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+def _derived_pair_cost(li):
+    # This schema has no partsupp, so the observed supply relation is
+    # derived from lineitem (the same restatement q16 uses): per
+    # (l_partkey, l_suppkey), cost_c = the cheapest observed line total
+    # in exact floor-cents. min() of exact integers is engine-stable;
+    # no float division can split a boundary.
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.floor(F.min(F.col("l_extendedprice").cast(_DEC)) * 100)
+        .cast("long")
+        .alias("cost_c")
+    )
+
+
+_DERIVED_PAIR_COST_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(floor(min(CAST(l_extendedprice AS DECIMAL(18,4))) * 100) AS BIGINT) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape: the per-group-min + join-back class — for each
+    # qualifying part, the EUROPE supplier(s) whose derived supply cost
+    # equals the per-part minimum, reported as a deterministic top-100
+    # (exact-cents acctbal desc, unique (s_name, p_partkey) tie-break).
+    # The per-pair aggregate and the min join-back share the partkey
+    # shuffle; every dimension leg broadcasts.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    eu_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pq = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")).select(
+        "p_partkey", "p_brand"
+    )
+    pairs = (
+        _derived_pair_cost(li)
+        .join(F.broadcast(pq), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = pairs.groupBy(F.col("ps_partkey").alias("_mk")).agg(
+        F.min("cost_c").alias("_mc")
+    )
+    return (
+        pairs.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mk")) & (F.col("cost_c") == F.col("_mc")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.round(F.col("cost_c") / 100.0, 2).alias("supply_cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+_Q2_SQL = f"""
+WITH pair_cost AS ({_DERIVED_PAIR_COST_SQL}),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+pairs AS (
+  SELECT pc.*, p_brand, s_name, s_acctbal, n_name
+  FROM pair_cost pc
+  JOIN part ON ps_partkey = p_partkey AND p_size = 15 AND p_type = 'SMALL'
+  JOIN eu ON ps_suppkey = s_suppkey)
+SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+       ps_partkey::BIGINT AS p_partkey, p_brand,
+       round(cost_c / 100.0, 2) AS supply_cost
+FROM pairs p1
+WHERE cost_c = (SELECT min(cost_c) FROM pairs p2 WHERE p2.ps_partkey = p1.ps_partkey)
+ORDER BY acctbal DESC, s_name ASC, p_partkey ASC LIMIT 100
+"""
+
+
+def _q9_product_type_profit(spark, sf_dir):
+    # TPC-H Q9 shape: product-type profit per (supplier nation, order
+    # year). No ps_supplycost exists, so cost is restated as 80% of the
+    # part's retail price per unit, all in exact integer cents:
+    # cost_c = (qty * retail_c * 4) div 5, profit_c = floor-cents
+    # revenue - cost_c, summed AFTER the per-line floor so both engines
+    # add identical integers. Part/supplier/nation broadcast; orders
+    # joins on the lineitem orderkey shuffle.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    pg = p.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_c"),
+    )
+    return (
+        li.join(F.broadcast(pg), li["l_partkey"] == pg["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(_rev_dec() * 100).cast("long")
+                    - F.expr("(CAST(l_quantity AS BIGINT) * retail_c * 4) div 5")
+                )
+                / 100.0,
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(CAST(floor({_REV_SQL} * 100) AS BIGINT)
+                 - (CAST(l_quantity AS BIGINT) * retail_c * 4) // 5) / 100.0, 2) AS profit
+FROM lineitem
+JOIN (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS retail_c
+      FROM part WHERE p_name LIKE '%gear%') pg ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def _q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 shape: the group-share-threshold class — per-part
+    # observed stock value for one region's suppliers, keeping parts
+    # whose value exceeds 1/2000 of the region's total. The fraction is
+    # restated as an integer cross-multiply (value_c * 2000 > total_c)
+    # on floor-cents sums; the 1-row total broadcasts like q15/q22.
+    # (Region scope, not the original's single nation: the sf0.001
+    # fixture has nations with zero suppliers.)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nat_sup), li["l_suppkey"] == nat_sup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice").cast(_DEC) * 100).cast("long")).alias(
+                "value_c"
+            )
+        )
+    )
+    total = per_part.agg(F.sum("value_c").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 2000 > F.col("_tot"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("value_c") / 100.0, 2).alias("stock_value"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT)) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  GROUP BY l_partkey)
+SELECT l_partkey::BIGINT AS p_partkey, round(value_c / 100.0, 2) AS stock_value
+FROM per_part
+WHERE value_c * 2000 > (SELECT sum(value_c) FROM per_part)
+"""
+
+
+def _q20_dominant_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape: the nested semi-join chain with a correlated
+    # aggregate threshold — ASIA suppliers who shipped MORE THAN HALF of
+    # some PROMO part's total 1997 volume (availqty > 0.5*shipped,
+    # restated over observed volume with the exact integer
+    # cross-multiply 2*pair_qty > part_total). The per-pair and per-part
+    # aggregates share the partkey shuffle; the dominant-supplier key
+    # set feeds a LEFT SEMI join against supplier.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("pair_qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    dominant = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("_dk"))
+    )
+    asia = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+    )
+    return (
+        asia.join(dominant, asia["s_suppkey"] == dominant["_dk"], "left_semi")
+        .select(F.col("s_suppkey").cast("long"), "s_name", "n_name")
+    )
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS pair_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM shipped s1
+  WHERE pair_qty * 2 > (SELECT sum(pair_qty) FROM shipped s2
+                        WHERE s2.l_partkey = s1.l_partkey))
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
 def _q14_promo_share(spark, sf_dir):
     # TPC-H Q14 shape: promo-brand revenue share per month — conditional
     # aggregate over a broadcast part join; the ratio is a rounded
@@ -5411,6 +6015,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_advice": _events_partition_advice,
         "customer_er_entities": _customer_er_entities,
         "parts_ktruss": _parts_ktruss,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "q10_returned_items": _q10_returned_items,
+        "q12_priority_lines": _q12_priority_lines,
+        "q15_top_supplier": _q15_top_supplier,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_product_type_profit": _q9_product_type_profit,
+        "q11_important_stock": _q11_important_stock,
+        "q20_dominant_suppliers": _q20_dominant_suppliers,
     }
 
 
@@ -5480,6 +6095,17 @@ def oracle_sql() -> dict[str, str]:
         "events_partition_advice": _EVENTS_ADVICE_SQL,
         "customer_er_entities": _customer_er_sql(),
         "parts_ktruss": _parts_ktruss_sql(),
+        "q6_forecast_revenue": _Q6_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q12_priority_lines": _Q12_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q9_product_type_profit": _Q9_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q20_dominant_suppliers": _Q20_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

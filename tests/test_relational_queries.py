@@ -16,6 +16,17 @@ SF = "/root/testdata/sf0.001"
 
 NEW_QUERIES = [
     "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
     "q13_customer_distribution",
     "q16_supplier_variety",
     "q17_small_quantity",
@@ -163,3 +174,90 @@ def test_cep_requires_adjacency_unlike_funnel(spark):
         ev.write.parquet(f"{d}/events.parquet")
         got = {r.user_id: r.n_sequences for r in E.queries()["events_cep_sequence"](spark, d).collect()}
     assert got == {1: 1}
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """The pure scan-aggregate class: every Q6 predicate (shipdate band,
+    discount band, quantity cap) is pushed to the parquet scan, the scan
+    reads only the three predicate columns + the two measure columns,
+    and there are no joins at all."""
+    plan = _plan(E.queries()["q6_forecast_revenue"](spark, SF))
+    assert "Join" not in plan
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in scan, scan
+    assert "l_orderkey" not in scan  # column pruning held
+
+
+def test_q15_scalar_max_broadcasts_one_row(spark):
+    """The view + global-scalar-max class: the 1-row max side is
+    broadcast and Catalyst rewrites crossJoin+equality-filter into a
+    broadcast HASH join on the equality key (better than a nested
+    loop) — never a CartesianProduct, never a rounded-double
+    equality."""
+    plan = _plan(E.queries()["q15_top_supplier"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    cross = [ln for ln in plan.splitlines()
+             if "BroadcastHashJoin" in ln and "Cross" in ln and "_mx" in ln]
+    assert len(cross) == 1, plan
+
+
+def test_q21_plans_semi_and_anti_on_the_equi_key(spark):
+    """The dual-correlation class: EXISTS -> LeftSemi, NOT EXISTS ->
+    LeftAnti, both hash joins on l_orderkey with the supplier
+    inequality as a residual condition — no nested loop, which is what
+    a naive translation of the correlated pair produces."""
+    plan = _plan(E.queries()["q21_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q10_cut_is_deterministic_on_exact_cents(spark):
+    """Top-20 membership is decided on exact floor-cents with a custkey
+    tie-break (TakeOrderedAndProject in-plan); the rounded double is
+    display-only."""
+    df = E.queries()["q10_returned_items"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert df.count() == 20
+
+
+def test_q2_min_join_back_is_hash_and_cut_is_deterministic(spark):
+    """The per-group-min + join-back class: the join back onto
+    (partkey, min cost) is a HASH join on the two-column equi-key —
+    never a nested loop — and the top-100 cut is a
+    TakeOrderedAndProject on exact-cents-backed keys."""
+    plan = _plan(E.queries()["q2_min_cost_supplier"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q9_dimensions_broadcast(spark):
+    """The multi-dimension profit rollup: part/supplier/nation all
+    broadcast (at least three BroadcastHashJoins) so the only shuffled
+    join is lineitem-orders on the orderkey."""
+    plan = _plan(E.queries()["q9_product_type_profit"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q11_only_nested_loop_is_the_one_row_total(spark):
+    """The group-share-threshold class: the single
+    BroadcastNestedLoopJoin is the 1-row global-total broadcast (the
+    same scalar-subquery shape as q22), never a CartesianProduct."""
+    plan = _plan(E.queries()["q11_important_stock"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 1, plan
+    if bnlj:
+        assert "Cross" in bnlj[0], plan
+
+
+def test_q20_plans_semi_join_chain(spark):
+    """The nested semi-join chain: the dominant-supplier key set feeds a
+    LEFT SEMI join against supplier; the correlated aggregate threshold
+    decorrelates to hash joins only."""
+    plan = _plan(E.queries()["q20_dominant_suppliers"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
