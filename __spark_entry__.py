@@ -5851,6 +5851,110 @@ WHERE regexp_matches(text, '\bcustomer\b') AND NOT regexp_matches(text, '\btable
 """
 
 
+# The (doc_id, pos, token) stream both search oracles read: the same
+# lowercased whitespace tokenization every text operator uses, with
+# generate_subscripts aligned to unnest for 1-based positions.
+_TOK_STREAM_SQL = r"""
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS token,
+         generate_subscripts(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), 1) AS pos
+  FROM documents
+"""
+
+
+def _search_vocabulary(spark, sf_dir):
+    # Inverted-index vocabulary statistics: per-token document frequency
+    # and total term frequency over the row-wise postings table
+    # (training/search.py — one (token, doc_id) ROW per posting, never a
+    # collected doc-list array, so hot tokens stay skew-safe).
+    from dr_source_spark.training.search import postings_vocabulary
+
+    return postings_vocabulary(_t(spark, sf_dir, "documents"))
+
+
+_SEARCH_VOCAB_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL})
+SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tf_total
+FROM tok WHERE token <> '' GROUP BY token
+"""
+
+
+def _search_conjunctive(spark, sf_dir):
+    # Boolean-AND search: documents containing ALL of the query terms,
+    # scored by summed term frequency. The literal term list pushes to
+    # the postings scan; the AND is a doc_id groupBy whose matched-term
+    # count must equal the query length.
+    from dr_source_spark.training.search import conjunctive_search
+
+    return conjunctive_search(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "merge"]
+    )
+
+
+_SEARCH_CONJ_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL}),
+post AS (
+  SELECT token, doc_id, count(*) AS tf
+  FROM tok WHERE token IN ('spark', 'join', 'merge')
+  GROUP BY 1, 2)
+SELECT doc_id, sum(tf)::BIGINT AS score_tf
+FROM post GROUP BY doc_id HAVING count(*) = 3
+"""
+
+
+def _search_phrase(spark, sf_dir):
+    # Exact-phrase search: consecutive "merge slow" occurrences via the
+    # positional self-EQUI-join on (doc_id, pos - i) — k-term phrase =
+    # k-1 hash joins, no nested loop (plan-gated in tests/test_search.py).
+    from dr_source_spark.training.search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), ["merge", "slow"])
+
+
+_SEARCH_PHRASE_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL})
+SELECT a.doc_id, count(*)::BIGINT AS n_matches, min(a.pos)::BIGINT AS first_pos
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.token = 'merge' AND b.token = 'slow'
+GROUP BY a.doc_id
+"""
+
+
+def _parts_pareto_frontier(spark, sf_dir):
+    # Skyline / Pareto frontier: parts that are cost-size optimal
+    # (minimize price, maximize size) under strict-Pareto dominance.
+    # The textbook NOT EXISTS dominance anti-join is a NON-equi
+    # self-join (nested-loop at scale); operators/skyline.py computes
+    # the 2-D frontier exactly with one hash aggregate, a window over
+    # DISTINCT prices only, and a broadcast join-back.
+    from dr_source_spark.operators.skyline import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return pareto_frontier_2d(p, "price_c", "p_size").select(
+        F.col("p_partkey").cast("long"),
+        F.round(F.col("price_c") / 100.0, 2).alias("price"),
+        "p_size",
+    )
+
+
+_PARTS_PARETO_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey::BIGINT AS p_partkey, round(price_c / 100.0, 2) AS price, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6026,6 +6130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": _q9_product_type_profit,
         "q11_important_stock": _q11_important_stock,
         "q20_dominant_suppliers": _q20_dominant_suppliers,
+        "search_vocabulary": _search_vocabulary,
+        "search_conjunctive": _search_conjunctive,
+        "search_phrase": _search_phrase,
+        "parts_pareto_frontier": _parts_pareto_frontier,
     }
 
 
@@ -6106,6 +6214,10 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_type_profit": _Q9_SQL,
         "q11_important_stock": _Q11_SQL,
         "q20_dominant_suppliers": _Q20_SQL,
+        "search_vocabulary": _SEARCH_VOCAB_SQL,
+        "search_conjunctive": _SEARCH_CONJ_SQL,
+        "search_phrase": _SEARCH_PHRASE_SQL,
+        "parts_pareto_frontier": _PARTS_PARETO_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

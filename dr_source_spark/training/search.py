@@ -1,0 +1,141 @@
+"""Inverted-index text search over the documents table.
+
+A training-data pipeline at 100 TB needs to ANSWER QUERIES about its
+corpus, not just filter it: "which documents mention these terms",
+"where does this exact phrase occur" (e.g. hunting benchmark strings,
+license boilerplate, or PII templates beyond fixed regexes). The
+classic engine for that is an inverted index; this module builds one
+relationally and answers conjunctive and exact-phrase queries over it
+with nothing but equi-joins and aggregates.
+
+Design for scale:
+
+* **Row-wise postings, never array-wise.** ``build_postings`` emits one
+  ROW per (token, doc_id) — NOT one row per token with a collected
+  doc-list array. A hot token ("the") at corpus scale would otherwise
+  materialize a single row of hundreds of millions of doc ids in one
+  aggregation buffer; row-wise postings shuffle on the (token, doc_id)
+  pair and stay skew-safe. A consumer that genuinely wants list form
+  can range-partition by token first.
+* **Position stream for phrases.** ``token_positions`` keeps the
+  (doc_id, pos, token) stream; exact-phrase matching is a k-way
+  self-EQUI-join on (doc_id, pos - i) — the relational statement of
+  "the i-th phrase term appears i after the first". No nested loop,
+  no UDF, and the per-term filters push to the scan.
+* **Tokenization parity.** The same lowercased whitespace split every
+  text operator in this package uses (``training/text.py``), so the
+  DuckDB oracles reproduce every cell with
+  ``string_split_regex(lower(text), '\\s+')``.
+
+Reference: the reference engine greps one file at a time in a Python
+loop (dr_source/core/scanner.py); an inverted index over the corpus is
+what that lookup becomes when the corpus no longer fits one machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_positions(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) stream; pos is the 1-based token ordinal.
+
+    1-based so the DuckDB oracle's ``generate_subscripts(arr, 1)``
+    reproduces it directly. Empty and NULL texts contribute no rows
+    (the '' artifact of splitting a blank string is filtered, same as
+    token_count's convention).
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    return (
+        documents.select("doc_id", F.posexplode(toks).alias("pos0", "token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+
+
+def build_postings(documents: DataFrame) -> DataFrame:
+    """The inverted index: one row per (token, doc_id) with term
+    frequency and first occurrence position.
+
+    One shuffle, keyed on the (token, doc_id) pair — hot tokens spread
+    across as many partitions as they have distinct documents.
+    """
+    return (
+        token_positions(documents)
+        .groupBy("token", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def postings_vocabulary(documents: DataFrame) -> DataFrame:
+    """Per-token index statistics: document frequency and total term
+    frequency — the df table an IDF weighting or a query planner's
+    rarest-first term ordering reads."""
+    return (
+        build_postings(documents)
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+    )
+
+
+def conjunctive_search(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """Documents containing ALL of ``terms`` (boolean AND), with the
+    summed term frequency as a crude relevance score.
+
+    The term list is a literal IN filter — it pushes to the postings
+    scan, so only matching postings ever shuffle; the AND is a groupBy
+    counting matched DISTINCT terms (postings are unique per
+    (token, doc_id), so count(*) == count(distinct token)). One shuffle
+    on doc_id.
+    """
+    n = len(terms)
+    return (
+        build_postings(documents)
+        .filter(F.col("token").isin(*terms))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.sum("tf").cast("long").alias("score_tf"),
+        )
+        .filter(F.col("_nt") == n)
+        .select("doc_id", "score_tf")
+    )
+
+
+def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
+    """Documents containing the EXACT consecutive phrase, with match
+    count and the first match's 1-based position.
+
+    The i-th term's stream joins on (doc_id, pos - i == anchor pos) —
+    a pure equi-join per phrase term after pushing each term's equality
+    filter to the position stream. k-term phrase = k-1 hash joins whose
+    build sides are the (usually rarer) later terms; no nested loop and
+    nothing quadratic.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    stream = token_positions(documents)
+    anchor = (
+        stream.filter(F.col("token") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    out = anchor
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = stream.filter(F.col("token") == term).select(
+            F.col("doc_id").alias(f"_d{i}"), (F.col("pos") - i).alias(f"_a{i}")
+        )
+        out = out.join(
+            nxt,
+            (out["doc_id"] == nxt[f"_d{i}"]) & (out["p0"] == nxt[f"_a{i}"]),
+        ).drop(f"_d{i}", f"_a{i}")
+    return out.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
