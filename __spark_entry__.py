@@ -5955,6 +5955,116 @@ WHERE NOT EXISTS (
 """
 
 
+def _customer_k_anonymity(spark, sf_dir):
+    # Privacy audit, k-anonymity: group size per quasi-identifier combo
+    # (segment, nation, thousand-dollar balance band) with the exposed
+    # verdict at k=5. One map-side-combined shuffle on the narrow quasi
+    # tuple; the full census is the audit artifact, failing groups are a
+    # filter away (training/privacy.py).
+    from dr_source_spark.training.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(c, ["c_mktsegment", "c_nationkey", "bal_band"], k=5)
+
+
+_K_ANON_SQL = """
+SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       count(*)::BIGINT AS group_n, count(*) < 5 AS exposed
+FROM customer GROUP BY 1, 2, 3
+"""
+
+
+def _orders_l_diversity(spark, sf_dir):
+    # Privacy audit, l-diversity: a k-anonymous group whose members all
+    # share one sensitive value still leaks it. Distinct order
+    # priorities per (status, order-year) group, exposed below l=3.
+    from dr_source_spark.training.privacy import l_diversity_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.year("o_orderdate").cast("long").alias("o_year"),
+        "o_orderpriority",
+    )
+    return l_diversity_report(o, ["o_orderstatus", "o_year"], "o_orderpriority", l=3)
+
+
+_L_DIV_SQL = """
+SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year,
+       count(*)::BIGINT AS group_n,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_sensitive,
+       count(DISTINCT o_orderpriority) < 3 AS exposed
+FROM orders GROUP BY 1, 2
+"""
+
+
+def _events_decayed_value(spark, sf_dir):
+    # Recency-weighted engagement: per-user half-life-per-step decayed
+    # value sum in exact bit-shift integer arithmetic (latest event full
+    # cents, previous half floored, then a quarter...) — the decayed
+    # aggregate with no float pow for the engines to round apart. One
+    # exchange (rank and count ride the same window partition);
+    # operators/decay.py.
+    from dr_source_spark.operators.decay import decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = decayed_sum(
+        ev,
+        "user_id",
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_c") / 100.0, 2).alias("total_value"),
+        F.round(F.col("decayed_c") / 100.0, 2).alias("decayed_value"),
+    )
+
+
+_DECAYED_SQL = """
+WITH ranked AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(vc) / 100.0, 2) AS total_value,
+       round(sum(vc >> CAST(least(n - i, 62) AS INT)) / 100.0, 2) AS decayed_value
+FROM ranked GROUP BY user_id
+"""
+
+
+def _text_collocations(spark, sf_dir):
+    # Collocation mining: adjacent bigrams scored by the exact-integer
+    # PMI proxy score_bp = (N * c_xy * 10000) div (c_x * c_y) — above
+    # 10000 means the pair co-occurs more than independence predicts.
+    # Bigrams come from the positional self-equi-join on the shared
+    # token stream (training/search.py); min_count prunes the hapax
+    # tail before the unigram join-back.
+    from dr_source_spark.training.search import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+_COLLOC_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL}),
+t AS (SELECT * FROM tok WHERE token <> ''),
+uni AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+n_tot AS (SELECT sum(c) AS n FROM uni),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, count(*)::BIGINT AS n_pair
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT t1, t2, n_pair,
+       ((SELECT n FROM n_tot) * n_pair * 10000 // (u1.c * u2.c))::BIGINT AS score_bp
+FROM pairs JOIN uni u1 ON t1 = u1.token JOIN uni u2 ON t2 = u2.token
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6134,6 +6244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_conjunctive": _search_conjunctive,
         "search_phrase": _search_phrase,
         "parts_pareto_frontier": _parts_pareto_frontier,
+        "customer_k_anonymity": _customer_k_anonymity,
+        "orders_l_diversity": _orders_l_diversity,
+        "events_decayed_value": _events_decayed_value,
+        "text_collocations": _text_collocations,
     }
 
 
@@ -6218,6 +6332,10 @@ def oracle_sql() -> dict[str, str]:
         "search_conjunctive": _SEARCH_CONJ_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
         "parts_pareto_frontier": _PARTS_PARETO_SQL,
+        "customer_k_anonymity": _K_ANON_SQL,
+        "orders_l_diversity": _L_DIV_SQL,
+        "events_decayed_value": _DECAYED_SQL,
+        "text_collocations": _COLLOC_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

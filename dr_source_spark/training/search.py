@@ -139,3 +139,49 @@ def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
         F.count("*").cast("long").alias("n_matches"),
         F.min("p0").cast("long").alias("first_pos"),
     )
+
+
+def collocations(documents: DataFrame, min_count: int = 5) -> DataFrame:
+    """Collocation mining: adjacent bigrams scored by an exact-integer
+    PMI proxy.
+
+    PMI(x, y) = log( P(xy) / (P(x)P(y)) ); the inner ratio is emitted
+    directly in basis points — score_bp = (N * c_xy * 10000) div
+    (c_x * c_y) — so every cell is an integer both engines reproduce
+    and the log is a read-time cosmetic. score_bp > 10000 means the
+    pair co-occurs more than independence predicts.
+
+    Shape at scale: the bigram stream is the positional self-equi-join
+    (doc_id, pos + 1); pair and unigram counts are map-side-combined
+    aggregates; the unigram table joins back on the token equi-key
+    twice. ``min_count`` prunes the hapax tail BEFORE the join-back.
+    """
+    stream = token_positions(documents)
+    uni = stream.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = uni.agg(F.sum("c").alias("_N"))
+    nxt = stream.select(
+        F.col("doc_id").alias("_d"),
+        (F.col("pos") - 1).alias("_p"),
+        F.col("token").alias("t2"),
+    )
+    pairs = (
+        stream.join(nxt, (stream["doc_id"] == nxt["_d"]) & (stream["pos"] == nxt["_p"]))
+        .groupBy(F.col("token").alias("t1"), "t2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    u1 = uni.select(F.col("token").alias("_t1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("token").alias("_t2"), F.col("c").alias("_c2"))
+    return (
+        pairs.join(u1, F.col("t1") == F.col("_t1"))
+        .join(u2, F.col("t2") == F.col("_t2"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            F.expr("(_N * n_pair * 10000) div (_c1 * _c2)")
+            .cast("long")
+            .alias("score_bp"),
+        )
+    )

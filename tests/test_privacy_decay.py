@@ -1,0 +1,92 @@
+"""Gates for the privacy-audit reports (training/privacy.py), the
+bit-shift decayed aggregate (operators/decay.py), and PMI collocation
+mining (training/search.py::collocations): hand-computed semantics on
+tiny inputs, the shift-clamp law (Java's >> wraps at 64 — the clamp is
+what keeps 63+-event groups correct), and the plan shapes."""
+
+from pyspark.sql import functions as F
+
+from dr_source_spark.operators.decay import decayed_sum
+from dr_source_spark.training.privacy import k_anonymity_report, l_diversity_report
+from dr_source_spark.training.search import collocations
+
+
+def test_k_anonymity_verdicts(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 4 + [("b", 1)], "seg string, nat long"
+    )
+    got = {(r.seg, r.nat): (r.group_n, r.exposed) for r in k_anonymity_report(df, ["seg", "nat"], k=5).collect()}
+    assert got == {("a", 1): (5, False), ("a", 2): (4, True), ("b", 1): (1, True)}
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    # a LARGE group whose sensitive attribute is constant is still exposed
+    rows = [("a", "x")] * 10 + [("b", "x"), ("b", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r.q: (r.group_n, r.n_sensitive, r.exposed) for r in l_diversity_report(df, ["q"], "s", l=3).collect()}
+    assert got == {"a": (10, 1, True), "b": (3, 3, False)}
+
+
+def test_decayed_sum_bit_shift_arithmetic(spark):
+    # events (old -> new) cents [100, 100, 100]: 100>>2 + 100>>1 + 100
+    # = 25 + 50 + 100 = 175; per-row floors, not float pow
+    df = spark.createDataFrame(
+        [(1, i, 100) for i in range(3)], "g long, ord long, vc long"
+    )
+    row = decayed_sum(df, "g", [F.col("ord").asc()], F.col("vc")).collect()[0]
+    assert (row.n_events, row.total_c, row.decayed_c) == (3, 300, 175)
+
+
+def test_decayed_sum_clamps_shift_past_62(spark):
+    # 70 events of 4 cents: contributions 4, 2, 1 then zeros. Without
+    # the clamp, Java's shift-wrap at 64 would resurrect full-value
+    # contributions for events 64 steps back.
+    df = spark.createDataFrame(
+        [(1, i, 4) for i in range(70)], "g long, ord long, vc long"
+    )
+    row = decayed_sum(df, "g", [F.col("ord").asc()], F.col("vc")).collect()[0]
+    assert (row.n_events, row.decayed_c) == (70, 7)
+
+
+def test_decayed_sum_single_exchange(spark, tmp_path):
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i % 5, i, 100 + i) for i in range(50)], "g long, ord long, vc long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        decayed_sum(df, "g", [F.col("ord").asc()], F.col("vc"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_collocations_pmi_proxy_exact(spark):
+    # corpus: "a b a b" and "a b c" -> N=7 tokens; c(a)=3 c(b)=3 c(c)=1;
+    # bigram (a,b) occurs 3 times -> score = 7*3*10000 div 9 = 23333
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {(r.t1, r.t2): (r.n_pair, r.score_bp) for r in collocations(docs, min_count=3).collect()}
+    assert got == {("a", "b"): (3, 23333)}
+
+
+def test_collocations_min_count_prunes(spark):
+    docs = spark.createDataFrame([(1, "x y x y z q")], "doc_id long, text string")
+    assert collocations(docs, min_count=3).count() == 0
+    got = {(r.t1, r.t2) for r in collocations(docs, min_count=2).collect()}
+    assert got == {("x", "y")}
+
+
+def test_collocations_only_nested_loop_is_the_one_row_total(spark, tmp_path):
+    """The bigram and unigram joins are hash equi-joins; the single
+    BNLJ is the 1-row corpus-total broadcast."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "a b c a b") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = collocations(docs, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 1, plan
