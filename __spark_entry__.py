@@ -6065,6 +6065,65 @@ FROM pairs JOIN uni u1 ON t1 = u1.token JOIN uni u2 ON t2 = u2.token
 """
 
 
+def _events_scd2_history(spark, sf_dir):
+    # Type-2 SCD snapshot from the event stream: each event becomes a
+    # versioned record valid [valid_from, valid_to) with NULL = current
+    # and a version number — the warehouse maintenance operator behind
+    # "what did this entity look like on date X". One shuffle on the
+    # entity key (both windows share it); operators/relational.py.
+    from dr_source_spark.operators.relational import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, "user_id", ["ts", "event_id"], ["event_type", "value"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, event_type, round(value, 2) AS value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       row_number() OVER w::BIGINT AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _events_markov_transitions(spark, sf_dir):
+    # First-order Markov transition profile: counts and exact
+    # basis-point probabilities for event_type -> next-event_type steps
+    # per user stream (lag chain on the same (ts, event_id) total order
+    # the CEP query uses). Sequence statistics for curriculum ordering
+    # and behavioral anomaly screens.
+    from dr_source_spark.operators.relational import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+_MARKOV_SQL = """
+WITH steps AS (
+  SELECT event_type AS t_from,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_to
+  FROM events),
+per_pair AS (
+  SELECT t_from, t_to, count(*)::BIGINT AS n_steps
+  FROM steps WHERE t_to IS NOT NULL GROUP BY 1, 2),
+per_from AS (
+  SELECT t_from AS f, sum(n_steps) AS tot FROM per_pair GROUP BY 1)
+SELECT t_from, t_to, n_steps, ((10000 * n_steps) // tot)::BIGINT AS p_bp
+FROM per_pair JOIN per_from ON t_from = f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6248,6 +6307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_l_diversity": _orders_l_diversity,
         "events_decayed_value": _events_decayed_value,
         "text_collocations": _text_collocations,
+        "events_scd2_history": _events_scd2_history,
+        "events_markov_transitions": _events_markov_transitions,
     }
 
 
@@ -6336,6 +6397,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_l_diversity": _L_DIV_SQL,
         "events_decayed_value": _DECAYED_SQL,
         "text_collocations": _COLLOC_SQL,
+        "events_scd2_history": _SCD2_SQL,
+        "events_markov_transitions": _MARKOV_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

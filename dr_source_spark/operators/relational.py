@@ -390,3 +390,64 @@ def zscore_outlier_counts(
             F.sum("is_out").cast("long").alias("n_outliers"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame, key: str, order_cols: Sequence, attrs: Sequence[str]
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension snapshot from an event stream:
+    each row becomes a versioned record valid [valid_from, valid_to)
+    with valid_to = the next version's timestamp (NULL = current) and a
+    1-based version number. The table-maintenance operator every
+    warehouse runs to answer "what did this entity look like on date X"
+    — at 100 TB it is one shuffle on the entity key (the two windows
+    share the partition), and the output joins back to facts with a
+    band join on (key, valid_from <= ts < valid_to).
+
+    ``order_cols`` must totally order versions within a key (include a
+    unique tie-break); its first element is the version timestamp
+    COLUMN NAME, which becomes valid_from."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_cols])
+    ts_col = order_cols[0]
+    return df.select(
+        key,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order transition profile over per-user event streams:
+    counts and exact basis-point probabilities for event_type ->
+    next-event_type steps (lag chain ordered by ts with the event_id
+    tie-break — the same total order the CEP query uses). p_bp =
+    10000 * c(a, b) div c(a, *). The sequence-statistics operator that
+    feeds curriculum ordering and anomaly screens; one exchange for the
+    lag window, then narrow-pair aggregates."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("t_from"),
+            F.lead("event_type").over(w).alias("t_to"),
+        )
+        .filter(F.col("t_to").isNotNull())
+    )
+    per_pair = steps.groupBy("t_from", "t_to").agg(
+        F.count("*").cast("long").alias("n_steps")
+    )
+    per_from = per_pair.groupBy(F.col("t_from").alias("_f")).agg(
+        F.sum("n_steps").alias("_tot")
+    )
+    return (
+        per_pair.join(F.broadcast(per_from), F.col("t_from") == F.col("_f"))
+        .select(
+            "t_from",
+            "t_to",
+            "n_steps",
+            F.expr("(10000 * n_steps) div _tot").cast("long").alias("p_bp"),
+        )
+    )

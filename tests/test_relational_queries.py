@@ -34,6 +34,8 @@ NEW_QUERIES = [
     "q22_dormant_customers",
     "events_cep_sequence",
     "events_topk_per_type",
+    "events_scd2_history",
+    "events_markov_transitions",
 ]
 
 
@@ -261,3 +263,54 @@ def test_q20_plans_semi_join_chain(spark):
     plan = _plan(E.queries()["q20_dominant_suppliers"](spark, SF))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_versions_chain_and_single_exchange(spark, tmp_path):
+    """valid_to equals the NEXT version's valid_from (half-open
+    intervals tile the timeline with no gap or overlap), exactly one
+    version per key is current, and the whole snapshot is ONE exchange
+    on the entity key."""
+    from dr_source_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "a", 1.0, ""),
+        (2, "2024-01-02 10:00:00", 7, "b", 2.0, ""),
+        (3, "2024-01-03 10:00:00", 7, "c", 3.0, ""),
+        (4, "2024-01-01 09:00:00", 8, "x", 4.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "ev.parquet")
+    ev.write.parquet(p)
+    df = scd2_history(spark.read.parquet(p), "user_id", ["ts", "event_id"], ["event_type"])
+    plan = _plan(df)  # before any action: AQE rewrites executed plans
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    got = {(r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to, r.is_current) for r in df.collect()}
+    assert got[(7, 1)][0] == "a" and got[(7, 1)][2] == got[(7, 2)][1]
+    assert got[(7, 2)][2] == got[(7, 3)][1]
+    assert [v[3] for k, v in sorted(got.items()) if k[0] == 7] == [False, False, True]
+    assert got[(8, 1)][3] is True
+
+
+def test_markov_transitions_hand_computed(spark):
+    """Per-user lag chains: user boundaries never transition, counts
+    and basis-point probabilities are exact (a->b twice, a->c once =>
+    p(a->b) = 6666 bp)."""
+    from dr_source_spark.operators.relational import markov_transitions
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0, ""),
+        (2, "2024-01-01 10:01:00", 1, "b", 1.0, ""),
+        (3, "2024-01-01 10:02:00", 1, "a", 1.0, ""),
+        (4, "2024-01-01 10:03:00", 1, "c", 1.0, ""),
+        (5, "2024-01-01 10:00:00", 2, "a", 1.0, ""),
+        (6, "2024-01-01 10:01:00", 2, "b", 1.0, ""),
+        # user 2 ends on 'b'; user 3 starts on 'z' — no b->z step
+        (7, "2024-01-01 10:00:00", 3, "z", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.t_from, r.t_to): (r.n_steps, r.p_bp) for r in markov_transitions(ev).collect()}
+    assert got == {("a", "b"): (2, 6666), ("a", "c"): (1, 3333), ("b", "a"): (1, 10000)}
