@@ -6124,6 +6124,171 @@ FROM per_pair JOIN per_from ON t_from = f
 """
 
 
+def _customer_merge_census(spark, sf_dir):
+    # CDC MERGE classification (operators/merge.py): a deterministic
+    # update batch derived from customer — +$100 for custkey%7==0,
+    # no-op rows for %11==3, delete flags for %17==5, brand-new keys
+    # (+1e6) for %13==0 — classified insert/update/delete/noop in ONE
+    # full-outer hash join on the key. The census MERGE INTO never
+    # shows, as an audit artifact. Values compared in exact cents.
+    from dr_source_spark.operators.merge import classify_merge
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c")
+    )
+    batch = (
+        c.filter(
+            (F.col("c_custkey") % 7 == 0)
+            | (F.col("c_custkey") % 11 == 3)
+            | (F.col("c_custkey") % 17 == 5)
+        ).select(
+            "c_custkey",
+            (
+                F.col("bal_c")
+                + F.when(F.col("c_custkey") % 7 == 0, 10000).otherwise(0)
+            ).alias("bal_c"),
+            (F.col("c_custkey") % 17 == 5).alias("is_delete"),
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "bal_c",
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    return classify_merge(c, batch, "c_custkey", ["bal_c"], delete_col="is_delete")
+
+
+_MERGE_CENSUS_SQL = """
+WITH c AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+batch AS (
+  SELECT c_custkey,
+         bal_c + (CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END) AS bal_c,
+         c_custkey % 17 = 5 AS is_delete
+  FROM c WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3 OR c_custkey % 17 = 5
+  UNION ALL
+  SELECT c_custkey + 1000000, bal_c, false FROM c WHERE c_custkey % 13 = 0)
+SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+       CASE WHEN b.is_delete THEN 'delete'
+            WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN b.bal_c IS DISTINCT FROM c.bal_c THEN 'update'
+            ELSE 'noop' END AS action,
+       c.bal_c AS old_bal_c, b.bal_c AS new_bal_c
+FROM batch b FULL OUTER JOIN c ON b.c_custkey = c.c_custkey
+WHERE b.c_custkey IS NOT NULL
+"""
+
+
+def _dq_integrity_report(spark, sf_dir):
+    # Data-quality / referential-integrity audit: named checks as
+    # 1-row aggregates unioned into a census — FK orphans via LEFT ANTI
+    # joins (never join+distinct), null-rate checks as conditional
+    # counts. The contract gate a pipeline runs before promoting a
+    # snapshot.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def one(name, viol, total):
+        return viol.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("n_violations"),
+        ).crossJoin(F.broadcast(total.agg(F.count("*").cast("long").alias("n_total"))))
+
+    checks = [
+        one(
+            "lineitem_orderkey_orphans",
+            li.join(F.broadcast(o.select("o_orderkey")), li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+            li,
+        ),
+        one(
+            "orders_custkey_orphans",
+            o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"], "left_anti"),
+            o,
+        ),
+        one("customer_null_acctbal", c.filter(F.col("c_acctbal").isNull()), c),
+        one("events_null_value", ev.filter(F.col("value").isNull()), ev),
+        one(
+            "events_nonpositive_value",
+            ev.filter(F.col("value") <= 0),
+            ev,
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+_DQ_SQL = """
+SELECT 'lineitem_orderkey_orphans' AS check_name,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT AS n_violations,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_total
+UNION ALL
+SELECT 'orders_custkey_orphans',
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT,
+       (SELECT count(*) FROM orders)::BIGINT
+UNION ALL
+SELECT 'customer_null_acctbal',
+       (SELECT count(*) FROM customer WHERE c_acctbal IS NULL)::BIGINT,
+       (SELECT count(*) FROM customer)::BIGINT
+UNION ALL
+SELECT 'events_null_value',
+       (SELECT count(*) FROM events WHERE value IS NULL)::BIGINT,
+       (SELECT count(*) FROM events)::BIGINT
+UNION ALL
+SELECT 'events_nonpositive_value',
+       (SELECT count(*) FROM events WHERE value <= 0)::BIGINT,
+       (SELECT count(*) FROM events)::BIGINT
+"""
+
+
+def _corpus_split_assign(spark, sf_dir):
+    # Leakage-safe train/val/test assignment: the split is a pure
+    # function of the document id through the portable md5 hash family
+    # (first 8 hex nibbles as an integer — the same base every
+    # minhash/sketch oracle reproduces), so re-runs, backfills, and
+    # cross-engine audits agree row for row. 80/10/10 by hash mod 10;
+    # report per (lang, split): docs and whitespace tokens.
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda w: w != "",
+        )
+    )
+    return (
+        docs.select(
+            "lang",
+            F.when(h % 10 <= 7, "train").when(h % 10 == 8, "val").otherwise("test").alias("split"),
+            toks.alias("_t"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_SPLIT_ASSIGN_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         {_duck_minhash_base("doc_id::VARCHAR")} % 10 AS b,
+         len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), w -> w <> '')) AS t
+  FROM documents)
+SELECT lang,
+       CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens
+FROM d GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6309,6 +6474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": _text_collocations,
         "events_scd2_history": _events_scd2_history,
         "events_markov_transitions": _events_markov_transitions,
+        "customer_merge_census": _customer_merge_census,
+        "dq_integrity_report": _dq_integrity_report,
+        "corpus_split_assign": _corpus_split_assign,
     }
 
 
@@ -6399,6 +6567,9 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": _COLLOC_SQL,
         "events_scd2_history": _SCD2_SQL,
         "events_markov_transitions": _MARKOV_SQL,
+        "customer_merge_census": _MERGE_CENSUS_SQL,
+        "dq_integrity_report": _DQ_SQL,
+        "corpus_split_assign": _SPLIT_ASSIGN_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
