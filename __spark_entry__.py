@@ -6289,6 +6289,60 @@ FROM d GROUP BY 1, 2
 """
 
 
+def _events_hourly_dense(spark, sf_dir):
+    # Sparse-to-dense densification: hourly counts per event type with
+    # explicit zeros for missing hours (a missing hour and a zero-
+    # activity hour are different facts). The event table only ever
+    # aggregates; the dense frame is the tiny calendar x type cross
+    # product (operators/relational.py::gap_fill_hourly).
+    from dr_source_spark.operators.relational import gap_fill_hourly
+
+    return gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
+_HOURLY_DENSE_SQL = """
+WITH bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx FROM events),
+calendar AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, coalesce(n, 0)::BIGINT AS n_events
+FROM calendar CROSS JOIN types
+LEFT JOIN counts ON event_type = t AND hour = h
+"""
+
+
+def _parts_fuzzy_names(spark, sf_dir):
+    # Fuzzy string join: distinct part-name pairs within edit distance 2
+    # that share a character 3-gram — the blocked-then-verified
+    # edit-distance join (training/fuzzy.py; the blocking predicate is
+    # part of the contract, like the LSH-candidates family, so the
+    # oracle states the same two conditions declaratively).
+    from dr_source_spark.training.fuzzy import fuzzy_string_matches
+
+    return fuzzy_string_matches(_t(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+g AS (
+  SELECT name,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(name) - 2, 1)),
+           i -> substr(name, CAST(i AS INT), 3))) AS grams
+  FROM names)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name)::BIGINT AS dist
+FROM g a JOIN g b ON a.name < b.name
+WHERE list_has_any(a.grams, b.grams)
+  AND abs(length(a.name) - length(b.name)) <= 2
+  AND levenshtein(a.name, b.name) <= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6477,6 +6531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_merge_census": _customer_merge_census,
         "dq_integrity_report": _dq_integrity_report,
         "corpus_split_assign": _corpus_split_assign,
+        "events_hourly_dense": _events_hourly_dense,
+        "parts_fuzzy_names": _parts_fuzzy_names,
     }
 
 
@@ -6570,6 +6626,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_merge_census": _MERGE_CENSUS_SQL,
         "dq_integrity_report": _DQ_SQL,
         "corpus_split_assign": _SPLIT_ASSIGN_SQL,
+        "events_hourly_dense": _HOURLY_DENSE_SQL,
+        "parts_fuzzy_names": _FUZZY_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

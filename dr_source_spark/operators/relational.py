@@ -451,3 +451,43 @@ def markov_transitions(events: DataFrame) -> DataFrame:
             F.expr("(10000 * n_steps) div _tot").cast("long").alias("p_bp"),
         )
     )
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Sparse-to-dense time series: hourly event counts PER TYPE with
+    explicit zero rows for every missing hour across the corpus's
+    [min, max] hour span — the densification step before rolling
+    averages, anomaly models, or charting (a missing hour and a
+    zero-activity hour are different facts; models need the zeros).
+
+    Shape at scale: the event table only ever AGGREGATES (one
+    map-side-combined shuffle to hourly counts); the dense frame is the
+    cross product of two tiny dimensions — the hour calendar (built
+    from the 1-row min/max aggregate via sequence()) and the distinct
+    type list — so the intentional crossJoin is |types| x |hours|,
+    never anything event-scale. The zero-fill is a left join of the
+    dense frame onto the counts."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = events.groupBy(
+        F.col("event_type").alias("_t"), hour.alias("_h")
+    ).agg(F.count("*").cast("long").alias("_n"))
+    bounds = events.agg(
+        F.min(hour).alias("_mn"), F.max(hour).alias("_mx")
+    )
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(_mn, _mx, interval 1 hour)")).alias("hour")
+    )
+    types = events.select(F.col("event_type")).distinct()
+    return (
+        calendar.crossJoin(F.broadcast(types))
+        .join(
+            counts,
+            (F.col("event_type") == F.col("_t")) & (F.col("hour") == F.col("_h")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

@@ -90,3 +90,68 @@ def test_collocations_only_nested_loop_is_the_one_row_total(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert len(bnlj) <= 1, plan
+
+
+def test_gap_fill_inserts_zero_hours(spark):
+    from dr_source_spark.operators.relational import gap_fill_hourly
+
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "view", 1.0, ""),
+        (2, "2024-01-01 10:50:00", 1, "view", 1.0, ""),
+        (3, "2024-01-01 13:10:00", 1, "click", 1.0, ""),  # 11:00 and 12:00 missing
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.event_type, str(r.hour)): r.n_events for r in gap_fill_hourly(ev).collect()}
+    # 4 hours x 2 types = 8 rows, zeros explicit — including the types'
+    # mutually-inactive hours
+    assert len(got) == 8
+    assert got[("view", "2024-01-01 10:00:00")] == 2
+    assert got[("view", "2024-01-01 11:00:00")] == 0
+    assert got[("view", "2024-01-01 12:00:00")] == 0
+    assert got[("click", "2024-01-01 13:00:00")] == 1
+    assert got[("click", "2024-01-01 10:00:00")] == 0
+    assert got[("view", "2024-01-01 13:00:00")] == 0
+
+
+def test_fuzzy_matches_block_and_verify(spark):
+    from dr_source_spark.training.fuzzy import fuzzy_string_matches
+
+    df = spark.createDataFrame(
+        [(w,) for w in ["kitten", "sitten", "sittin", "mitten", "kettle", "kitten"]],
+        "name string",
+    )
+    got = {(r.name_a, r.name_b): r.dist for r in fuzzy_string_matches(df, "name", max_dist=2).collect()}
+    assert got == {
+        ("kitten", "sitten"): 1,
+        ("kitten", "mitten"): 1,
+        ("sitten", "sittin"): 1,
+        ("kitten", "sittin"): 2,
+        ("mitten", "sitten"): 1,
+        ("mitten", "sittin"): 2,
+    }  # kettle is distance 3 from everything: verified out
+
+
+def test_fuzzy_short_strings_block_only_on_identity(spark):
+    """Documented contract: strings shorter than the q-gram width
+    contribute themselves as their only gram, so 'ab'/'ba' (distance 2)
+    do NOT pair — the blocking predicate is part of the definition."""
+    from dr_source_spark.training.fuzzy import fuzzy_string_matches
+
+    df = spark.createDataFrame([("ab",), ("ba",)], "name string")
+    assert fuzzy_string_matches(df, "name", max_dist=2).count() == 0
+
+
+def test_fuzzy_plans_equi_join_not_all_pairs(spark, tmp_path):
+    from dr_source_spark.training.fuzzy import fuzzy_string_matches
+
+    p = str(tmp_path / "n.parquet")
+    spark.createDataFrame(
+        [(f"name_{i:04d}",) for i in range(500)], "name string"
+    ).write.parquet(p)
+    plan = (
+        fuzzy_string_matches(spark.read.parquet(p), "name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
