@@ -6343,6 +6343,88 @@ WHERE list_has_any(a.grams, b.grams)
 """
 
 
+def _parts_degree_mixing(spark, sf_dir):
+    # Degree-assortativity sufficient statistics over the co-purchase
+    # graph (the same edge construction parts_ktruss peels): one
+    # exact-integer row (m, sx, sxx, sxy) over the symmetrized edges;
+    # r = (m*sxy - sx^2)/(m*sxx - sx^2) is a read-time float. Tells the
+    # hub-cap / salting policies whether this graph is hub-meets-hub.
+    from dr_source_spark.operators.graph import degree_mixing_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+            F.col("x.l_orderkey").alias("_o"),
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("src", "dst")
+    )
+    return degree_mixing_stats(co)
+
+
+_DEGREE_MIXING_SQL = """
+WITH co AS (
+  SELECT x.l_partkey AS src, y.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (
+  SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+deg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1)
+SELECT count(*)::BIGINT AS m,
+       sum(a.d)::BIGINT AS sx,
+       sum(a.d * a.d)::BIGINT AS sxx,
+       sum(a.d * b.d)::BIGINT AS sxy
+FROM und JOIN deg a ON src = a.n JOIN deg b ON dst = b.n
+"""
+
+
+def _lineitem_fingerprint(spark, sf_dir):
+    # Anti-entropy table fingerprint: per-bucket row counts + checksum
+    # sums over a canonical key-column string, through the portable
+    # md5 hash base. Two replicas (a migration source and target, a
+    # backfill and its original) compare 64 rows instead of re-reading
+    # the tables; a divergent bucket pinpoints where to diff. Pure
+    # map-side-combinable aggregate — the cheapest possible full-table
+    # verification pass.
+    li = _t(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        li.select((F.col("l_orderkey") % 64).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_h").cast("long").alias("hash_sum"),
+        )
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT l_orderkey % 64 AS bucket, count(*)::BIGINT AS n_rows,
+       sum({_duck_minhash_base("concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR, l_returnflag, l_linestatus)")})::BIGINT AS hash_sum
+FROM lineitem GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6533,6 +6615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assign": _corpus_split_assign,
         "events_hourly_dense": _events_hourly_dense,
         "parts_fuzzy_names": _parts_fuzzy_names,
+        "parts_degree_mixing": _parts_degree_mixing,
+        "lineitem_fingerprint": _lineitem_fingerprint,
     }
 
 
@@ -6628,6 +6712,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_assign": _SPLIT_ASSIGN_SQL,
         "events_hourly_dense": _HOURLY_DENSE_SQL,
         "parts_fuzzy_names": _FUZZY_SQL,
+        "parts_degree_mixing": _DEGREE_MIXING_SQL,
+        "lineitem_fingerprint": _FINGERPRINT_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -1161,3 +1161,38 @@ def personalized_pagerank(
         ranks.unpersist()
         ranks = new_ranks
     return ranks.select("node", "rank")
+
+
+def degree_mixing_stats(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity sufficient statistics as one exact-integer
+    row: is this graph hub-meets-hub (assortative, r > 0) or
+    hub-meets-leaf (disassortative, r < 0)? The answer shapes every
+    downstream choice this package makes — hub caps in neighbor_jaccard,
+    skew salting, LSH cluster caps — so the measurement belongs next to
+    them.
+
+    Emits (m, sx, sxx, sxy) over the SYMMETRIZED edge list (each
+    undirected edge contributes both (da, db) and (db, da), so the x
+    and y marginals coincide and two of the six Pearson sums collapse).
+    The assortativity coefficient is the read-time float
+        r = (m*sxy - sx*sx) / (m*sxx - sx*sx)
+    — division stays OUT of the engines (the one thing two engines
+    round apart), the sums are exact int64, and the DuckDB oracle
+    reproduces every cell. One narrow shuffle for degrees, one
+    broadcastable join back onto edges, one global aggregate."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("_n")).agg(F.count("*").alias("_d"))
+    da = deg.select(F.col("_n").alias("_na"), F.col("_d").alias("da"))
+    db = deg.select(F.col("_n").alias("_nb"), F.col("_d").alias("db"))
+    return (
+        und.join(da, F.col("src") == F.col("_na"))
+        .join(db, F.col("dst") == F.col("_nb"))
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum("da").cast("long").alias("sx"),
+            F.sum(F.col("da") * F.col("da")).cast("long").alias("sxx"),
+            F.sum(F.col("da") * F.col("db")).cast("long").alias("sxy"),
+        )
+    )

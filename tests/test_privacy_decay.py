@@ -155,3 +155,53 @@ def test_fuzzy_plans_equi_join_not_all_pairs(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_degree_mixing_stats_match_pure_python(spark):
+    """Sufficient-statistics law: the emitted integers reproduce the
+    textbook assortativity of a star-plus-triangle graph computed in
+    pure Python (a star is maximally disassortative: r < 0)."""
+    from dr_source_spark.operators.graph import degree_mixing_stats
+
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_mixing_stats(df).collect()[0]
+    sym = edges + [(b, a) for a, b in edges]
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in sym:
+        deg[a] += 1
+    m = len(sym)
+    sx = sum(deg[a] for a, b in sym)
+    sxx = sum(deg[a] ** 2 for a, b in sym)
+    sxy = sum(deg[a] * deg[b] for a, b in sym)
+    assert (row.m, row.sx, row.sxx, row.sxy) == (m, sx, sxx, sxy)
+    r = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert r < 0  # the star dominates: hubs meet leaves
+
+
+def test_fingerprint_detects_single_row_divergence(spark):
+    """Anti-entropy law: identical tables fingerprint identically; one
+    mutated row flips exactly its bucket's checksum while every other
+    bucket stays equal."""
+    from pyspark.sql import functions as FF
+
+    def fp(df):
+        canon = FF.concat_ws("|", FF.col("k").cast("string"), FF.col("v"))
+        h = FF.conv(FF.substring(FF.md5(canon), 1, 8), 16, 10).cast("long")
+        return {
+            r.bucket: (r.n, r.s)
+            for r in df.select((FF.col("k") % 8).alias("bucket"), h.alias("_h"))
+            .groupBy("bucket")
+            .agg(FF.count("*").alias("n"), FF.sum("_h").alias("s"))
+            .collect()
+        }
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(64)], "k long, v string")
+    mutated = spark.createDataFrame(
+        [(i, "CHANGED" if i == 13 else f"v{i}") for i in range(64)], "k long, v string"
+    )
+    a, b = fp(base), fp(mutated)
+    diff = {bk for bk in a if a[bk] != b[bk]}
+    assert diff == {13 % 8}
