@@ -6399,22 +6399,13 @@ def _lineitem_fingerprint(spark, sf_dir):
     # the tables; a divergent bucket pinpoints where to diff. Pure
     # map-side-combinable aggregate — the cheapest possible full-table
     # verification pass.
-    li = _t(spark, sf_dir, "lineitem")
-    canon = F.concat_ws(
-        "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_returnflag"),
-        F.col("l_linestatus"),
-    )
-    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
-    return (
-        li.select((F.col("l_orderkey") % 64).alias("bucket"), h.alias("_h"))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("_h").cast("long").alias("hash_sum"),
-        )
+    from dr_source_spark.operators.relational import fingerprint_buckets
+
+    return fingerprint_buckets(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        n_buckets=64,
     )
 
 
@@ -6423,6 +6414,51 @@ SELECT l_orderkey % 64 AS bucket, count(*)::BIGINT AS n_rows,
        sum({_duck_minhash_base("concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR, l_returnflag, l_linestatus)")})::BIGINT AS hash_sum
 FROM lineitem GROUP BY 1
 """
+
+
+def _stream_fingerprint(spark, sf_dir):
+    # the anti-entropy fingerprint AS STREAMING STATE: checksum addition
+    # is commutative, so fingerprint_buckets runs unchanged as a
+    # Structured Streaming aggregation (complete mode, availableNow) and
+    # the drained bucket table must equal the batch fingerprint
+    # cell-for-cell — per-micro-batch state update IS the merge, the
+    # same law the CMS/HDR streaming queries pin. The shape a live
+    # replication pipeline runs: continuous checksums on the ingest
+    # stream, compared daily against the replica's batch fingerprint.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.operators.relational import fingerprint_buckets
+
+    tag = hashlib.md5((sf_dir + "fpr").encode()).hexdigest()[:8]
+    base = f"/tmp/drs_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").parquet(f"{base}/src")
+    )
+    stream = spark.readStream.schema(
+        "l_orderkey long, l_linenumber int, l_returnflag string, l_linestatus string"
+    ).parquet(f"{base}/src")
+    qname = f"fpr_{tag}"
+    q = (
+        fingerprint_buckets(
+            stream,
+            "l_orderkey",
+            ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+            n_buckets=64,
+        )
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("hash_sum").cast("long").alias("hash_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6617,6 +6653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_fuzzy_names": _parts_fuzzy_names,
         "parts_degree_mixing": _parts_degree_mixing,
         "lineitem_fingerprint": _lineitem_fingerprint,
+        "stream_fingerprint": _stream_fingerprint,
     }
 
 
@@ -6714,6 +6751,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_fuzzy_names": _FUZZY_SQL,
         "parts_degree_mixing": _DEGREE_MIXING_SQL,
         "lineitem_fingerprint": _FINGERPRINT_SQL,
+        "stream_fingerprint": _FINGERPRINT_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

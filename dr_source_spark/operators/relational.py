@@ -491,3 +491,29 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def fingerprint_buckets(
+    df: DataFrame, key_col: str, canon_cols: Sequence[str], n_buckets: int = 64
+) -> DataFrame:
+    """Anti-entropy table fingerprint: per-bucket row counts + checksum
+    sums over a canonical '|'-joined string of the given columns,
+    through the portable md5 hash base (first 8 hex nibbles as an
+    integer — the family every sketch oracle reproduces). Two replicas
+    compare n_buckets rows instead of re-reading the tables; a
+    divergent bucket pinpoints where to diff.
+
+    Checksum ADDITION is commutative, so the identical operator runs
+    unchanged as a Structured Streaming aggregation — per-micro-batch
+    state update IS the merge (the same law the CMS/HDR streaming
+    queries pin)."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in canon_cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        df.select((F.col(key_col) % n_buckets).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_h").cast("long").alias("hash_sum"),
+        )
+    )

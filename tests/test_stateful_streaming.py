@@ -290,3 +290,51 @@ def test_cms_registers_accumulate_across_microbatches(spark, tmp_path_factory):
         )
     )
     assert got == want
+
+
+def test_fingerprint_accumulates_across_microbatches(spark, tmp_path_factory):
+    """fingerprint_buckets as STREAMING STATE: with maxFilesPerTrigger=1
+    the two source files arrive in separate micro-batches; the
+    complete-mode bucket table must equal the batch fingerprint of all
+    rows — checksum sums ADD across batches (the commutative-merge law,
+    exercised by the engine's own state store)."""
+    from dr_source_spark.operators.relational import fingerprint_buckets
+
+    src = str(tmp_path_factory.mktemp("fpr_src"))
+    ckpt = str(tmp_path_factory.mktemp("fpr_ckpt"))
+    rows_a = [(i, f"v{i}") for i in range(0, 40)]
+    rows_b = [(i, f"v{i}") for i in range(40, 100)]
+    spark.createDataFrame(rows_a, "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows_b, "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        fingerprint_buckets(stream, "k", ["k", "v"], n_buckets=8)
+        .writeStream.format("memory").queryName("fpr_micro")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    got = sorted(map(tuple, spark.table("fpr_micro").collect()))
+    want = sorted(
+        map(
+            tuple,
+            fingerprint_buckets(
+                spark.createDataFrame(rows_a + rows_b, "k long, v string"),
+                "k",
+                ["k", "v"],
+                n_buckets=8,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 8
