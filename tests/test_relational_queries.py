@@ -36,13 +36,20 @@ NEW_QUERIES = [
     "events_topk_per_type",
     "events_scd2_history",
     "events_markov_transitions",
+    "customer_merge_census",
+    "dq_integrity_report",
+    "corpus_split_assign",
+    "events_hourly_dense",
+    "parts_fuzzy_names",
+    "parts_degree_mixing",
+    "lineitem_fingerprint",
 ]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con
 
