@@ -6461,6 +6461,60 @@ def _stream_fingerprint(spark, sf_dir):
     )
 
 
+def _nation_revenue_share(spark, sf_dir):
+    # RATIO_TO_REPORT: each nation's revenue share within its region in
+    # exact basis points — the unordered aggregate-window class (sum
+    # OVER (PARTITION BY region), no ORDER BY, so no sort — a window
+    # that is pure per-partition aggregation). Shares computed on
+    # floor-cents integers: share_bp = (nation_c * 10000) div region_c.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_nation = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.floor(F.sum(_rev_dec()) * 100).cast("long").alias("_rev_c"))
+    )
+    from pyspark.sql import Window as W
+
+    region_c = F.sum("_rev_c").over(W.partitionBy("r_name"))
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_rev_c") / 100.0, 2).alias("revenue"),
+        # integer div against the window total — float division would
+        # truncate differently than DuckDB's // on ratio boundaries
+        F.expr("(_rev_c * 10000)").cast("long").alias("_num"),
+        region_c.cast("long").alias("_den"),
+    ).select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.expr("_num div _den").cast("long").alias("share_bp"),
+    )
+
+
+_NATION_SHARE_SQL = f"""
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(floor(sum({_REV_SQL}) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, round(rev_c / 100.0, 2) AS revenue,
+       ((rev_c * 10000) // sum(rev_c) OVER (PARTITION BY r_name))::BIGINT AS share_bp
+FROM per_nation
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6654,6 +6708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_degree_mixing": _parts_degree_mixing,
         "lineitem_fingerprint": _lineitem_fingerprint,
         "stream_fingerprint": _stream_fingerprint,
+        "nation_revenue_share": _nation_revenue_share,
     }
 
 
@@ -6752,6 +6807,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_degree_mixing": _DEGREE_MIXING_SQL,
         "lineitem_fingerprint": _FINGERPRINT_SQL,
         "stream_fingerprint": _FINGERPRINT_SQL,
+        "nation_revenue_share": _NATION_SHARE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
