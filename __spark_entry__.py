@@ -6515,6 +6515,41 @@ FROM per_nation
 """
 
 
+def _corpus_eval_sample(spark, sf_dir):
+    # Per-stratum fixed-size uniform sampling: the k=20 docs per
+    # language with the smallest portable md5 hash — the reproducible
+    # eval-set constructor (same docs on every re-run, every backfill,
+    # every engine; contrast df.sample's seed-and-partitioning-
+    # dependent draw). One exchange on the stratum; rank by
+    # (hash, doc_id) so even a hash collision cannot make the cut
+    # nondeterministic.
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "doc_id", "rank")
+    )
+
+
+_EVAL_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT lang, doc_id, {_duck_minhash_base("doc_id::VARCHAR")} AS hv
+  FROM documents),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)::BIGINT AS rank
+  FROM h)
+SELECT lang, doc_id, rank FROM r WHERE rank <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6709,6 +6744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_fingerprint": _lineitem_fingerprint,
         "stream_fingerprint": _stream_fingerprint,
         "nation_revenue_share": _nation_revenue_share,
+        "corpus_eval_sample": _corpus_eval_sample,
     }
 
 
@@ -6808,6 +6844,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_fingerprint": _FINGERPRINT_SQL,
         "stream_fingerprint": _FINGERPRINT_SQL,
         "nation_revenue_share": _NATION_SHARE_SQL,
+        "corpus_eval_sample": _EVAL_SAMPLE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

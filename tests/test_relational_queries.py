@@ -43,6 +43,8 @@ NEW_QUERIES = [
     "parts_fuzzy_names",
     "parts_degree_mixing",
     "lineitem_fingerprint",
+    "nation_revenue_share",
+    "corpus_eval_sample",
 ]
 
 
