@@ -6550,6 +6550,61 @@ SELECT lang, doc_id, rank FROM r WHERE rank <= 20
 """
 
 
+def _search_ranked(spark, sf_dir):
+    # BM25-shaped ranked retrieval in exact rational arithmetic
+    # (training/search.py::ranked_search): k1=6/5, b=3/4 multiplied
+    # through so every per-term contribution is an integer div both
+    # engines reproduce; Robertson idf's inner ratio in basis points
+    # (the log is a read-time monotone cosmetic). Deterministic top-10
+    # by (score desc, doc_id).
+    from dr_source_spark.training.search import ranked_search
+
+    return ranked_search(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "merge"], k=10
+    )
+
+
+_SEARCH_RANKED_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL}),
+t AS (SELECT * FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY doc_id),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS a FROM dl),
+post AS (
+  SELECT token, doc_id, count(*)::BIGINT AS tf
+  FROM t WHERE token IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+df_t AS (SELECT token, count(*)::BIGINT AS dft FROM post GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         (((c.n - d.dft) * 10000) // d.dft) * 44 * c.a * p.tf
+           // (20 * c.a * p.tf + 6 * c.a + 18 * l.dl * c.n) AS contrib
+  FROM post p
+  JOIN df_t d ON p.token = d.token
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN corpus c)
+SELECT doc_id, sum(contrib)::BIGINT AS score, count(*)::BIGINT AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _docs_presence_bitmap(spark, sf_dir):
+    # Bitmap-index construction: per language, doc-id presence packed
+    # into 32-bit words (bit never reaches the int64 sign bit, so
+    # checked and wrapping engines agree). Membership and
+    # group-vs-group intersection become bitwise ops over the narrow
+    # word table; mergeable by bit_or.
+    from dr_source_spark.training.search import presence_bitmap
+
+    return presence_bitmap(_t(spark, sf_dir, "documents"), "lang")
+
+
+_PRESENCE_BITMAP_SQL = """
+SELECT lang AS grp, (doc_id // 32)::BIGINT AS word_idx,
+       bit_or((1::BIGINT << CAST(doc_id % 32 AS INT)))::BIGINT AS word
+FROM documents GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6745,6 +6800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_fingerprint": _stream_fingerprint,
         "nation_revenue_share": _nation_revenue_share,
         "corpus_eval_sample": _corpus_eval_sample,
+        "search_ranked": _search_ranked,
+        "docs_presence_bitmap": _docs_presence_bitmap,
     }
 
 
@@ -6845,6 +6902,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_fingerprint": _FINGERPRINT_SQL,
         "nation_revenue_share": _NATION_SHARE_SQL,
         "corpus_eval_sample": _EVAL_SAMPLE_SQL,
+        "search_ranked": _SEARCH_RANKED_SQL,
+        "docs_presence_bitmap": _PRESENCE_BITMAP_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

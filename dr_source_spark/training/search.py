@@ -141,6 +141,97 @@ def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
     )
 
 
+def ranked_search(
+    documents: DataFrame, terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25-shaped ranked retrieval (OR semantics) in EXACT rational
+    arithmetic — the ranking layer on top of the postings family.
+
+    With k1 = 6/5 and b = 3/4 (the standard defaults as exact
+    rationals) the per-term score multiplies out to pure integers:
+
+        idf_bp(t)   = ((N - df_t) * 10000) div df_t        (Robertson
+                      idf's inner ratio in basis points; the log is a
+                      read-time monotone cosmetic — for RANKING, any
+                      monotone transform of the ratio orders ties the
+                      same way both engines compute them)
+        contrib(t,d) = (idf_bp * 44 * A * tf) div
+                       (20 * A * tf + 6 * A + 18 * dl * N)
+
+    where N = corpus docs, A = total corpus tokens (so avgdl = A/N and
+    the classic denominator tf + k1*(1 - b + b*dl/avgdl) was multiplied
+    through by 20*A), dl = doc tokens, tf = term frequency. score(d) =
+    sum of contribs. int64 bounds hold to ~10^9-token corpora; at
+    larger A, rescale A and dl by a common power of two first (the
+    ratio is scale-invariant).
+
+    Deterministic top-k: (score desc, doc_id asc). One narrow join of
+    the term postings onto per-doc lengths; N/A/df ride tiny broadcast
+    aggregates.
+    """
+    post = build_postings(documents).filter(F.col("token").isin(*terms))
+    stream = token_positions(documents)
+    dl = stream.groupBy(F.col("doc_id").alias("_d")).agg(
+        F.count("*").cast("long").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count("*").cast("long").alias("_N"), F.sum("dl").cast("long").alias("_A")
+    )
+    df_t = post.groupBy(F.col("token").alias("_t")).agg(
+        F.count("*").cast("long").alias("_df")
+    )
+    scored = (
+        post.join(F.broadcast(df_t), F.col("token") == F.col("_t"))
+        .join(dl, F.col("doc_id") == F.col("_d"))
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_idf_bp", F.expr("((_N - _df) * 10000) div _df"))
+        .withColumn(
+            "_contrib",
+            F.expr(
+                "(_idf_bp * 44 * _A * tf) div (20 * _A * tf + 6 * _A + 18 * dl * _N)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("_contrib").cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def presence_bitmap(documents: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Bitmap-index construction: per group, the presence bitmap of doc
+    ids packed into 32-bit words — (group, word_idx, word) where bit
+    (doc_id % 32) of the word at word_idx = doc_id div 32 is set iff
+    the doc exists in the group. 32 bits per int64 word so no set bit
+    ever reaches the sign bit — engines with checked arithmetic
+    (DuckDB errors on 1::BIGINT << 63) and Java's wrapping shifts agree
+    on every cell.
+
+    The OLAP filter-acceleration structure: membership tests and
+    group-vs-group intersections become bitwise AND/OR over the narrow
+    word table instead of row scans, and the index is MERGEABLE
+    (bit_or of word tables — the same law the sketch family gates).
+    One map-side-combinable aggregate; output size = ceil(max_id/32)
+    words per group, independent of row count.
+    """
+    return (
+        documents.select(
+            F.col(group_col).alias("grp"),
+            F.expr("doc_id div 32").cast("long").alias("word_idx"),
+            # pyspark's shiftleft() helper takes a literal int shift;
+            # the SQL form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 32 AS INT))").alias("_b"),
+        )
+        .groupBy("grp", "word_idx")
+        .agg(F.bit_or("_b").cast("long").alias("word"))
+    )
+
+
 def collocations(documents: DataFrame, min_count: int = 5) -> DataFrame:
     """Collocation mining: adjacent bigrams scored by an exact-integer
     PMI proxy.

@@ -136,3 +136,57 @@ def test_pareto_window_runs_over_distinct_x_only(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     sp = plan.index("Exchange SinglePartition")
     assert "HashAggregate" in plan[sp : sp + 2000], plan
+
+
+def test_ranked_search_matches_pure_python_bm25(spark):
+    """Exact-rational BM25 law: the integer-div scores reproduce a pure
+    Python recount of the same formula, and ranking is deterministic."""
+    from dr_source_spark.training.search import ranked_search
+
+    texts = {1: "x x y", 2: "x z z z", 3: "y y y y", 4: "w w"}
+    docs = _docs(spark, list(texts.items()))
+    got = [(r.doc_id, r.score, r.n_terms) for r in ranked_search(docs, ["x", "y"], k=10).collect()]
+
+    toks = {d: t.split() for d, t in texts.items()}
+    N = len(toks)
+    A = sum(len(v) for v in toks.values())
+    df = {t: sum(1 for v in toks.values() if t in v) for t in ("x", "y")}
+    exp = {}
+    for d, v in toks.items():
+        s, n = 0, 0
+        for t in ("x", "y"):
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf_bp = ((N - df[t]) * 10000) // df[t]
+            s += (idf_bp * 44 * A * tf) // (20 * A * tf + 6 * A + 18 * len(v) * N)
+            n += 1
+        if n:
+            exp[d] = (s, n)
+    assert {d: (s, n) for d, s, n in got} == exp
+    # deterministic ordering: score desc then doc_id asc
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+
+
+def test_presence_bitmap_words_and_merge_law(spark):
+    """Bit placement is exact (doc 0 -> bit 0 of word 0; doc 33 -> bit 1
+    of word 1) and the index merges by bit_or: bitmap(A) OR bitmap(B)
+    == bitmap(A union B) word-for-word."""
+    from pyspark.sql import functions as FF
+
+    from dr_source_spark.training.search import presence_bitmap
+
+    a_rows = [(0, "l"), (1, "l"), (33, "l")]
+    b_rows = [(2, "l"), (33, "l"), (64, "l")]
+    schema = "doc_id long, lang string"
+
+    def bm(rows):
+        df = spark.createDataFrame(rows, schema)
+        return {(r.grp, r.word_idx): r.word for r in presence_bitmap(df, "lang").collect()}
+
+    assert bm(a_rows) == {("l", 0): 0b11, ("l", 1): 1 << 1}
+    merged = {}
+    for m in (bm(a_rows), bm(b_rows)):
+        for k, v in m.items():
+            merged[k] = merged.get(k, 0) | v
+    assert merged == bm(a_rows + b_rows)
