@@ -6605,6 +6605,250 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def _orders_loo_encode(spark, sf_dir):
+    # Leakage-safe LOO target encoding (training/features.py): each
+    # order's priority encoded as the mean total price (cents) of the
+    # OTHER orders with that priority — (Σ_group − own) div (n−1), one
+    # unordered aggregate window (no sort, no join). The feature-prep
+    # op that replaces a categorical column without leaking the row's
+    # own label.
+    from dr_source_spark.training.features import loo_target_encode
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice").cast(_DEC) * 100).cast("long").alias("_c"),
+    )
+    return loo_target_encode(
+        df, "o_orderpriority", F.col("_c"), ["o_orderkey"]
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("key").alias("priority"),
+        F.col("target").alias("target_c"),
+        F.col("loo_mean").alias("loo_c"),
+    )
+
+
+_LOO_ENCODE_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS y
+  FROM orders)
+SELECT o_orderkey AS orderkey, o_orderpriority AS priority, y AS target_c,
+       CAST(CASE WHEN count(*) OVER (PARTITION BY o_orderpriority) > 1
+            THEN (sum(y) OVER (PARTITION BY o_orderpriority) - y)
+                 // (count(*) OVER (PARTITION BY o_orderpriority) - 1) END
+            AS BIGINT) AS loo_c
+FROM t
+"""
+
+
+def _events_mad_profile(spark, sf_dir):
+    # Robust per-type center/spread (operators/stats.py::mad_profile):
+    # lower median and MAD selected as EXACT order statistics
+    # (row_number == (n+1) div 2 under a unique-key tie-break — no
+    # percentile interpolation, which engines disagree on for even n),
+    # then |v − med| > 3·MAD outlier counts by pure integer compare.
+    from dr_source_spark.operators.stats import mad_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return mad_profile(ev, "event_type", "v", "event_id").select(
+        F.col("grp").alias("event_type"),
+        "n", "med_v", "mad_v", "n_outliers", "max_abs_dev",
+    )
+
+
+_EVENTS_MAD_SQL = """
+WITH t AS (
+  SELECT event_type, event_id, CAST(floor(value * 10000) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM t),
+med AS (SELECT event_type, v AS med_v FROM r WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT r.event_type, r.v, r.event_id, r.n, m.med_v,
+         abs(r.v - m.med_v) AS dv
+  FROM r JOIN med m USING (event_type)),
+dr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn2
+  FROM d),
+mad AS (SELECT event_type, dv AS mad_v FROM dr WHERE rn2 = (n + 1) // 2)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med_v) AS BIGINT) AS med_v,
+       CAST(min(m.mad_v) AS BIGINT) AS mad_v,
+       CAST(sum(CASE WHEN d.dv > 3 * m.mad_v THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(max(d.dv) AS BIGINT) AS max_abs_dev
+FROM d JOIN mad m USING (event_type)
+GROUP BY 1
+"""
+
+
+def _lineitem_cov_matrix(spark, sf_dir):
+    # Exact feature-covariance matrix (operators/stats.py::cov_pairs):
+    # one global aggregate (map-side partials, ONE row out) computes
+    # n, Σx and Σxy for all 10 ordered pairs of the 4 integer-scaled
+    # lineitem metrics; the sample covariance (n·Σxy − Σx·Σy) div
+    # (n·(n−1)) is evaluated on that single row in DECIMAL(38,0) with
+    # the sign factored out so trunc-div (Spark) and floor-div (DuckDB)
+    # agree on negative covariances. Diagonal = exact variances.
+    from dr_source_spark.operators.stats import cov_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    metrics = {
+        "qty": F.floor(F.col("l_quantity")).cast("long"),
+        "price_c": F.floor(F.col("l_extendedprice").cast(_DEC) * 100).cast("long"),
+        "disc_bp": F.floor(F.col("l_discount").cast(_DEC) * 10000).cast("long"),
+        "tax_bp": F.floor(F.col("l_tax").cast(_DEC) * 10000).cast("long"),
+    }
+    return cov_pairs(li, metrics)
+
+
+def _cov_matrix_sql() -> str:
+    names = ["disc_bp", "price_c", "qty", "tax_bp"]
+    exprs = {
+        "qty": "CAST(floor(l_quantity) AS BIGINT)",
+        "price_c": "CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT)",
+        "disc_bp": "CAST(floor(CAST(l_discount AS DECIMAL(18,4)) * 10000) AS BIGINT)",
+        "tax_bp": "CAST(floor(CAST(l_tax AS DECIMAL(18,4)) * 10000) AS BIGINT)",
+    }
+    sums = ", ".join(f"CAST(sum({n}) AS HUGEINT) AS s_{n}" for n in names)
+    prods = ", ".join(
+        f"CAST(sum({a} * {b}) AS HUGEINT) AS p_{a}_{b}"
+        for i, a in enumerate(names)
+        for b in names[i:]
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{a}' AS var_x, '{b}' AS var_y, "
+        f"CAST((CASE WHEN n * p_{a}_{b} - s_{a} * s_{b} < 0 THEN -1 ELSE 1 END) * "
+        f"(abs(n * p_{a}_{b} - s_{a} * s_{b}) // (n * (n - 1))) AS BIGINT) AS cov "
+        f"FROM s"
+        for i, a in enumerate(names)
+        for b in names[i:]
+    )
+    cols = ", ".join(f"{exprs[n]} AS {n}" for n in names)
+    return (
+        f"WITH base AS (SELECT {cols} FROM lineitem), "
+        f"s AS (SELECT CAST(count(*) AS HUGEINT) AS n, {sums}, {prods} FROM base) "
+        f"{arms}"
+    )
+
+
+_COV_MATRIX_SQL = _cov_matrix_sql()
+
+
+def _events_streaks(spark, sf_dir):
+    # Gaps-and-islands: longest strictly-increasing value run per user
+    # under the deterministic (ts, event_id) order — lag flags the run
+    # break, a running sum numbers the islands, two narrow aggregates
+    # profile them. The classic streak/session-quality query shape.
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    lagged = base.withColumn("_prev", F.lag("v").over(w))
+    flagged = lagged.withColumn(
+        "_brk",
+        F.when(F.col("_prev").isNull() | (F.col("v") <= F.col("_prev")), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "_run", F.sum("_brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_run = runs.groupBy("user_id", "_run").agg(F.count("*").alias("run_len"))
+    return per_run.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+    )
+
+
+_EVENTS_STREAKS_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, CAST(floor(value * 10000) AS BIGINT) AS v
+  FROM events),
+l AS (
+  SELECT *, lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM t),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR v <= prev THEN 1 ELSE 0 END AS brk
+  FROM l),
+r AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM f),
+per_run AS (
+  SELECT user_id, run, count(*) AS run_len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run
+FROM per_run GROUP BY 1
+"""
+
+
+def _corpus_size_gini(spark, sf_dir):
+    # Corpus-balance audit (operators/stats.py::gini_by_group): Gini
+    # coefficient of document sizes per language in exact basis points
+    # from the closed form over ascending ranks — the concentration
+    # number a corpus owner reads before trusting a language mix ("is
+    # 'fr' a thousand uniform docs or one megadoc and crumbs").
+    from dr_source_spark.operators.stats import gini_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_by_group(docs, "lang", "n_chars", "doc_id").select(
+        F.col("grp").alias("lang"), "n", "total_size", "gini_bp"
+    )
+
+
+_CORPUS_GINI_SQL = """
+WITH r AS (
+  SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+              AS HUGEINT) AS rk
+  FROM documents),
+a AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n, sum(x) AS s, sum(rk * x) AS rs
+  FROM r GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total_size,
+       CAST(CASE WHEN s > 0
+            THEN (2 * rs - (n + 1) * s) * 10000 // (n * s) END AS BIGINT) AS gini_bp
+FROM a
+"""
+
+
+def _text_feature_hash(spark, sf_dir):
+    # Hashing-trick collision ledger (training/features.py): tokens →
+    # portable md5-prefix hash mod 256 buckets; per bucket total term
+    # frequency, document frequency, and the distinct-token collision
+    # count an ML owner audits before freezing the bucket width. One
+    # explode + one bounded-cardinality groupBy.
+    from dr_source_spark.training.features import feature_hash_profile
+
+    return feature_hash_profile(_t(spark, sf_dir, "documents"), 256)
+
+
+_FEATURE_HASH_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL}),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+b AS (SELECT doc_id, token,
+             ({_duck_minhash_base('token')}) % 256 AS bucket
+      FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS total_tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -6802,6 +7046,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_eval_sample": _corpus_eval_sample,
         "search_ranked": _search_ranked,
         "docs_presence_bitmap": _docs_presence_bitmap,
+        "orders_loo_encode": _orders_loo_encode,
+        "events_mad_profile": _events_mad_profile,
+        "lineitem_cov_matrix": _lineitem_cov_matrix,
+        "events_streaks": _events_streaks,
+        "corpus_size_gini": _corpus_size_gini,
+        "text_feature_hash": _text_feature_hash,
     }
 
 
@@ -6904,6 +7154,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_eval_sample": _EVAL_SAMPLE_SQL,
         "search_ranked": _SEARCH_RANKED_SQL,
         "docs_presence_bitmap": _PRESENCE_BITMAP_SQL,
+        "orders_loo_encode": _LOO_ENCODE_SQL,
+        "events_mad_profile": _EVENTS_MAD_SQL,
+        "lineitem_cov_matrix": _COV_MATRIX_SQL,
+        "events_streaks": _EVENTS_STREAKS_SQL,
+        "corpus_size_gini": _CORPUS_GINI_SQL,
+        "text_feature_hash": _FEATURE_HASH_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -1,0 +1,104 @@
+"""Leakage-safe feature engineering for training-data pipelines.
+
+Two classic feature constructors, both exact-integer so every engine
+and every retry produces the identical feature table:
+
+* ``loo_target_encode`` — leave-one-out target encoding: each row's
+  categorical key is replaced by the mean target of the OTHER rows
+  sharing that key, ``(Σ_group − own) div (n_group − 1)``. The "leave
+  one out" is what makes the encoding leakage-safe: a row never sees
+  its own label, so the feature carries no target information the
+  model shouldn't have at train time. Rows in singleton groups get
+  NULL (there are no other rows to average — imputing the global mean
+  would silently re-introduce the row's own label into the global
+  term; the caller decides the fallback).
+* ``feature_hash_profile`` — the hashing trick's collision ledger:
+  tokens map to ``h(token) mod n_buckets`` with the same portable
+  32-bit md5-prefix hash the dedup family uses (first 8 hex chars of
+  md5 as an integer — reproducible across Spark, DuckDB, and any
+  engine with md5). The profile reports, per bucket, total term
+  frequency, distinct documents, and distinct tokens — ``n_tokens >
+  1`` rows are exactly the hash collisions a model owner audits before
+  committing to a bucket count.
+
+Scale shape: LOO encoding is one unordered aggregate window (pure
+per-partition aggregation — no sort, no join); the hash profile is one
+explode + one groupBy on the bucket id (bounded cardinality =
+n_buckets, so the final aggregate is tiny no matter the corpus).
+
+Reference: no counterpart — the reference is a security scanner
+(dr_source/core/scanner.py); these are the operators its corpus would
+need when it becomes model training data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def loo_target_encode(
+    df: DataFrame, key_col: str, target_col: "F.Column", id_cols: list[str]
+) -> DataFrame:
+    """Per-row leave-one-out mean of ``target_col`` (integer units)
+    within ``key_col`` groups; NULL for singleton groups.
+
+    ``target_col`` must already be integer-scaled (cents, basis
+    points); the LOO mean floors via integer div, which both Spark and
+    DuckDB truncate identically for the nonnegative targets this is
+    meant for.
+    """
+    w = Window.partitionBy("key")
+    return (
+        df.select(
+            *id_cols,
+            F.col(key_col).alias("key"),
+            target_col.cast("long").alias("_y"),
+        )
+        .withColumn("_s", F.sum("_y").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .select(
+            *id_cols,
+            "key",
+            F.col("_y").alias("target"),
+            F.when(
+                F.col("_n") > 1, F.expr("(_s - _y) div (_n - 1)")
+            ).cast("long").alias("loo_mean"),
+        )
+    )
+
+
+def _portable_hash32(col: "F.Column") -> "F.Column":
+    """First 8 hex chars of md5 as a 32-bit integer — the package's
+    cross-engine hash (same construction as the minhash base)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def feature_hash_profile(
+    documents: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """Hashing-trick bucket ledger over the whitespace token stream.
+
+    Output: (bucket, total_tf, n_docs, n_tokens) — one row per
+    occupied bucket. ``n_tokens`` is the collision count an ML owner
+    checks before freezing ``n_buckets``; ``n_docs`` is the bucket's
+    document frequency (its usefulness as a feature).
+    """
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    stream = (
+        documents.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "token",
+            (_portable_hash32(F.col("token")) % n_buckets).alias("bucket"),
+        )
+    )
+    return stream.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("total_tf"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("token").cast("long").alias("n_tokens"),
+    )
