@@ -6849,6 +6849,210 @@ FROM b GROUP BY 1
 """
 
 
+def _parts_basket_rules(spark, sf_dir):
+    # Association-rule mining (operators/mining.py::basket_rules):
+    # orders are baskets, parts are items; the Apriori prune (items
+    # must clear the support floor BEFORE the per-basket self-join)
+    # is what keeps pair expansion bounded at scale. Rules carry
+    # confidence and lift in exact basis points, both directions.
+    from dr_source_spark.operators.mining import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return basket_rules(
+        li, "l_orderkey", "l_partkey", min_item_support=20, min_pair_support=3
+    )
+
+
+_BASKET_RULES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT basket) AS HUGEINT) AS n FROM b),
+ic AS (SELECT item, count(*) AS item_n FROM b GROUP BY item),
+fr AS (SELECT * FROM ic WHERE item_n >= 20),
+p AS (SELECT b.basket, b.item, fr.item_n FROM b JOIN fr USING (item)),
+pairs AS (
+  SELECT x.item AS item_a, y.item AS item_b, x.item_n AS n_a, y.item_n AS n_b,
+         count(*) AS pair_n
+  FROM p x JOIN p y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+SELECT item_a AS antecedent, item_b AS consequent,
+       CAST(pair_n AS BIGINT) AS pair_n,
+       CAST((pair_n * 10000) // n_a AS BIGINT) AS conf_bp,
+       CAST((CAST(pair_n AS HUGEINT) * nb.n * 10000)
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_bp
+FROM pairs, nb
+UNION ALL
+SELECT item_b, item_a, CAST(pair_n AS BIGINT),
+       CAST((pair_n * 10000) // n_b AS BIGINT),
+       CAST((CAST(pair_n AS HUGEINT) * nb.n * 10000)
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+FROM pairs, nb
+"""
+
+
+def _search_rrf_fusion(spark, sf_dir):
+    # Reciprocal-rank fusion (training/search.py::rrf_fuse): the BM25
+    # term ranking and an independent size ranking fused by
+    # score = Σ 10⁶ div (60 + rank) — the standard way to combine
+    # retrieval signals without calibrating their score scales.
+    # Missing-from-a-list contributes nothing; deterministic top-20.
+    from pyspark.sql.window import Window as W
+
+    from dr_source_spark.training.search import ranked_search, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm25 = ranked_search(docs, ["spark", "join", "merge"], k=50)
+    r1 = bm25.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+    )
+    r2 = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse([r1, r2], k=60, top=20)
+
+
+_RRF_FUSION_SQL = f"""
+WITH tok AS ({_TOK_STREAM_SQL}),
+t AS (SELECT * FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY doc_id),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS a FROM dl),
+post AS (
+  SELECT token, doc_id, count(*)::BIGINT AS tf
+  FROM t WHERE token IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+df_t AS (SELECT token, count(*)::BIGINT AS dft FROM post GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         (((c.n - d.dft) * 10000) // d.dft) * 44 * c.a * p.tf
+           // (20 * c.a * p.tf + 6 * c.a + 18 * l.dl * c.n) AS contrib
+  FROM post p
+  JOIN df_t d ON p.token = d.token
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN corpus c),
+bm25 AS (
+  SELECT doc_id, sum(contrib)::BIGINT AS score FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 50),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm25),
+sz AS (SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM sz),
+c AS (
+  SELECT doc_id, 1000000 // (60 + rank) AS contrib FROM r1
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + rank) FROM r2)
+SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM c GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+def _kg_modularity(spark, sf_dir):
+    # Partition-quality ledger over the KG
+    # (operators/graph.py::modularity_by_community): per label-prop
+    # community, the exact integer modularity numerator
+    # q_num = 4m·e_c − d_c² (Q = Σ q_num / 4m² — the float is a
+    # read-time division). "Did community detection find real
+    # structure" as a cross-engine-exact table.
+    from dr_source_spark.operators.graph import label_propagation, modularity_by_community
+
+    edges = _kg_triples(spark, sf_dir).edges
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    return modularity_by_community(edges, labels)
+
+
+def _kg_modularity_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return f"""
+WITH lp AS MATERIALIZED (SELECT * FROM ({_kg_label_prop_sql()}) _lp),
+kg_e2 AS MATERIALIZED ({kg_edges_oracle_sql()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e2 WHERE src <> dst),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
+adj AS (SELECT a AS node, b AS neigh FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS d FROM adj GROUP BY node),
+nd AS (SELECT l.node, l.label, coalesce(d.d, 0) AS d
+       FROM lp l LEFT JOIN deg d ON l.node = d.node),
+dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(d) AS HUGEINT) AS dsum
+       FROM nd GROUP BY label),
+ec AS (SELECT la.label AS label, CAST(count(*) AS HUGEINT) AS ein
+       FROM und u
+       JOIN lp la ON u.a = la.node
+       JOIN lp lb ON u.b = lb.node
+       WHERE la.label = lb.label GROUP BY 1)
+SELECT dc.label, dc.n_nodes,
+       CAST(coalesce(ec.ein, 0) AS BIGINT) AS internal_edges,
+       CAST(dc.dsum AS BIGINT) AS degree_sum,
+       CAST(4 * mm.m * coalesce(ec.ein, 0) - dc.dsum * dc.dsum AS BIGINT) AS q_num
+FROM dc LEFT JOIN ec ON dc.label = ec.label CROSS JOIN mm
+"""
+
+
+def _lineitem_abc_classes(spark, sf_dir):
+    # ABC / cumulative-share classification: parts ranked by revenue,
+    # class A = parts while the running share is within 70% of total
+    # revenue, B to 90%, C the tail — integer cross-multiply against
+    # the windowed grand total (no float shares), deterministic
+    # (rev desc, partkey) order. The inventory-analytics counterpart
+    # of the Pareto frontier already in the catalog.
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.floor(F.sum(_rev_dec()) * 100).cast("long").alias("rev_c")
+    )
+    w = W.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = F.sum("rev_c").over(W.partitionBy())
+    cum = per_part.select(
+        "l_partkey", "rev_c",
+        F.sum("rev_c").over(w).alias("cum_c"),
+        tot.alias("tot_c"),
+    )
+    cls = cum.withColumn(
+        "abc_class",
+        F.when(F.col("cum_c") * 10 <= F.col("tot_c") * 7, "A")
+        .when(F.col("cum_c") * 10 <= F.col("tot_c") * 9, "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
+        F.expr("sum(rev_c) * 10000 div max(tot_c)").cast("long").alias("share_bp"),
+    )
+
+
+_ABC_CLASSES_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(floor(sum({_REV_SQL}) * 100) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT l_partkey, rev_c,
+         sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+         sum(rev_c) OVER () AS tot_c
+  FROM per_part),
+cls AS (
+  SELECT *, CASE WHEN cum_c * 10 <= tot_c * 7 THEN 'A'
+                 WHEN cum_c * 10 <= tot_c * 9 THEN 'B'
+                 ELSE 'C' END AS abc_class
+  FROM cum)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(rev_c) / 100.0, 2) AS revenue,
+       CAST(sum(rev_c) * 10000 // max(tot_c) AS BIGINT) AS share_bp
+FROM cls GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -7052,6 +7256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaks": _events_streaks,
         "corpus_size_gini": _corpus_size_gini,
         "text_feature_hash": _text_feature_hash,
+        "parts_basket_rules": _parts_basket_rules,
+        "search_rrf_fusion": _search_rrf_fusion,
+        "kg_modularity": _kg_modularity,
+        "lineitem_abc_classes": _lineitem_abc_classes,
     }
 
 
@@ -7160,6 +7368,10 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": _EVENTS_STREAKS_SQL,
         "corpus_size_gini": _CORPUS_GINI_SQL,
         "text_feature_hash": _FEATURE_HASH_SQL,
+        "parts_basket_rules": _BASKET_RULES_SQL,
+        "search_rrf_fusion": _RRF_FUSION_SQL,
+        "kg_modularity": _kg_modularity_sql(),
+        "lineitem_abc_classes": _ABC_CLASSES_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -1196,3 +1196,65 @@ def degree_mixing_stats(edges: DataFrame) -> DataFrame:
             F.sum(F.col("da") * F.col("db")).cast("long").alias("sxy"),
         )
     )
+
+
+def modularity_by_community(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Exact per-community modularity ledger over the undirected simple
+    graph induced by ``edges``, for the partition in ``labels``
+    (node, label) — typically the ``label_propagation`` output.
+
+    Newman modularity is Q = Σ_c (e_c/m − (d_c/2m)²); multiplying
+    through by the common denominator 4m² makes every community's
+    contribution an INTEGER: ``q_num_c = 4m·e_c − d_c²`` with
+    Q = Σ_c q_num_c / 4m². Emitting (label, n_nodes, internal_edges,
+    degree_sum, q_num) keeps the ledger exact — the float Q is a
+    read-time division — and cross-engine reproducible.
+
+    Scale shape: one distinct over the canonicalized edge list, one
+    degree aggregate, two broadcast-sized joins of the edge list
+    against the label table (labels are narrow (node, label) rows),
+    and a final groupBy on the community key. All DECIMAL(38,0)
+    arithmetic so 10^12-edge graphs cannot overflow the q_num product.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()  # scalar: one number on the driver, reused in the expr
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("neigh")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("neigh"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    nd = labels.join(deg, "node", "left").select(
+        "node", "label", F.coalesce(F.col("d"), F.lit(0)).alias("d")
+    )
+    dc = nd.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("_dsum"),
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    ec = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("_ein"))
+    )
+    four_m = F.lit(4 * m).cast("decimal(38,0)")
+    return (
+        dc.join(ec, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("_ein"), F.lit(0)).cast("long").alias("internal_edges"),
+            F.col("_dsum").cast("long").alias("degree_sum"),
+            (
+                four_m * F.coalesce(F.col("_ein"), F.lit(0).cast("decimal(38,0)"))
+                - F.col("_dsum") * F.col("_dsum")
+            ).cast("long").alias("q_num"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Association-rule mining (market-basket analysis) as pure relational
+algebra.
+
+The classic Apriori insight — a pair can only be frequent if both its
+items are — is exactly a semi-join prefilter, so frequent-pair mining
+maps onto Spark as: (1) dedupe (basket, item), (2) keep items whose
+basket count clears the support floor (the Apriori prune — this is
+what keeps the self-join from exploding at scale), (3) self-equi-join
+the pruned stream on the basket key with ``item_a < item_b`` so each
+pair appears once, (4) count pairs, (5) emit both rule directions with
+confidence and lift in exact basis points:
+
+    conf_bp(a→b) = c_ab · 10000 div c_a
+    lift_bp(a→b) = c_ab · N · 10000 div (c_a · c_b)   (symmetric)
+
+Everything is an equi-join or a groupBy on narrow keys; the only
+quadratic step is per-basket pair expansion, bounded by the support
+prune and by the per-basket item count (a mega-basket is the skew to
+watch — the same per-key explosion the LSH band join caps; callers
+with pathological baskets should cap items per basket upstream).
+
+Reference: no counterpart in the reference scanner; this is the
+co-occurrence analytics its findings table (and any training-data
+event log) needs at lake scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_rules(
+    transactions: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 20,
+    min_pair_support: int = 3,
+) -> DataFrame:
+    """Frequent-pair association rules from a (basket, item) stream.
+
+    Output: one row per directed rule (antecedent, consequent) with
+    pair_n, conf_bp, lift_bp — both directions of every surviving
+    pair, ordered facts only (no float scores).
+    """
+    baskets = transactions.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = baskets.select("basket").distinct().count()
+    item_counts = baskets.groupBy("item").agg(F.count("*").alias("item_n"))
+    frequent = item_counts.filter(F.col("item_n") >= min_item_support)
+    pruned = baskets.join(F.broadcast(frequent), "item").select(
+        "basket", "item", "item_n"
+    )
+    left = pruned.select(
+        "basket", F.col("item").alias("item_a"), F.col("item_n").alias("n_a")
+    )
+    right = pruned.select(
+        "basket", F.col("item").alias("item_b"), F.col("item_n").alias("n_b")
+    )
+    pairs = (
+        left.join(right, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "n_a", "n_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+    # DECIMAL(38,0) through the lift product: pair_n·N·10⁴ overflows
+    # int64 once baskets pass ~1e9 — the quotient itself stays small
+    nb = F.lit(int(n_baskets)).cast("decimal(38,0)")
+    fwd = pairs.withColumn("_nb", nb).select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("pair_n").cast("long").alias("pair_n"),
+        F.expr("(pair_n * 10000) div n_a").cast("long").alias("conf_bp"),
+        F.expr(
+            "(cast(pair_n as decimal(38,0)) * _nb * 10000) div (cast(n_a as decimal(38,0)) * n_b)"
+        ).cast("long").alias("lift_bp"),
+    )
+    rev = pairs.withColumn("_nb", nb).select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        F.col("pair_n").cast("long").alias("pair_n"),
+        F.expr("(pair_n * 10000) div n_b").cast("long").alias("conf_bp"),
+        F.expr(
+            "(cast(pair_n as decimal(38,0)) * _nb * 10000) div (cast(n_a as decimal(38,0)) * n_b)"
+        ).cast("long").alias("lift_bp"),
+    )
+    return fwd.union(rev)

@@ -276,3 +276,35 @@ def collocations(documents: DataFrame, min_count: int = 5) -> DataFrame:
             .alias("score_bp"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 60, top: int = 20, scale: int = 1_000_000
+) -> DataFrame:
+    """Reciprocal-rank fusion of independent (doc_id, rank) rankings:
+    score = Σ_lists scale div (k + rank), missing-from-a-list simply
+    contributes nothing (the standard RRF convention — no imputed
+    floor rank, so adding a list never penalizes docs it omits).
+
+    Integer div keeps the fused score exact cross-engine; the k=60
+    damping constant is the original Cormack/Clarke/Buettcher choice.
+    Deterministic top-``top`` by (score desc, doc_id).
+
+    Scale shape: a union of narrow (doc_id, contrib) rows + one
+    groupBy(doc_id) + a global top-k (TakeOrderedAndProject — never a
+    full sort of the corpus).
+    """
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            "doc_id",
+            F.expr(f"cast({int(scale)} as bigint) div (cast({int(k)} as bigint) + rank)").alias(
+                "contrib"
+            ),
+        )
+        contribs = c if contribs is None else contribs.union(c)
+    fused = contribs.groupBy("doc_id").agg(
+        F.sum("contrib").cast("long").alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(top)
