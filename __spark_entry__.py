@@ -7053,6 +7053,368 @@ FROM cls GROUP BY 1
 """
 
 
+def _corpus_quota_alloc(spark, sf_dir):
+    # Largest-remainder (Hamilton) apportionment
+    # (training/features.py::quota_allocate): a 1000-doc eval budget
+    # split across languages proportionally, exactly — base = T·n div N
+    # plus one seat to each of the T − Σbase largest remainders.
+    # Independent float rounding can't guarantee Σ == T; this does
+    # (law pytest-pinned).
+    from dr_source_spark.training.features import quota_allocate
+
+    return quota_allocate(_t(spark, sf_dir, "documents"), "lang", 1000).select(
+        F.col("grp").alias("lang"), "n_rows", "base_alloc", "final_alloc"
+    )
+
+
+_QUOTA_ALLOC_SQL = """
+WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_rows
+           FROM documents GROUP BY 1),
+w AS (SELECT grp, n_rows,
+             (1000 * n_rows) // sum(n_rows) OVER () AS base_alloc,
+             (1000 * n_rows) % (sum(n_rows) OVER ()) AS rem
+      FROM c),
+l AS (SELECT *, 1000 - sum(base_alloc) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, grp) AS rk
+      FROM w)
+SELECT grp AS lang, n_rows, CAST(base_alloc AS BIGINT) AS base_alloc,
+       CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS final_alloc
+FROM l
+"""
+
+
+def _lineitem_ols_slope(spark, sf_dir):
+    # Exact grouped OLS (operators/stats.py::ols_slope_by_group): the
+    # price-per-unit regression slope per (returnflag, linestatus) in
+    # cents·10⁴ per unit — slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) with
+    # every sum in DECIMAL(38,0), sign factored out of the truncating
+    # division. One map-side-combinable aggregate, no second pass.
+    from dr_source_spark.operators.stats import ols_slope_by_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_slope_by_group(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.floor(F.col("l_quantity")).cast("long"),
+        F.floor(F.col("l_extendedprice").cast(_DEC) * 100).cast("long"),
+    )
+
+
+_OLS_SLOPE_SQL = """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, l_linestatus, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM b GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+            (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+            (abs(n * sxy - sx * sy) * 10000 // (n * sxx - sx * sx))
+            END AS BIGINT) AS slope_x10000
+FROM s
+"""
+
+
+def _emb_pq_assign(spark, sf_dir):
+    # Product-quantization codes (training/similarity.py::pq_assign):
+    # each embedding split into 4 contiguous subspaces, every subvector
+    # replaced by its nearest deterministic codebook entry (the 4
+    # smallest-id vectors' slices) — the PQ compression an ANN index
+    # stores, with distances compared as exact quantized integers.
+    from dr_source_spark.training.similarity import pq_assign
+
+    return pq_assign(_t(spark, sf_dir, "embeddings"))
+
+
+_PQ_ASSIGN_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim0, len(embedding) AS dlen,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+q2 AS (SELECT vec_id, dim0, ((dim0 * 4) // dlen) AS sub, qi FROM q),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+cb AS (SELECT s.code, q2.sub, q2.dim0, q2.qi AS ci
+       FROM seeds s JOIN q2 ON q2.vec_id = s.vec_id),
+d AS (SELECT q2.vec_id, q2.sub, cb.code,
+             sum((q2.qi - cb.ci) * (q2.qi - cb.ci)) AS d2
+      FROM q2 JOIN cb ON cb.sub = q2.sub AND cb.dim0 = q2.dim0
+      GROUP BY 1, 2, 3)
+SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+       CAST(d2 AS BIGINT) AS dist2_q
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2, code) AS rn FROM d)
+WHERE rn = 1
+"""
+
+
+def _corpus_simpson_diversity(spark, sf_dir):
+    # Simpson concentration per source over languages
+    # (operators/stats.py::simpson_index): λ = Σnᵢ(nᵢ−1)/(N(N−1)) in
+    # exact truncated bp — the probability two docs drawn without
+    # replacement from a source share a language. Two tiny
+    # map-side-combinable groupBys; N<2 groups emit NULL.
+    from dr_source_spark.operators.stats import simpson_index
+
+    return simpson_index(_t(spark, sf_dir, "documents"), "source", "lang").select(
+        F.col("grp").alias("source"), "n_rows", "n_categories", "simpson_bp"
+    )
+
+
+_SIMPSON_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS HUGEINT) AS n
+  FROM documents GROUP BY 1, 2),
+g AS (
+  SELECT source, sum(n) AS N, sum(n * (n - 1)) AS pairs,
+         CAST(count(*) AS BIGINT) AS n_categories
+  FROM c GROUP BY 1)
+SELECT source, CAST(N AS BIGINT) AS n_rows, n_categories,
+       CASE WHEN N >= 2
+            THEN CAST(pairs * 10000 // (N * (N - 1)) AS BIGINT) END
+         AS simpson_bp
+FROM g
+"""
+
+
+def _text_ngram_novelty(spark, sf_dir):
+    # Per-language n-gram novelty (training/text.py::ngram_novelty): of
+    # each doc's distinct word 3-grams, the share first seen in that doc
+    # (first = min doc_id corpus-wide) — the corpus-growth-health metric
+    # next to the pairwise dup stack. Tokenization is the shared
+    # top_ngrams convention. Explode→distinct→min-agg→equi-join on the
+    # gram hash space; text never shuffles.
+    from dr_source_spark.training.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+_NGRAM_NOVELTY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang AS grp,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, grp, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [] END) AS gram
+  FROM t),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1)
+SELECT grp, CAST(count(DISTINCT dg.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS distinct_grams,
+       CAST(sum(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       CAST(CAST(sum(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 AS HUGEINT) * 10000 // count(*) AS BIGINT) AS novel_bp
+FROM dg JOIN f USING (gram)
+GROUP BY 1
+"""
+
+
+def _eval_auc(spark, sf_dir):
+    # Exact tie-corrected ROC AUC per source
+    # (training/evalmetrics.py::auc_by_group): does document length
+    # predict lang='en'? Midrank (Mann-Whitney) tie handling done in
+    # integers: 2·R₁ = Σ_s np_s·(2·below_s + nt_s + 1) over the
+    # per-(source, score) COUNT table — no global row sort; the window
+    # runs over distinct scores only. Sources lacking a class emit NULL.
+    from dr_source_spark.training.evalmetrics import auc_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return auc_by_group(
+        d, "source", F.col("n_chars"), (F.col("lang") == "en").cast("long")
+    ).select(F.col("grp").alias("source"), "n_pos", "n_neg", "auc_bp")
+
+
+_EVAL_AUC_SQL = """
+WITH sc AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS s,
+         CAST(count(*) AS HUGEINT) AS nt,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS np
+  FROM documents GROUP BY 1, 2),
+r AS (
+  SELECT *, coalesce(sum(nt) OVER (PARTITION BY grp ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM sc),
+a AS (
+  SELECT grp, sum(nt) AS n, sum(np) AS n1,
+         sum(np * (2 * below + nt + 1)) AS r1x2
+  FROM r GROUP BY 1)
+SELECT grp AS source, CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+         CAST((r1x2 - n1 * (n1 + 1)) * 10000 // (2 * n1 * (n - n1)) AS BIGINT)
+       END AS auc_bp
+FROM a
+"""
+
+
+def _eval_pr_sweep(spark, sf_dir):
+    # Precision/recall/F1 at the nine exact decile order-statistic
+    # thresholds of n_chars for the lang='en' label
+    # (training/evalmetrics.py::pr_at_thresholds). Thresholds and
+    # TP/FP come from cumulative sums over the distinct-score table;
+    # F1 = 2TP/(2TP+FP+FN) stays integral. Truncated basis points.
+    from dr_source_spark.training.evalmetrics import pr_at_thresholds
+
+    d = _t(spark, sf_dir, "documents")
+    return pr_at_thresholds(
+        d, F.col("n_chars"), (F.col("lang") == "en").cast("long")
+    )
+
+
+_EVAL_PR_SQL = """
+WITH sc AS (
+  SELECT CAST(n_chars AS BIGINT) AS s, CAST(count(*) AS HUGEINT) AS nt,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS np
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT *, coalesce(sum(nt) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         sum(nt) OVER () AS tot, sum(np) OVER () AS tot_pos
+  FROM sc),
+th AS (
+  SELECT CAST(cut AS BIGINT) AS cut, s AS thr
+  FROM cum, unnest(range(1, 10)) AS u(cut)
+  WHERE (cut * tot) // 10 + 1 > below AND (cut * tot) // 10 + 1 <= below + nt),
+j AS (
+  SELECT th.cut, th.thr, sum(cum.np) AS tp, sum(cum.nt - cum.np) AS fp,
+         max(cum.tot_pos) AS pos
+  FROM cum, th WHERE cum.s >= th.thr GROUP BY 1, 2)
+SELECT cut, CAST(thr AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(pos - tp AS BIGINT) AS fn,
+       CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp,
+       CASE WHEN pos > 0 THEN CAST(tp * 10000 // pos AS BIGINT) END AS recall_bp,
+       CAST(2 * tp * 10000 // (2 * tp + fp + (pos - tp)) AS BIGINT) AS f1_bp
+FROM j
+"""
+
+
+def _eval_kappa(spark, sf_dir):
+    # Cohen's kappa per language between two deterministic labeling
+    # rules — length (n_chars >= 300) vs whitespace volume (space count
+    # >= 50) — the label-quality audit every weak-supervision pipeline
+    # runs (training/evalmetrics.py::cohens_kappa). Sign factored out of
+    # the truncating division so below-chance kappa is engine-stable;
+    # degenerate marginals emit NULL. Text is null-hardened to '' on
+    # BOTH sides (the oracle too — ADVICE r4 convention).
+    from dr_source_spark.training.evalmetrics import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    spaces = F.length(F.coalesce(F.col("text"), F.lit(""))) - F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+    )
+    return cohens_kappa(
+        d,
+        "lang",
+        (F.col("n_chars") >= 300).cast("long"),
+        (spaces >= 50).cast("long"),
+    ).select(F.col("grp").alias("lang"), "n_rows", "n_agree", "agree_bp", "kappa_bp")
+
+
+_EVAL_KAPPA_SQL = """
+WITH b AS (
+  SELECT lang AS grp,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(coalesce(text, ''))
+                   - length(replace(coalesce(text, ''), ' ', '')) >= 50
+              THEN 1 ELSE 0 END AS bb
+  FROM documents),
+g AS (
+  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS HUGEINT) AS agree,
+         CAST(sum(a) AS HUGEINT) AS a1, CAST(sum(bb) AS HUGEINT) AS b1
+  FROM b GROUP BY 1),
+k AS (SELECT *, a1 * b1 + (n - a1) * (n - b1) AS pe FROM g)
+SELECT grp AS lang, CAST(n AS BIGINT) AS n_rows, CAST(agree AS BIGINT) AS n_agree,
+       CAST(agree * 10000 // n AS BIGINT) AS agree_bp,
+       CASE WHEN n * n - pe != 0 THEN
+         CAST((CASE WHEN n * agree - pe < 0 THEN -1 ELSE 1 END)
+              * (abs(n * agree - pe) * 10000 // (n * n - pe)) AS BIGINT)
+       END AS kappa_bp
+FROM k
+"""
+
+
+def _events_drift_chi2(spark, sf_dir):
+    # Categorical drift screen (operators/stats.py::drift_chi2):
+    # event-type distribution of the first vs second half of the time
+    # range (split at the exact epoch-microsecond midpoint — a pure
+    # function of the data), per-category chi-square contribution
+    # scaled ×10⁴ with per-cell truncation so engines sum identically.
+    from dr_source_spark.operators.stats import drift_chi2
+
+    return drift_chi2(_t(spark, sf_dir, "events"), "event_type")
+
+
+_DRIFT_CHI2_SQL = """
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+c AS (
+  SELECT event_type AS cat,
+         CASE WHEN epoch_us(ts) > (lo + hi) // 2 THEN 1 ELSE 0 END AS late,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events, bounds GROUP BY 1, 2),
+full_cells AS (
+  SELECT cats.cat, p.late, coalesce(c.o, 0) AS o
+  FROM (SELECT DISTINCT cat FROM c) cats
+  CROSS JOIN (VALUES (0), (1)) AS p(late)
+  LEFT JOIN c ON c.cat = cats.cat AND c.late = p.late),
+m AS (
+  SELECT *, sum(o) OVER (PARTITION BY late) AS r,
+         sum(o) OVER (PARTITION BY cat) AS col_tot, sum(o) OVER () AS N
+  FROM full_cells),
+contrib AS (
+  SELECT cat, late, o,
+         CASE WHEN r > 0 AND col_tot > 0 THEN
+           ((N * o - r * col_tot) * (N * o - r * col_tot) * 10000)
+             // (N * r * col_tot)
+         ELSE 0 END AS chi
+  FROM m)
+SELECT cat, CAST(sum(CASE WHEN late = 0 THEN o END) AS BIGINT) AS n_early,
+       CAST(sum(CASE WHEN late = 1 THEN o END) AS BIGINT) AS n_late,
+       CAST(sum(chi) AS BIGINT) AS chi2_x10000
+FROM contrib GROUP BY 1
+"""
+
+
+def _orders_benford(spark, sf_dir):
+    # Benford first-digit audit (operators/stats.py::benford_profile)
+    # of o_totalprice: organic multiplicative amounts follow
+    # log10(1+1/d); the per-digit deviation from the hardcoded public
+    # expectation (truncated bp on both terms, so the subtraction is
+    # engine-stable) is the fabrication/capping screen.
+    from dr_source_spark.operators.stats import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "orders"), F.col("o_totalprice"))
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS HUGEINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE floor(o_totalprice) > 0),
+c AS (SELECT digit, CAST(count(*) AS HUGEINT) AS n FROM d GROUP BY 1),
+e AS (SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249), (4, 969), (5, 791),
+                            (6, 669), (7, 579), (8, 511), (9, 457))
+              AS t(digit, benford_bp))
+SELECT c.digit, CAST(n AS BIGINT) AS n_rows,
+       CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS share_bp,
+       CAST(e.benford_bp AS BIGINT) AS benford_bp,
+       CAST(n * 10000 // sum(n) OVER () AS BIGINT) - e.benford_bp AS dev_bp
+FROM c JOIN e ON e.digit = c.digit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -7260,6 +7622,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf_fusion": _search_rrf_fusion,
         "kg_modularity": _kg_modularity,
         "lineitem_abc_classes": _lineitem_abc_classes,
+        "corpus_quota_alloc": _corpus_quota_alloc,
+        "lineitem_ols_slope": _lineitem_ols_slope,
+        "emb_pq_assign": _emb_pq_assign,
+        "corpus_simpson_diversity": _corpus_simpson_diversity,
+        "text_ngram_novelty": _text_ngram_novelty,
+        "eval_auc": _eval_auc,
+        "eval_pr_sweep": _eval_pr_sweep,
+        "eval_kappa": _eval_kappa,
+        "events_drift_chi2": _events_drift_chi2,
+        "orders_benford": _orders_benford,
     }
 
 
@@ -7372,6 +7744,17 @@ def oracle_sql() -> dict[str, str]:
         "search_rrf_fusion": _RRF_FUSION_SQL,
         "kg_modularity": _kg_modularity_sql(),
         "lineitem_abc_classes": _ABC_CLASSES_SQL,
+        "corpus_quota_alloc": _QUOTA_ALLOC_SQL,
+        "lineitem_ols_slope": _OLS_SLOPE_SQL,
+        "emb_pq_assign": _PQ_ASSIGN_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "corpus_simpson_diversity": _SIMPSON_SQL,
+        "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "eval_auc": _EVAL_AUC_SQL,
+        "eval_pr_sweep": _EVAL_PR_SQL,
+        "eval_kappa": _EVAL_KAPPA_SQL,
+        "events_drift_chi2": _DRIFT_CHI2_SQL,
+        "orders_benford": _BENFORD_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
@@ -7394,7 +7777,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_keys": _STREAM_DEDUP_SQL,
         "stream_curation": _STREAM_CURATION_SQL,
         "stream_join_attrib": _STREAM_JOIN_SQL,
-        "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_asof_enrich": _EVENTS_ASOF_SQL,
         "events_band_join": _EVENTS_BAND_SQL,
         "events_hypertable_rollup": _EVENTS_HYPERTABLE_SQL,

@@ -175,3 +175,247 @@ def gini_by_group(
             "(cast(2 as decimal(38,0)) * _rs - (_n + 1) * _s) * 10000 div (_n * _s)"
         ).cast("long")).alias("gini_bp"),
     )
+
+
+def ols_slope_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: "F.Column",
+    y_col: "F.Column",
+    scale: int = 10000,
+) -> DataFrame:
+    """Per-group exact OLS regression slope, ``scale``-scaled and
+    truncated toward zero: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    on integer-scaled x and y, all sums in DECIMAL(38,0). Groups with
+    zero x-variance (the denominator) emit NULL — there is no line to
+    fit, not a zero slope. Sign factored out of the division so
+    trunc-div and floor-div engines agree on negative slopes.
+
+    One map-side-combinable aggregate; no second pass, no window.
+    """
+    g = [F.col(c) for c in group_cols]
+    agg = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast(_D38).alias("_n"),
+        F.sum(x_col.cast(_D38)).alias("_sx"),
+        F.sum(y_col.cast(_D38)).alias("_sy"),
+        F.sum((x_col.cast(_D38) * y_col.cast(_D38))).alias("_sxy"),
+        F.sum((x_col.cast(_D38) * x_col.cast(_D38))).alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.when(
+            den > 0,
+            sign
+            * F.expr(
+                f"abs(_n * _sxy - _sx * _sy) * {int(scale)}"
+                " div (_n * _sxx - _sx * _sx)"
+            ).cast("long"),
+        ).cast("long").alias(f"slope_x{scale}"),
+    )
+
+
+def simpson_index(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Per-group Simpson concentration index over a categorical column,
+    in exact truncated basis points: λ = Σ nᵢ(nᵢ−1) / (N(N−1)) — the
+    probability two draws WITHOUT replacement share a category. 0 =
+    maximally diverse, 10000 = a single category. Groups with N < 2
+    emit NULL (the index is undefined, not zero). Diversity score
+    (1−λ, the Gini-Simpson form) is a read-time complement.
+
+    All products carried in DECIMAL(38,0); nᵢ ≤ N ≤ 10¹⁸ stays exact.
+    Scale shape: two map-side-combinable groupBys (group×category, then
+    group) — the second aggregates the CATEGORY-COUNT table, already
+    tiny. No window over the row table, no join.
+    """
+    cat_counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("_cat")
+    ).agg(F.count(F.lit(1)).cast(_D38).alias("_n"))
+    return (
+        cat_counts.groupBy("grp")
+        .agg(
+            F.sum("_n").alias("_N"),
+            F.sum(F.col("_n") * (F.col("_n") - 1)).alias("_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+        .select(
+            "grp",
+            F.col("_N").cast("long").alias("n_rows"),
+            "n_categories",
+            F.when(
+                F.col("_N") >= 2,
+                F.expr("(_pairs * 10000) div (_N * (_N - 1))").cast("long"),
+            ).alias("simpson_bp"),
+        )
+    )
+
+
+def drift_chi2(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Categorical-distribution drift between the first and second half
+    of a table's time range, as the exact scaled chi-square contingency
+    statistic: rows split at the epoch-microsecond midpoint
+    (min+max) div 2 — a pure function of the data, no clock — and each
+    category contributes χ²ᵢ·10⁴ = Σ_period (N·O − r·c)²·10⁴ div
+    (N·r·c), truncated per cell so any engine sums identically. A
+    category absent from one period still contributes (O = 0 is a
+    legitimate cell); categories with a zero column total can't occur
+    (they'd have no rows).
+
+    Output per category: (cat, n_early, n_late, chi2_x10000). The table
+    statistic is the read-time sum; d.o.f. = categories − 1. Scale
+    shape: one min/max aggregate (map-side-combinable), one
+    groupBy(cat, period) count, then arithmetic on the tiny
+    category×2 table.
+    """
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = df.agg(
+        F.min(ep).alias("_lo"), F.max(ep).alias("_hi")
+    )
+    counts = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(cat_col).alias("cat"),
+            (ep > F.expr("(_lo + _hi) div 2")).cast("int").alias("_late"),
+        )
+        .groupBy("cat", "_late")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("_o"))
+    )
+    # densify: a category missing from one period is an O=0 cell
+    cats = counts.select("cat").distinct()
+    periods = counts.sparkSession.range(2).select(F.col("id").cast("int").alias("_late"))
+    full = (
+        cats.crossJoin(F.broadcast(periods))
+        .join(counts, ["cat", "_late"], "left")
+        .withColumn("_o", F.coalesce("_o", F.lit(0).cast(_D38)))
+    )
+    wc = Window.partitionBy("cat")
+    wp = Window.partitionBy("_late")
+    wall = Window.partitionBy()
+    cells = (
+        full.withColumn("_r", F.sum("_o").over(wp))
+        .withColumn("_c", F.sum("_o").over(wc))
+        .withColumn("_N", F.sum("_o").over(wall))
+    )
+    contrib = cells.withColumn(
+        "_chi",
+        F.when(
+            (F.col("_r") > 0) & (F.col("_c") > 0),
+            F.expr(
+                "((_N * _o - _r * _c) * (_N * _o - _r * _c) * 10000)"
+                " div (_N * _r * _c)"
+            ),
+        ).otherwise(F.lit(0).cast(_D38)),
+    )
+    return (
+        contrib.groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("_late") == 0, F.col("_o"))).cast("long").alias("n_early"),
+            F.sum(F.when(F.col("_late") == 1, F.col("_o"))).cast("long").alias("n_late"),
+            F.sum("_chi").cast("long").alias("chi2_x10000"),
+        )
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), truncated basis
+# points — public constants, hardcoded identically in the DuckDB oracle
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+def benford_profile(df: DataFrame, amount_col: "F.Column") -> DataFrame:
+    """First-significant-digit profile of a positive amount column vs
+    Benford's law — the classic bulk-data fabrication screen (organic
+    multiplicative amounts follow log10(1+1/d); synthetic or capped
+    data doesn't). The digit is taken arithmetically-safely as the
+    first character of the integer amount's decimal string (amounts are
+    floored to integer units first); non-positive amounts are excluded
+    and reported via the read-time row-count delta.
+
+    Output per digit 1-9: (digit, n_rows, share_bp, benford_bp, dev_bp
+    = share − expectation, both already-truncated so the subtraction is
+    engine-stable). One groupBy on a derived single-char key.
+    """
+    amt = F.floor(amount_col).cast(_D38)
+    digit = F.substring(F.col("_amt").cast("string"), 1, 1).cast("long")
+    counts = (
+        df.select(amt.alias("_amt"))
+        .filter(F.col("_amt") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("_n"))
+    )
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_BP.items() for x in kv]
+    )
+    return (
+        counts.withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+        .select(
+            "digit",
+            F.col("_n").cast("long").alias("n_rows"),
+            F.expr("(_n * 10000) div _tot").cast("long").alias("share_bp"),
+            exp_map[F.col("digit")].cast("long").alias("benford_bp"),
+        )
+        .withColumn("dev_bp", F.col("share_bp") - F.col("benford_bp"))
+    )
+
+
+def tv_distance_pairs(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Pairwise total-variation distance between groups' categorical
+    distributions, exact truncated basis points:
+    TV(P,Q) = ½ Σ_c |p_c − q_c| → tv_bp = 10000·Σ_c |n1_c·N2 − n2_c·N1|
+    div (2·N1·N2), all in DECIMAL(38,0) (cross-multiplication instead
+    of normalizing — no float shares anywhere). TV = 0 for identical
+    distributions, 10000 for disjoint support; it upper-bounds every
+    event-probability difference, making it the distribution-drift
+    number that needs no calibration. One row per unordered pair
+    (grp_a < grp_b).
+
+    Scale shape: rows collapse to the (group × category) count grid —
+    densified with explicit zeros so one-sided categories contribute
+    |n·N2 − 0| — then a self-join ON CATEGORY of that tiny grid.
+    Nothing pairwise ever touches the row table.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    grid = (
+        counts.select("grp").distinct()
+        .crossJoin(counts.select("cat").distinct())
+        .join(counts, ["grp", "cat"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0).cast(_D38)))
+        .withColumn("N", F.sum("n").over(Window.partitionBy("grp")))
+    )
+    a, b = grid.alias("ga"), grid.alias("gb")
+    return (
+        a.join(b, F.col("ga.cat") == F.col("gb.cat"))
+        .filter(F.col("ga.grp") < F.col("gb.grp"))
+        .select(
+            F.col("ga.grp").alias("grp_a"),
+            F.col("gb.grp").alias("grp_b"),
+            F.col("ga.n").alias("_cnt_a"),
+            F.col("gb.n").alias("_cnt_b"),
+            F.col("ga.N").alias("_tot_a"),
+            F.col("gb.N").alias("_tot_b"),
+        )
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.max("_tot_a").cast("long").alias("n_rows_a"),
+            F.max("_tot_b").cast("long").alias("n_rows_b"),
+            F.sum(F.abs(F.col("_cnt_a") * F.col("_tot_b") - F.col("_cnt_b") * F.col("_tot_a"))).alias("_num"),
+            F.max(F.col("_tot_a") * F.col("_tot_b")).alias("_den"),
+        )
+        .select(
+            "grp_a", "grp_b", "n_rows_a", "n_rows_b",
+            F.expr("(_num * 10000) div (2 * _den)").cast("long").alias("tv_bp"),
+        )
+    )

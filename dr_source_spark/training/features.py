@@ -102,3 +102,50 @@ def feature_hash_profile(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.countDistinct("token").cast("long").alias("n_tokens"),
     )
+
+
+def quota_allocate(
+    df: DataFrame, group_col: str, total: int
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a sample budget
+    across groups, proportional to group row counts — the exact-integer
+    answer to "fill a ``total``-doc eval set proportionally by
+    language" that float rounding cannot give reproducibly (banker's
+    vs half-up rounding disagree, and independently-rounded shares
+    don't sum to the budget).
+
+    base_g = total·n_g div N; the L = total − Σ base leftover seats go
+    to the L largest remainders (total·n_g mod N), ties broken by the
+    group key — the textbook method, deterministic end to end.
+    Output: (group, n_rows, base_alloc, final_alloc); Σ final_alloc ==
+    total exactly (pytest-pinned law).
+
+    Scale shape: one groupBy(group) count + window ranking over the
+    GROUP table (cardinality = number of groups, tiny by construction).
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    t = F.lit(int(total)).cast("long")
+    enriched = (
+        counts.withColumn("_N", F.sum("n_rows").over(Window.partitionBy()))
+        .select(
+            "grp",
+            "n_rows",
+            F.expr(f"({int(total)} * n_rows) div _N").alias("base_alloc"),
+            F.expr(f"({int(total)} * n_rows) % _N").alias("_rem"),
+        )
+        .withColumn("_leftover", t - F.sum("base_alloc").over(Window.partitionBy()))
+    )
+    ranked = enriched.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.desc("_rem"), F.asc("grp"))),
+    )
+    return ranked.select(
+        "grp",
+        "n_rows",
+        F.col("base_alloc").cast("long").alias("base_alloc"),
+        (
+            F.col("base_alloc") + (F.col("_rk") <= F.col("_leftover")).cast("long")
+        ).cast("long").alias("final_alloc"),
+    )

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+_D38 = "decimal(38,0)"
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -512,4 +514,137 @@ def dimension_stats(
             F.sum(F.col("qv") * F.col("qv")).cast("long").alias("sum_sq"),
         )
         .withColumn("dim", F.col("dim").cast("long"))
+    )
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 4,
+    quant: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment in exact integer arithmetic —
+    the vector-compression step beyond int8 scalar quantization
+    (emb_quantize_stats): each embedding splits into ``n_subspaces``
+    contiguous dim ranges and every subvector is replaced by the id of
+    its nearest codebook entry, so a D-float vector becomes
+    ``n_subspaces`` small ints (the PQ code an ANN index stores).
+
+    Codebook: entry c of a subspace is that subspace's slice of the
+    vector with the c-th smallest id — a deterministic seeding (the
+    same convention kmeans_assign/IVF use), so the assignment is a
+    pure function of the table. Distances compare as exact integers:
+    vectors floor-quantize to q_i = floor(e_i·quant) and the
+    subvector distance is Σ (q_i − c_i)² over int64 (|q| ≤ quant, so
+    a 4096-dim subspace stays < 2^62). Ties break to the smallest
+    code. Output: one row per (vector, subspace) —
+    (vec_id, subspace, code, dist2_q) with dist2_q in quantized units.
+
+    Scale shape: one explode to narrow (id, dim, q) rows, a
+    broadcast-sized codebook join (n_subspaces·n_centroids·dims/S
+    rows), one groupBy argmin window. No all-pairs anywhere.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("dim0", "e"),
+        F.size(vec_col).alias("dlen"),
+    ).select(
+        "vid",
+        "dim0",
+        F.expr(f"(dim0 * {int(n_subspaces)}) div dlen").alias("sub"),
+        F.floor(F.col("e").cast("double") * quant).cast("long").alias("qi"),
+    )
+    seeds = (
+        embeddings.select(F.col(id_col).alias("vid"))
+        .orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            "vid",
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("code"),
+        )
+    )
+    cb = q.join(F.broadcast(seeds), "vid").select(
+        "code", "sub", "dim0", F.col("qi").alias("ci")
+    )
+    dist = (
+        q.join(F.broadcast(cb), ["sub", "dim0"])
+        .groupBy("vid", "sub", "code")
+        .agg(F.sum((F.col("qi") - F.col("ci")) * (F.col("qi") - F.col("ci"))).alias("d2"))
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("sub").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            F.col("d2").cast("long").alias("dist2_q"),
+        )
+    )
+
+
+def class_separation(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 10**4,
+) -> DataFrame:
+    """Pairwise squared distances between class centroids in exact
+    quantized integer units — the cheap embedding-space diagnostic
+    ("are my labels even separated?") before anyone trains a probe.
+    Per (label, dim): centroid_q = Σ floor(e·quant) div n (truncated
+    mean in quantized units, DECIMAL(38,0) sums); per unordered label
+    pair: dist2_q = Σ_dim (c_a − c_b)². Everything after the first
+    aggregate runs on the (labels × dims) table.
+
+    Output: (label_a, label_b, n_a, n_b, dist2_q) with label_a <
+    label_b. Scale shape: one explode + groupBy(label, dim) — the only
+    row-table pass — then a self-join of the tiny centroid grid on dim.
+    """
+    cent = (
+        embeddings.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(vec_col).alias("dim", "e"),
+        )
+        .groupBy("lbl", "dim")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("_n"),
+            F.sum(
+                F.floor(F.col("e").cast("double") * quant).cast(_D38)
+            ).alias("_s"),
+        )
+        .select(
+            "lbl", "dim",
+            F.col("_n").cast("long").alias("_n"),
+            # sign factored out: truncated mean must agree across engines
+            # for negative coordinate sums
+            (
+                F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+                * F.expr("abs(_s) div _n").cast("long")
+            ).alias("_c"),
+        )
+    )
+    a = cent.select(
+        F.col("lbl").alias("label_a"), "dim",
+        F.col("_c").alias("_ca"), F.col("_n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("lbl").alias("label_b"), "dim",
+        F.col("_c").alias("_cb"), F.col("_n").alias("n_b"),
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(
+                (F.col("_ca") - F.col("_cb")).cast(_D38)
+                * (F.col("_ca") - F.col("_cb")).cast(_D38)
+            ).cast("long").alias("dist2_q"),
+        )
     )

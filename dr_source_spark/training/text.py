@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
@@ -741,4 +742,115 @@ def bigram_diversity(documents: DataFrame) -> DataFrame:
             F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
         )
         .withColumn("diversity", F.round(F.col("n_distinct") / F.col("n_bigrams"), 4))
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame, n: int = 3, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group n-gram novelty profile: of each document's DISTINCT
+    word n-grams, how many appear for the FIRST time in that document
+    (first = smallest doc_id over the whole corpus — a deterministic
+    stand-in for ingest order)? A corpus whose late documents are all
+    re-paste of early ones shows novelty collapsing toward 0 — the
+    cheap corpus-growth-health metric next to the pairwise dup stack
+    (training/dedup.py). Tokenization is the shared top_ngrams
+    convention (lower, trim, split on whitespace runs).
+
+    Output per group: (grp, n_docs, distinct_grams — Σ per-doc distinct,
+    novel_grams — grams first seen in a doc of this group, novel_bp =
+    10000·novel div distinct, truncated). Docs with < n tokens
+    contribute nothing.
+
+    Scale shape: explode to (doc, gram) DISTINCT rows (the dedup is
+    map-side combinable), one groupBy(gram) min-aggregate for the first
+    doc, one broadcast-free equi-join back on gram, one final groupBy.
+    Text is dropped before every shuffle; no all-pairs anywhere.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN"
+        f" transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        f" ELSE array() END"
+    )
+    doc_grams = (
+        documents.withColumn("_toks", toks)
+        .select("doc_id", F.col(group_col).alias("grp"), F.explode(grams).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    first = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("_first_doc"))
+    return (
+        doc_grams.join(first, "gram")
+        .groupBy("grp")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+            F.sum((F.col("doc_id") == F.col("_first_doc")).cast("long"))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novel_bp",
+            F.expr(
+                "(cast(novel_grams as decimal(38,0)) * 10000)"
+                " div cast(distinct_grams as decimal(38,0))"
+            ).cast("long"),
+        )
+    )
+
+
+def heaps_law_curve(
+    documents: DataFrame, n_cuts: int = 10
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) checkpoints: after the first k/n
+    of the corpus (documents ordered by doc_id — the deterministic
+    stand-in for ingest order), how many distinct word types exist?
+    Healthy organic corpora grow V(n) ≈ K·nᵝ (β≈0.5); a flattening
+    curve means the corpus stopped bringing new language — the
+    vocabulary-side twin of ngram_novelty's per-doc signal.
+
+    Checkpoint k (k = 1..n_cuts) is the (k·N div n_cuts)-th smallest
+    doc_id (an exact order statistic); V(k) counts tokens whose FIRST
+    document (min doc_id) is ≤ that checkpoint. Tokens are the shared
+    whitespace convention. Output: (cut, n_docs, last_doc_id,
+    vocab_size).
+
+    Scale shape: tokens collapse to (token → first_doc) via one
+    map-side-combinable min-agg; first_docs collapse again to a
+    (first_doc → #new-tokens) table bounded by #documents; checkpoints
+    come from a row_number over the doc-id projection (one narrow
+    global sort of doc ids — same cost class as the exact length
+    quantiles). The final comparison is a broadcast cross-join of the
+    ≤ n_cuts checkpoint rows against the per-first-doc count table.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    first = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("_fd"))
+        .groupBy("_fd")
+        .agg(F.count(F.lit(1)).cast("long").alias("_new"))
+    )
+    ids = documents.select("doc_id").withColumn(
+        "_rn", F.row_number().over(Window.orderBy("doc_id"))
+    ).withColumn("_N", F.count(F.lit(1)).over(Window.partitionBy()))
+    cps = (
+        ids.select(
+            "doc_id", "_rn", "_N",
+            F.explode(F.sequence(F.lit(1), F.lit(int(n_cuts)))).alias("cut"),
+        )
+        .filter(F.col("_rn") == F.expr(f"(cut * _N) div {int(n_cuts)}"))
+        .select(
+            F.col("cut").cast("long").alias("cut"),
+            F.col("_rn").cast("long").alias("n_docs"),
+            F.col("doc_id").alias("last_doc_id"),
+        )
+    )
+    return (
+        cps.crossJoin(first)
+        .filter(F.col("_fd") <= F.col("last_doc_id"))
+        .groupBy("cut", "n_docs", "last_doc_id")
+        .agg(F.sum("_new").cast("long").alias("vocab_size"))
     )

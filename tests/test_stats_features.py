@@ -161,3 +161,68 @@ def test_feature_hash_forced_collision(spark):
     r = feature_hash_profile(docs, 1).collect()
     assert len(r) == 1 and r[0].bucket == 0
     assert r[0].total_tf == 5 and r[0].n_docs == 2 and r[0].n_tokens == 4
+
+
+# ------------------------------------------------------------- ols_slope
+
+def test_ols_slope_exact_lines(spark):
+    from dr_source_spark.operators.stats import ols_slope_by_group
+
+    # group a: y = 2x exactly -> slope 2.0000 = 20000 at scale 10^4;
+    # group b: y = -3x + 10 -> -30000; group c: constant x -> den 0 -> NULL
+    rows = [("a", x, 2 * x) for x in (1, 2, 3, 4)]
+    rows += [("b", x, 10 - 3 * x) for x in (0, 1, 2)]
+    rows += [("c", 5, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {
+        r.grp: (r.n, r.slope_x10000)
+        for r in ols_slope_by_group(df, ["grp"], F.col("x"), F.col("y")).collect()
+    }
+    assert out["a"] == (4, 20000)
+    assert out["b"] == (3, -30000)
+    assert out["c"] == (3, None)
+
+
+def test_ols_slope_truncates_toward_zero(spark):
+    from dr_source_spark.operators.stats import ols_slope_by_group
+
+    # x=[0,1,2], y=[0,0,1]: num = 3*2 - 3*1 = 3, den = 3*5 - 9 = 6 ->
+    # exact slope 0.5 -> 5000; negated y must give exactly -5000 (sign
+    # factored out, so trunc-div symmetry is pinned)
+    df = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], "x long, y long")
+    r = ols_slope_by_group(df.withColumn("g", F.lit("g")), ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r.slope_x10000 == 5000
+    r2 = ols_slope_by_group(
+        df.withColumn("g", F.lit("g")), ["g"], F.col("x"), -F.col("y")
+    ).collect()[0]
+    assert r2.slope_x10000 == -5000
+
+
+# -------------------------------------------------------- quota_allocate
+
+def test_quota_allocate_hand_computed(spark):
+    from dr_source_spark.training.features import quota_allocate
+
+    # counts a=5 b=3 c=2, total=7, N=10: base = 3,2,1 (sum 6), rems =
+    # 35%10=5, 21%10=1, 14%10=4 -> one leftover seat goes to a (rem 5)
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(3)] + [("c", i) for i in range(2)]
+    df = spark.createDataFrame(rows, "lang string, rid long")
+    out = {r.grp: (r.n_rows, r.base_alloc, r.final_alloc)
+           for r in quota_allocate(df, "lang", 7).collect()}
+    assert out == {"a": (5, 3, 4), "b": (3, 2, 2), "c": (2, 1, 1)}
+
+
+def test_quota_allocate_sums_to_total_and_tiebreaks_by_key(spark):
+    from dr_source_spark.training.features import quota_allocate
+
+    # equal counts -> equal remainders; ties break to the SMALLER group
+    # key, and the final allocations always sum to the budget exactly
+    rows = [(g, i) for g in "abcde" for i in range(3)]
+    df = spark.createDataFrame(rows, "lang string, rid long")
+    for total in (1, 4, 7, 14, 15):
+        out = {r.grp: r.final_alloc for r in quota_allocate(df, "lang", total).collect()}
+        assert sum(out.values()) == total
+        # leftover seats (total % 5 here) go to the alphabetically first groups
+        base, extra = divmod(total, 5)
+        for i, g in enumerate("abcde"):
+            assert out[g] == base + (1 if i < extra else 0)

@@ -1883,3 +1883,37 @@ def test_new_ops_empty_and_null_inputs(spark):
     )
     z = zscore_outlier_counts(ev2).collect()[0]
     assert (z.n_events, z.n_outliers) == (1, 0)
+
+
+def test_pq_assign_seeds_self_assign_and_neighbors_follow(spark):
+    from dr_source_spark.training.similarity import pq_assign
+
+    # seeds are the 2 smallest vec_ids (codes 0,1). Vector 0 and 1 must
+    # assign to themselves (dist 0 in every subspace); vector 2 is a
+    # tiny perturbation of vector 1 -> code 1 in both subspaces; vector
+    # 3 mixes halves -> code 0 in subspace 0, code 1 in subspace 1.
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.9, 1.1, 1.0, 0.9]),
+        (3, [0.1, 0.0, 1.0, 1.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_id, r.subspace): (r.code, r.dist2_q)
+           for r in pq_assign(emb, n_subspaces=2, n_centroids=2).collect()}
+    assert len(out) == 8
+    for sub in (0, 1):
+        assert out[(0, sub)] == (0, 0)
+        assert out[(1, sub)] == (1, 0)
+        assert out[(2, sub)][0] == 1
+    assert out[(3, 0)][0] == 0 and out[(3, 1)][0] == 1
+
+
+def test_pq_assign_ties_break_to_smallest_code(spark):
+    from dr_source_spark.training.similarity import pq_assign
+
+    # two identical seed vectors -> every distance ties -> code 0 wins
+    rows = [(0, [0.5, 0.5]), (1, [0.5, 0.5]), (2, [0.4, 0.6])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_assign(emb, n_subspaces=1, n_centroids=2).collect()
+    assert all(r.code == 0 for r in out)
