@@ -7415,6 +7415,472 @@ FROM c JOIN e ON e.digit = c.digit
 """
 
 
+def _eval_calibration(spark, sf_dir):
+    # Reliability diagram (training/evalmetrics.py::calibration_curve):
+    # n_chars bucketed by the same decile order-statistic thresholds the
+    # PR sweep uses (ties land wholly in one bucket), observed
+    # lang='en' rate per bucket in truncated bp. Distinguishes a score
+    # that RANKS well (eval_auc) from one that's CALIBRATED.
+    from dr_source_spark.training.evalmetrics import calibration_curve
+
+    d = _t(spark, sf_dir, "documents")
+    return calibration_curve(
+        d, F.col("n_chars"), (F.col("lang") == "en").cast("long")
+    )
+
+
+_EVAL_CALIB_SQL = """
+WITH sc AS (
+  SELECT CAST(n_chars AS BIGINT) AS s, CAST(count(*) AS HUGEINT) AS nt,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS np
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT *, coalesce(sum(nt) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         sum(nt) OVER () AS tot
+  FROM sc),
+th AS (
+  SELECT s AS thr FROM cum, unnest(range(1, 10)) AS u(cut)
+  WHERE (cut * tot) // 10 + 1 > below AND (cut * tot) // 10 + 1 <= below + nt),
+bkt AS (
+  SELECT c.s, c.nt, c.np,
+         1 + sum(CASE WHEN c.s > t.thr THEN 1 ELSE 0 END) AS bucket
+  FROM cum c CROSS JOIN th t GROUP BY 1, 2, 3)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(min(s) AS BIGINT) AS score_lo,
+       CAST(max(s) AS BIGINT) AS score_hi, CAST(sum(nt) AS BIGINT) AS n_rows,
+       CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(np) * 10000 // sum(nt) AS BIGINT) AS pos_rate_bp
+FROM bkt GROUP BY 1
+"""
+
+
+def _corpus_tv_distance(spark, sf_dir):
+    # Pairwise total-variation distance between sources' language
+    # distributions (operators/stats.py::tv_distance_pairs):
+    # tv_bp = 10000·Σ|n1·N2 − n2·N1| div (2·N1·N2) over the densified
+    # (source × lang) grid — the calibration-free drift number that
+    # upper-bounds every event-probability difference. The pairwise
+    # join touches only the tiny grid, never the row table.
+    from dr_source_spark.operators.stats import tv_distance_pairs
+
+    return tv_distance_pairs(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+_TV_DISTANCE_SQL = """
+WITH c AS (
+  SELECT source AS grp, lang AS cat, CAST(count(*) AS HUGEINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT g.grp, l.cat, coalesce(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT grp FROM c) g
+  CROSS JOIN (SELECT DISTINCT cat FROM c) l
+  LEFT JOIN c ON c.grp = g.grp AND c.cat = l.cat),
+t AS (SELECT *, sum(cnt) OVER (PARTITION BY grp) AS tot FROM grid)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+       CAST(max(a.tot) AS BIGINT) AS n_rows_a,
+       CAST(max(b.tot) AS BIGINT) AS n_rows_b,
+       CAST(sum(abs(a.cnt * b.tot - b.cnt * a.tot)) * 10000
+            // (2 * max(a.tot) * max(b.tot)) AS BIGINT) AS tv_bp
+FROM t a JOIN t b ON a.cat = b.cat AND a.grp < b.grp
+GROUP BY 1, 2
+"""
+
+
+def _text_heaps_law(spark, sf_dir):
+    # Heaps-law vocabulary-growth checkpoints
+    # (training/text.py::heaps_law_curve): distinct word types after
+    # each tenth of the corpus in doc_id order — the vocabulary-side
+    # twin of text_ngram_novelty's per-doc signal. Tokens collapse to
+    # (token → first doc) then to a per-first-doc count table; the only
+    # global sort is over the doc-id projection.
+    from dr_source_spark.training.text import heaps_law_curve
+
+    return heaps_law_curve(_t(spark, sf_dir, "documents"))
+
+
+_HEAPS_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+fd AS (
+  SELECT tok, min(doc_id) AS first_doc FROM tk WHERE tok != '' GROUP BY 1),
+newv AS (SELECT first_doc, CAST(count(*) AS BIGINT) AS n_new FROM fd GROUP BY 1),
+ids AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS N
+  FROM documents),
+cps AS (
+  SELECT CAST(cut AS BIGINT) AS cut, CAST(rn AS BIGINT) AS n_docs,
+         doc_id AS last_doc_id
+  FROM ids, unnest(range(1, 11)) AS u(cut)
+  WHERE rn = (cut * N) // 10)
+SELECT cps.cut, cps.n_docs, cps.last_doc_id,
+       CAST(sum(n_new) AS BIGINT) AS vocab_size
+FROM cps JOIN newv ON newv.first_doc <= cps.last_doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+def _emb_class_separation(spark, sf_dir):
+    # Pairwise squared distances between class centroids in exact
+    # quantized units (training/similarity.py::class_separation):
+    # centroid = Σ floor(e·10⁴) div n per (label, dim) with sign
+    # factored out of the truncated mean, then Σ_dim (c_a − c_b)² on
+    # the tiny centroid grid — the label-separation diagnostic before
+    # anyone trains a probe.
+    from dr_source_spark.training.similarity import class_separation
+
+    return class_separation(_t(spark, sf_dir, "embeddings"))
+
+
+_CLASS_SEP_SQL = """
+WITH q AS (
+  SELECT label AS lbl, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS HUGEINT) AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+cent AS (
+  SELECT lbl, dim, CAST(count(*) AS HUGEINT) AS n,
+         (CASE WHEN sum(qi) < 0 THEN -1 ELSE 1 END)
+           * (abs(sum(qi)) // CAST(count(*) AS HUGEINT)) AS c
+  FROM q GROUP BY 1, 2)
+SELECT a.lbl AS label_a, b.lbl AS label_b,
+       CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2_q
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl < b.lbl
+GROUP BY 1, 2
+"""
+
+
+def _orders_rfm_segments(spark, sf_dir):
+    # RFM quintile segmentation (operators/mining.py::rfm_segments):
+    # recency/frequency/monetary scores 1..5 by exact rank position
+    # (score = 1 + (rank−1)·5 div n, ties broken by custkey), higher =
+    # better; one populated cell per (r, f, m) with customer count and
+    # total cents. The rank windows run over the per-CUSTOMER aggregate
+    # table, not the order table.
+    from dr_source_spark.operators.mining import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+_RFM_SQL = """
+WITH pc AS (
+  SELECT o_custkey AS cust,
+         date_diff('day', max(CAST(o_orderdate AS DATE)),
+                   max(max(CAST(o_orderdate AS DATE))) OVER ()) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                       AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT *,
+    1 + ((row_number() OVER (ORDER BY recency_days DESC, cust ASC)) - 1) * 5
+          // (count(*) OVER ()) AS r_score,
+    1 + ((row_number() OVER (ORDER BY frequency ASC, cust ASC)) - 1) * 5
+          // (count(*) OVER ()) AS f_score,
+    1 + ((row_number() OVER (ORDER BY monetary_cents ASC, cust ASC)) - 1) * 5
+          // (count(*) OVER ()) AS m_score
+  FROM pc)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def _orders_t_closeness(spark, sf_dir):
+    # t-closeness — the third screen of the privacy triad next to
+    # customer_k_anonymity / orders_l_diversity
+    # (training/privacy.py::t_closeness_report): per order-priority
+    # group, the ordered Earth-Mover's Distance between the group's
+    # totalprice-bucket distribution (50k-wide cent-exact bins) and the
+    # table's, exact bp by cross-multiplication; exposed iff > 2000 bp
+    # (the paper's t=0.2). All distribution work on the groups×bins
+    # grid.
+    from dr_source_spark.training.privacy import t_closeness_report
+
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.expr(
+        f"floor(cast(o_totalprice as {_DEC}) * 100) div 5000000"
+    )
+    return t_closeness_report(o, ["o_orderpriority"], bin_col)
+
+
+_T_CLOSENESS_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS HUGEINT)
+           // 5000000 AS bin
+  FROM orders),
+cell AS (SELECT grp, bin, CAST(count(*) AS HUGEINT) AS cg FROM b GROUP BY 1, 2),
+gbin AS (SELECT bin, sum(cg) AS cq FROM cell GROUP BY 1),
+grid AS (
+  SELECT g.grp, q.bin, coalesce(c.cg, 0) AS cg, q.cq
+  FROM (SELECT DISTINCT grp FROM cell) g CROSS JOIN gbin q
+  LEFT JOIN cell c ON c.grp = g.grp AND c.bin = q.bin),
+cum AS (
+  SELECT *, sum(cg) OVER (PARTITION BY grp ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS cumg,
+         sum(cq) OVER (PARTITION BY grp ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS cumq,
+         sum(cg) OVER (PARTITION BY grp) AS ng,
+         sum(cq) OVER (PARTITION BY grp) AS nq,
+         count(*) OVER (PARTITION BY grp) AS m
+  FROM grid),
+a AS (
+  SELECT grp, max(ng) AS ng, max(nq) AS nq, max(m) AS m,
+         sum(abs(cumg * nq - cumq * ng)) AS emd
+  FROM cum GROUP BY 1)
+SELECT grp AS o_orderpriority, CAST(ng AS BIGINT) AS group_n,
+       CASE WHEN m >= 2
+            THEN CAST(emd * 10000 // ((m - 1) * ng * nq) AS BIGINT) END AS t_bp,
+       CASE WHEN m >= 2
+            THEN (emd * 10000 // ((m - 1) * ng * nq)) > 2000
+            ELSE false END AS exposed
+FROM a
+"""
+
+
+def _lineitem_kendall_tau(spark, sf_dir):
+    # Exact Kendall tau-a between quantity and discount
+    # (operators/stats.py::kendall_tau_grid): monotonicity without
+    # Pearson's linearity or Spearman's square root. Distributes
+    # BECAUSE the metrics are discrete — rows collapse to the ≤ 50×11
+    # joint grid and the pair counting is grid², independent of row
+    # count.
+    from dr_source_spark.operators.stats import kendall_tau_grid
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kendall_tau_grid(
+        li,
+        F.floor(F.col("l_quantity")),
+        F.floor(F.col("l_discount").cast(_DEC) * 100),
+    )
+
+
+_KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT) AS y,
+         CAST(count(*) AS HUGEINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+p AS (
+  SELECT sum(CASE WHEN b.y > a.y THEN a.cnt * b.cnt ELSE 0 END) AS c,
+         sum(CASE WHEN b.y < a.y THEN a.cnt * b.cnt ELSE 0 END) AS d
+  FROM cells a JOIN cells b ON a.x < b.x),
+t AS (SELECT sum(cnt) AS n, CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+SELECT CAST(n AS BIGINT) AS n_rows, n_cells, CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CASE WHEN n >= 2 THEN
+         CAST((CASE WHEN c - d < 0 THEN -1 ELSE 1 END)
+              * (abs(c - d) * 10000 // ((n * (n - 1)) // 2)) AS BIGINT) END
+         AS tau_a_bp
+FROM t, p
+"""
+
+
+def _events_json_fill(spark, sf_dir):
+    # Semi-structured field profile (operators/stats.py::
+    # json_field_profile): fill rate and exact min/max/sum of props.k
+    # per event type — the schema-drift screen for catch-all JSON
+    # columns. get_json_object + try_cast stay JVM-side; the DuckDB
+    # oracle mirrors with json_extract_string + TRY_CAST.
+    from dr_source_spark.operators.stats import json_field_profile
+
+    return json_field_profile(
+        _t(spark, sf_dir, "events"), "props", "$.k", "event_type"
+    ).select(
+        F.col("grp").alias("event_type"),
+        "n_rows", "n_filled", "fill_bp", "min_val", "max_val", "sum_val",
+    )
+
+
+_JSON_FILL_SQL = """
+WITH v AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_filled,
+       CAST(CAST(count(k) AS HUGEINT) * 10000 // count(*) AS BIGINT) AS fill_bp,
+       CAST(min(k) AS BIGINT) AS min_val, CAST(max(k) AS BIGINT) AS max_val,
+       CAST(sum(k) AS BIGINT) AS sum_val
+FROM v GROUP BY 1
+"""
+
+
+def _events_funnel_latency(spark, sf_dir):
+    # Conversion-latency profile (operators/relational.py::
+    # funnel_latency): among full view→click→purchase converters, the
+    # exact min/p50/p90/max/mean of end-to-end seconds — order
+    # statistics at index (n−1)·p div 100 + 1 under (latency, user)
+    # order, the length_quantiles convention in pure integer
+    # arithmetic. One row out.
+    from dr_source_spark.operators.relational import funnel_latency
+
+    return funnel_latency(_t(spark, sf_dir, "events"))
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view'
+  GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1),
+lat AS (
+  SELECT p.user_id,
+         date_diff('second', date_trunc('second', v.t0),
+                   date_trunc('second', p.t2)) AS lat
+  FROM p JOIN v ON v.user_id = p.user_id),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY lat, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM lat)
+SELECT CAST(max(n) AS BIGINT) AS n_converted, CAST(min(lat) AS BIGINT) AS min_sec,
+       CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN lat END) AS BIGINT)
+         AS p50_sec,
+       CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN lat END) AS BIGINT)
+         AS p90_sec,
+       CAST(max(lat) AS BIGINT) AS max_sec,
+       CAST(CAST(sum(lat) AS HUGEINT) // count(*) AS BIGINT) AS mean_sec
+FROM r
+"""
+
+
+def _dedup_ppjoin_pairs(spark, sf_dir):
+    # EXACT set-similarity self-join via prefix filtering
+    # (training/dedup.py::ppjoin_pairs — AllPairs/PPJoin family): every
+    # pair with word-set Jaccard ≥ 0.9, 100% recall, no all-pairs scan
+    # — the auditable exact counterpart of the MinHash-LSH stack. Docs
+    # join only on tokens in their (df-asc, token)-ordered prefixes of
+    # length |x| − ⌈τ|x|⌉ + 1, pass the cross-multiplied size filter,
+    # then verify exactly. The oracle is the brute-force all-pairs
+    # Jaccard — feasible at sf0.01, which is exactly why the exact
+    # filter is gateable.
+    from dr_source_spark.training.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(_t(spark, sf_dir, "documents"), tau_bp=9000)
+
+
+_PPJOIN_SQL = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w != '')) AS tok
+  FROM documents),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM dt GROUP BY 1),
+i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b, sa.s AS n_a, sb.s AS n_b, n_inter,
+         CAST(CAST(n_inter AS HUGEINT) * 10000
+              // (sa.s + sb.s - n_inter) AS BIGINT) AS jaccard_bp
+  FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
+SELECT * FROM j WHERE jaccard_bp >= 9000
+"""
+
+
+def _events_trimmed_value(spark, sf_dir):
+    # 10%-trimmed mean of the cent-scaled event value per type
+    # (operators/stats.py::trimmed_mean_by_group): drop the exact-rank
+    # top and bottom k = n div 10 (ties broken by event_id), truncated
+    # integer mean of the rest — the robust center that still uses
+    # every retained value, next to events_mad_profile's median.
+    from dr_source_spark.operators.stats import trimmed_mean_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean_by_group(
+        ev,
+        "event_type",
+        F.floor(F.col("value").cast(_DEC) * 100),
+        "event_id",
+    ).select(
+        F.col("grp").alias("event_type"),
+        "n", "n_trimmed_each_side", "n_kept",
+        F.col("trimmed_mean").alias("trimmed_mean_cents"),
+    )
+
+
+_TRIMMED_SQL = """
+WITH b AS (
+  SELECT event_type, event_id,
+         CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+              AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b),
+k AS (SELECT *, (n * 1000) // 10000 AS kk FROM r),
+kept AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+  FROM k WHERE rn > kk AND rn <= n - kk GROUP BY 1),
+tot AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(kk) AS BIGINT) AS n_trimmed_each_side
+  FROM k GROUP BY 1)
+SELECT t.event_type, t.n, t.n_trimmed_each_side,
+       coalesce(kept.n_kept, 0) AS n_kept,
+       CASE WHEN coalesce(kept.n_kept, 0) > 0 THEN
+         CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * (abs(s) // kept.n_kept) AS BIGINT) END AS trimmed_mean_cents
+FROM tot t LEFT JOIN kept ON kept.event_type = t.event_type
+"""
+
+
+def _orders_wape_backtest(spark, sf_dir):
+    # Naive-seasonal forecast backtest per order priority
+    # (operators/stats.py::wape_backtest): monthly revenue (cents)
+    # forecast by its value 12 months earlier; error as exact WAPE
+    # basis points (Σ|A−F| div ΣA — no per-point division, so small
+    # months can't explode the metric). Only months whose lag-12
+    # predecessor exists are scored.
+    from dr_source_spark.operators.stats import wape_backtest
+
+    o = _t(spark, sf_dir, "orders")
+    return wape_backtest(
+        o,
+        "o_orderpriority",
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1,
+        F.floor(F.col("o_totalprice").cast(_DEC) * 100),
+        lag=12,
+    ).select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_periods_scored", "actual_total", "abs_err_total", "wape_bp",
+    )
+
+
+_WAPE_SQL = """
+WITH per AS (
+  SELECT o_orderpriority AS grp,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS p,
+         CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                       AS HUGEINT)) AS HUGEINT) AS a
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT cur.grp, cur.a, prev.a AS f
+  FROM per cur JOIN per prev
+    ON prev.grp = cur.grp AND prev.p = cur.p - 12)
+SELECT grp AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_periods_scored,
+       CAST(sum(a) AS BIGINT) AS actual_total,
+       CAST(sum(abs(a - f)) AS BIGINT) AS abs_err_total,
+       CASE WHEN sum(a) > 0
+            THEN CAST(sum(abs(a - f)) * 10000 // sum(a) AS BIGINT) END AS wape_bp
+FROM s GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -7632,6 +8098,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_kappa": _eval_kappa,
         "events_drift_chi2": _events_drift_chi2,
         "orders_benford": _orders_benford,
+        "eval_calibration": _eval_calibration,
+        "corpus_tv_distance": _corpus_tv_distance,
+        "text_heaps_law": _text_heaps_law,
+        "emb_class_separation": _emb_class_separation,
+        "orders_rfm_segments": _orders_rfm_segments,
+        "orders_t_closeness": _orders_t_closeness,
+        "lineitem_kendall_tau": _lineitem_kendall_tau,
+        "events_json_fill": _events_json_fill,
+        "events_funnel_latency": _events_funnel_latency,
+        "dedup_ppjoin_pairs": _dedup_ppjoin_pairs,
+        "events_trimmed_value": _events_trimmed_value,
+        "orders_wape_backtest": _orders_wape_backtest,
     }
 
 
@@ -7755,6 +8233,18 @@ def oracle_sql() -> dict[str, str]:
         "eval_kappa": _EVAL_KAPPA_SQL,
         "events_drift_chi2": _DRIFT_CHI2_SQL,
         "orders_benford": _BENFORD_SQL,
+        "eval_calibration": _EVAL_CALIB_SQL,
+        "corpus_tv_distance": _TV_DISTANCE_SQL,
+        "text_heaps_law": _HEAPS_SQL,
+        "emb_class_separation": _CLASS_SEP_SQL,
+        "orders_rfm_segments": _RFM_SQL,
+        "orders_t_closeness": _T_CLOSENESS_SQL,
+        "lineitem_kendall_tau": _KENDALL_SQL,
+        "events_json_fill": _JSON_FILL_SQL,
+        "events_funnel_latency": _FUNNEL_LATENCY_SQL,
+        "dedup_ppjoin_pairs": _PPJOIN_SQL,
+        "events_trimmed_value": _TRIMMED_SQL,
+        "orders_wape_backtest": _WAPE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -87,3 +87,69 @@ def basket_rules(
         ).cast("long").alias("lift_bp"),
     )
     return fwd.union(rev)
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer-value grid, exact end to end. Per customer:
+    recency_days = days from their last order to the corpus max date,
+    frequency = order count, monetary = Σ floor(amount·100) cents. Each
+    dimension scores 1..n_bins by exact rank position (score = 1 +
+    (rank−1)·n_bins div n_customers) with HIGHER score = better:
+    recency ranks descending (stalest first → most recent customers
+    land in the top bin), frequency and monetary ascending; every rank
+    tie-breaks on the customer key, so a duplicated metric value cannot
+    make segment membership nondeterministic (ntile() guarantees no
+    such order within ties).
+
+    Output: one row per populated (r_score, f_score, m_score) cell —
+    (scores, n_customers, total_monetary_cents). Scale shape: one
+    map-side-combinable groupBy(customer) over a 3-column projection,
+    then three rank windows over the per-CUSTOMER table (already
+    aggregated, orders of magnitude below the order table), then one
+    tiny groupBy over ≤ n_bins³ cells.
+    """
+    from pyspark.sql.window import Window
+
+    per_cust = (
+        orders.select(
+            F.col(key_col).alias("cust"),
+            F.col(date_col).cast("date").alias("_d"),
+            F.floor(F.col(amount_col).cast("decimal(18,4)") * 100)
+            .cast("long")
+            .alias("_cents"),
+        )
+        .withColumn("_maxd", F.max("_d").over(Window.partitionBy()))
+        .groupBy("cust")
+        .agg(
+            F.datediff(F.max("_maxd"), F.max("_d")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("_cents").cast("long").alias("monetary_cents"),
+        )
+    )
+    b = int(n_bins)
+
+    def _score(order_sql: str) -> "F.Column":
+        # score = 1 + (rank-1)*b div n, rank tie-broken by cust: exact
+        # integer quantiles, engine-stable under metric ties
+        return F.expr(
+            f"1 + (((row_number() over (order by {order_sql}, cust asc)) - 1)"
+            f" * {b}) div (count(1) over ())"
+        ).cast("long")
+
+    scored = (
+        per_cust
+        .withColumn("r_score", _score("recency_days desc"))
+        .withColumn("f_score", _score("frequency asc"))
+        .withColumn("m_score", _score("monetary_cents asc"))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
+    )

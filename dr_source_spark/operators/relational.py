@@ -517,3 +517,52 @@ def fingerprint_buckets(
             F.sum("_h").cast("long").alias("hash_sum"),
         )
     )
+
+
+def funnel_latency(
+    events: DataFrame, steps: Sequence[str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Conversion-latency profile for the ordered funnel: among users
+    who completed EVERY step (per funnel_progress semantics — each step
+    strictly after the previous one's earliest time), the exact
+    distribution of end-to-end seconds (first-step time → last-step
+    time): n, min, exact p50/p90 order statistics (index (n−1)·p div
+    100 + 1 under (latency, user_id) order — the length_quantiles
+    convention in pure integer arithmetic), max, and the truncated
+    mean. Latencies are whole seconds (timestamps truncate to seconds
+    first, matching funnel_progress's second-precision rendering).
+
+    Scale shape: funnel_progress's per-user conditional-min joins, then
+    one window rank over the per-USER latency table and a single-row
+    aggregate. Output: exactly one row.
+    """
+    prog = funnel_progress(events, steps)
+    first_c, last_c = f"ts_{steps[0]}", f"ts_{steps[-1]}"
+    lat = (
+        prog.filter(F.col("steps_completed") == len(steps))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp(F.to_timestamp(F.col(last_c)))
+                - F.unix_timestamp(F.to_timestamp(F.col(first_c)))
+            ).cast("long").alias("lat"),
+        )
+    )
+    w = Window.orderBy("lat", "user_id")
+    ranked = lat.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.max("_n").cast("long").alias("n_converted"),
+        F.min("lat").cast("long").alias("min_sec"),
+        F.max(
+            F.when(F.col("_rn") == F.expr("((_n - 1) * 50) div 100 + 1"), F.col("lat"))
+        ).cast("long").alias("p50_sec"),
+        F.max(
+            F.when(F.col("_rn") == F.expr("((_n - 1) * 90) div 100 + 1"), F.col("lat"))
+        ).cast("long").alias("p90_sec"),
+        F.max("lat").cast("long").alias("max_sec"),
+        F.expr(
+            "cast((cast(sum(lat) as decimal(38,0)) div count(1)) as long)"
+        ).alias("mean_sec"),
+    )

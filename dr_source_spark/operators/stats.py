@@ -387,13 +387,13 @@ def tv_distance_pairs(
     """
     counts = df.groupBy(
         F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
-    ).agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    ).agg(F.count(F.lit(1)).cast(_D38).alias("cnt"))
     grid = (
         counts.select("grp").distinct()
         .crossJoin(counts.select("cat").distinct())
         .join(counts, ["grp", "cat"], "left")
-        .withColumn("n", F.coalesce("n", F.lit(0).cast(_D38)))
-        .withColumn("N", F.sum("n").over(Window.partitionBy("grp")))
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast(_D38)))
+        .withColumn("tot", F.sum("cnt").over(Window.partitionBy("grp")))
     )
     a, b = grid.alias("ga"), grid.alias("gb")
     return (
@@ -402,10 +402,10 @@ def tv_distance_pairs(
         .select(
             F.col("ga.grp").alias("grp_a"),
             F.col("gb.grp").alias("grp_b"),
-            F.col("ga.n").alias("_cnt_a"),
-            F.col("gb.n").alias("_cnt_b"),
-            F.col("ga.N").alias("_tot_a"),
-            F.col("gb.N").alias("_tot_b"),
+            F.col("ga.cnt").alias("_cnt_a"),
+            F.col("gb.cnt").alias("_cnt_b"),
+            F.col("ga.tot").alias("_tot_a"),
+            F.col("gb.tot").alias("_tot_b"),
         )
         .groupBy("grp_a", "grp_b")
         .agg(
@@ -417,5 +417,199 @@ def tv_distance_pairs(
         .select(
             "grp_a", "grp_b", "n_rows_a", "n_rows_b",
             F.expr("(_num * 10000) div (2 * _den)").cast("long").alias("tv_bp"),
+        )
+    )
+
+
+def kendall_tau_grid(
+    df: DataFrame, x_col: "F.Column", y_col: "F.Column"
+) -> DataFrame:
+    """Exact Kendall tau-a rank correlation between two LOW-CARDINALITY
+    integer metrics — monotonicity without Pearson's linearity
+    assumption or Spearman's square root: tau_a = (C − D) / (n(n−1)/2)
+    with C/D the concordant/discordant pair counts, ties counting as
+    neither. The inversion-counting formulation doesn't distribute;
+    this one does BECAUSE the metrics are discrete: rows collapse to
+    the joint-distribution grid (one map-side-combinable groupBy), and
+    C/D come from the grid's self-join — |X|·|Y| cells, so the pair
+    work is grid², independent of the row count. Use only for metrics
+    with bounded distinct values (quantities, bucketed scores); a
+    billion rows of 50×11 values is still a 550-cell grid.
+
+    Output: a single row (n_rows, n_cells, concordant, discordant,
+    tau_a_bp) — tau in truncated basis points, sign factored out.
+    """
+    cells = df.select(
+        x_col.cast("long").alias("x"), y_col.cast("long").alias("y")
+    ).groupBy("x", "y").agg(F.count(F.lit(1)).cast(_D38).alias("cnt"))
+    a, b = cells.alias("ca"), cells.alias("cb")
+    pairs = (
+        a.join(b, F.col("ca.x") < F.col("cb.x"))
+        .select(
+            (F.col("ca.cnt") * F.col("cb.cnt")).alias("_w"),
+            F.signum((F.col("cb.y") - F.col("ca.y")).cast("double")).cast("long").alias("_s"),
+        )
+        .agg(
+            F.sum(F.when(F.col("_s") == 1, F.col("_w")).otherwise(F.lit(0).cast(_D38))).alias("_c"),
+            F.sum(F.when(F.col("_s") == -1, F.col("_w")).otherwise(F.lit(0).cast(_D38))).alias("_d"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("cnt").alias("_n"), F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    out = totals.crossJoin(F.broadcast(pairs))
+    sign = F.when(F.col("_c") - F.col("_d") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return out.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        "n_cells",
+        F.col("_c").cast("long").alias("concordant"),
+        F.col("_d").cast("long").alias("discordant"),
+        F.when(
+            F.col("_n") >= 2,
+            sign
+            * F.expr("(abs(_c - _d) * 10000) div ((_n * (_n - 1)) div 2)").cast("long"),
+        ).alias("tau_a_bp"),
+    )
+
+
+def json_field_profile(
+    df: DataFrame,
+    json_col: str,
+    field_path: str,
+    group_col: str,
+) -> DataFrame:
+    """Semi-structured field profile: per group, the fill rate and
+    exact min/max/sum of one integer field inside a JSON string column
+    — the schema-drift screen for the `props`-style catch-all columns
+    every event table grows. Extraction uses the engine's native JSON
+    path (`get_json_object` + try_cast; the DuckDB oracle uses
+    json_extract + TRY_CAST) — missing keys, nulls, and non-numeric
+    values all count as unfilled (ANSI mode would throw on a plain
+    cast of a malformed value).
+
+    One groupBy over a 2-column projection; extraction stays JVM-side
+    (no Python in the row path).
+    """
+    v = F.get_json_object(F.col(json_col), field_path).try_cast("long")
+    return (
+        df.select(F.col(group_col).alias("grp"), v.alias("_v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("_v").cast("long").alias("n_filled"),
+            F.expr("(cast(count(_v) as decimal(38,0)) * 10000)"
+                   " div count(1)").cast("long").alias("fill_bp"),
+            F.min("_v").cast("long").alias("min_val"),
+            F.max("_v").cast("long").alias("max_val"),
+            F.sum("_v").cast("long").alias("sum_val"),
+        )
+    )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: "F.Column",
+    id_col: str,
+    trim_bp: int = 1000,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the k = (n·trim_bp) div 10⁴
+    smallest and k largest values by exact rank (ties broken by the row
+    id, so a duplicated value can't make membership nondeterministic)
+    and report the truncated integer mean of the rest — the robust
+    center that, unlike mad_profile's median, still uses every retained
+    value. Groups where 2k ≥ n emit NULL (nothing survives the trim).
+
+    One rank window per group over (value, id) plus a single aggregate;
+    the trim boundary is pure integer arithmetic on the group count.
+    """
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("rid"))
+    ranked = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            value_col.cast("long").alias("v"),
+            F.col(id_col).alias("rid"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+        .withColumn("_k", F.expr(f"(_n * {int(trim_bp)}) div 10000"))
+    )
+    kept = ranked.filter(
+        (F.col("_rn") > F.col("_k")) & (F.col("_rn") <= F.col("_n") - F.col("_k"))
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(F.max("_n").cast("long").alias("n"), F.max("_k").cast("long").alias("n_trimmed_each_side"))
+        .join(
+            kept.groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum(F.col("v").cast(_D38)).alias("_s"),
+            ),
+            "grp",
+            "left",
+        )
+        .select(
+            "grp",
+            "n",
+            "n_trimmed_each_side",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.when(
+                F.col("n_kept") > 0,
+                (
+                    F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+                    * F.expr("abs(_s) div n_kept").cast("long")
+                ),
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+def wape_backtest(
+    df: DataFrame,
+    group_col: str,
+    period_col: "F.Column",
+    amount_col: "F.Column",
+    lag: int = 12,
+) -> DataFrame:
+    """Naive-seasonal forecast backtest: per group, actuals are the
+    per-period amount sums and the forecast for period t is the actual
+    at t − ``lag`` (the naive seasonal baseline every real forecaster
+    must beat). Error is WAPE — Σ|A − F| / ΣA — in truncated basis
+    points: exact, scale-free, and defined without per-point division
+    (MAPE explodes on small actuals; WAPE doesn't). Periods are integer
+    indexes (e.g. year·12+month); only periods with a forecast
+    (lag-th predecessor PRESENT at exactly t − lag) are scored. Groups
+    with no scored periods are absent from the output (there is nothing
+    to backtest); a zero actual total emits NULL wape.
+
+    Output: (grp, n_periods_scored, actual_total, abs_err_total,
+    wape_bp). Scale shape: one groupBy (group, period) over the row
+    table; the lag join and aggregate run on the per-period table.
+    """
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        period_col.cast("long").alias("per"),
+        amount_col.cast(_D38).alias("amt"),
+    ).groupBy("grp", "per").agg(F.sum("amt").alias("a"))
+    fc = per.select(
+        "grp", (F.col("per") + int(lag)).alias("per"), F.col("a").alias("f")
+    )
+    scored = per.join(fc, ["grp", "per"])
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_periods_scored"),
+            F.sum("a").alias("_at"),
+            F.sum(F.abs(F.col("a") - F.col("f"))).alias("_et"),
+        )
+        .select(
+            "grp",
+            "n_periods_scored",
+            F.col("_at").cast("long").alias("actual_total"),
+            F.col("_et").cast("long").alias("abs_err_total"),
+            F.when(
+                F.col("_at") > 0,
+                F.expr("(_et * 10000) div _at").cast("long"),
+            ).alias("wape_bp"),
         )
     )

@@ -864,3 +864,100 @@ def incremental_dedup_decisions(
             .otherwise(F.lit("admitted")),
         )
     )
+
+
+def ppjoin_pairs(documents: DataFrame, tau_bp: int = 6000) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): every pair of documents whose word-set Jaccard ≥ τ, with
+    the exact similarity, and NO all-pairs comparison. This is the
+    exact counterpart of the MinHash-LSH stack above: LSH trades recall
+    for speed; prefix filtering keeps 100% recall and prunes instead —
+    the right tool when the dedup decision must be auditable.
+
+    How the pruning works, all in integer arithmetic (τ given in basis
+    points): a qualifying pair needs overlap ≥ ⌈τ·|x|⌉ for each side
+    (J = i/(|x|+|y|−i) ≥ τ and |y| ≥ i imply i ≥ τ·|x|), and by the
+    prefix-filter lemma two sets with overlap ≥ t share a token among
+    the first |set| − t + 1 tokens under ANY shared total order — so
+    docs are joined only on tokens in their prefixes under the
+    global (document-frequency asc, token) order (rarest tokens first,
+    which makes prefixes maximally selective). Survivors pass the size
+    filter τ·|x| ≤ |y| (both directions, cross-multiplied) and then
+    exact verification.
+
+    Scale shape: the vocabulary table gets one window for the global
+    rank; each doc keeps only its prefix (size |x| − ⌈τ|x|⌉ + 1) for
+    the candidate equi-join; verification joins candidates back to the
+    (doc, token) table on doc_a's tokens and counts matches. Viral
+    prefix tokens are bounded by the rarest-first order, but a corpus
+    of near-identical docs legitimately yields quadratic OUTPUT — the
+    filter is exact, not a cap. Token-free docs yield no tokens and so
+    no pairs.
+
+    Output: (doc_a, doc_b, n_a, n_b, n_inter, jaccard_bp) with
+    doc_a < doc_b and jaccard_bp ≥ tau_bp, truncated.
+    """
+    from pyspark.sql.window import Window
+
+    dt = documents.select(
+        "doc_id", F.explode(_words()).alias("tok")
+    ).dropDuplicates(["doc_id", "tok"])
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    vocab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked_vocab = vocab.withColumn(
+        "trank", F.row_number().over(Window.orderBy(F.asc("_df"), F.asc("tok")))
+    ).select("tok", "trank")
+    ordered = (
+        dt.join(ranked_vocab, "tok")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "_pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("trank")),
+        )
+    )
+    # prefix length = sz - ceil(tau*sz) + 1; ceil(a/b) = (a + b - 1) div b
+    prefix = ordered.filter(
+        F.col("_pos")
+        <= F.col("sz") - F.expr(f"(sz * {int(tau_bp)} + 9999) div 10000") + 1
+    ).select("doc_id", "tok", "sz")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(pb, F.col("pa.tok") == F.col("pb.tok"))
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        # size filter both ways: tau*max(sz) <= min(sz)
+        .filter(
+            (F.col("pa.sz") * 10000 >= F.col("pb.sz") * int(tau_bp))
+            & (F.col("pb.sz") * 10000 >= F.col("pa.sz") * int(tau_bp))
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.sz").alias("n_a"),
+            F.col("pb.sz").alias("n_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ta = dt.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = dt.select(F.col("doc_id").alias("_db"), F.col("tok").alias("_tok_b"))
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("_db")) & (F.col("tok") == F.col("_tok_b")),
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard_bp",
+            F.expr(
+                "(cast(n_inter as decimal(38,0)) * 10000)"
+                " div (n_a + n_b - n_inter)"
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= int(tau_bp))
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard_bp")
+    )

@@ -1,0 +1,207 @@
+"""t-closeness, Kendall tau-a, JSON field profiling, and funnel
+latency on hand-computed fixtures."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------- t_closeness_report
+
+def test_t_closeness_hand_computed(spark):
+    from dr_source_spark.training.privacy import t_closeness_report
+
+    # global bins: 0 x4, 1 x4 -> Q = (1/2, 1/2). group A = (1,0): cum
+    # diffs |1-1/2| + 0 -> t = 1/2 (m-1 = 1) -> 5000 bp. group B
+    # mirrors Q exactly -> 0.
+    rows = [("A", 0)] * 2 + [("B", 0)] * 2 + [("B", 1)] * 2 + [("C", 1)] * 2
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r.grp: (r.group_n, r.t_bp, r.exposed)
+        for r in t_closeness_report(df, ["grp"], F.col("v")).collect()
+    }
+    assert out["A"] == (2, 5000, True)
+    assert out["B"] == (4, 0, False)
+    assert out["C"] == (2, 5000, True)
+
+
+def test_t_closeness_single_bin_undefined(spark):
+    from dr_source_spark.training.privacy import t_closeness_report
+
+    df = spark.createDataFrame([("A", 7), ("B", 7)], "grp string, v long")
+    out = {r.grp: (r.t_bp, r.exposed) for r in t_closeness_report(df, ["grp"], F.col("v")).collect()}
+    assert out == {"A": (None, False), "B": (None, False)}
+
+
+# ---------------------------------------------------------- kendall_tau_grid
+
+def test_kendall_perfect_inverse_and_ties(spark):
+    from dr_source_spark.operators.stats import kendall_tau_grid
+
+    # perfectly monotone: every pair concordant -> tau_a = 10000
+    up = spark.createDataFrame([(i, i) for i in range(1, 5)], "x long, y long")
+    r = kendall_tau_grid(up, F.col("x"), F.col("y")).collect()[0]
+    assert (r.n_rows, r.concordant, r.discordant, r.tau_a_bp) == (4, 6, 0, 10000)
+
+    down = spark.createDataFrame([(i, -i) for i in range(1, 5)], "x long, y long")
+    r = kendall_tau_grid(down, F.col("x"), F.col("y")).collect()[0]
+    assert (r.concordant, r.discordant, r.tau_a_bp) == (0, 6, -10000)
+
+    # x ties: (1,1),(1,2),(2,3): pairs with x1<x2: (1,1)-(2,3) C,
+    # (1,2)-(2,3) C; the x-tied pair counts neither -> tau = 2/3
+    tied = spark.createDataFrame([(1, 1), (1, 2), (2, 3)], "x long, y long")
+    r = kendall_tau_grid(tied, F.col("x"), F.col("y")).collect()[0]
+    assert (r.n_rows, r.n_cells, r.concordant, r.discordant, r.tau_a_bp) == (3, 3, 2, 0, 6666)
+
+
+# --------------------------------------------------------- json_field_profile
+
+def test_json_field_profile_fill_and_stats(spark):
+    from dr_source_spark.operators.stats import json_field_profile
+
+    rows = [
+        ("a", '{"k": 5}'), ("a", '{"k": 7}'), ("a", '{"other": 1}'),
+        ("b", '{"k": "not_a_number"}'), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, props string")
+    out = {
+        r.grp: (r.n_rows, r.n_filled, r.fill_bp, r.min_val, r.max_val, r.sum_val)
+        for r in json_field_profile(df, "props", "$.k", "grp").collect()
+    }
+    assert out["a"] == (3, 2, 6666, 5, 7, 12)
+    assert out["b"] == (2, 0, 0, None, None, None)
+
+
+# -------------------------------------------------------------- funnel_latency
+
+def test_funnel_latency_order_statistics(spark):
+    from dr_source_spark.operators.relational import funnel_latency
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(u, s, t):
+        return (u, base + dt.timedelta(seconds=s), t)
+
+    rows = []
+    # three full converters with latencies 10, 20, 100 s
+    for u, l in ((1, 10), (2, 20), (3, 100)):
+        rows += [ev(u, 0, "view"), ev(u, l // 2, "click"), ev(u, l, "purchase")]
+    # a non-converter (view only) must not contribute
+    rows.append(ev(9, 0, "view"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = funnel_latency(df).collect()[0]
+    # n=3: p50 idx (2*50) div 100 + 1 = 2 -> 20; p90 idx (2*90) div 100
+    # + 1 = 2 -> 20; mean = 130 div 3 = 43
+    assert (r.n_converted, r.min_sec, r.p50_sec, r.p90_sec, r.max_sec, r.mean_sec) == (
+        3, 10, 20, 20, 100, 43,
+    )
+
+
+# ---------------------------------------------------------------- ppjoin_pairs
+
+def test_ppjoin_exact_pairs_and_thresholds(spark):
+    from dr_source_spark.training.dedup import ppjoin_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),      # J(1,2) = 3/5 = 0.6
+            (3, "a b x y"),      # J(1,3) = 2/6 = 0.33
+            (4, "z w"),          # disjoint
+            (5, "a b c d"),      # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard_bp)
+        for r in ppjoin_pairs(docs, tau_bp=6000).collect()
+    }
+    assert out == {
+        (1, 2): (3, 6000),
+        (1, 5): (4, 10000),
+        (2, 5): (3, 6000),
+    }
+
+
+def test_ppjoin_completeness_vs_brute_force(spark):
+    """The prefix filter must lose NOTHING: compare against an
+    in-Python all-pairs sweep on an overlapping-vocab corpus."""
+    from dr_source_spark.training.dedup import ppjoin_pairs
+
+    vocab = ["w%d" % i for i in range(12)]
+    texts = {}
+    for d in range(1, 11):
+        # deterministic overlapping subsets of varying size
+        toks = [vocab[(d * 3 + j * 5) % 12] for j in range(3 + d % 4)]
+        texts[d] = " ".join(toks)
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) * 10000 // len(sa | sb)
+
+    expected = {
+        (a, b): jac(a, b)
+        for a in texts for b in texts
+        if a < b and jac(a, b) >= 5000
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_bp
+        for r in ppjoin_pairs(docs, tau_bp=5000).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------- trimmed_mean
+
+def test_trimmed_mean_hand_computed(spark):
+    from dr_source_spark.operators.stats import trimmed_mean_by_group
+
+    rows = [("g", i, i) for i in range(1, 11)]          # 1..10, k=1 -> mean(2..9)=5
+    rows += [("tiny", 1, 1), ("tiny", 2, 2)]            # trim 10% of 2 -> k=0 -> mean 1
+    rows += [("neg", 1, -10), ("neg", 2, -3), ("neg", 3, -2)]
+    df = spark.createDataFrame(rows, "grp string, rid long, v long")
+    out = {
+        r.grp: (r.n, r.n_trimmed_each_side, r.n_kept, r.trimmed_mean)
+        for r in trimmed_mean_by_group(df, "grp", F.col("v"), "rid").collect()
+    }
+    assert out["g"] == (10, 1, 8, 5)          # 44/8 = 5.5 -> trunc 5
+    assert out["tiny"] == (2, 0, 2, 1)        # 3/2 -> 1
+    # neg with 34% trim: k=1, keep only -3
+    out2 = {
+        r.grp: r.trimmed_mean
+        for r in trimmed_mean_by_group(df, "grp", F.col("v"), "rid", trim_bp=3400).collect()
+    }
+    assert out2["neg"] == -3
+
+
+def test_trimmed_mean_all_trimmed_is_null(spark):
+    from dr_source_spark.operators.stats import trimmed_mean_by_group
+
+    df = spark.createDataFrame([("g", 1, 5), ("g", 2, 6)], "grp string, rid long, v long")
+    r = trimmed_mean_by_group(df, "grp", F.col("v"), "rid", trim_bp=5000).collect()[0]
+    assert (r.n_kept, r.trimmed_mean) == (0, None)
+
+
+# -------------------------------------------------------------- wape_backtest
+
+def test_wape_naive_lag_backtest(spark):
+    from dr_source_spark.operators.stats import wape_backtest
+
+    rows = [("g", p, a) for p, a in ((1, 10), (2, 20), (3, 30))]
+    rows += [("lonely", 7, 5)]  # no lag-predecessor -> absent
+    df = spark.createDataFrame(rows, "grp string, per long, amt long")
+    out = {
+        r.grp: (r.n_periods_scored, r.actual_total, r.abs_err_total, r.wape_bp)
+        for r in wape_backtest(df, "grp", F.col("per"), F.col("amt"), lag=1).collect()
+    }
+    assert out == {"g": (2, 50, 20, 4000)}
+
+
+def test_wape_gap_periods_not_scored(spark):
+    from dr_source_spark.operators.stats import wape_backtest
+
+    # periods 1 and 3 with lag 1: period 3's predecessor (2) is absent
+    # -> nothing scored -> group absent (a gap is not a zero forecast)
+    df = spark.createDataFrame([("g", 1, 10), ("g", 3, 30)], "grp string, per long, amt long")
+    assert wape_backtest(df, "grp", F.col("per"), F.col("amt"), lag=1).count() == 0
