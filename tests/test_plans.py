@@ -403,3 +403,63 @@ def test_session_stats_single_exchange(spark):
     events = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(session_stats(events))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ppjoin_no_cartesian_and_prefix_equijoin(spark):
+    """ppjoin_pairs: candidate generation and verification are token
+    EQUI-joins — the whole point of prefix filtering is that no plan
+    node ever compares all pairs. No Cartesian/BNLJ anywhere."""
+    from dr_source_spark.training.dedup import ppjoin_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ppjoin_pairs(docs, tau_bp=8000))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_auc_windows_run_over_aggregated_score_table(spark):
+    """auc_by_group: the cumulative window must sit ABOVE the row-table
+    aggregate in the plan tree (i.e. it ranks the distinct-score count
+    table, never the raw rows) — the property that makes exact AUC
+    feasible at 100 TB."""
+    from dr_source_spark.training.evalmetrics import auc_by_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        auc_by_group(docs, "source", F.col("n_chars"), (F.col("lang") == "en").cast("long"))
+    )
+    assert "Window" in plan
+    below_window = plan[plan.index("Window"):]
+    assert "HashAggregate" in below_window  # partial/final agg feeds the window
+    assert "FileScan" in below_window.split("HashAggregate", 1)[1]
+
+
+def test_kendall_pair_join_operates_on_aggregated_grid(spark):
+    """kendall_tau_grid: the x<y pair join is legitimately a nested-loop
+    — but it must consume the AGGREGATED joint-count grid, never raw
+    rows (the subtree below the join must aggregate before scanning)."""
+    from dr_source_spark.operators.stats import kendall_tau_grid
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(
+        kendall_tau_grid(li, F.floor(F.col("l_quantity")), F.floor(F.col("l_discount") * 100))
+    )
+    join_at = min(
+        [i for i in (plan.find("BroadcastNestedLoop"), plan.find("CartesianProduct")) if i >= 0]
+        or [len(plan)]
+    )
+    below = plan[join_at:]
+    assert "HashAggregate" in below  # grid built by aggregation below the join
+
+
+def test_rfm_rank_windows_over_customer_aggregate(spark):
+    """rfm_segments: the three rank windows must run over the
+    per-customer aggregate table (one HashAggregate below the first
+    Window), not the order rows."""
+    from dr_source_spark.operators.mining import rfm_segments
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(rfm_segments(orders))
+    assert "Window" in plan
+    below = plan[plan.index("Window"):]
+    assert "HashAggregate" in below
+    assert "FileScan" in below.split("HashAggregate", 1)[1]
