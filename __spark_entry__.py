@@ -7881,6 +7881,52 @@ FROM s GROUP BY 1
 """
 
 
+def _customer_er_quality(spark, sf_dir):
+    # Blocking-quality report over the planted ER benchmark
+    # (operators/entity_link.py::er_blocking_quality): pair completeness
+    # (blocking recall vs the planted same-customer truth — what the
+    # stop-gram/cap screens cost) and reduction ratio (share of the
+    # all-pairs space eliminated — why blocking exists), plus candidate
+    # precision, all exact bp. True-pair counts come from a
+    # groupBy(entity) c·(c−1)/2 — truth pairs are never materialized.
+    from dr_source_spark.operators.entity_link import er_blocking_quality
+
+    return er_blocking_quality(
+        _er_planted_mentions(spark, sf_dir),
+        F.expr("mention_id div 4"),
+        b=_ER_B,
+        df_cap_pct=_ER_DF_PCT,
+        max_bucket=_ER_BUCKET,
+    )
+
+
+def _er_quality_sql() -> str:
+    # reuse the customer-ER oracle's CTE chain verbatim up to `cand`
+    # (same blocking constants), then compute the quality ratios
+    prefix = _customer_er_sql().split("\nsizes AS")[0].rstrip().rstrip(",")
+    return (
+        prefix
+        + """,
+mt AS (SELECT CAST(count(*) AS HUGEINT) AS nm FROM men),
+tr AS (SELECT CAST(sum((c * (c - 1)) // 2) AS HUGEINT) AS tp FROM (
+  SELECT count(*) AS c FROM men GROUP BY mention_id // 4)),
+cs AS (SELECT CAST(count(*) AS HUGEINT) AS nc,
+              CAST(coalesce(sum(CASE WHEN ia // 4 = ib // 4 THEN 1 ELSE 0 END), 0)
+                   AS HUGEINT) AS mtc
+       FROM cand)
+SELECT CAST(nm AS BIGINT) AS n_mentions, CAST(tp AS BIGINT) AS n_truth_pairs,
+       CAST(nc AS BIGINT) AS n_candidate_pairs, CAST(mtc AS BIGINT) AS n_matched,
+       CASE WHEN tp > 0 THEN CAST(mtc * 10000 // tp AS BIGINT) END
+         AS pair_completeness_bp,
+       CASE WHEN nc > 0 THEN CAST(mtc * 10000 // nc AS BIGINT) END
+         AS candidate_precision_bp,
+       CASE WHEN nm >= 2 THEN
+         CAST(10000 - nc * 10000 // ((nm * (nm - 1)) // 2) AS BIGINT) END
+         AS reduction_ratio_bp
+FROM mt, tr, cs"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8110,6 +8156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin_pairs": _dedup_ppjoin_pairs,
         "events_trimmed_value": _events_trimmed_value,
         "orders_wape_backtest": _orders_wape_backtest,
+        "customer_er_quality": _customer_er_quality,
     }
 
 
@@ -8245,6 +8292,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ppjoin_pairs": _PPJOIN_SQL,
         "events_trimmed_value": _TRIMMED_SQL,
         "orders_wape_backtest": _WAPE_SQL,
+        "customer_er_quality": _er_quality_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -217,3 +217,76 @@ def er_entities(
         "mention_id",
         F.coalesce(F.col("_root"), F.col("mention_id")).cast("long").alias("entity_id"),
     )
+
+
+def er_blocking_quality(
+    mentions: DataFrame,
+    truth_key: Column,
+    b: int = 4,
+    df_cap_pct: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Blocking-quality report — the two numbers every record-linkage
+    paper quotes, computed exactly against a ground-truth key: **pair
+    completeness** (share of true same-entity pairs that survive into
+    the candidate set — blocking recall; what the cap/stop-gram screens
+    may have cost) and **reduction ratio** (share of the all-pairs
+    comparison space the blocking eliminated — why blocking exists at
+    all), plus candidate precision (share of candidates that are true
+    pairs). All in truncated basis points over DECIMAL(38,0) pair
+    counts (n(n−1)/2 at 10¹² mentions overflows int64; decimal38
+    doesn't).
+
+    ``truth_key`` maps a mention row to its true entity (for a planted
+    benchmark, e.g. mention_id div 4). Scale shape: true-pair counts
+    come from a groupBy(truth_key) on the mention table (c·(c−1)/2 per
+    entity — never materializing truth pairs); matched counts label the
+    candidate pairs via two slim equi-joins on the (mention_id, key)
+    projection; the three 1-row aggregates cross-join at the end.
+    """
+    keyed = mentions.select(
+        F.col("mention_id"), truth_key.cast("long").alias("_tk")
+    )
+    d38 = "decimal(38,0)"
+    truth = keyed.groupBy("_tk").agg(
+        F.count(F.lit(1)).cast(d38).alias("_c")
+    ).agg(
+        F.sum("_c").alias("_nm"),
+        F.sum(F.expr(f"(_c * (_c - 1)) div 2")).alias("_truth"),
+    )
+    cand = er_candidate_pairs(
+        mention_grams(mentions), b=b, df_cap_pct=df_cap_pct, max_bucket=max_bucket
+    )
+    ka = keyed.select(F.col("mention_id").alias("ia"), F.col("_tk").alias("_ta"))
+    kb = keyed.select(F.col("mention_id").alias("ib"), F.col("_tk").alias("_tb"))
+    cstats = (
+        cand.join(ka, "ia").join(kb, "ib")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("_ncand"),
+            F.sum((F.col("_ta") == F.col("_tb")).cast("long")).cast(d38).alias("_matched"),
+        )
+    )
+    return (
+        truth.crossJoin(cstats)
+        .select(
+            F.col("_nm").cast("long").alias("n_mentions"),
+            F.col("_truth").cast("long").alias("n_truth_pairs"),
+            F.col("_ncand").cast("long").alias("n_candidate_pairs"),
+            F.coalesce(F.col("_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            F.when(
+                F.col("_truth") > 0,
+                F.expr("(coalesce(_matched, 0) * 10000) div _truth").cast("long"),
+            ).alias("pair_completeness_bp"),
+            F.when(
+                F.col("_ncand") > 0,
+                F.expr("(coalesce(_matched, 0) * 10000) div _ncand").cast("long"),
+            ).alias("candidate_precision_bp"),
+            F.when(
+                F.col("_nm") >= 2,
+                F.lit(10000).cast("long")
+                - F.expr(
+                    "(_ncand * 10000) div ((_nm * (_nm - 1)) div 2)"
+                ).cast("long"),
+            ).alias("reduction_ratio_bp"),
+        )
+    )

@@ -205,3 +205,29 @@ def test_wape_gap_periods_not_scored(spark):
     # -> nothing scored -> group absent (a gap is not a zero forecast)
     df = spark.createDataFrame([("g", 1, 10), ("g", 3, 30)], "grp string, per long, amt long")
     assert wape_backtest(df, "grp", F.col("per"), F.col("amt"), lag=1).count() == 0
+
+
+# --------------------------------------------------------- er_blocking_quality
+
+def test_er_blocking_quality_completeness_and_reduction(spark):
+    from dr_source_spark.operators.entity_link import er_blocking_quality
+    from pyspark.sql import functions as F
+
+    # entities of 2 mentions each; e1/e2 duplicated verbatim (blocking
+    # MUST pair them), e3's variants share no trigram (blocking CANNOT)
+    rows = [
+        (10, "alpha beta gamma"), (11, "alpha beta gamma"),
+        (20, "delta epsilon zeta"), (21, "delta epsilon zeta"),
+        (30, "omega psi chi"), (31, "qqq www vvv"),
+    ]
+    m = spark.createDataFrame(rows, "mention_id long, name string")
+    r = er_blocking_quality(
+        m, F.col("mention_id") / 10, df_cap_pct=100
+    ).collect()[0]
+    assert r.n_mentions == 6 and r.n_truth_pairs == 3
+    assert r.n_matched == 2                       # e3's pair is unblockable
+    assert r.pair_completeness_bp == 6666
+    assert r.n_candidate_pairs >= 2
+    # internal consistency of the derived ratios
+    assert r.candidate_precision_bp == 2 * 10000 // r.n_candidate_pairs
+    assert r.reduction_ratio_bp == 10000 - r.n_candidate_pairs * 10000 // 15
