@@ -7927,6 +7927,65 @@ FROM mt, tr, cs"""
     )
 
 
+def _parts_transitivity(spark, sf_dir):
+    # Global transitivity of the parts co-purchase graph
+    # (operators/graph.py::transitivity_global): 3·triangles/wedges in
+    # exact bp — the one-number cluster-vs-random diagnostic beside the
+    # per-node kg/dedup triangle queries and parts_ktruss (same ≥2
+    # co-order edge construction). Σ per-node triangle counts (the
+    # degree-ordered enumeration) is exactly 3T; wedges are a degree
+    # aggregate.
+    from dr_source_spark.operators.graph import transitivity_global
+
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+            F.col("x.l_orderkey").alias("_o"),
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= _KTRUSS_MIN_CO)
+        .select("src", "dst")
+    )
+    return transitivity_global(co)
+
+
+_TRANSITIVITY_SQL = f"""
+WITH co AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS o
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+e0 AS MATERIALIZED (
+  SELECT a, b FROM co GROUP BY a, b HAVING count(*) >= {_KTRUSS_MIN_CO}),
+und AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+deg AS (SELECT s, CAST(count(*) AS HUGEINT) AS dd FROM und GROUP BY s),
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes, sum(dd) AS degtot,
+         sum((dd * (dd - 1)) // 2) AS wedges
+  FROM deg),
+t AS (
+  SELECT CAST(count(*) AS HUGEINT) AS ntri FROM (
+    SELECT ab.a, ab.b, bc.b AS c
+    FROM e0 ab JOIN e0 bc ON bc.a = ab.b
+    JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b))
+SELECT n_nodes, CAST(degtot // 2 AS BIGINT) AS n_edges,
+       CAST(ntri AS BIGINT) AS n_triangles, CAST(wedges AS BIGINT) AS n_wedges,
+       CASE WHEN wedges > 0
+            THEN CAST(3 * ntri * 10000 // wedges AS BIGINT) END
+         AS transitivity_bp
+FROM w, t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8157,6 +8216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trimmed_value": _events_trimmed_value,
         "orders_wape_backtest": _orders_wape_backtest,
         "customer_er_quality": _customer_er_quality,
+        "parts_transitivity": _parts_transitivity,
     }
 
 
@@ -8293,6 +8353,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trimmed_value": _TRIMMED_SQL,
         "orders_wape_backtest": _WAPE_SQL,
         "customer_er_quality": _er_quality_sql(),
+        "parts_transitivity": _TRANSITIVITY_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -16,6 +16,8 @@ import itertools
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+_D38 = "decimal(38,0)"
+
 PAGERANK_SCALE = 10**12
 
 # Observation metric names must be unique per SparkSession (a reused name
@@ -1256,5 +1258,50 @@ def modularity_by_community(edges: DataFrame, labels: DataFrame) -> DataFrame:
                 four_m * F.coalesce(F.col("_ein"), F.lit(0).cast("decimal(38,0)"))
                 - F.col("_dsum") * F.col("_dsum")
             ).cast("long").alias("q_num"),
+        )
+    )
+
+
+def transitivity_global(edges: DataFrame) -> DataFrame:
+    """Global transitivity (the graph clustering coefficient):
+    C = 3·triangles / wedges = closed wedges over all wedges, in exact
+    truncated basis points — ONE number separating a clustered network
+    (co-purchase, social) from a random one of the same degree
+    sequence. Built from parts this module already proves: Σ of the
+    per-node triangle participation counts (triangle_counts — the
+    degree-ordered Suri-Vassilvitskii enumeration) is exactly
+    3·triangles, and wedges = Σ_v d_v(d_v−1)/2 over the undirected
+    degrees. Graphs with no wedges (degree ≤ 1 everywhere) emit NULL.
+
+    Output: one row (n_nodes, n_edges, n_triangles, n_wedges,
+    transitivity_bp). Scale shape: triangle_counts' equi-joins plus one
+    degree aggregate; the two 1-row summaries cross-join at the end.
+    """
+    und = (
+        edges.selectExpr("src", "dst")
+        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast(_D38).alias("_d"))
+    wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("_d").alias("_deg_tot"),
+        F.sum(F.expr("(_d * (_d - 1)) div 2")).alias("_w"),
+    )
+    tri = triangle_counts(edges).agg(
+        F.sum("n_triangles").cast(_D38).alias("_t3")
+    )
+    return (
+        wedges.crossJoin(tri)
+        .select(
+            "n_nodes",
+            F.expr("cast(_deg_tot div 2 as long)").alias("n_edges"),
+            F.expr("cast(_t3 div 3 as long)").alias("n_triangles"),
+            F.col("_w").cast("long").alias("n_wedges"),
+            F.when(
+                F.col("_w") > 0,
+                F.expr("(_t3 * 10000) div _w").cast("long"),
+            ).alias("transitivity_bp"),
         )
     )

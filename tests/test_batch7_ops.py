@@ -231,3 +231,23 @@ def test_er_blocking_quality_completeness_and_reduction(spark):
     # internal consistency of the derived ratios
     assert r.candidate_precision_bp == 2 * 10000 // r.n_candidate_pairs
     assert r.reduction_ratio_bp == 10000 - r.n_candidate_pairs * 10000 // 15
+
+
+# -------------------------------------------------------- transitivity_global
+
+def test_transitivity_triangle_plus_tail_and_star(spark):
+    from dr_source_spark.operators.graph import transitivity_global
+
+    # triangle 1-2-3 with a tail 3-4: degrees 2,2,3,1 -> wedges
+    # 1+1+3+0 = 5; one triangle -> C = 3/5 -> 6000 bp
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    r = transitivity_global(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges, r.transitivity_bp) == (
+        4, 4, 1, 5, 6000,
+    )
+    # pure star: wedges but no triangles -> 0
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    assert transitivity_global(star).collect()[0].transitivity_bp == 0
+    # single edge: no wedges -> NULL
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert transitivity_global(one).collect()[0].transitivity_bp is None
