@@ -7986,6 +7986,139 @@ FROM w, t
 """
 
 
+def _text_readability(spark, sf_dir):
+    # Flesch-Kincaid-style readability per language
+    # (training/text.py::readability_profile): FK×100 = 39·w div s +
+    # 1180·y div w − 1559 per doc with \w+ words, [.!?]+ sentences
+    # (floored to 1), [aeiouy]+ vowel-group syllables — each term
+    # truncating independently in fixed order, so any engine reproduces
+    # the grade exactly. The curation signal beside text_quality_score.
+    from dr_source_spark.training.text import readability_profile
+
+    return readability_profile(_t(spark, sf_dir, "documents")).select(
+        F.col("grp").alias("lang"),
+        "n_docs", "mean_fk_x100", "min_fk_x100", "max_fk_x100",
+    )
+
+
+_READABILITY_SQL = r"""
+WITH b AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\w+')) AS BIGINT) AS w,
+         greatest(CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))
+                       AS BIGINT), 1) AS s,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents),
+fk AS (
+  SELECT lang, (39 * w) // s + (1180 * y) // w - 1559 AS f
+  FROM b WHERE w > 0),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(f AS HUGEINT)) AS HUGEINT) AS sm,
+         CAST(min(f) AS BIGINT) AS min_fk_x100,
+         CAST(max(f) AS BIGINT) AS max_fk_x100
+  FROM fk GROUP BY 1)
+SELECT lang, n_docs,
+       CAST((CASE WHEN sm < 0 THEN -1 ELSE 1 END) * (abs(sm) // n_docs)
+            AS BIGINT) AS mean_fk_x100,
+       min_fk_x100, max_fk_x100
+FROM g
+"""
+
+
+def _events_runs_test(spark, sf_dir):
+    # Wald-Wolfowitz runs audit per event type
+    # (operators/stats.py::runs_test_by_group): observed runs of
+    # above/below-median cent values in (ts, event_id) order vs the
+    # exact expected count E[R]×100 = (100n + 200·n₁·n₀) div n — the
+    # trend/oscillation screen whose z-denominator (a square root) is
+    # deliberately left to the reader.
+    from dr_source_spark.operators.stats import runs_test_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return runs_test_by_group(
+        ev, "event_type", F.floor(F.col("value").cast(_DEC) * 100), "ts", "event_id"
+    ).select(
+        F.col("grp").alias("event_type"),
+        "n", "n_above", "n_below", "n_runs", "expected_runs_x100",
+    )
+
+
+_RUNS_TEST_SQL = """
+WITH b AS (
+  SELECT event_type AS grp, event_id, ts,
+         CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM b),
+med AS (SELECT grp, v AS m FROM r WHERE rn = (n + 1) // 2),
+seq AS (
+  SELECT b.grp, CASE WHEN b.v > med.m THEN 1 ELSE 0 END AS hi,
+         lag(CASE WHEN b.v > med.m THEN 1 ELSE 0 END)
+           OVER (PARTITION BY b.grp ORDER BY b.ts, b.event_id) AS prev
+  FROM b JOIN med ON med.grp = b.grp)
+SELECT grp AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(hi) AS BIGINT) AS n_above,
+       CAST(sum(1 - hi) AS BIGINT) AS n_below,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND hi != prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       CAST((CAST(100 AS HUGEINT) * count(*)
+             + 200 * sum(hi) * sum(1 - hi)) // count(*) AS BIGINT)
+         AS expected_runs_x100
+FROM seq GROUP BY 1
+"""
+
+
+def _emb_silhouette(spark, sf_dir):
+    # Simplified (centroid-based, O(n·k)) silhouette per label
+    # (training/similarity.py::silhouette_lite) on squared quantized
+    # distances: s = (b − a)·10⁴ div max(a, b) with a = own-centroid
+    # d², b = nearest-other-centroid d² — the clustering-quality
+    # counterpart of emb_class_separation, sharing its truncated-mean
+    # centroid definition. n_negative counts vectors another label
+    # claims.
+    from dr_source_spark.training.similarity import silhouette_lite
+
+    return silhouette_lite(_t(spark, sf_dir, "embeddings"))
+
+
+_SILHOUETTE_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label AS own, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS HUGEINT) AS qi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+cent AS MATERIALIZED (
+  SELECT own AS clbl, dim,
+         (CASE WHEN sum(qi) < 0 THEN -1 ELSE 1 END)
+           * (abs(sum(qi)) // CAST(count(*) AS HUGEINT)) AS c
+  FROM q GROUP BY 1, 2),
+d2 AS (
+  SELECT q.vec_id, q.own, cent.clbl,
+         sum((q.qi - cent.c) * (q.qi - cent.c)) AS dd
+  FROM q JOIN cent ON cent.dim = q.dim
+  GROUP BY 1, 2, 3),
+pv AS (
+  SELECT vec_id, own,
+         max(CASE WHEN clbl = own THEN dd END) AS a,
+         min(CASE WHEN clbl != own THEN dd END) AS b
+  FROM d2 GROUP BY 1, 2),
+s AS (
+  SELECT own, CASE WHEN greatest(a, b) > 0 THEN
+           (CASE WHEN b - a < 0 THEN -1 ELSE 1 END)
+             * (abs(b - a) * 10000 // greatest(a, b))
+         ELSE 0 END AS sil
+  FROM pv WHERE b IS NOT NULL)
+SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST((CASE WHEN sum(sil) < 0 THEN -1 ELSE 1 END)
+            * (abs(sum(sil)) // count(*)) AS BIGINT) AS mean_sil_bp
+FROM s GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8217,6 +8350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_wape_backtest": _orders_wape_backtest,
         "customer_er_quality": _customer_er_quality,
         "parts_transitivity": _parts_transitivity,
+        "text_readability": _text_readability,
+        "events_runs_test": _events_runs_test,
+        "emb_silhouette": _emb_silhouette,
     }
 
 
@@ -8354,6 +8490,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_wape_backtest": _WAPE_SQL,
         "customer_er_quality": _er_quality_sql(),
         "parts_transitivity": _TRANSITIVITY_SQL,
+        "text_readability": _READABILITY_SQL,
+        "events_runs_test": _RUNS_TEST_SQL,
+        "emb_silhouette": _SILHOUETTE_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -613,3 +613,69 @@ def wape_backtest(
             ).alias("wape_bp"),
         )
     )
+
+
+def runs_test_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: "F.Column",
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs audit per group: is the sequence of values
+    (in (ts, id) order) randomly shuffled around its median, or does it
+    trend/cluster? Classifies each element as above (>) or not-above
+    the group's exact lower median (order statistic, ties-to-below —
+    deterministic), counts the observed RUNS of equal classification,
+    and reports the expected run count under randomness, E[R] = 1 +
+    2·n₁·n₀/n, as a ×100 integer ((100·n + 200·n₁·n₀) div n). Observed
+    far below expected ⇒ trending/clustered; far above ⇒ oscillating.
+    The z-denominator needs a square root, so the variance-normalized
+    score is left to the reader — observed vs expected carries the
+    signal and stays exact.
+
+    Two windows per group (median rank over (value, id), lag over
+    (ts, id)) plus one aggregate; all narrow columns.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        value_col.cast("long").alias("v"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_rid"),
+    )
+    wm = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("_rid"))
+    ranked = base.withColumn("_rn", F.row_number().over(wm)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    med = ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2")).select(
+        "grp", F.col("v").alias("_med")
+    )
+    ws = Window.partitionBy("grp").orderBy(F.asc("_ts"), F.asc("_rid"))
+    seq = (
+        base.join(F.broadcast(med), "grp")
+        .withColumn("_hi", (F.col("v") > F.col("_med")).cast("int"))
+        .withColumn("_prev", F.lag("_hi").over(ws))
+    )
+    return (
+        seq.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_hi").cast("long").alias("n_above"),
+            F.sum(F.lit(1) - F.col("_hi")).cast("long").alias("n_below"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("_prev").isNotNull() & (F.col("_hi") != F.col("_prev")), 1
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("n_runs"),
+        )
+        .withColumn(
+            "expected_runs_x100",
+            F.expr(
+                "cast((cast(100 as decimal(38,0)) * n + 200 * n_above * n_below)"
+                " div n as long)"
+            ),
+        )
+    )

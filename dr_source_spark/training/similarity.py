@@ -648,3 +648,90 @@ def class_separation(
             ).cast("long").alias("dist2_q"),
         )
     )
+
+
+def silhouette_lite(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 10**4,
+) -> DataFrame:
+    """Clustering-quality silhouette on SQUARED quantized distances to
+    CENTROIDS (the "simplified silhouette" of the clustering
+    literature — O(n·k) instead of the classic O(n²) pairwise form,
+    which is the only honest variant at corpus scale): per vector,
+    a = d²(x, own-label centroid), b = min over other labels of
+    d²(x, centroid), s = (b − a)·10⁴ div max(a, b) — s > 0 means the
+    vector sits closer to its own centroid, s < 0 means another label
+    claims it. Both-zero degenerate vectors score 0. Centroids are the
+    class_separation truncated means, so the two diagnostics share one
+    definition. All arithmetic on floor-quantized integers; sign
+    factored out of every truncating division.
+
+    Output per label: (label, n_vectors, n_negative — misfit count,
+    mean_sil_bp). Scale shape: one explode of the row table joined to
+    the (labels × dims) centroid grid — per-vector work is dims·k,
+    independent of n; everything after is per-(vector, label) sums and
+    a groupBy(label).
+    """
+    cent = (
+        embeddings.select(
+            F.col(label_col).alias("clbl"),
+            F.posexplode(vec_col).alias("dim", "e"),
+        )
+        .groupBy("clbl", "dim")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("_n"),
+            F.sum(F.floor(F.col("e").cast("double") * quant).cast(_D38)).alias("_s"),
+        )
+        .select(
+            "clbl", "dim",
+            (
+                F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+                * F.expr("abs(_s) div _n").cast("long")
+            ).alias("_c"),
+        )
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("own"),
+        F.posexplode(vec_col).alias("dim", "e"),
+    ).select(
+        "vid", "own", "dim",
+        F.floor(F.col("e").cast("double") * quant).cast("long").alias("qi"),
+    )
+    d2 = (
+        q.join(cent, "dim")
+        .groupBy("vid", "own", "clbl")
+        .agg(
+            F.sum(
+                (F.col("qi") - F.col("_c")).cast(_D38)
+                * (F.col("qi") - F.col("_c")).cast(_D38)
+            ).alias("_d2")
+        )
+    )
+    per_vec = d2.groupBy("vid", "own").agg(
+        F.max(F.when(F.col("clbl") == F.col("own"), F.col("_d2"))).alias("_a"),
+        F.min(F.when(F.col("clbl") != F.col("own"), F.col("_d2"))).alias("_b"),
+    ).filter(F.col("_b").isNotNull())
+    sil = per_vec.withColumn(
+        "_s",
+        F.when(
+            F.greatest("_a", "_b") > 0,
+            (
+                F.when(F.col("_b") - F.col("_a") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+                * F.expr("(abs(_b - _a) * 10000) div greatest(_a, _b)").cast("long")
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    agg = sil.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum((F.col("_s") < 0).cast("long")).cast("long").alias("n_negative"),
+        F.sum(F.col("_s").cast(_D38)).alias("_sum"),
+    )
+    msign = F.when(F.col("_sum") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return agg.select(
+        "label", "n_vectors", "n_negative",
+        (msign * F.expr("abs(_sum) div n_vectors").cast("long")).alias("mean_sil_bp"),
+    )

@@ -251,3 +251,98 @@ def test_transitivity_triangle_plus_tail_and_star(spark):
     # single edge: no wedges -> NULL
     one = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert transitivity_global(one).collect()[0].transitivity_bp is None
+
+
+# ------------------------------------------------------- readability_profile
+
+def test_readability_hand_computed(spark):
+    from dr_source_spark.training.text import readability_profile
+
+    # "go. go now." : words=3, sentences=2, vowel-groups: o,o,o -> 3
+    # fk = 39*3 div 2 + 1180*3 div 3 - 1559 = 58 + 1180 - 1559 = -321
+    # "aa bb cc dd" : w=4 s=1(floor) y=1 -> 156 + 295 - 1559 = -1108
+    docs = spark.createDataFrame(
+        [(1, "go. go now.", "en"), (2, "aa bb cc dd", "fr"), (3, "", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.grp: (r.n_docs, r.mean_fk_x100, r.min_fk_x100, r.max_fk_x100)
+        for r in readability_profile(docs).collect()
+    }
+    assert out["en"] == (1, -321, -321, -321)
+    # zero-word doc 3 excluded -> fr has one doc
+    assert out["fr"] == (1, -1108, -1108, -1108)
+
+
+def test_readability_mean_truncates_with_sign(spark):
+    from dr_source_spark.training.text import readability_profile
+
+    # two docs with fk -321 and -1108: sum -1429, mean -714 (trunc
+    # toward zero, NOT floor -715)
+    docs = spark.createDataFrame(
+        [(1, "go. go now.", "x"), (2, "aa bb cc dd", "x")],
+        "doc_id long, text string, lang string",
+    )
+    r = readability_profile(docs).collect()[0]
+    assert (r.n_docs, r.mean_fk_x100) == (2, -714)
+
+
+# ---------------------------------------------------------- runs_test
+
+def test_runs_test_oscillating_and_trending(spark):
+    import datetime as dt
+    from dr_source_spark.operators.stats import runs_test_by_group
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # oscillating: 1,5,1,5,1,5 -> median (lower) = 1, hi pattern
+    # 0,1,0,1,0,1 -> 6 runs; n1=3 n0=3 -> E[R]x100 = (600+1800)/6 = 400
+    for i, v in enumerate([1, 5, 1, 5, 1, 5]):
+        rows.append(("osc", v, base + dt.timedelta(seconds=i), i))
+    # trending: 1,2,3,4,5,6 -> median 3; hi = 0,0,0,1,1,1 -> 2 runs
+    for i, v in enumerate([1, 2, 3, 4, 5, 6]):
+        rows.append(("trend", v, base + dt.timedelta(seconds=i), i))
+    df = spark.createDataFrame(rows, "grp string, v long, ts timestamp, rid long")
+    out = {
+        r.grp: (r.n, r.n_above, r.n_below, r.n_runs, r.expected_runs_x100)
+        for r in runs_test_by_group(df, "grp", F.col("v"), "ts", "rid").collect()
+    }
+    assert out["osc"] == (6, 3, 3, 6, 400)
+    assert out["trend"] == (6, 3, 3, 2, 400)
+
+
+# ------------------------------------------------------- silhouette_lite
+
+def test_silhouette_separated_and_misfit(spark):
+    from dr_source_spark.training.similarity import silhouette_lite
+
+    rows = [
+        (0, [0.0, 0.0], "A"), (1, [0.1, 0.0], "A"),
+        (2, [1.0, 1.0], "B"), (3, [0.9, 1.0], "B"),
+        # C straddles B: vec 4 sits on B itself (misfit), vec 5 is far
+        # out so C's centroid lands between them at (2, 2)
+        (4, [1.0, 1.0], "C"), (5, [3.0, 3.0], "C"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = {
+        r.label: (r.n_vectors, r.n_negative)
+        for r in silhouette_lite(emb).collect()
+    }
+    # A and B are tight, far from others -> no misfits, positive mean
+    assert out["A"] == (2, 0)
+    assert out["B"] == (2, 0)
+    # C's centroid is (2,2); vec 4 is much closer to B's centroid -> negative
+    assert out["C"][1] == 1
+    sils = {r.label: r.mean_sil_bp for r in silhouette_lite(emb).collect()}
+    assert sils["A"] > 0 and sils["B"] > 0 and sils["C"] < 0
+
+
+def test_silhouette_identical_centroids_score_zero(spark):
+    from dr_source_spark.training.similarity import silhouette_lite
+
+    # both labels collapse to the same centroid: a == b for every
+    # vector -> s = 0 everywhere
+    rows = [(0, [0.5, 0.5], "A"), (1, [0.5, 0.5], "B")]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = {r.label: r.mean_sil_bp for r in silhouette_lite(emb).collect()}
+    assert out == {"A": 0, "B": 0}
