@@ -7240,7 +7240,7 @@ WITH sc AS (
   SELECT source AS grp, CAST(n_chars AS BIGINT) AS s,
          CAST(count(*) AS HUGEINT) AS nt,
          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS np
-  FROM documents GROUP BY 1, 2),
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
 r AS (
   SELECT *, coalesce(sum(nt) OVER (PARTITION BY grp ORDER BY s
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
@@ -7276,7 +7276,7 @@ _EVAL_PR_SQL = """
 WITH sc AS (
   SELECT CAST(n_chars AS BIGINT) AS s, CAST(count(*) AS HUGEINT) AS nt,
          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS np
-  FROM documents GROUP BY 1),
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
 cum AS (
   SELECT *, coalesce(sum(nt) OVER (ORDER BY s
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
@@ -7433,7 +7433,7 @@ _EVAL_CALIB_SQL = """
 WITH sc AS (
   SELECT CAST(n_chars AS BIGINT) AS s, CAST(count(*) AS HUGEINT) AS nt,
          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS np
-  FROM documents GROUP BY 1),
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
 cum AS (
   SELECT *, coalesce(sum(nt) OVER (ORDER BY s
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
@@ -7684,8 +7684,9 @@ def _events_json_fill(spark, sf_dir):
     # Semi-structured field profile (operators/stats.py::
     # json_field_profile): fill rate and exact min/max/sum of props.k
     # per event type — the schema-drift screen for catch-all JSON
-    # columns. get_json_object + try_cast stay JVM-side; the DuckDB
-    # oracle mirrors with json_extract_string + TRY_CAST.
+    # columns. get_json_object + an integral-string regex guard stay
+    # JVM-side (try_cast is NOT engine-stable: Spark nulls '12.5',
+    # DuckDB rounds it); the oracle applies the identical regex.
     from dr_source_spark.operators.stats import json_field_profile
 
     return json_field_profile(
@@ -7699,7 +7700,8 @@ def _events_json_fill(spark, sf_dir):
 _JSON_FILL_SQL = """
 WITH v AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(k) AS BIGINT) AS n_filled,

@@ -1290,7 +1290,9 @@ def transitivity_global(edges: DataFrame) -> DataFrame:
         F.sum(F.expr("(_d * (_d - 1)) div 2")).alias("_w"),
     )
     tri = triangle_counts(edges).agg(
-        F.sum("n_triangles").cast(_D38).alias("_t3")
+        # empty graph: SUM is NULL but "zero triangles" is the honest
+        # answer (and what a count(*) oracle reports)
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).cast(_D38).alias("_t3")
     )
     return (
         wedges.crossJoin(tri)

@@ -117,15 +117,19 @@ def rfm_segments(
     """
     from pyspark.sql.window import Window
 
+    narrow = orders.select(
+        F.col(key_col).alias("cust"),
+        F.col(date_col).cast("date").alias("_d"),
+        F.floor(F.col(amount_col).cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    # corpus max date as a 1-row aggregate broadcast onto the rows — an
+    # unpartitioned window here would funnel every order through a
+    # single task before the groupBy (the drift_chi2 bounds pattern)
+    bounds = narrow.agg(F.max("_d").alias("_maxd"))
     per_cust = (
-        orders.select(
-            F.col(key_col).alias("cust"),
-            F.col(date_col).cast("date").alias("_d"),
-            F.floor(F.col(amount_col).cast("decimal(18,4)") * 100)
-            .cast("long")
-            .alias("_cents"),
-        )
-        .withColumn("_maxd", F.max("_d").over(Window.partitionBy()))
+        narrow.crossJoin(F.broadcast(bounds))
         .groupBy("cust")
         .agg(
             F.datediff(F.max("_maxd"), F.max("_d")).cast("long").alias("recency_days"),

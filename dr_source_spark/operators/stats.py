@@ -482,15 +482,20 @@ def json_field_profile(
     exact min/max/sum of one integer field inside a JSON string column
     — the schema-drift screen for the `props`-style catch-all columns
     every event table grows. Extraction uses the engine's native JSON
-    path (`get_json_object` + try_cast; the DuckDB oracle uses
-    json_extract + TRY_CAST) — missing keys, nulls, and non-numeric
-    values all count as unfilled (ANSI mode would throw on a plain
-    cast of a malformed value).
+    path (`get_json_object`), then accepts ONLY integral strings via an
+    explicit ^-?\\d+$ guard before the cast: missing keys, nulls,
+    non-numeric values, and non-integral numerics all count as
+    unfilled. The regex guard (not try_cast) is deliberate — engines
+    disagree on lossy casts (Spark try_cast('12.5' as long) is NULL;
+    DuckDB TRY_CAST rounds to 13), so the guard is the only
+    engine-stable definition of "filled", and the oracle applies the
+    identical regex.
 
     One groupBy over a 2-column projection; extraction stays JVM-side
     (no Python in the row path).
     """
-    v = F.get_json_object(F.col(json_col), field_path).try_cast("long")
+    raw = F.get_json_object(F.col(json_col), field_path)
+    v = F.when(raw.rlike(r"^-?\d+$"), raw.cast("long"))
     return (
         df.select(F.col(group_col).alias("grp"), v.alias("_v"))
         .groupBy("grp")

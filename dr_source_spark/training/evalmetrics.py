@@ -36,12 +36,17 @@ _D38 = "decimal(38,0)"
 def _score_counts(
     df: DataFrame, group_col: str, score_col: "F.Column", label_col: "F.Column"
 ) -> DataFrame:
-    """Collapse rows to (grp, score) -> (n_total, n_positive)."""
+    """Collapse rows to (grp, score) -> (n_total, n_positive).
+
+    NULL scores are excluded up front: a NULL cannot be ranked, and the
+    two engines would otherwise disagree silently (Spark windows sort
+    NULLS FIRST, DuckDB NULLS LAST), shifting every cumulative count.
+    """
     return df.select(
         F.col(group_col).alias("grp"),
         score_col.cast("long").alias("_s"),
         label_col.cast("long").alias("_y"),
-    ).groupBy("grp", "_s").agg(
+    ).filter(F.col("_s").isNotNull()).groupBy("grp", "_s").agg(
         F.count(F.lit(1)).cast(_D38).alias("_nt"),
         F.sum("_y").cast(_D38).alias("_np"),
     )
@@ -91,6 +96,50 @@ def auc_by_group(
     )
 
 
+
+def _global_score_cum(
+    df: DataFrame, score_col: "F.Column", label_col: "F.Column"
+) -> DataFrame:
+    """Ungrouped distinct-score cumulative table shared by the
+    threshold-based metrics: (_s, _nt, _np, _below, _tot, _tot_pos).
+    NULL scores are excluded (unrankable; engines disagree on NULL
+    window order)."""
+    sc = (
+        df.select(score_col.cast("long").alias("_s"), label_col.cast("long").alias("_y"))
+        .filter(F.col("_s").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("_nt"),
+            F.sum("_y").cast(_D38).alias("_np"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        sc.withColumn("_below", F.coalesce(F.sum("_nt").over(w), F.lit(0).cast(_D38)))
+        .withColumn("_tot", F.sum("_nt").over(Window.partitionBy()))
+        .withColumn("_tot_pos", F.sum("_np").over(Window.partitionBy()))
+    )
+
+
+def _order_stat_thresholds(cum: DataFrame, n_cuts: int) -> DataFrame:
+    """(cut, _th): threshold k (1..n_cuts) = the score of ascending row
+    index (k·N) div (n_cuts+1) + 1, located by cumulative counts — the
+    ONE definition pr_at_thresholds and calibration_curve share (a
+    drift between them would silently desynchronize the two metrics)."""
+    cuts = F.sequence(F.lit(1), F.lit(int(n_cuts)))
+    return (
+        cum.select("_s", "_below", "_nt", "_tot", F.explode(cuts).alias("cut"))
+        .filter(
+            (F.expr(f"(cut * _tot) div {int(n_cuts) + 1}") + 1 > F.col("_below"))
+            & (
+                F.expr(f"(cut * _tot) div {int(n_cuts) + 1}") + 1
+                <= F.col("_below") + F.col("_nt")
+            )
+        )
+        .select(F.col("cut").cast("long").alias("cut"), F.col("_s").alias("_th"))
+    )
+
+
 def pr_at_thresholds(
     df: DataFrame,
     score_col: "F.Column",
@@ -111,40 +160,8 @@ def pr_at_thresholds(
     decile boundaries (heavy ties) legitimately repeat thresholds; the
     output keys on cut index, so the sweep stays n_cuts rows.
     """
-    sc = (
-        df.select(score_col.cast("long").alias("_s"), label_col.cast("long").alias("_y"))
-        .groupBy("_s")
-        .agg(
-            F.count(F.lit(1)).cast(_D38).alias("_nt"),
-            F.sum("_y").cast(_D38).alias("_np"),
-        )
-    )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = (
-        sc.withColumn("_below", F.coalesce(F.sum("_nt").over(w), F.lit(0).cast(_D38)))
-        .withColumn(
-            "_tot", F.sum("_nt").over(Window.partitionBy())
-        )
-        .withColumn("_tot_pos", F.sum("_np").over(Window.partitionBy()))
-    )
-    cuts = F.sequence(F.lit(1), F.lit(int(n_cuts)))
-    # threshold k = score whose cumulative range covers ascending row
-    # index (k*N) div (n_cuts+1) + 1  (1-based)
-    th = (
-        cum.select(
-            "_s", "_below", "_nt", "_tot", "_tot_pos", F.explode(cuts).alias("cut")
-        )
-        .filter(
-            (
-                F.expr(f"(cut * _tot) div {int(n_cuts) + 1}") + 1 > F.col("_below")
-            )
-            & (
-                F.expr(f"(cut * _tot) div {int(n_cuts) + 1}") + 1
-                <= F.col("_below") + F.col("_nt")
-            )
-        )
-        .select(F.col("cut").cast("long").alias("cut"), F.col("_s").alias("_th"))
-    )
+    cum = _global_score_cum(df, score_col, label_col)
+    th = _order_stat_thresholds(cum, n_cuts)
     # predicted positive = score >= threshold: TP/FP from the suffix sums
     joined = (
         cum.crossJoin(F.broadcast(th))
@@ -244,32 +261,8 @@ def calibration_curve(
     Same scale shape as the rest of the family: thresholds and bucket
     assignment live on the distinct-score count table; no row windows.
     """
-    sc = (
-        df.select(score_col.cast("long").alias("_s"), label_col.cast("long").alias("_y"))
-        .groupBy("_s")
-        .agg(
-            F.count(F.lit(1)).cast(_D38).alias("_nt"),
-            F.sum("_y").cast(_D38).alias("_np"),
-        )
-    )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = sc.withColumn(
-        "_below", F.coalesce(F.sum("_nt").over(w), F.lit(0).cast(_D38))
-    ).withColumn("_tot", F.sum("_nt").over(Window.partitionBy()))
-    th = (
-        cum.select(
-            "_s", "_below", "_nt", "_tot",
-            F.explode(F.sequence(F.lit(1), F.lit(int(n_cuts)))).alias("cut"),
-        )
-        .filter(
-            (F.expr(f"(cut * _tot) div {int(n_cuts) + 1}") + 1 > F.col("_below"))
-            & (
-                F.expr(f"(cut * _tot) div {int(n_cuts) + 1}") + 1
-                <= F.col("_below") + F.col("_nt")
-            )
-        )
-        .select(F.col("_s").alias("_th"))
-    )
+    cum = _global_score_cum(df, score_col, label_col)
+    th = _order_stat_thresholds(cum, n_cuts).select("_th")
     bucketed = (
         cum.crossJoin(F.broadcast(th))
         .groupBy("_s", "_nt", "_np")

@@ -586,6 +586,38 @@ def pq_assign(
     )
 
 
+def _quantized_centroids(
+    embeddings: DataFrame, label_col: str, vec_col: str, quant: int
+) -> DataFrame:
+    """(lbl, dim, n, c): per-label per-dimension truncated-mean centroid
+    in floor-quantized integer units — c = Σ floor(e·quant) div n with
+    the sign factored out of the truncating division. The ONE centroid
+    definition class_separation and silhouette_lite share (a drift
+    between them would make the two diagnostics silently inconsistent
+    while both still pass their separate oracles)."""
+    return (
+        embeddings.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(vec_col).alias("dim", "e"),
+        )
+        .groupBy("lbl", "dim")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("_n"),
+            F.sum(
+                F.floor(F.col("e").cast("double") * quant).cast(_D38)
+            ).alias("_s"),
+        )
+        .select(
+            "lbl", "dim",
+            F.col("_n").cast("long").alias("n"),
+            (
+                F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+                * F.expr("abs(_s) div _n").cast("long")
+            ).alias("c"),
+        )
+    )
+
+
 def class_separation(
     embeddings: DataFrame,
     label_col: str = "label",
@@ -604,28 +636,8 @@ def class_separation(
     label_b. Scale shape: one explode + groupBy(label, dim) — the only
     row-table pass — then a self-join of the tiny centroid grid on dim.
     """
-    cent = (
-        embeddings.select(
-            F.col(label_col).alias("lbl"),
-            F.posexplode(vec_col).alias("dim", "e"),
-        )
-        .groupBy("lbl", "dim")
-        .agg(
-            F.count(F.lit(1)).cast(_D38).alias("_n"),
-            F.sum(
-                F.floor(F.col("e").cast("double") * quant).cast(_D38)
-            ).alias("_s"),
-        )
-        .select(
-            "lbl", "dim",
-            F.col("_n").cast("long").alias("_n"),
-            # sign factored out: truncated mean must agree across engines
-            # for negative coordinate sums
-            (
-                F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
-                * F.expr("abs(_s) div _n").cast("long")
-            ).alias("_c"),
-        )
+    cent = _quantized_centroids(embeddings, label_col, vec_col, quant).select(
+        "lbl", "dim", F.col("n").alias("_n"), F.col("c").alias("_c")
     )
     a = cent.select(
         F.col("lbl").alias("label_a"), "dim",
@@ -675,23 +687,8 @@ def silhouette_lite(
     independent of n; everything after is per-(vector, label) sums and
     a groupBy(label).
     """
-    cent = (
-        embeddings.select(
-            F.col(label_col).alias("clbl"),
-            F.posexplode(vec_col).alias("dim", "e"),
-        )
-        .groupBy("clbl", "dim")
-        .agg(
-            F.count(F.lit(1)).cast(_D38).alias("_n"),
-            F.sum(F.floor(F.col("e").cast("double") * quant).cast(_D38)).alias("_s"),
-        )
-        .select(
-            "clbl", "dim",
-            (
-                F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
-                * F.expr("abs(_s) div _n").cast("long")
-            ).alias("_c"),
-        )
+    cent = _quantized_centroids(embeddings, label_col, vec_col, quant).select(
+        F.col("lbl").alias("clbl"), "dim", F.col("c").alias("_c")
     )
     q = embeddings.select(
         F.col(id_col).alias("vid"),

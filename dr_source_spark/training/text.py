@@ -316,22 +316,34 @@ def sample_stratified(
     )
 
 
+def _ws_tokens() -> "F.Column":
+    """The corpus-metrics tokenization convention: lowercase, trim,
+    split on whitespace runs. Shared by top_ngrams / ngram_novelty /
+    heaps_law_curve so their numbers stay cross-comparable."""
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def _word_grams(n: int) -> "F.Column":
+    """Word n-grams over a prepared `_toks` column (one definition for
+    every n-gram metric; docs shorter than n tokens yield an empty
+    array)."""
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN"
+        f" transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        f" ELSE array() END"
+    )
+
+
 def top_ngrams(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     """Corpus-wide most frequent word n-grams — the boilerplate/contamination
     radar (a header repeated across millions of pages dominates this list).
     Explode -> map-side-combinable count -> top-k; ties broken by the ngram
     string so the cut at k is deterministic. The physical top-k is a
     TakeOrderedAndProject (no global sort) — plan-asserted."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN"
-        f" transform(sequence(1, size(_toks) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
-        f" ELSE array() END"
-    )
     return (
-        documents.withColumn("_toks", toks)
-        .select(F.explode(grams).alias("ngram"))
+        documents.withColumn("_toks", _ws_tokens())
+        .select(F.explode(_word_grams(n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
@@ -767,16 +779,9 @@ def ngram_novelty(
     doc, one broadcast-free equi-join back on gram, one final groupBy.
     Text is dropped before every shuffle; no all-pairs anywhere.
     """
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN"
-        f" transform(sequence(1, size(_toks) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
-        f" ELSE array() END"
-    )
     doc_grams = (
-        documents.withColumn("_toks", toks)
-        .select("doc_id", F.col(group_col).alias("grp"), F.explode(grams).alias("gram"))
+        documents.withColumn("_toks", _ws_tokens())
+        .select("doc_id", F.col(group_col).alias("grp"), F.explode(_word_grams(n)).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
     )
     first = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("_first_doc"))
@@ -824,9 +829,8 @@ def heaps_law_curve(
     quantiles). The final comparison is a broadcast cross-join of the
     ≤ n_cuts checkpoint rows against the per-first-doc count table.
     """
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     first = (
-        documents.select("doc_id", F.explode(toks).alias("tok"))
+        documents.select("doc_id", F.explode(_ws_tokens()).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.min("doc_id").alias("_fd"))

@@ -59,9 +59,12 @@ def test_kendall_perfect_inverse_and_ties(spark):
 def test_json_field_profile_fill_and_stats(spark):
     from dr_source_spark.operators.stats import json_field_profile
 
+    # NON-INTEGRAL numerics must count as unfilled on BOTH engines:
+    # try_cast is not engine-stable (Spark nulls '12.5', DuckDB rounds
+    # it to 13), so the operator guards with an integral regex instead
     rows = [
         ("a", '{"k": 5}'), ("a", '{"k": 7}'), ("a", '{"other": 1}'),
-        ("b", '{"k": "not_a_number"}'), ("b", None),
+        ("b", '{"k": "not_a_number"}'), ("b", None), ("b", '{"k": 12.5}'),
     ]
     df = spark.createDataFrame(rows, "grp string, props string")
     out = {
@@ -69,7 +72,7 @@ def test_json_field_profile_fill_and_stats(spark):
         for r in json_field_profile(df, "props", "$.k", "grp").collect()
     }
     assert out["a"] == (3, 2, 6666, 5, 7, 12)
-    assert out["b"] == (2, 0, 0, None, None, None)
+    assert out["b"] == (3, 0, 0, None, None, None)
 
 
 # -------------------------------------------------------------- funnel_latency

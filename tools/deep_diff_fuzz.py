@@ -218,7 +218,16 @@ print(json.dumps(out))
             candidates.append({(l, vt, m, sv, tuple(tr)) for l, vt, m, sv, tr in ref[fn]})
             union = set().union(*candidates)
             inter = set.intersection(*candidates)
-            if ours[fn] <= union and inter <= ours[fn]:
+            # count parity is required on top of the membership envelope:
+            # the per-site set-order draw changes a finding's CONTENT, not
+            # the number of findings, so emitting both variants of one
+            # site (double-report) or any extra finding that happens to
+            # coincide with some seed's draw must still count as divergent
+            if (
+                len(ours[fn]) == len(ref[fn])
+                and ours[fn] <= union
+                and inter <= ours[fn]
+            ):
                 nondet += 1
                 continue
             bad += 1
