@@ -8121,6 +8121,91 @@ FROM s GROUP BY 1
 """
 
 
+def _dedup_cluster_profile(spark, sf_dir):
+    # The dedup REPORT a pipeline owner actually reads: the cluster-size
+    # histogram of the verified near-dup components (dedup_clusters'
+    # output aggregated twice) — how many singletons, how many
+    # mega-clusters, how many rows keep-one-per-cluster dedup removes
+    # at each size. Pure aggregates over the component table.
+    from dr_source_spark.training.dedup import duplicate_clusters
+
+    c = duplicate_clusters(_t(spark, sf_dir, "documents"))
+    sizes = c.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("rows_removed_by_dedup"),
+        )
+    )
+
+
+_CLUSTER_PROFILE_TAIL = """
+, sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS rows_removed_by_dedup
+FROM sizes GROUP BY 1
+"""
+
+
+def _corpus_lang_confusion(spark, sf_dir):
+    # Full confusion matrix between the DECLARED lang column and the
+    # n-gram lang_id prediction — the eval-artifact form of
+    # text_lang_mismatch's row list: per (declared, predicted) cell,
+    # doc count and the truncated-bp share of the declared row. One
+    # groupBy over the joined 2-column projection; the bp denominator
+    # windows over the ≤|langs|² cell table.
+    from pyspark.sql.window import Window as _W
+
+    from dr_source_spark.training.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    pred = lang_id(d).select("doc_id", "lang_id")
+    cells = (
+        d.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("lang_id").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return cells.withColumn(
+        "_tot",
+        F.sum("n_docs").over(_W.partitionBy("declared")).cast("decimal(38,0)"),
+    ).select(
+        "declared",
+        "predicted",
+        "n_docs",
+        F.expr("(cast(n_docs as decimal(38,0)) * 10000) div _tot")
+        .cast("long")
+        .alias("row_share_bp"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql()}),
+j AS (
+  SELECT d.lang AS declared, p.lang_id AS predicted
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+c AS (
+  SELECT declared, predicted, CAST(count(*) AS HUGEINT) AS n
+  FROM j GROUP BY 1, 2)
+SELECT declared, predicted, CAST(n AS BIGINT) AS n_docs,
+       CAST(n * 10000 // sum(n) OVER (PARTITION BY declared) AS BIGINT)
+         AS row_share_bp
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8355,6 +8440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": _text_readability,
         "events_runs_test": _events_runs_test,
         "emb_silhouette": _emb_silhouette,
+        "dedup_cluster_profile": _dedup_cluster_profile,
+        "corpus_lang_confusion": _corpus_lang_confusion,
     }
 
 
@@ -8495,6 +8582,8 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": _READABILITY_SQL,
         "events_runs_test": _RUNS_TEST_SQL,
         "emb_silhouette": _SILHOUETTE_SQL,
+        "dedup_cluster_profile": _dedup_clusters_sql(tail=_CLUSTER_PROFILE_TAIL),
+        "corpus_lang_confusion": _lang_confusion_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (
