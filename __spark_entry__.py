@@ -8206,6 +8206,239 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# Batch 13 (round-5 continuation): exact time-series / nonparametric-test /
+# link-prediction / cohort / weighted-sampling operators.
+# --------------------------------------------------------------------------
+
+
+def _events_acf(spark, sf_dir):
+    # Exact integer autocorrelation of the densified hourly event-count
+    # series per type at lags 1-3 (operators/stats.py::acf_by_group):
+    # the burstiness/seasonality audit. Deviations are scaled by n
+    # (d_t = n*x_t - S) so every product is an integer; acf_bp is the
+    # sign-factored truncated basis-point ratio.
+    from dr_source_spark.operators.stats import acf_by_group
+
+    return acf_by_group(_t(spark, sf_dir, "events"), "event_type", "ts").select(
+        F.col("grp").alias("event_type"), "lag", "n_buckets", "acf_bp"
+    )
+
+
+_EVENTS_ACF_SQL = """
+WITH counts AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS b,
+         CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT grp, min(b) AS mn, max(b) AS mx, sum(x) AS s FROM counts GROUP BY 1),
+dense AS (
+  SELECT grp, s,
+         (epoch_us(mx) - epoch_us(mn)) // 3600000000 + 1 AS n,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+  FROM bounds),
+dev AS (
+  SELECT d.grp, d.b, d.n, d.n * coalesce(c.x, 0) - d.s AS dd
+  FROM dense d LEFT JOIN counts c ON d.grp = c.grp AND d.b = c.b),
+led AS (
+  SELECT grp, n, dd,
+         lead(dd, 1) OVER w AS d1, lead(dd, 2) OVER w AS d2,
+         lead(dd, 3) OVER w AS d3
+  FROM dev WINDOW w AS (PARTITION BY grp ORDER BY b)),
+agg AS (
+  SELECT grp, max(n) AS nb, sum(dd * dd) AS den,
+         sum(dd * d1) AS num1, sum(dd * d2) AS num2, sum(dd * d3) AS num3
+  FROM led GROUP BY grp),
+st AS (
+  SELECT grp, nb, den, 1 AS lag, num1 AS num FROM agg
+  UNION ALL SELECT grp, nb, den, 2, num2 FROM agg
+  UNION ALL SELECT grp, nb, den, 3, num3 FROM agg)
+SELECT grp AS event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(nb AS BIGINT) AS n_buckets,
+       CASE WHEN den <= 0 THEN NULL ELSE
+         CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+              * ((abs(num) * 10000) // den) AS BIGINT) END AS acf_bp
+FROM st
+"""
+
+
+def _lineitem_mann_whitney(spark, sf_dir):
+    # Exact Mann-Whitney U on the quantity grid between returned ('R')
+    # and accepted ('A') lineitems (operators/stats.py::
+    # mann_whitney_grid): the nonparametric "did the distribution
+    # shift" test; 2U counted in half-units so ties stay integer.
+    from dr_source_spark.operators.stats import mann_whitney_grid
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    return mann_whitney_grid(
+        li, F.col("l_returnflag") == "R", F.floor(F.col("l_quantity"))
+    )
+
+
+_MANN_WHITNEY_SQL = """
+WITH cells AS (
+  SELECT l_returnflag = 'R' AS side, CAST(floor(l_quantity) AS BIGINT) AS v,
+         CAST(count(*) AS HUGEINT) AS cnt
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1, 2),
+tot AS (
+  SELECT sum(CASE WHEN side THEN cnt END) AS na,
+         sum(CASE WHEN NOT side THEN cnt END) AS nb
+  FROM cells),
+u AS (
+  SELECT sum(CASE WHEN a.v > b.v THEN 2 * a.cnt * b.cnt
+              WHEN a.v = b.v THEN a.cnt * b.cnt ELSE 0 END) AS u2
+  FROM cells a JOIN cells b ON a.side AND NOT b.side)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2_a,
+       CAST((u2 * 10000) // (2 * na * nb) AS BIGINT) AS u_bp,
+       CAST((CASE WHEN u2 - na * nb < 0 THEN -1 ELSE 1 END)
+            * ((abs(u2 - na * nb) * 10000) // (na * nb)) AS BIGINT) AS rb_bp
+FROM tot, u
+"""
+
+
+def _events_rolling_outliers(spark, sf_dir):
+    # Trailing 24-hour Bollinger-band outlier flags on hourly revenue
+    # cents per event type with the square root eliminated —
+    # (24x - S)^2 > 4(24Q - S^2) in exact integers (operators/stats.py
+    # ::rolling_band_outliers). Local re-baselining, unlike the global
+    # zscore screen.
+    from dr_source_spark.operators.stats import rolling_band_outliers
+
+    return rolling_band_outliers(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long"),
+    ).select(
+        F.col("grp").alias("event_type"),
+        "bucket", "value_cents", "dev2", "band2", "is_outlier",
+    )
+
+
+_ROLLING_OUTLIERS_SQL = """
+WITH hourly AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT grp, b, x,
+         count(*) OVER tw AS wn, sum(x) OVER tw AS s, sum(x * x) OVER tw AS q
+  FROM hourly
+  WINDOW tw AS (PARTITION BY grp ORDER BY b
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT grp AS event_type, b AS bucket, CAST(x AS BIGINT) AS value_cents,
+       CAST((24 * x - s) * (24 * x - s) AS BIGINT) AS dev2,
+       CAST(4 * (24 * q - s * s) AS BIGINT) AS band2,
+       (24 * x - s) * (24 * x - s) > 4 * (24 * q - s * s) AS is_outlier
+FROM w WHERE wn = 24
+"""
+
+
+def _orders_cohort_matrix(spark, sf_dir):
+    # Cohort retention/revenue triangle: customers keyed by the month
+    # of their FIRST order, activity counted per (cohort, exact
+    # calendar month offset) (operators/stats.py::cohort_matrix).
+    from dr_source_spark.operators.stats import cohort_matrix
+
+    return cohort_matrix(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+_COHORT_SQL = """
+WITH base AS (
+  SELECT o_custkey AS ent,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS cm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rc
+  FROM orders),
+firsts AS (SELECT ent, min(cm) AS c0 FROM base GROUP BY ent),
+j AS (SELECT b.ent, b.rc, f.c0, b.cm - f.c0 AS month_offset
+      FROM base b JOIN firsts f USING (ent))
+SELECT printf('%04d-%02d', c0 // 12, c0 % 12 + 1) AS cohort_month,
+       CAST(month_offset AS BIGINT) AS month_offset,
+       CAST(count(DISTINCT ent) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(rc) AS BIGINT) AS revenue_cents
+FROM j GROUP BY c0, month_offset
+"""
+
+
+def _kg_resource_alloc(spark, sf_dir):
+    # Resource-allocation link prediction over the KG (operators/
+    # graph.py::resource_allocation): non-adjacent node pairs scored by
+    # sum(scale div deg(z)) over shared neighbors z — the weighted,
+    # missing-link sibling of kg_neighbor_jaccard (a shared hub is weak
+    # evidence; a shared leaf is strong).
+    from dr_source_spark.operators.graph import resource_allocation
+
+    return resource_allocation(
+        _kg_triples(spark, sf_dir).edges, min_common=2
+    )
+
+
+_KG_RESOURCE_ALLOC_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS neigh FROM und
+  UNION ALL SELECT b AS node, a AS neigh FROM und),
+deg AS MATERIALIZED (SELECT node, count(*) AS d FROM adj GROUP BY node),
+cw AS (SELECT node AS neigh, CAST(10000 // d AS BIGINT) AS w FROM deg),
+wa AS (SELECT adj.node, adj.neigh, cw.w FROM adj JOIN cw USING (neigh)),
+pairs AS (
+  SELECT x.node AS node_a, y.node AS node_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(x.w) AS BIGINT) AS ra_score_scaled
+  FROM wa x JOIN wa y ON x.neigh = y.neigh AND x.node < y.node
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT node_a, node_b, n_common, ra_score_scaled
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM und u WHERE p.node_a = u.a AND p.node_b = u.b)
+"""
+
+
+def _kg_resource_alloc_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_RESOURCE_ALLOC_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _corpus_weighted_sample(spark, sf_dir):
+    # Deterministic weight-proportional Bernoulli sample (training/
+    # select.py::weighted_bernoulli_sample): include doc i with
+    # probability n_chars_i * target / total_chars via the salted
+    # md5-u32 coin — the size-biased audit sample, exact integers end
+    # to end.
+    from dr_source_spark.training.select import weighted_bernoulli_sample
+
+    return weighted_bernoulli_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", target=500
+    )
+
+
+def _corpus_weighted_sample_sql() -> str:
+    base = _duck_minhash_base("('wbs1:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH tot AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS t FROM documents),
+u AS (SELECT doc_id, lang, n_chars, {base} AS u32 FROM documents)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       CAST(u32 AS BIGINT) AS u32
+FROM u, tot
+WHERE CAST(u32 AS HUGEINT) * t
+      < CAST(4294967296 AS HUGEINT) * n_chars * 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8442,6 +8675,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_silhouette": _emb_silhouette,
         "dedup_cluster_profile": _dedup_cluster_profile,
         "corpus_lang_confusion": _corpus_lang_confusion,
+        "events_acf": _events_acf,
+        "lineitem_mann_whitney": _lineitem_mann_whitney,
+        "events_rolling_outliers": _events_rolling_outliers,
+        "orders_cohort_matrix": _orders_cohort_matrix,
+        "kg_resource_alloc": _kg_resource_alloc,
+        "corpus_weighted_sample": _corpus_weighted_sample,
     }
 
 
@@ -8584,6 +8823,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_silhouette": _SILHOUETTE_SQL,
         "dedup_cluster_profile": _dedup_clusters_sql(tail=_CLUSTER_PROFILE_TAIL),
         "corpus_lang_confusion": _lang_confusion_sql(),
+        "events_acf": _EVENTS_ACF_SQL,
+        "lineitem_mann_whitney": _MANN_WHITNEY_SQL,
+        "events_rolling_outliers": _ROLLING_OUTLIERS_SQL,
+        "orders_cohort_matrix": _COHORT_SQL,
+        "kg_resource_alloc": _kg_resource_alloc_sql(),
+        "corpus_weighted_sample": _corpus_weighted_sample_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -1307,3 +1307,76 @@ def transitivity_global(edges: DataFrame) -> DataFrame:
             ).alias("transitivity_bp"),
         )
     )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    min_common: int = 1,
+    scale: int = 10000,
+    max_hub_degree: int = 0,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou-Lü-Zhang): for every
+    NON-ADJACENT node pair sharing >= ``min_common`` neighbors, score
+    RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — a common neighbor is strong
+    evidence exactly when it is NOT a hub. This is the weighted sibling
+    of ``neighbor_jaccard``: same wedge-join candidate generation, but
+    the center contributes ``scale div deg(z)`` (an exact integer
+    weight fixed per center BEFORE the pair sum) instead of a flat 1,
+    and pairs that are already edges are anti-joined away, so the
+    output is a true "missing link" ranking (which file/vuln
+    association the graph predicts but the scan has not yet emitted).
+    Using the integer per-center weight instead of a float 1/deg keeps
+    the score engine-exact; the ranking it induces is the RA ranking
+    whenever scale exceeds the max degree (10000 here vs degrees in
+    the hundreds).
+
+    Scale shape: wedge join at shared neighbors only (never
+    all-pairs); ``max_hub_degree`` applies the same non-silent
+    observe-metric hub cap as neighbor_jaccard — a celebrity center
+    contributes C(d,2) weak pairs AND a near-zero weight, so capping
+    loses almost no score mass. The anti-join on the undirected edge
+    set is a narrow-key hash join.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("neigh")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("neigh"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    center_w = deg.select(
+        F.col("node").alias("neigh"),
+        F.expr(f"cast({scale} div d as long)").alias("w"),
+        "d",
+    )
+    if max_hub_degree:
+        hub = F.col("d") > max_hub_degree
+        center_w = center_w.observe(
+            f"resource_alloc_hub_drops_{next(_OBS_SEQ)}",
+            F.sum(F.when(hub, 1).otherwise(0)).alias("n_hub_centers"),
+            F.sum(F.when(hub, F.col("d")).otherwise(0)).alias("n_adj_rows_at_hubs"),
+        ).filter(~hub)
+    wedge_adj = adj.join(center_w.select("neigh", "w"), "neigh")
+    x, y = wedge_adj.alias("x"), wedge_adj.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b"))
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.col("x.w")).cast("long").alias("ra_score_scaled"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    return pairs.join(
+        und,
+        (pairs.node_a == und.a) & (pairs.node_b == und.b),
+        "left_anti",
+    )

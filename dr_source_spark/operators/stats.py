@@ -684,3 +684,283 @@ def runs_test_by_group(
             ),
         )
     )
+
+
+def acf_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    bucket: str = "hour",
+) -> DataFrame:
+    """Exact integer autocorrelation of the per-bucket event count
+    series, per group — the seasonality/burstiness audit for an event
+    stream (lag-1 high ⇒ bursty ingestion, lag-24 high on hourly
+    buckets ⇒ daily cycle). The series is DENSIFIED first (a missing
+    bucket is a zero observation, exactly the gap_fill_hourly fact),
+    then the centered products are computed in integers by scaling
+    deviations by n: with d_t = n·x_t − Σx, acf(k) =
+    (Σ_t d_t·d_{t+k}) / (Σ_t d_t²) — identical to the float estimator,
+    but every intermediate is a BIGINT so any ANSI engine agrees
+    bit-for-bit. Reported as signed basis points with truncation
+    toward zero (sign factored out of the div, the cov_pairs rule).
+
+    Scale shape: the event table only ever aggregates (one narrow
+    groupBy per (group, bucket)); the dense frame is the tiny
+    calendar × group product (n buckets per group, independent of row
+    count), and the lag windows run over that small frame. Magnitudes:
+    d ≤ n·max_count, den ≤ n·d² — decimal(38,0) carries the products
+    so a year of hourly buckets at 10^9 events/bucket cannot overflow.
+
+    Reference: no time-series surface in the reference engine; this is
+    the scan-cadence audit its findings stream would need at scale.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+        )
+        .groupBy("grp", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = counts.groupBy("grp").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx"), F.sum("x").alias("s")
+    )
+    step = {"hour": "interval 1 hour", "day": "interval 1 day"}[bucket]
+    dense = (
+        bounds.select(
+            "grp",
+            "s",
+            F.explode(F.expr(f"sequence(mn, mx, {step})")).alias("b"),
+            (
+                F.expr(
+                    f"cast((unix_timestamp(mx) - unix_timestamp(mn)) div "
+                    f"{3600 if bucket == 'hour' else 86400} as long)"
+                )
+                + 1
+            ).alias("n"),
+        )
+        .join(counts, ["grp", "b"], "left")
+        .select(
+            "grp",
+            "b",
+            "n",
+            (
+                F.col("n").cast(_D38) * F.coalesce(F.col("x"), F.lit(0)).cast(_D38)
+                - F.col("s").cast(_D38)
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("b"))
+    leads = dense.select(
+        "grp",
+        "n",
+        "d",
+        *[F.lead("d", k).over(w).alias(f"d{k}") for k in lags],
+    )
+    agg = leads.groupBy("grp").agg(
+        F.first("n").alias("n_buckets"),
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}")).alias(f"num{k}")
+            for k in lags
+        ],
+    )
+    stacked = agg.select(
+        "grp",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "den",
+        F.expr(
+            "stack({n}, {cells}) as (lag, num)".format(
+                n=len(lags),
+                cells=", ".join(f"cast({k} as long), num{k}" for k in lags),
+            )
+        ),
+    )
+    return stacked.select(
+        "grp",
+        "lag",
+        "n_buckets",
+        F.when(F.col("den") <= 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "cast((case when num < 0 then -1 else 1 end)"
+                " * ((abs(num) * 10000) div den) as long)"
+            )
+        )
+        .alias("acf_bp"),
+    )
+
+
+def mann_whitney_grid(
+    df: DataFrame,
+    side_col: "F.Column",
+    value_col: "F.Column",
+) -> DataFrame:
+    """Exact Mann-Whitney U between two samples identified by a boolean
+    side column, over a DISCRETE value grid — "did this cohort's metric
+    distribution shift against that one's" without any normality
+    assumption (the nonparametric sibling of drift_chi2's categorical
+    test). Rows collapse to per-(side, value) cells first, so the pair
+    enumeration is grid_a × grid_b, independent of row count — the
+    kendall_tau_grid discipline. Ties are handled exactly by counting
+    2·U in half-units: u2 = Σ 2·[v_a > v_b] + [v_a = v_b] over all
+    cross pairs. Reported effect sizes stay integer: u_bp =
+    (10000·u2) div (2·n_a·n_b) is the common-language effect size
+    P(A > B) + ½P(A = B) in basis points; rank-biserial rb_bp =
+    (u2 − n_a·n_b) scaled, sign factored out before the div.
+
+    One narrow groupBy over the fact table, then a grid² broadcast
+    cross join (≤ a few thousand cells) and a 1-row aggregate.
+    """
+    cells = (
+        df.select(side_col.alias("side"), value_col.cast("long").alias("v"))
+        .filter(F.col("side").isNotNull() & F.col("v").isNotNull())
+        .groupBy("side", "v")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("cnt"))
+    )
+    a = cells.filter(F.col("side")).select(F.col("v").alias("va"), F.col("cnt").alias("ca"))
+    b = cells.filter(~F.col("side")).select(F.col("v").alias("vb"), F.col("cnt").alias("cb"))
+    cross = a.join(F.broadcast(b))
+    return (
+        cross.agg(
+            F.sum(F.when(F.col("va") > F.col("vb"), F.lit(2).cast(_D38) * F.col("ca") * F.col("cb")).otherwise(F.lit(0).cast(_D38))).alias("_gt2"),
+            F.sum(F.when(F.col("va") == F.col("vb"), F.col("ca") * F.col("cb")).otherwise(F.lit(0).cast(_D38))).alias("_eq"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum(F.when(F.col("side"), F.col("cnt"))).alias("na"),
+                    F.sum(F.when(~F.col("side"), F.col("cnt"))).alias("nb"),
+                )
+            )
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            (F.col("_gt2") + F.col("_eq")).cast("long").alias("u2_a"),
+            F.expr(
+                "cast(((_gt2 + _eq) * 10000) div (2 * na * nb) as long)"
+            ).alias("u_bp"),
+            F.expr(
+                "cast((case when _gt2 + _eq < na * nb then -1 else 1 end)"
+                " * ((abs(_gt2 + _eq - na * nb) * 10000) div (na * nb)) as long)"
+            ).alias("rb_bp"),
+        )
+    )
+
+
+def rolling_band_outliers(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_cents: "F.Column",
+    window: int = 24,
+    k: int = 2,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Trailing Bollinger-band outlier flags over the per-bucket value
+    series, per group, with the square root ELIMINATED so the test is
+    exact: x is an outlier against its trailing window of w buckets
+    (current bucket excluded — the forecast-residual convention) iff
+    (x − μ)² > k²σ², which in integers is (w·x − S)² > k²·(w·Q − S²)
+    with S = Σx, Q = Σx² over the window. Every term is decimal(38,0)
+    so both sides agree bit-for-bit; only FULL windows are scored (a
+    short window has a different variance, not a smaller one). Unlike
+    the global zscore screen this is LOCAL: a level shift re-baselines
+    after w buckets instead of poisoning the rest of the month.
+
+    Scale shape: one narrow (group, bucket) aggregate over the fact
+    table, then two running-sum windows over the tiny per-group series.
+    The window is over OBSERVED buckets (documented contract): the
+    trailing w observed buckets, which equals trailing w wall-clock
+    buckets whenever the series is dense.
+    """
+    hourly = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+            value_cents.alias("xc"),
+        )
+        .groupBy("grp", "b")
+        .agg(F.sum("xc").cast(_D38).alias("x"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.asc("b"))
+        .rowsBetween(-window, -1)
+    )
+    scored = hourly.select(
+        "grp",
+        "b",
+        "x",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    ).filter(F.col("wn") == window)
+    wd = F.lit(window).cast(_D38)
+    dev2 = (wd * F.col("x") - F.col("s")) * (wd * F.col("x") - F.col("s"))
+    band2 = F.lit(k * k).cast(_D38) * (wd * F.col("q") - F.col("s") * F.col("s"))
+    return scored.select(
+        "grp",
+        F.col("b").alias("bucket"),
+        F.col("x").cast("long").alias("value_cents"),
+        dev2.cast("long").alias("dev2"),
+        band2.cast("long").alias("band2"),
+        (dev2 > band2).alias("is_outlier"),
+    )
+
+
+def cohort_matrix(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    revenue_cents: "F.Column",
+) -> DataFrame:
+    """Cohort retention/revenue matrix: entities are assigned to the
+    calendar month of their FIRST event, and every later event lands in
+    (cohort_month, month_offset) — the standard "of the January
+    signups, how many were still ordering in April, and for how much"
+    triangle. month_offset is exact calendar arithmetic
+    ((y₂−y₁)·12 + (m₂−m₁)), never float months_between. Counts and
+    cent sums are plain integers.
+
+    Two shuffles: a (entity → first month) aggregate joined back
+    (broadcast when the entity dimension is small; at 10^12 scale the
+    join is a narrow-key sort-merge on the already-hashed entity id),
+    then the (cohort, offset) groupBy — both map-side combinable.
+    """
+    base = df.select(
+        F.col(entity_col).alias("ent"),
+        F.year(ts_col).alias("_y"),
+        F.month(ts_col).alias("_m"),
+        revenue_cents.alias("rc"),
+    )
+    firsts = base.groupBy("ent").agg(
+        F.min(F.col("_y") * 12 + F.col("_m") - 1).alias("c0")
+    )
+    joined = base.join(firsts, "ent").select(
+        "ent",
+        "rc",
+        F.col("c0"),
+        (F.col("_y") * 12 + F.col("_m") - 1 - F.col("c0")).alias("month_offset"),
+    )
+    return (
+        joined.groupBy("c0", "month_offset")
+        .agg(
+            F.countDistinct("ent").cast("long").alias("n_active"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("rc").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("cast(c0 div 12 as int)"),
+                F.expr("cast(c0 % 12 + 1 as int)"),
+            ).alias("cohort_month"),
+            F.col("month_offset").cast("long").alias("month_offset"),
+            "n_active",
+            "n_events",
+            "revenue_cents",
+        )
+    )

@@ -199,3 +199,51 @@ def mix_plan(
         )
         .select("grp", "n_docs", "n_tokens", "quota", "rate_ppm", "epochs")
     )
+
+
+def weighted_bernoulli_sample(
+    documents: DataFrame,
+    weight_col: str = "n_chars",
+    target: int = 500,
+    salt: str = "wbs1",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample: include each
+    doc with probability weight_i · target / Σweight (so the EXPECTED
+    sample size is ``target`` and big documents are proportionally more
+    likely — the size-biased sample you want when auditing by bytes,
+    not by row). The coin is the salted md5 of the doc id mapped to a
+    32-bit integer u, and the inclusion test is pure integer
+    arithmetic: u · Σw < 2³² · w_i · target, carried in decimal(38,0)
+    so the product cannot overflow at any corpus size. Same doc id +
+    salt ⇒ same coin on every engine, every retry, every backfill —
+    the md5-threshold discipline of the stratified sampler, extended
+    with a per-row weight.
+
+    One global 1-row aggregate (map-side combinable) broadcast back
+    over the table; no shuffle of the wide text column — the filter
+    runs on (doc_id, weight) and the text rides along in the same
+    scan. Docs with weight ≥ Σw/target are included with probability
+    1 (the standard Bernoulli-sampling saturation).
+    """
+    tot = documents.agg(
+        F.sum(F.col(weight_col)).cast("decimal(38,0)").alias("_tot")
+    )
+    u = _minhash_base(
+        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+    )
+    return (
+        documents.crossJoin(F.broadcast(tot))
+        .withColumn("_u", u.cast("decimal(38,0)"))
+        .filter(
+            F.col("_u") * F.col("_tot")
+            < F.lit(4294967296).cast("decimal(38,0)")
+            * F.col(weight_col).cast("decimal(38,0)")
+            * F.lit(target).cast("decimal(38,0)")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col(weight_col).cast("long").alias("weight"),
+            F.col("_u").cast("long").alias("u32"),
+        )
+    )
