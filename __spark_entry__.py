@@ -8439,6 +8439,224 @@ WHERE CAST(u32 AS HUGEINT) * t
 """
 
 
+def _kg_hits(spark, sf_dir):
+    # HITS hubs & authorities over the KG with engine-exact max-norm
+    # (operators/graph.py::hits_scores, 2 unrolled rounds): pagerank
+    # ranks by visitation, HITS separates "points at weak endpoints"
+    # (hub) from "is where tainted paths land" (authority).
+    from dr_source_spark.operators.graph import hits_scores
+
+    return hits_scores(_kg_triples(spark, sf_dir).edges, rounds=2)
+
+
+_KG_HITS_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1r AS (SELECT dst AS node, CAST(count(*) AS HUGEINT) * 10000 AS raw
+        FROM e GROUP BY dst),
+m1 AS (SELECT max(raw) AS m FROM a1r),
+a1 AS (SELECT n.node,
+              CASE WHEN m.m IS NULL OR m.m <= 0 THEN 0
+                   ELSE (coalesce(a.raw, 0) * 10000) // m.m END AS s
+       FROM nodes n LEFT JOIN a1r a USING (node), m1 m),
+h1r AS (SELECT e.src AS node, sum(a1.s) AS raw
+        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+m2 AS (SELECT max(raw) AS m FROM h1r),
+h1 AS (SELECT n.node,
+              CASE WHEN m.m IS NULL OR m.m <= 0 THEN 0
+                   ELSE (coalesce(h.raw, 0) * 10000) // m.m END AS s
+       FROM nodes n LEFT JOIN h1r h USING (node), m2 m),
+a2r AS (SELECT e.dst AS node, sum(h1.s) AS raw
+        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+m3 AS (SELECT max(raw) AS m FROM a2r),
+a2 AS (SELECT n.node,
+              CASE WHEN m.m IS NULL OR m.m <= 0 THEN 0
+                   ELSE (coalesce(a.raw, 0) * 10000) // m.m END AS s
+       FROM nodes n LEFT JOIN a2r a USING (node), m3 m),
+h2r AS (SELECT e.src AS node, sum(a2.s) AS raw
+        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+m4 AS (SELECT max(raw) AS m FROM h2r),
+h2 AS (SELECT n.node,
+              CASE WHEN m.m IS NULL OR m.m <= 0 THEN 0
+                   ELSE (coalesce(h.raw, 0) * 10000) // m.m END AS s
+       FROM nodes n LEFT JOIN h2r h USING (node), m4 m)
+SELECT n.node, CAST(coalesce(h2.s, 0) AS BIGINT) AS hub_scaled,
+       CAST(coalesce(a2.s, 0) AS BIGINT) AS auth_scaled
+FROM nodes n LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node)
+"""
+
+
+def _kg_hits_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_HITS_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _events_cusum(spark, sf_dir):
+    # Exact CUSUM changepoint localization on the densified daily
+    # revenue-cents series per event type (operators/stats.py::
+    # cusum_changepoint): n·C_t = n·P_t − t·S stays integer; argmax
+    # with earliest-bucket tie-break. drift_chi2 detects drift; this
+    # says WHERE the level shifted.
+    from dr_source_spark.operators.stats import cusum_changepoint
+
+    return cusum_changepoint(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long"),
+    ).select(
+        F.col("grp").alias("event_type"),
+        "n_buckets", "cp_index", "cp_bucket",
+        "cusum_scaled", "pre_cents", "post_cents",
+    )
+
+
+_EVENTS_CUSUM_SQL = """
+WITH per AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS b,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT grp, min(b) AS mn, max(b) AS mx, sum(x) AS s
+           FROM per GROUP BY 1),
+dense AS (SELECT grp, s, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS b
+          FROM bounds),
+d2 AS (SELECT dense.grp, dense.b, dense.s, coalesce(per.x, 0) AS x
+       FROM dense LEFT JOIN per ON dense.grp = per.grp AND dense.b = per.b),
+sc AS (SELECT grp, b, s,
+         row_number() OVER w AS t,
+         sum(x) OVER (PARTITION BY grp ORDER BY b ROWS UNBOUNDED PRECEDING) AS p,
+         count(*) OVER (PARTITION BY grp) AS n
+       FROM d2 WINDOW w AS (PARTITION BY grp ORDER BY b)),
+c AS (SELECT grp, b, n, t, p, s,
+             abs(CAST(n AS HUGEINT) * p - CAST(t AS HUGEINT) * s) AS cv
+      FROM sc WHERE t < n),
+pick AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY cv DESC, b ASC) AS rk
+         FROM c)
+SELECT grp AS event_type, CAST(n AS BIGINT) AS n_buckets,
+       CAST(t AS BIGINT) AS cp_index, b AS cp_bucket,
+       CAST(cv AS BIGINT) AS cusum_scaled, CAST(p AS BIGINT) AS pre_cents,
+       CAST(s - p AS BIGINT) AS post_cents
+FROM pick WHERE rk = 1
+"""
+
+
+def _customer_interarrival(spark, sf_dir):
+    # Purchase-cadence audit: whole-day gaps between a customer's
+    # consecutive orders, profiled per market segment with exact order
+    # statistics (operators/stats.py::interarrival_profile) — lower
+    # median / lower p90 / max with deterministic tie-breaks.
+    from dr_source_spark.operators.stats import interarrival_profile
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    )
+    return interarrival_profile(
+        joined, "o_custkey", "o_orderdate", "o_orderkey", "c_mktsegment"
+    ).select(
+        F.col("grp").alias("mktsegment"),
+        "n_gaps", "median_gap_days", "p90_gap_days", "max_gap_days",
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS grp, o.o_custkey AS ent, o.o_orderdate AS ts,
+         o.o_orderkey AS id
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g AS (
+  SELECT grp, ent, id,
+         date_diff('day', CAST(lag(ts) OVER w AS DATE), CAST(ts AS DATE)) AS gap_days
+  FROM base WINDOW w AS (PARTITION BY ent ORDER BY ts, id)),
+gg AS (SELECT grp, ent, id, CAST(gap_days AS BIGINT) AS gap_days
+       FROM g WHERE gap_days IS NOT NULL),
+r AS (SELECT grp, gap_days, ent, id,
+        row_number() OVER (PARTITION BY grp ORDER BY gap_days, ent, id) AS rn,
+        count(*) OVER (PARTITION BY grp) AS n
+      FROM gg)
+SELECT grp AS mktsegment,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS BIGINT)
+         AS median_gap_days,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END) AS BIGINT)
+         AS p90_gap_days,
+       CAST(max(CASE WHEN rn = n THEN gap_days END) AS BIGINT) AS max_gap_days
+FROM r GROUP BY grp
+"""
+
+
+def _media_dhash_pairs(spark, sf_dir):
+    # Image near-dup via perceptual dHash through the REAL BMP decode
+    # path (training/multimodal.py::dhash_signatures/dhash_pairs):
+    # 9×8 nearest-neighbor gray grid → 64 gradient bits → four 16-bit
+    # bands → banded candidates → exact bit_count Hamming verify. The
+    # corpus plants exact duplicates (payload from doc_id % 160, even
+    # wrap preserves the BMP/WAV parity split) that the decode must
+    # recover at distance 0.
+    from dr_source_spark.training.multimodal import (
+        dhash_pairs, dhash_signatures, synth_decodable_media,
+    )
+
+    media = synth_decodable_media(_t(spark, sf_dir, "documents"), wrap=160)
+    return dhash_pairs(
+        dhash_signatures(media.filter(F.col("kind") == "image")), max_hamming=6
+    )
+
+
+def _media_dhash_sql() -> str:
+    def gray(sx: str, sy: str) -> str:
+        return (
+            f"((pid + ({sx}) * 7 + ({sy}) * 13) % 256"
+            f" + (3 * pid + ({sx}) * 11 + ({sy}) * 5) % 256"
+            f" + (5 * pid + ({sx}) + ({sy}) * 17) % 256)"
+        )
+
+    sy = "(gy * h) // 8"
+    return f"""
+WITH d AS (
+  SELECT doc_id AS mid, doc_id % 160 AS pid,
+         4 + (doc_id % 160) % 5 AS w, 3 + (doc_id % 160) % 4 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+bits AS (
+  SELECT mid, (gy * 8 + gx) // 16 AS band_idx, (gy * 8 + gx) % 16 AS pos,
+         CASE WHEN {gray("((gx + 1) * w) // 9", sy)}
+                 > {gray("(gx * w) // 9", sy)} THEN 1 ELSE 0 END AS bit
+  FROM d
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx) gxs
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gys),
+sig AS (
+  SELECT mid,
+         sum(CASE WHEN band_idx = 0 THEN bit << pos ELSE 0 END) AS b0,
+         sum(CASE WHEN band_idx = 1 THEN bit << pos ELSE 0 END) AS b1,
+         sum(CASE WHEN band_idx = 2 THEN bit << pos ELSE 0 END) AS b2,
+         sum(CASE WHEN band_idx = 3 THEN bit << pos ELSE 0 END) AS b3
+  FROM bits GROUP BY mid),
+st AS (
+  SELECT mid, 0 AS band_idx, b0 AS band_val FROM sig
+  UNION ALL SELECT mid, 1, b1 FROM sig
+  UNION ALL SELECT mid, 2, b2 FROM sig
+  UNION ALL SELECT mid, 3, b3 FROM sig),
+cand AS (
+  SELECT DISTINCT x.mid AS media_a, y.mid AS media_b
+  FROM st x JOIN st y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.mid < y.mid)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+         AS hamming
+FROM cand
+JOIN sig a ON media_a = a.mid
+JOIN sig b ON media_b = b.mid
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8681,6 +8899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_matrix": _orders_cohort_matrix,
         "kg_resource_alloc": _kg_resource_alloc,
         "corpus_weighted_sample": _corpus_weighted_sample,
+        "kg_hits": _kg_hits,
+        "events_cusum": _events_cusum,
+        "customer_interarrival": _customer_interarrival,
+        "media_dhash_pairs": _media_dhash_pairs,
     }
 
 
@@ -8829,6 +9051,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_cohort_matrix": _COHORT_SQL,
         "kg_resource_alloc": _kg_resource_alloc_sql(),
         "corpus_weighted_sample": _corpus_weighted_sample_sql(),
+        "kg_hits": _kg_hits_sql(),
+        "events_cusum": _EVENTS_CUSUM_SQL,
+        "customer_interarrival": _INTERARRIVAL_SQL,
+        "media_dhash_pairs": _media_dhash_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

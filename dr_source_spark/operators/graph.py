@@ -1380,3 +1380,84 @@ def resource_allocation(
         (pairs.node_a == und.a) & (pairs.node_b == und.b),
         "left_anti",
     )
+
+
+def hits_scores(
+    edges: DataFrame, rounds: int = 2, scale: int = 10000
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the directed simple
+    graph, with the normalization made ENGINE-EXACT: each half-step
+    rescales by the current maximum via integer division
+    (score·scale div max), so every intermediate is a BIGINT and any
+    ANSI engine reproduces the run bit-for-bit. Per-iteration rescaling
+    by any positive constant leaves HITS' direction unchanged (the
+    classic L2 norm is also just a rescale), so max-norm is a faithful
+    deterministic variant; ``rounds`` is fixed and part of the
+    contract, like the pagerank_fixed_point iteration count. Duplicate
+    (src, dst) pairs and self-loops are dropped first — HITS on the
+    simple digraph.
+
+    Complements pagerank: pagerank ranks by random-walk visitation,
+    HITS separates "points at good things" (hub — a scanner file that
+    touches every weak endpoint) from "is pointed at by good things"
+    (authority — the CWE every tainted path lands on).
+
+    Scale shape: per half-step one narrow-key join edge⋈score and one
+    groupBy — both map-side combinable — plus a 1-row max broadcast;
+    2·rounds such steps, no iteration-to-convergence (fixed unroll).
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("s"))
+    auth = None
+    for _ in range(rounds):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        auth = _max_norm(nodes, a_raw, scale)
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        hub = _max_norm(nodes, h_raw, scale)
+    return (
+        nodes.join(hub.withColumnRenamed("s", "hub_scaled"), "node", "left")
+        .join(auth.withColumnRenamed("s", "auth_scaled"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_scaled", F.lit(0)).cast("long").alias("hub_scaled"),
+            F.coalesce("auth_scaled", F.lit(0)).cast("long").alias("auth_scaled"),
+        )
+    )
+
+
+def _max_norm(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
+    """(node, s): raw scores max-normalized to [0, scale] by exact
+    integer division; nodes absent from ``raw`` get 0."""
+    m = raw.agg(F.max("raw").alias("m"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            F.when(
+                F.col("m").isNull() | (F.col("m") <= 0), F.lit(0)
+            )
+            .otherwise(
+                F.expr(f"cast((coalesce(raw, 0) * {scale}) div m as long)")
+            )
+            .alias("s"),
+        )
+    )

@@ -964,3 +964,142 @@ def cohort_matrix(
             "revenue_cents",
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_cents: "F.Column",
+    bucket: str = "day",
+) -> DataFrame:
+    """Exact CUSUM changepoint LOCALIZATION per group: where did the
+    level of the per-bucket series shift? (drift_chi2 answers "did the
+    distribution drift"; this answers "at which bucket"). The series is
+    densified (a missing bucket is a zero), and the classic CUSUM
+    statistic C_t = Σ_{i≤t}(x_i − μ) is carried scaled by n so it stays
+    integer: n·C_t = n·P_t − t·S with P_t the prefix sum and S the
+    total. The changepoint estimate is the argmax of |n·C_t| over
+    t = 1..n−1 (C_n ≡ 0 is excluded; ties break to the EARLIEST bucket
+    — a deterministic order statistic, not a float argmax). pre/post
+    sums are reported so the caller reads the magnitude of the shift in
+    plain cents.
+
+    One narrow (group, bucket) aggregate, a tiny dense calendar frame,
+    one prefix-sum window and one row_number selection per group.
+    """
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+            value_cents.alias("xc"),
+        )
+        .groupBy("grp", "b")
+        .agg(F.sum("xc").cast("long").alias("x"))
+    )
+    bounds = per.groupBy("grp").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx"), F.sum("x").alias("s")
+    )
+    step = {"hour": "interval 1 hour", "day": "interval 1 day"}[bucket]
+    dense = (
+        bounds.select(
+            "grp",
+            "s",
+            F.explode(F.expr(f"sequence(mn, mx, {step})")).alias("b"),
+        )
+        .join(per, ["grp", "b"], "left")
+        .select("grp", "b", "s", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    wo = Window.partitionBy("grp").orderBy(F.asc("b"))
+    wall = Window.partitionBy("grp")
+    scored = (
+        dense.withColumn("t", F.row_number().over(wo))
+        .withColumn("p", F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("t") < F.col("n"))
+        .withColumn(
+            "c",
+            F.abs(
+                F.col("n").cast(_D38) * F.col("p").cast(_D38)
+                - F.col("t").cast(_D38) * F.col("s").cast(_D38)
+            ),
+        )
+    )
+    pick = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("b"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n_buckets"),
+            F.col("t").cast("long").alias("cp_index"),
+            F.col("b").alias("cp_bucket"),
+            F.col("c").cast("long").alias("cusum_scaled"),
+            F.col("p").cast("long").alias("pre_cents"),
+            (F.col("s") - F.col("p")).cast("long").alias("post_cents"),
+        )
+    )
+
+
+def interarrival_profile(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Purchase/event cadence audit: the gaps (in whole days) between
+    an entity's consecutive events, profiled per group with EXACT order
+    statistics — n_gaps, lower median, lower p90 (rank
+    (9·n + 9) div 10), and max. Gap ordering ties break on
+    (entity, ts, id) so the selected row is the same on every engine —
+    the mad_profile selection discipline, applied to the lag-diff
+    stream instead of the raw values.
+
+    Two windows: a per-entity lag over (ts, id) to form gaps, then a
+    per-group rank over (gap, entity, id) for the order statistics;
+    all narrow columns.
+    """
+    we = Window.partitionBy("ent").orderBy(F.asc("_ts"), F.asc("_id"))
+    gaps = (
+        df.select(
+            F.col(entity_col).alias("ent"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("grp"),
+        )
+        .withColumn("_prev", F.lag("_ts").over(we))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "grp",
+            "ent",
+            "_id",
+            F.datediff(F.col("_ts"), F.col("_prev")).cast("long").alias("gap_days"),
+        )
+    )
+    wr = Window.partitionBy("grp").orderBy(
+        F.asc("gap_days"), F.asc("ent"), F.asc("_id")
+    )
+    ranked = gaps.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    return (
+        ranked.filter(
+            (F.col("_rn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rn") == F.expr("(9 * _n + 9) div 10"))
+            | (F.col("_rn") == F.col("_n"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("_n").cast("long").alias("n_gaps"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("gap_days"))
+            ).cast("long").alias("median_gap_days"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(9 * _n + 9) div 10"), F.col("gap_days"))
+            ).cast("long").alias("p90_gap_days"),
+            F.max(
+                F.when(F.col("_rn") == F.col("_n"), F.col("gap_days"))
+            ).cast("long").alias("max_gap_days"),
+        )
+    )

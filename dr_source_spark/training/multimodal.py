@@ -276,19 +276,24 @@ def bmp_bytes(doc_id: int) -> bytes:
     )
 
 
-def synth_decodable_media(documents: DataFrame) -> DataFrame:
+def synth_decodable_media(documents: DataFrame, wrap: int = 0) -> DataFrame:
     """Deterministic VALID media derived from documents: even doc_id → BMP
-    image, odd → WAV audio (both parse end-to-end, not just headers)."""
+    image, odd → WAV audio (both parse end-to-end, not just headers).
+    ``wrap`` > 0 builds the payload from ``doc_id % wrap`` while keeping
+    ``media_id = doc_id`` — a corpus with PLANTED exact duplicates
+    (every wrap-th doc shares pixels/samples), for dedup-by-decode
+    tests; use an even wrap so the BMP/WAV parity split is preserved."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
+                pid = doc_id % wrap if wrap else doc_id
                 if doc_id % 2 == 0:
-                    payload, kind = bmp_bytes(doc_id), "image"
+                    payload, kind = bmp_bytes(pid), "image"
                 else:
-                    payload, kind = wav_pcm_bytes(doc_id), "audio"
+                    payload, kind = wav_pcm_bytes(pid), "audio"
                 rows.append({"media_id": doc_id, "kind": kind, "payload": payload, "meta": {"src": "decodable"}})
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"]) if rows else pd.DataFrame(
                 {c: pd.Series([], dtype="object") for c in ("media_id", "kind", "payload", "meta")}
@@ -607,3 +612,119 @@ def image_patches(media: DataFrame, patch: int = 2) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(process, PATCH_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("b0", LongType(), False),
+        StructField("b1", LongType(), False),
+        StructField("b2", LongType(), False),
+        StructField("b3", LongType(), False),
+    ]
+)
+
+
+def dhash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) of each 24-bit BMP through the
+    REAL decode path: parse the pixel grid, nearest-neighbor sample a
+    9×8 gray grid (src = (dst·src_dim) // dst_dim — the resize_media_bmp
+    convention), gray = byte sum of the three channels (no division —
+    stays integer), bit(gx, gy) = gray(gx+1, gy) > gray(gx, gy) over the
+    8×8 horizontal gradients, packed row-major into four 16-bit band
+    integers (b0..b3). Everything after the struct walk is integer
+    arithmetic, so an ANSI oracle reproduces the signature closed-form
+    from the generator formulas — the image-side analogue of the text
+    SimHash, with the same banded-pair downstream.
+
+    Binary payloads die inside this stage; five narrow longs come out.
+    """
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DHASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:2] != b"BM":
+                    raise NotImplementedError("dhash supports 24-bit BMP only")
+                offset = struct.unpack("<I", payload[10:14])[0]
+                w, h = struct.unpack("<ii", payload[18:26])
+                bpp = struct.unpack("<H", payload[28:30])[0]
+                if bpp != 24 or struct.unpack("<I", payload[30:34])[0] != 0:
+                    raise NotImplementedError("dhash supports uncompressed 24-bit BMP only")
+                h_abs = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                def gray(gx: int, gy: int) -> int:
+                    sx = (gx * w) // 9
+                    sy = (gy * h_abs) // 8
+                    p = offset + sy * stride + sx * 3
+                    return payload[p] + payload[p + 1] + payload[p + 2]
+                bands = [0, 0, 0, 0]
+                for gy in range(8):
+                    for gx in range(8):
+                        if gray(gx + 1, gy) > gray(gx, gy):
+                            i = gy * 8 + gx
+                            bands[i // 16] |= 1 << (i % 16)
+                rows.append({"media_id": int(mid), "b0": bands[0], "b1": bands[1],
+                             "b2": bands[2], "b3": bands[3]})
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in cols}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, DHASH_SCHEMA)
+
+
+def dhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Banded near-dup candidate generation + exact-Hamming verify over
+    dHash signatures: two images are candidates iff they agree EXACTLY
+    on at least one of the four 16-bit bands (an equi-join on
+    (band_idx, band_val) — never all-pairs, the SimHash-pairs
+    discipline), then the full 64-bit Hamming distance is computed with
+    bit_count(xor) per band and pairs above ``max_hamming`` are
+    dropped. A true dup (same pixels) collides on every band and
+    verifies at distance 0; the banding guarantees recall for any pair
+    with ≤ 3 bit flips landing outside one band (pigeonhole: 4 bands,
+    so distance ≤ 3 always shares a clean band).
+    """
+    stacked = sigs.select(
+        "media_id",
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band_idx, band_val)"
+        ),
+    )
+    x, y = stacked.alias("x"), stacked.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
+    )
+    sb = sigs.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"int(b{k}_a) ^ int(b{k}_b)")) for k in range(4)
+    )
+    return (
+        cand.join(sa, "media_a")
+        .join(sb, "media_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
