@@ -4177,11 +4177,19 @@ def _kg_pagerank(spark, sf_dir):
 def _kg_pagerank_sql(iterations: int = 10, scale: int = 10**12, dp: int = 85) -> str:
     from dr_source_spark.sources.synth import kg_edges_oracle_sql
 
+    return _pagerank_sql_over(kg_edges_oracle_sql(), iterations, scale, dp)
+
+
+def _pagerank_sql_over(
+    edges_sql: str, iterations: int = 10, scale: int = 10**12, dp: int = 85
+) -> str:
+    """Unrolled fixed-point pagerank oracle over ANY (src, dst) edge
+    query — shared by kg_pagerank and text_textrank_terms."""
     # AS MATERIALIZED: the CTE chain is referenced from every unrolled
     # iteration — without the hint DuckDB re-inlines (and re-evaluates)
     # the whole edge derivation per reference
     parts = [
-        f"WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),",
+        f"WITH kg_e AS MATERIALIZED ({edges_sql}),",
         "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e),",
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
         "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),",
@@ -8657,6 +8665,147 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 
 
 
+def _duck_isqrt(x: str) -> str:
+    """DuckDB expression for the exact integer square root of a
+    non-negative HUGEINT expression — floor(sqrt(double)) lands within
+    ±2 of the true root, four guarded comparisons pin it exactly
+    (operators/stats.py::isqrt_expr, same contract)."""
+    r0 = f"CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS HUGEINT)"
+    subs = " - ".join(
+        f"(CASE WHEN ({r0} + {2 - i}) >= 0"
+        f" AND ({r0} + {2 - i}) * ({r0} + {2 - i}) > ({x})"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"({r0} + 2 - {subs})"
+
+
+def _lineitem_spearman_rho(spark, sf_dir):
+    # Exact-tie Spearman rank correlation on the (quantity, discount)
+    # grid (operators/stats.py::spearman_rho_grid): doubled average
+    # ranks keep ties integer; the denominator is the EXACT integer
+    # root isqrt(vx*vy) — perfect monotone data scores exactly +/-10000
+    # — completing the association family beside Kendall (concordance)
+    # and cov_pairs (linearity).
+    from dr_source_spark.operators.stats import spearman_rho_grid
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho_grid(
+        li,
+        F.floor(F.col("l_quantity")),
+        F.floor(F.col("l_discount").cast(_DEC) * 100),
+    )
+
+
+def _spearman_sql() -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT) AS y,
+         CAST(count(*) AS HUGEINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+mx AS (SELECT x, sum(w) AS cx FROM cells GROUP BY x),
+my AS (SELECT y, sum(w) AS cy FROM cells GROUP BY y),
+rx AS (SELECT x, 2 * coalesce(sum(cx) OVER (ORDER BY x
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cx + 1 AS r2x
+       FROM mx),
+ry AS (SELECT y, 2 * coalesce(sum(cy) OVER (ORDER BY y
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cy + 1 AS r2y
+       FROM my),
+agg AS (
+  SELECT sum(w) AS n, sum(w * r2x * r2y) AS sxy,
+         sum(w * r2x * r2x) AS sxx, sum(w * r2y * r2y) AS syy
+  FROM cells JOIN rx USING (x) JOIN ry USING (y)),
+m AS (
+  SELECT n, n * sxy - (n * (n + 1)) * (n * (n + 1)) AS cov,
+         n * sxx - (n * (n + 1)) * (n * (n + 1)) AS vx,
+         n * syy - (n * (n + 1)) * (n * (n + 1)) AS vy
+  FROM agg),
+d AS (SELECT n, cov, {_duck_isqrt('vx * vy')} AS den FROM m)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN den <= 0 THEN NULL ELSE
+         CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+              * ((abs(cov) * 10000) // den) AS BIGINT) END AS rho_bp
+FROM d
+"""
+
+
+def _parts_item_cosine(spark, sf_dir):
+    # Item-item collaborative-filtering cosine: parts scored by
+    # co-purchasing-customer overlap / sqrt(popularity product), the
+    # exact-integer isqrt contract (operators/mining.py::
+    # item_cosine_pairs) — "frequently bought together", enumerated
+    # only within customer baskets, never all-pairs.
+    from dr_source_spark.operators.mining import item_cosine_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    baskets = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("ent"), F.col("l_partkey").alias("item")
+    )
+    return item_cosine_pairs(baskets, min_co=3, min_cos_bp=500)
+
+
+def _item_cosine_sql() -> str:
+    return f"""
+WITH inc AS (
+  SELECT DISTINCT o.o_custkey AS ent, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+ni AS (SELECT item, count(*) AS n FROM inc GROUP BY item),
+co AS (
+  SELECT x.item AS item_a, y.item AS item_b, CAST(count(*) AS BIGINT) AS n_co
+  FROM inc x JOIN inc y ON x.ent = y.ent AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+j AS (
+  SELECT item_a, item_b, n_co, CAST(a.n AS BIGINT) AS n_a,
+         CAST(b.n AS BIGINT) AS n_b, CAST(a.n AS HUGEINT) * b.n AS nn
+  FROM co JOIN ni a ON item_a = a.item JOIN ni b ON item_b = b.item)
+SELECT item_a, item_b, n_co, n_a, n_b,
+       CAST((CAST(n_co AS HUGEINT) * 10000) // {_duck_isqrt('nn')} AS BIGINT)
+         AS cos_bp
+FROM j
+WHERE (CAST(n_co AS HUGEINT) * 10000) // {_duck_isqrt('nn')} >= 500
+"""
+
+
+def _text_textrank_terms(spark, sf_dir):
+    # TextRank keyword scoring: fixed-point pagerank over the
+    # UNDIRECTED collocation graph (adjacent-bigram pairs with
+    # count >= 5 — the text_collocations edge set verbatim, so the
+    # graph has one source of truth). Mihalcea-Tarau's extractive
+    # keyword ranking, here bit-exact: the same 64-bit integer
+    # pagerank as kg_pagerank, oracle unrolled over the same edges.
+    from dr_source_spark.operators.graph import pagerank_fixed_point
+    from dr_source_spark.training.search import collocations
+
+    pairs = collocations(_t(spark, sf_dir, "documents"), min_count=5).select(
+        "t1", "t2"
+    )
+    edges = pairs.select(
+        F.col("t1").alias("src"), F.col("t2").alias("dst")
+    ).unionByName(pairs.select(F.col("t2").alias("src"), F.col("t1").alias("dst")))
+    return pagerank_fixed_point(edges).select(
+        F.col("node").alias("term"), "rank"
+    )
+
+
+def _textrank_sql() -> str:
+    edges = f"""
+WITH tok AS ({_TOK_STREAM_SQL}),
+t AS (SELECT * FROM tok WHERE token <> ''),
+prs AS (
+  SELECT a.token AS t1, b.token AS t2
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT t1 AS src, t2 AS dst FROM prs
+UNION ALL SELECT t2 AS src, t1 AS dst FROM prs
+"""
+    return (
+        f"SELECT node AS term, rank FROM ({_pagerank_sql_over(edges)})"
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -8903,6 +9052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": _events_cusum,
         "customer_interarrival": _customer_interarrival,
         "media_dhash_pairs": _media_dhash_pairs,
+        "lineitem_spearman_rho": _lineitem_spearman_rho,
+        "parts_item_cosine": _parts_item_cosine,
+        "text_textrank_terms": _text_textrank_terms,
     }
 
 
@@ -9055,6 +9207,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum": _EVENTS_CUSUM_SQL,
         "customer_interarrival": _INTERARRIVAL_SQL,
         "media_dhash_pairs": _media_dhash_sql(),
+        "lineitem_spearman_rho": _spearman_sql(),
+        "parts_item_cosine": _item_cosine_sql(),
+        "text_textrank_terms": _textrank_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

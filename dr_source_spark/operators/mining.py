@@ -157,3 +157,83 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
     )
+
+
+def item_cosine_pairs(
+    baskets: DataFrame,
+    entity_col: str = "ent",
+    item_col: str = "item",
+    min_co: int = 2,
+    min_cos_bp: int = 0,
+    max_basket: int = 0,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence — the
+    "frequently bought together" / item-based collaborative-filtering
+    signal: cos(a, b) = |E_a ∩ E_b| / √(|E_a|·|E_b|) over the sets of
+    entities that touched each item. The square root is made exact and
+    engine-stable via ``isqrt_expr`` on the single product n_a·n_b
+    (the product of two counts fits int64 up to 3·10^9 entities per
+    item), so cos_bp = (10000·co) div isqrt(n_a·n_b) is a deterministic
+    integer on any engine.
+
+    Scale shape: the (entity, item) incidence is deduplicated first,
+    pairs are enumerated ONLY within an entity's basket (self-join at
+    the entity key — the wedge discipline; a basket of size d yields
+    C(d,2) pairs), and ``max_basket`` drops whale baskets behind the
+    same non-silent observe metric as the LSH/jaccard caps (a whale
+    contributes quadratic pairs and near-zero per-pair signal).
+    ``min_co`` prunes before the count join-back.
+    """
+    from .graph import _OBS_SEQ
+    from .stats import isqrt_expr
+
+    inc = (
+        baskets.select(
+            F.col(entity_col).alias("ent"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_item = inc.groupBy("item").agg(F.count("*").alias("n"))
+    if max_basket:
+        bsz = inc.groupBy("ent").agg(F.count("*").alias("bd"))
+        whale = F.col("bd") > max_basket
+        bsz = bsz.observe(
+            f"item_cosine_whale_drops_{next(_OBS_SEQ)}",
+            F.sum(F.when(whale, 1).otherwise(0)).alias("n_whale_baskets"),
+            F.sum(F.when(whale, F.col("bd")).otherwise(0)).alias("n_rows_at_whales"),
+        )
+        inc = inc.join(bsz.filter(~whale).select("ent"), "ent")
+    x, y = inc.alias("x"), inc.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.ent") == F.col("y.ent")) & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    return (
+        co.join(n_item.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")), "item_a")
+        .join(n_item.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")), "item_b")
+        .withColumn(
+            "_den",
+            isqrt_expr(
+                F.expr("cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0))")
+            ),
+        )
+        .withColumn(
+            "cos_bp",
+            F.expr("cast((cast(n_co as decimal(38,0)) * 10000) div _den as long)"),
+        )
+        .filter(F.col("cos_bp") >= min_cos_bp)
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "cos_bp",
+        )
+    )

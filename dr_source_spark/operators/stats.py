@@ -1103,3 +1103,93 @@ def interarrival_profile(
             ).cast("long").alias("max_gap_days"),
         )
     )
+
+
+def isqrt_expr(x: "F.Column") -> "F.Column":
+    """Exact integer square root of a non-negative decimal(38,0)
+    column, ENGINE-STABLE: floor(sqrt(double(x))) lands within ±2 of
+    the true isqrt at any magnitude that fits decimal38 (double carries
+    53 mantissa bits; the cast and the sqrt each cost <1 unit at 1e31),
+    and four guarded integer comparisons then pin it exactly — so two
+    engines whose float sqrt differs in the last ulp still agree on the
+    result. The guard ``c >= 0`` keeps the tiny-x candidates (r0−1 can
+    be −1 when x = 0) from over-subtracting.
+    """
+    r0 = F.floor(F.sqrt(x.cast("double"))).cast(_D38)
+    out = r0 + F.lit(2).cast(_D38)
+    for i in range(4):
+        c = r0 + F.lit(2 - i).cast(_D38)
+        out = out - F.when((c >= 0) & (c * c > x), F.lit(1).cast(_D38)).otherwise(
+            F.lit(0).cast(_D38)
+        )
+    return out
+
+
+def spearman_rho_grid(
+    df: DataFrame,
+    x_col: "F.Column",
+    y_col: "F.Column",
+) -> DataFrame:
+    """Spearman rank correlation over a DISCRETE value grid with exact
+    tie handling: rows collapse to per-value cells (the
+    kendall_tau_grid discipline), average ranks are carried DOUBLED so
+    ties stay integer (r2(v) = 2·cnt_below + cnt_v + 1), and Pearson on
+    the doubled ranks uses the closed form Σw·r2 = n(n+1) for both
+    margins, leaving three exact sums: cov_num = n·Σw·r2x·r2y − T²,
+    var_num = n·Σw·r2² − T². The only irrational step — √(vx·vy) — is
+    the EXACT integer root isqrt(vx·vy) via ``isqrt_expr`` (vx·vy ≈
+    n⁴/9 fits decimal38 to ~5·10^9 rows — documented bound), so
+    rho_bp = sign·(10000·|cov|) div isqrt(vx·vy) is exact: perfect
+    monotone data yields exactly ±10000.
+
+    Shape: one narrow groupBy to the grid, one window per margin for
+    cnt_below (over the ≤ few-thousand-cell grid), a grid-sized join,
+    and a 1-row aggregate.
+    """
+    cells = (
+        df.select(x_col.cast("long").alias("x"), y_col.cast("long").alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("w").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("w").alias("cy"))
+    wx = Window.orderBy(F.asc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    wy = Window.orderBy(F.asc("y")).rowsBetween(Window.unboundedPreceding, -1)
+    rx = mx.select(
+        "x",
+        (
+            F.lit(2) * F.coalesce(F.sum("cx").over(wx), F.lit(0)) + F.col("cx") + 1
+        ).cast(_D38).alias("r2x"),
+    )
+    ry = my.select(
+        "y",
+        (
+            F.lit(2) * F.coalesce(F.sum("cy").over(wy), F.lit(0)) + F.col("cy") + 1
+        ).cast(_D38).alias("r2y"),
+    )
+    j = cells.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    agg = j.agg(
+        F.sum("w").cast(_D38).alias("n"),
+        F.sum(F.col("w").cast(_D38) * F.col("r2x") * F.col("r2y")).alias("sxy"),
+        F.sum(F.col("w").cast(_D38) * F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("w").cast(_D38) * F.col("r2y") * F.col("r2y")).alias("syy"),
+    )
+    t2 = (F.col("n") * (F.col("n") + 1)) * (F.col("n") * (F.col("n") + 1))
+    mid = agg.select(
+        "n",
+        (F.col("n") * F.col("sxy") - t2).alias("cov"),
+        (F.col("n") * F.col("sxx") - t2).alias("vx"),
+        (F.col("n") * F.col("syy") - t2).alias("vy"),
+    ).withColumn("den", isqrt_expr(F.col("vx") * F.col("vy")))
+    # only bounded columns come out: the raw cov/var numerators grow
+    # like n^4 (past int64 at ~10^5 rows), so they stay decimal38
+    # internals; rho_bp is in [-10000, 10000] by construction.
+    return mid.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(
+            "cast(case when den <= 0 then null else"
+            " (case when cov < 0 then -1 else 1 end)"
+            " * ((abs(cov) * 10000) div den) end as long)"
+        ).alias("rho_bp"),
+    )
