@@ -463,3 +463,83 @@ def test_rfm_rank_windows_over_customer_aggregate(spark):
     below = plan[plan.index("Window"):]
     assert "HashAggregate" in below
     assert "FileScan" in below.split("HashAggregate", 1)[1]
+
+
+def test_batch13_15_new_joins_are_equi_not_cartesian(spark):
+    """The wedge/banded joins added in round 5's continuation batches
+    must stay equi-joins: RA link prediction (wedge at the shared
+    neighbor), item-item cosine (self-join at the entity key), dHash
+    pairs (banded (band_idx, band_val) key). A CartesianProduct or
+    BroadcastNestedLoopJoin here is the all-pairs regression this
+    family exists to avoid."""
+    from dr_source_spark.operators.graph import resource_allocation
+    from dr_source_spark.operators.mining import item_cosine_pairs
+    from dr_source_spark.training.multimodal import dhash_pairs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    plan = _plan(resource_allocation(edges, min_common=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    baskets = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B")], "ent long, item string"
+    )
+    plan = _plan(item_cosine_pairs(baskets, min_co=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    sigs = spark.createDataFrame(
+        [(1, 1, 2, 3, 4), (2, 1, 2, 3, 4)],
+        "media_id long, b0 long, b1 long, b2 long, b3 long",
+    )
+    plan = _plan(dhash_pairs(sigs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mann_whitney_grid_cross_is_broadcast(spark):
+    """mann_whitney_grid's grid_a x grid_b enumeration is a deliberate
+    cross join over the COLLAPSED value grid (cells, not rows); the
+    plan must broadcast one side (grid-sized), and the upstream
+    row->cell collapse must be a partial+final aggregate."""
+    from dr_source_spark.operators.stats import mann_whitney_grid
+
+    df = spark.createDataFrame(
+        [(True, 1), (False, 2), (True, 2)], "side boolean, v long"
+    )
+    plan = _plan(mann_whitney_grid(df, F.col("side"), F.col("v")))
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan or (
+        "CartesianProduct" not in plan and "Broadcast" in plan
+    )
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_is_shuffle_free(spark):
+    """weighted_bernoulli_sample: one global 1-row aggregate broadcast
+    back over the scan — the doc filter itself must not shuffle the
+    table (no Exchange between the scan and the filter output other
+    than the broadcast)."""
+    from dr_source_spark.training.select import weighted_bernoulli_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(weighted_bernoulli_sample(docs, "n_chars", target=10))
+    # the only exchange feeds the 1-row total (broadcast); the big side
+    # never repartitions
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_cohort_matrix_aggregates_are_partial_final(spark):
+    from dr_source_spark.operators.stats import cohort_matrix
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(
+        cohort_matrix(
+            orders, "o_custkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
