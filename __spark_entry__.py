@@ -8806,6 +8806,166 @@ UNION ALL SELECT t2 AS src, t1 AS dst FROM prs
 
 
 
+def _customer_er_fs_weights(spark, sf_dir):
+    # Fellegi-Sunter agreement weights learned from the planted ER
+    # benchmark (operators/entity_link.py::er_fs_weights): per
+    # comparison feature, m = P(agree|match) and u = P(agree|non-match)
+    # over the BLOCKED candidate population, plus the integer
+    # likelihood-ratio proxy lr_x100 — the "learn match weights from
+    # labeled data" step that turns the ER stack into a trainable
+    # matcher.
+    from dr_source_spark.operators.entity_link import er_fs_weights
+
+    return er_fs_weights(
+        _er_planted_mentions(spark, sf_dir),
+        F.expr("mention_id div 4"),
+        b=_ER_B,
+        df_cap_pct=_ER_DF_PCT,
+        max_bucket=_ER_BUCKET,
+    )
+
+
+def _er_fs_weights_sql() -> str:
+    # reuse the customer-ER oracle's CTE chain verbatim through `cand`
+    # (same blocking constants, the er_quality precedent), then score
+    # the three comparison features against the planted truth
+    prefix = _customer_er_sql().split("\nsizes AS")[0].rstrip().rstrip(",")
+    return (
+        prefix
+        + """,
+sizes AS (SELECT mention_id, count(*) AS sz FROM grams GROUP BY mention_id),
+inter AS (SELECT c.ia, c.ib, count(*) AS n_common
+          FROM cand c JOIN grams ga ON ga.mention_id = c.ia
+                      JOIN grams gb ON gb.mention_id = c.ib AND gb.h = ga.h
+          GROUP BY c.ia, c.ib),
+feat AS (
+  SELECT (c.ia // 4 = c.ib // 4) AS is_match,
+         (i.n_common * 100) // (sa.sz + sb.sz - i.n_common) >= 70 AS f_jacc,
+         substr(ma.name, 1, 4) = substr(mb.name, 1, 4) AS f_prefix,
+         abs(length(ma.name) - length(mb.name)) <= 1 AS f_len
+  FROM cand c
+  JOIN inter i ON i.ia = c.ia AND i.ib = c.ib
+  JOIN sizes sa ON sa.mention_id = c.ia
+  JOIN sizes sb ON sb.mention_id = c.ib
+  JOIN men ma ON ma.mention_id = c.ia
+  JOIN men mb ON mb.mention_id = c.ib),
+st AS (
+  SELECT 'jaccard70' AS feature, is_match, f_jacc AS agree FROM feat
+  UNION ALL SELECT 'prefix4', is_match, f_prefix FROM feat
+  UNION ALL SELECT 'len1', is_match, f_len FROM feat),
+agg AS (
+  SELECT feature,
+         CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmatch,
+         CAST(sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_match,
+         CAST(sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_nonmatch
+  FROM st GROUP BY feature)
+SELECT feature, n_match, n_nonmatch,
+       CASE WHEN n_match > 0
+            THEN CAST((10000 * n_agree_match) // n_match AS BIGINT) END AS m_bp,
+       CASE WHEN n_nonmatch > 0
+            THEN CAST((10000 * n_agree_nonmatch) // n_nonmatch AS BIGINT) END AS u_bp,
+       CASE WHEN n_match > 0 AND n_nonmatch > 0 THEN
+         CAST((((10000 * n_agree_match) // n_match) * 100)
+              // greatest((10000 * n_agree_nonmatch) // n_nonmatch, 1) AS BIGINT)
+       END AS lr_x100
+FROM agg"""
+    )
+
+
+def _events_seasonal_anomalies(spark, sf_dir):
+    # Two-way additive seasonal decomposition of the (date × hour-of-
+    # day) count grid with exact scaled residuals (operators/stats.py::
+    # seasonal_residual_anomalies): top-20 cells that break the daily
+    # cycle AND the per-day level — the additive-model anomaly audit
+    # the global zscore screen can't express.
+    from dr_source_spark.operators.stats import seasonal_residual_anomalies
+
+    return seasonal_residual_anomalies(
+        _t(spark, sf_dir, "events"), "ts", top_k=20
+    ).select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "hour", "n_events", "resid_scaled", "rank",
+    )
+
+
+_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(d) AS mn, max(d) AS mx, sum(x) AS t FROM cells),
+cal AS (
+  SELECT t, date_diff('day', mn, mx) + 1 AS r,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds),
+dense AS (
+  SELECT cal.t, cal.r, cal.d, hh.h, coalesce(cells.x, 0) AS x
+  FROM cal CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) hh
+  LEFT JOIN cells ON cells.d = cal.d AND cells.h = hh.h),
+sd AS (SELECT d, sum(x) AS s_date FROM dense GROUP BY d),
+sh AS (SELECT h, sum(x) AS s_hour FROM dense GROUP BY h),
+scored AS (
+  SELECT dense.d, dense.h, dense.x,
+         CAST(CAST(dense.r AS HUGEINT) * 24 * dense.x
+              - 24 * CAST(sd.s_date AS HUGEINT)
+              - CAST(dense.r AS HUGEINT) * sh.s_hour
+              + dense.t AS BIGINT) AS resid_scaled
+  FROM dense JOIN sd ON dense.d = sd.d JOIN sh ON dense.h = sh.h),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY abs(resid_scaled) DESC, d ASC, h ASC) AS rank
+  FROM scored)
+SELECT strftime(d, '%Y-%m-%d') AS date, h AS hour, x AS n_events,
+       resid_scaled, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+
+def _emb_nn_margin(spark, sf_dir):
+    # Per-anchor 1-NN margin audit / hard-negative miner (training/
+    # similarity.py::nn_margin_stats): nearest same-label neighbor
+    # (positive), nearest different-label neighbor (the triplet-mining
+    # hard negative), exact integer margin of the rounded sims, and the
+    # 1-NN correctness flag — embedding quality as a queryable table.
+    from dr_source_spark.training.similarity import nn_margin_stats
+
+    return nn_margin_stats(_t(spark, sf_dir, "embeddings"))
+
+
+_EMB_NN_MARGIN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_lbl, b.vec_id AS b_id,
+         b.label AS b_lbl,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) IS NOT NULL),
+pos AS (
+  SELECT a_id, b_id AS pos_id, sim AS sim_pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS r
+    FROM scored WHERE a_lbl = b_lbl) WHERE r = 1),
+neg AS (
+  SELECT a_id, b_id AS neg_id, sim AS sim_neg FROM (
+    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS r
+    FROM scored WHERE a_lbl <> b_lbl) WHERE r = 1)
+SELECT e.vec_id, e.label, pos_id, sim_pos, neg_id, sim_neg,
+       CAST(round(sim_pos * 1e6) - round(sim_neg * 1e6) AS BIGINT) AS margin_e6,
+       CASE WHEN sim_pos IS NULL OR sim_neg IS NULL THEN false
+            ELSE sim_pos > sim_neg END AS correct_1nn
+FROM e
+LEFT JOIN pos ON e.vec_id = pos.a_id
+LEFT JOIN neg ON e.vec_id = neg.a_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9055,6 +9215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_spearman_rho": _lineitem_spearman_rho,
         "parts_item_cosine": _parts_item_cosine,
         "text_textrank_terms": _text_textrank_terms,
+        "customer_er_fs_weights": _customer_er_fs_weights,
+        "events_seasonal_anomalies": _events_seasonal_anomalies,
+        "emb_nn_margin": _emb_nn_margin,
     }
 
 
@@ -9210,6 +9373,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_spearman_rho": _spearman_sql(),
         "parts_item_cosine": _item_cosine_sql(),
         "text_textrank_terms": _textrank_sql(),
+        "customer_er_fs_weights": _er_fs_weights_sql(),
+        "events_seasonal_anomalies": _SEASONAL_SQL,
+        "emb_nn_margin": _EMB_NN_MARGIN_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

@@ -290,3 +290,117 @@ def er_blocking_quality(
             ).alias("reduction_ratio_bp"),
         )
     )
+
+
+def er_fs_weights(
+    mentions: DataFrame,
+    truth: Column,
+    b: int = 4,
+    df_cap_pct: int = 5,
+    max_bucket: int = 64,
+    jaccard_agree_pct: int = 70,
+) -> DataFrame:
+    """Fellegi-Sunter agreement weights learned from labeled candidates:
+    for each comparison feature, m = P(agree | true match) and
+    u = P(agree | true non-match) over the CANDIDATE pairs (the
+    population a production matcher actually scores — blocking already
+    removed the trivially-unlike pairs, exactly as in a real FS fit),
+    plus the likelihood-ratio proxy lr_x100 = (m_bp·100) div max(u_bp,1)
+    — the integer-exact form of the classic log(m/u) match weight (the
+    log is read-time cosmetic, the PMI rule). Features: full-gram
+    Jaccard ≥ ``jaccard_agree_pct``, equal 4-char prefix, length
+    difference ≤ 1. ``truth`` is the planted entity id expression
+    evaluated over ``mention_id``.
+
+    Shape: the candidate chain is er_candidate_pairs verbatim (same
+    caps, same observe metrics), one gram equi-join for the exact
+    intersections, two broadcast-size joins for names/truth, a 3-way
+    stack and one tiny groupBy. Nothing here is all-pairs.
+    """
+    grams = mention_grams(mentions)
+    cand = er_candidate_pairs(grams, b=b, df_cap_pct=df_cap_pct, max_bucket=max_bucket)
+    sizes = grams.groupBy("mention_id").agg(F.count("*").alias("_sz"))
+    ga = grams.select(F.col("mention_id").alias("ia"), "h")
+    gb = grams.select(F.col("mention_id").alias("ib"), "h")
+    inter = (
+        cand.join(ga, "ia")
+        .join(gb, ["ib", "h"])
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("_nc"))
+    )
+    info = mentions.select(
+        F.col("mention_id"),
+        F.col("name").alias("_name"),
+        truth.alias("_ent"),
+    )
+    ia_info = info.select(
+        F.col("mention_id").alias("ia"),
+        F.col("_name").alias("_na"),
+        F.col("_ent").alias("_ea"),
+    )
+    ib_info = info.select(
+        F.col("mention_id").alias("ib"),
+        F.col("_name").alias("_nb"),
+        F.col("_ent").alias("_eb"),
+    )
+    feat = (
+        inter.join(
+            sizes.select(F.col("mention_id").alias("ia"), F.col("_sz").alias("_sa")), "ia"
+        )
+        .join(
+            sizes.select(F.col("mention_id").alias("ib"), F.col("_sz").alias("_sb")), "ib"
+        )
+        .join(ia_info, "ia")
+        .join(ib_info, "ib")
+        .select(
+            (F.col("_ea") == F.col("_eb")).alias("is_match"),
+            (
+                F.expr("(_nc * 100) div (_sa + _sb - _nc)")
+                >= F.lit(jaccard_agree_pct)
+            ).alias(f"f_jaccard{jaccard_agree_pct}"),
+            (
+                F.substring("_na", 1, 4) == F.substring("_nb", 1, 4)
+            ).alias("f_prefix4"),
+            (
+                F.abs(F.length("_na") - F.length("_nb")) <= 1
+            ).alias("f_len1"),
+        )
+    )
+    fnames = [f"f_jaccard{jaccard_agree_pct}", "f_prefix4", "f_len1"]
+    stacked = feat.select(
+        "is_match",
+        F.expr(
+            "stack({n}, {cells}) as (feature, agree)".format(
+                n=len(fnames),
+                cells=", ".join(f"'{f[2:]}', {f}" for f in fnames),
+            )
+        ),
+    )
+    return (
+        stacked.groupBy("feature")
+        .agg(
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0)).cast("long").alias("n_match"),
+            F.sum(F.when(~F.col("is_match"), 1).otherwise(0)).cast("long").alias("n_nonmatch"),
+            F.sum(F.when(F.col("is_match") & F.col("agree"), 1).otherwise(0))
+            .cast("long").alias("n_agree_match"),
+            F.sum(F.when(~F.col("is_match") & F.col("agree"), 1).otherwise(0))
+            .cast("long").alias("n_agree_nonmatch"),
+        )
+        .select(
+            "feature",
+            "n_match",
+            "n_nonmatch",
+            F.expr(
+                "cast(case when n_match > 0 then (10000 * n_agree_match) div n_match end as long)"
+            ).alias("m_bp"),
+            F.expr(
+                "cast(case when n_nonmatch > 0 then (10000 * n_agree_nonmatch) div n_nonmatch end as long)"
+            ).alias("u_bp"),
+            F.expr(
+                "cast(case when n_match > 0 and n_nonmatch > 0 then"
+                " (((10000 * n_agree_match) div n_match) * 100)"
+                " div greatest((10000 * n_agree_nonmatch) div n_nonmatch, 1)"
+                " end as long)"
+            ).alias("lr_x100"),
+        )
+    )

@@ -1193,3 +1193,74 @@ def spearman_rho_grid(
             " * ((abs(cov) * 10000) div den) end as long)"
         ).alias("rho_bp"),
     )
+
+
+def seasonal_residual_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Two-way additive seasonal decomposition of the (date × hour-of-
+    day) event-count grid with EXACT scaled residuals — "this hour on
+    this day was anomalous even after accounting for the daily cycle
+    and the per-day level". The grid is densified (every date in range
+    × all 24 hours; a missing cell is a zero), and the residual
+    r = x − rowmean(date) − colmean(hour) + grandmean is carried
+    multiplied by R·C (R dates, C = 24 hours) so it stays integer:
+    r_scaled = R·C·x − C·S_date − R·S_hour + T. Global z-scoring flags
+    busy hours; THIS flags hours that break the weekly texture (a 3 am
+    spike on a quiet day) — the additive-model audit.
+
+    Returns the ``top_k`` cells by |r_scaled| (ties broken (date,
+    hour) ascending — a deterministic order statistic). Shape: one
+    narrow (date, hour) aggregate, the tiny dense calendar grid, two
+    marginal joins and one top-k window over ≤ R·24 rows.
+    """
+    cells = (
+        df.select(
+            F.to_date(ts_col).alias("d"),
+            F.hour(ts_col).alias("h"),
+        )
+        .groupBy("d", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = cells.agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx"), F.sum("x").alias("t")
+    )
+    dense = (
+        bounds.select(
+            "t",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"),
+            (F.datediff("mx", "mn") + 1).cast("long").alias("r"),
+        )
+        .select("t", "r", "d", F.explode(F.expr("sequence(0, 23)")).alias("h"))
+        .join(cells, ["d", "h"], "left")
+        .select("t", "r", "d", "h", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    sd = dense.groupBy("d").agg(F.sum("x").alias("s_date"))
+    sh = dense.groupBy("h").agg(F.sum("x").alias("s_hour"))
+    scored = (
+        dense.join(F.broadcast(sd), "d")
+        .join(F.broadcast(sh), "h")
+        .withColumn(
+            "resid_scaled",
+            (
+                F.col("r").cast(_D38) * 24 * F.col("x").cast(_D38)
+                - F.lit(24).cast(_D38) * F.col("s_date").cast(_D38)
+                - F.col("r").cast(_D38) * F.col("s_hour").cast(_D38)
+                + F.col("t").cast(_D38)
+            ).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.abs(F.col("resid_scaled")).desc(), F.asc("d"), F.asc("h"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("d").alias("date"),
+            F.col("h").cast("long").alias("hour"),
+            F.col("x").alias("n_events"),
+            "resid_scaled",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -732,3 +732,88 @@ def silhouette_lite(
         "label", "n_vectors", "n_negative",
         (msign * F.expr("abs(_sum) div n_vectors").cast("long")).alias("mean_sil_bp"),
     )
+
+
+def nn_margin_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-anchor 1-NN margin audit — the contrastive-training batch
+    builder and embedding-quality probe in one pass: for every vector,
+    its most-similar SAME-label neighbor (the positive), its
+    most-similar DIFFERENT-label neighbor (the hard negative — exactly
+    what triplet mining wants), the margin between them, and the 1-NN
+    correctness flag (margin > 0 ⟺ a 1-NN classifier labels the anchor
+    right; ties count incorrect — documented contract). Similarities
+    are the family's round(cosine, 6) contract; margin_e6 is the exact
+    integer difference of the two rounded sims.
+
+    Scale shape: this is the BRUTE-FORCE baseline of the ann family
+    (one all-pairs pass, n·(n−1) dot products spread across
+    partitions; two per-anchor top-1 windows on narrow columns) —
+    correct at any size, quadratic in cost; at corpus scale the
+    candidate generator swaps to the IVF/LSH bucket path exactly as
+    ann_cosine_topk → ann_ivf_topk does.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_lbl"),
+    )
+    sc = embeddings.sparkSession.sparkContext
+    b = embeddings.repartition(sc.defaultParallelism, id_col).select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col(label_col).alias("b_lbl"),
+    )
+    scored = (
+        b.join(F.broadcast(a), F.col("b_id") != F.col("a_id"))
+        .withColumn("sim", F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 6))
+        .filter(F.col("sim").isNotNull())
+        .select("a_id", "a_lbl", "b_id", "b_lbl", "sim")
+    )
+    wsame = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    pos = (
+        scored.filter(F.col("a_lbl") == F.col("b_lbl"))
+        .withColumn("_r", F.row_number().over(wsame))
+        .filter(F.col("_r") == 1)
+        .select(
+            "a_id",
+            F.col("b_id").alias("pos_id"),
+            F.col("sim").alias("sim_pos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("a_lbl") != F.col("b_lbl"))
+        .withColumn("_r", F.row_number().over(wsame))
+        .filter(F.col("_r") == 1)
+        .select(
+            "a_id",
+            F.col("b_id").alias("neg_id"),
+            F.col("sim").alias("sim_neg"),
+        )
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("a_id"), F.col(label_col).alias("label"))
+        .join(pos, "a_id", "left")
+        .join(neg, "a_id", "left")
+        .withColumn(
+            "margin_e6",
+            (
+                F.round(F.col("sim_pos") * 1e6) - F.round(F.col("sim_neg") * 1e6)
+            ).cast("long"),
+        )
+        .withColumn(
+            "correct_1nn",
+            F.when(
+                F.col("sim_pos").isNull() | F.col("sim_neg").isNull(), F.lit(False)
+            ).otherwise(F.col("sim_pos") > F.col("sim_neg")),
+        )
+        .select(
+            F.col("a_id").alias("vec_id"),
+            "label", "pos_id", "sim_pos", "neg_id", "sim_neg",
+            "margin_e6", "correct_1nn",
+        )
+    )

@@ -1,0 +1,158 @@
+"""Planted-truth tests for the batch-16 operators: Fellegi-Sunter
+weights and seasonal residual anomalies."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+class TestErFsWeights:
+    def test_planted_separation(self, spark):
+        from dr_source_spark.operators.entity_link import er_fs_weights
+
+        # two entities, two mentions each: within-entity names are
+        # near-identical, cross-entity names share nothing but still
+        # collide in blocking via a shared rare gram
+        rows = [
+            (0, "jonathansmithxyzq1"),
+            (1, "jonathansmithxyzq2"),
+            (4, "elizabethjonesxyzq3"),
+            (5, "elizabethjonesxyzq4"),
+        ]
+        df = spark.createDataFrame(rows, "mention_id long, name string")
+        out = {
+            r["feature"]: r
+            for r in er_fs_weights(
+                df, F.expr("mention_id div 4"), b=4, df_cap_pct=100, max_bucket=64
+            ).collect()
+        }
+        assert set(out) == {"jaccard70", "prefix4", "len1"}
+        # the within-entity candidates agree on every feature; the
+        # cross-entity candidates (blocked via the shared 'xyzq' grams)
+        # disagree on jaccard and prefix
+        j = out["jaccard70"]
+        assert j["m_bp"] == 10000
+        assert j["u_bp"] == 0
+        assert j["lr_x100"] == 10000 * 100 // 1  # u floored at 1
+        p = out["prefix4"]
+        assert p["m_bp"] == 10000 and p["u_bp"] == 0
+        # length diff <= 1 holds for every pair here (all same length)
+        l = out["len1"]
+        assert l["m_bp"] == 10000 and l["u_bp"] == 10000
+        assert l["lr_x100"] == 100  # uninformative feature -> LR ~ 1
+
+    def test_counts_cover_all_candidates(self, spark):
+        from dr_source_spark.operators.entity_link import (
+            er_candidate_pairs, er_fs_weights, mention_grams,
+        )
+
+        rows = [
+            (0, "aaabbbcccddd"),
+            (1, "aaabbbcccdde"),
+            (4, "aaabbbcccxyz"),
+        ]
+        df = spark.createDataFrame(rows, "mention_id long, name string")
+        n_cand = er_candidate_pairs(
+            mention_grams(df), b=4, df_cap_pct=100, max_bucket=64
+        ).count()
+        out = er_fs_weights(
+            df, F.expr("mention_id div 4"), b=4, df_cap_pct=100, max_bucket=64
+        ).collect()
+        for r in out:
+            assert r["n_match"] + r["n_nonmatch"] == n_cand
+
+
+class TestSeasonalAnomalies:
+    def test_planted_offcycle_spike_ranks_first(self, spark):
+        from dr_source_spark.operators.stats import seasonal_residual_anomalies
+
+        # 7 days x 24 hours: every day has 10 events at hour 9 and 2
+        # events every other hour; day 3 hour 3 gets a 40-event spike.
+        rows = []
+        eid = 0
+        for d in range(7):
+            for h in range(24):
+                n = 10 if h == 9 else 2
+                if (d, h) == (3, 3):
+                    n = 40
+                for _ in range(n):
+                    rows.append(
+                        (dt.datetime(2024, 1, 1 + d, h, eid % 60 // 1), eid)
+                    )
+                    eid += 1
+        df = spark.createDataFrame(rows, "ts timestamp, id long")
+        out = seasonal_residual_anomalies(df, "ts", top_k=5).collect()
+        top = out[0]
+        assert top["rank"] == 1
+        assert (top["date"], top["hour"]) == (dt.date(2024, 1, 4), 3)
+        assert top["n_events"] == 40
+        # the daily 9am peak is SEASONAL, not anomalous: no hour-9 cell
+        # may outrank the spike's own-row/column shadow cells
+        assert all(r["hour"] != 9 or r["rank"] > 1 for r in out)
+
+    def test_exact_residual_identity(self, spark):
+        from dr_source_spark.operators.stats import seasonal_residual_anomalies
+
+        # tiny 2-day grid, hand-check r_scaled = R*C*x - C*Sd - R*Sh + T
+        rows = []
+        eid = 0
+        counts = {}
+        for d in range(2):
+            for h in range(24):
+                n = (d + 1) * (1 if h != 5 else 4)
+                counts[(d, h)] = n
+                for _ in range(n):
+                    rows.append((dt.datetime(2024, 2, 1 + d, h), eid))
+                    eid += 1
+        df = spark.createDataFrame(rows, "ts timestamp, id long")
+        out = {
+            (r["date"], r["hour"]): r["resid_scaled"]
+            for r in seasonal_residual_anomalies(df, "ts", top_k=48).collect()
+        }
+        R, C = 2, 24
+        T = sum(counts.values())
+        sd = {d: sum(counts[(d, h)] for h in range(24)) for d in range(2)}
+        sh = {h: sum(counts[(d, h)] for d in range(2)) for h in range(24)}
+        for (d, h), x in counts.items():
+            want = R * C * x - C * sd[d] - R * sh[h] + T
+            assert out[(dt.date(2024, 2, 1 + d), h)] == want
+
+
+class TestNnMargin:
+    def test_planted_clusters(self, spark):
+        from dr_source_spark.training.similarity import nn_margin_stats
+
+        # two tight clusters on orthogonal axes plus one mislabeled
+        # point sitting inside the wrong cluster
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1),
+            (3, [0.1, 0.99, 0.0], 1),
+            (4, [0.98, 0.05, 0.0], 1),  # labeled 1, lives with cluster 0
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = {r["vec_id"]: r for r in nn_margin_stats(df).collect()}
+        # cluster-1 anchors are clean: nearest neighbor shares the label
+        assert out[2]["correct_1nn"] is True and out[2]["margin_e6"] > 0
+        assert out[3]["correct_1nn"] is True
+        # the mislabel poisons BOTH sides: anchors 0 and 1 now have a
+        # different-label vector closer than their own cluster mate,
+        # and the mislabeled point itself sits in the wrong cluster —
+        # exactly the rows a label-noise audit wants surfaced
+        assert out[0]["correct_1nn"] is False
+        assert out[1]["correct_1nn"] is False
+        assert out[4]["correct_1nn"] is False
+        assert out[4]["margin_e6"] < 0
+        # hard negative of anchor 0 is the mislabeled lookalike
+        assert out[0]["neg_id"] == 4
+
+    def test_single_label_corpus_has_null_negatives(self, spark):
+        from dr_source_spark.training.similarity import nn_margin_stats
+
+        rows = [(0, [1.0, 0.0], 7), (1, [0.9, 0.1], 7)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = nn_margin_stats(df).collect()
+        assert all(r["neg_id"] is None for r in out)
+        assert all(r["correct_1nn"] is False for r in out)
+        assert all(r["margin_e6"] is None for r in out)
