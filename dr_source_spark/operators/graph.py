@@ -1406,6 +1406,8 @@ def hits_scores(
     groupBy — both map-side combinable — plus a 1-row max broadcast;
     2·rounds such steps, no iteration-to-convergence (fixed unroll).
     """
+    if rounds < 1:
+        raise ValueError("hits_scores needs rounds >= 1")
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")

@@ -182,7 +182,10 @@ def item_cosine_pairs(
     C(d,2) pairs), and ``max_basket`` drops whale baskets behind the
     same non-silent observe metric as the LSH/jaccard caps (a whale
     contributes quadratic pairs and near-zero per-pair signal).
-    ``min_co`` prunes before the count join-back.
+    ``min_co`` prunes before the count join-back. Note the
+    denominators n_a/n_b count the FULL incidence (including whale
+    baskets) while n_co counts only surviving evidence — the cap can
+    only shrink a score, never inflate it.
     """
     from .graph import _OBS_SEQ
     from .stats import isqrt_expr
