@@ -8289,7 +8289,9 @@ _MANN_WHITNEY_SQL = """
 WITH cells AS (
   SELECT l_returnflag = 'R' AS side, CAST(floor(l_quantity) AS BIGINT) AS v,
          CAST(count(*) AS HUGEINT) AS cnt
-  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1, 2),
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+  GROUP BY 1, 2),
 tot AS (
   SELECT sum(CASE WHEN side THEN cnt END) AS na,
          sum(CASE WHEN NOT side THEN cnt END) AS nb
@@ -8703,7 +8705,9 @@ WITH cells AS (
   SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
          CAST(floor(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT) AS y,
          CAST(count(*) AS HUGEINT) AS w
-  FROM lineitem GROUP BY 1, 2),
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2),
 mx AS (SELECT x, sum(w) AS cx FROM cells GROUP BY x),
 my AS (SELECT y, sum(w) AS cy FROM cells GROUP BY y),
 rx AS (SELECT x, 2 * coalesce(sum(cx) OVER (ORDER BY x
