@@ -8970,6 +8970,61 @@ LEFT JOIN neg ON e.vec_id = neg.a_id
 
 
 
+def _media_audio_fp_pairs(spark, sf_dir):
+    # Audio near-dup via the energy-delta fingerprint through the REAL
+    # WAV decode path (training/multimodal.py::audio_fingerprint_pairs)
+    # — the audio sibling of media_dhash_pairs: 2-sample frame energies,
+    # 32 energy-LSB bits (a delta-sign derivation degenerated on the
+    # ramp-shaped synthetic waveform and was rejected — all pairs
+    # matched), two 16-bit bands, banded candidates + exact Hamming
+    # <= 3. Same wrap=160 planted-duplicate corpus (odd ids are WAV),
+    # so the decode must recover the duplicates at distance 0.
+    from dr_source_spark.training.multimodal import (
+        audio_fingerprint_pairs, synth_decodable_media,
+    )
+
+    media = synth_decodable_media(_t(spark, sf_dir, "documents"), wrap=160)
+    return audio_fingerprint_pairs(
+        media.filter(F.col("kind") == "audio"), max_hamming=3
+    )
+
+
+_MEDIA_AUDIO_FP_SQL = """
+WITH s AS (
+  SELECT d.doc_id AS mid, t.i // 2 AS fi,
+         ((d.doc_id % 160) * 31 + t.i * 17) % 65536 - 32768 AS v
+  FROM documents d
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, CAST(99 + (d.doc_id % 160) % 50 AS INT))) AS i) t
+  WHERE d.doc_id % 2 = 1),
+fe AS (SELECT mid, fi, sum(v * v) AS e, count(*) AS ns
+       FROM s GROUP BY mid, fi),
+bt AS (
+  SELECT mid, fi, (e // 256) % 2 AS b
+  FROM fe WHERE fi <= 31 AND ns = 2),
+sig AS (
+  SELECT mid,
+         sum(CASE WHEN fi < 16 THEN b << fi ELSE 0 END) AS b0,
+         sum(CASE WHEN fi >= 16 THEN b << (fi - 16) ELSE 0 END) AS b1
+  FROM bt GROUP BY mid HAVING count(*) = 32),
+st AS (
+  SELECT mid, 0 AS band_idx, b0 AS band_val FROM sig
+  UNION ALL SELECT mid, 1, b1 FROM sig),
+cand AS (
+  SELECT DISTINCT x.mid AS media_a, y.mid AS media_b
+  FROM st x JOIN st y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.mid < y.mid)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) AS BIGINT)
+         AS hamming
+FROM cand
+JOIN sig a ON media_a = a.mid
+JOIN sig b ON media_b = b.mid
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) <= 3
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9222,6 +9277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_er_fs_weights": _customer_er_fs_weights,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
         "emb_nn_margin": _emb_nn_margin,
+        "media_audio_fp_pairs": _media_audio_fp_pairs,
     }
 
 
@@ -9380,6 +9436,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_er_fs_weights": _er_fs_weights_sql(),
         "events_seasonal_anomalies": _SEASONAL_SQL,
         "emb_nn_margin": _EMB_NN_MARGIN_SQL,
+        "media_audio_fp_pairs": _MEDIA_AUDIO_FP_SQL,
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

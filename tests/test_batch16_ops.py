@@ -156,3 +156,25 @@ class TestNnMargin:
         assert all(r["neg_id"] is None for r in out)
         assert all(r["correct_1nn"] is False for r in out)
         assert all(r["margin_e6"] is None for r in out)
+
+
+class TestAudioFingerprint:
+    def test_planted_duplicates_recovered_exactly(self, spark):
+        from dr_source_spark.training.multimodal import (
+            audio_fingerprint_pairs, synth_decodable_media,
+        )
+
+        docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+        # wrap=20: odd docs 1..39 -> payload ids cycle (1,3,...,19) twice
+        media = synth_decodable_media(docs, wrap=20).filter(
+            F.col("kind") == "audio"
+        )
+        pairs = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in audio_fingerprint_pairs(media, max_hamming=3).collect()
+        }
+        # every planted duplicate (d, d+20) recovered at distance 0,
+        # and nothing else matches
+        want = {(d, d + 20) for d in range(1, 20, 2)}
+        assert set(pairs) == want
+        assert all(h == 0 for h in pairs.values())
