@@ -9025,6 +9025,85 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) <= 3
 
 
 
+def _kg_clustering_coeff(spark, sf_dir):
+    # per-node local clustering coefficient over the KG in exact bp
+    # (operators/graph.py::clustering_coefficients): the pointwise
+    # refinement of transitivity_global — which entities sit in tightly
+    # interlinked neighborhoods vs pure star hubs; degree-oriented
+    # triangle enumeration, NULL (not 0) below degree 2.
+    from dr_source_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_kg_triples(spark, sf_dir).edges)
+
+
+def _kg_clustering_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+nodes AS MATERIALIZED (SELECT src AS node FROM kg_e UNION SELECT dst FROM kg_e),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e WHERE src <> dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tc AS (
+  SELECT n.node, CAST(count(v.node) AS BIGINT) AS n_triangles
+  FROM nodes n LEFT JOIN verts v ON v.node = n.node
+  GROUP BY n.node)
+SELECT tc.node, coalesce(deg.degree, 0) AS degree, tc.n_triangles,
+       CASE WHEN coalesce(deg.degree, 0) >= 2 THEN
+         CAST((20000 * tc.n_triangles) // (deg.degree * (deg.degree - 1)) AS BIGINT)
+       END AS lcc_bp
+FROM tc LEFT JOIN deg ON tc.node = deg.node
+"""
+
+
+def _kg_four_cycles(spark, sf_dir):
+    # exact global 4-cycle census over the KG (operators/graph.py::
+    # four_cycle_census): #C4 = Σ C(codeg,2)/2 over co-neighbor pairs —
+    # the bipartite-core signal the triangle census is blind to (this
+    # file<->CWE graph is rectangle-rich exactly where vuln profiles
+    # repeat across files).
+    from dr_source_spark.operators.graph import four_cycle_census
+
+    return four_cycle_census(_kg_triples(spark, sf_dir).edges)
+
+
+def _kg_four_cycles_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS neigh FROM und
+  UNION ALL SELECT b AS node, a AS neigh FROM und),
+cop AS (
+  SELECT x.node AS u, y.node AS v, CAST(count(*) AS HUGEINT) AS c
+  FROM adj x JOIN adj y ON x.neigh = y.neigh AND x.node < y.node
+  GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_copair_rows,
+       CAST(sum(c) AS BIGINT) AS n_wedges,
+       CAST(sum(CASE WHEN c >= 2 THEN (c * (c - 1)) // 2 ELSE 0 END) // 2
+            AS BIGINT) AS n_four_cycles
+FROM cop
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9278,6 +9357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomalies": _events_seasonal_anomalies,
         "emb_nn_margin": _emb_nn_margin,
         "media_audio_fp_pairs": _media_audio_fp_pairs,
+        "kg_clustering_coeff": _kg_clustering_coeff,
+        "kg_four_cycles": _kg_four_cycles,
     }
 
 
@@ -9437,6 +9518,8 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal_anomalies": _SEASONAL_SQL,
         "emb_nn_margin": _EMB_NN_MARGIN_SQL,
         "media_audio_fp_pairs": _MEDIA_AUDIO_FP_SQL,
+        "kg_clustering_coeff": _kg_clustering_sql(),
+        "kg_four_cycles": _kg_four_cycles_sql(),
         "kg_extract_triples": _kg_sql.kg_triples_oracle_sql(),
         "kg_canonicalize": _kg_sql.kg_canonicalize_oracle_sql(),
         "kg_node_degrees": (

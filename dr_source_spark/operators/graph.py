@@ -1463,3 +1463,100 @@ def _max_norm(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
             .alias("s"),
         )
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient in exact basis points:
+    lcc(v) = triangles(v) / C(deg(v), 2) — "how much of v's
+    neighborhood is itself connected". The per-node complement of
+    ``transitivity_global`` (one global ratio) and the pointwise
+    refinement of ``triangle_counts``: lcc_bp = (10000·2·tri) div
+    (d·(d−1)), pure integers. Nodes of degree < 2 have no defined
+    coefficient and report NULL (not 0 — an isolated leaf is not
+    "perfectly unclustered", it is unmeasurable).
+
+    Shape: triangle_counts (degree-oriented wedge enumeration — the
+    Suri-Vassilvitskii shape, no celebrity blowup) plus one degree
+    aggregate and a narrow join.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        tri.join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            "n_triangles",
+        )
+        .withColumn(
+            "lcc_bp",
+            F.expr(
+                "cast(case when degree >= 2 then"
+                " (20000 * n_triangles) div (degree * (degree - 1)) end as long)"
+            ),
+        )
+    )
+
+
+def four_cycle_census(edges: DataFrame, min_codegree: int = 2) -> DataFrame:
+    """Exact global 4-cycle (rectangle) count: #C4 = Σ_{u<v}
+    C(codeg(u,v), 2) / 2 — every 4-cycle is counted once at each of its
+    two diagonals, so the sum halves exactly. Co-neighbor pairs come
+    from the wedge join at the shared neighbor (the neighbor_jaccard
+    candidate shape); pairs with codegree < 2 contribute C(c,2) = 0 and
+    are pruned before the aggregate. Returns one row:
+    (n_copair_rows, n_wedges, n_four_cycles).
+
+    Scale note: the wedge join at a hub of degree d materializes
+    C(d, 2) pairs — for the EXACT census that cost is irreducible
+    (every one of those pairs can carry rectangles); on hub-heavy
+    graphs run the capped neighbor_jaccard variant for an audited
+    undercount instead. The 4-cycle count is the standard bipartite-
+    core/spam-farm signal the triangle census is blind to (bipartite
+    graphs have zero triangles but abundant rectangles).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("neigh")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("neigh"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    copairs = (
+        x.join(
+            y,
+            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node"), F.col("y.node"))
+        .agg(F.count("*").alias("c"))
+    )
+    agg = copairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_copair_rows"),
+        F.sum("c").cast("long").alias("n_wedges"),
+        F.sum(
+            F.when(
+                F.col("c") >= min_codegree,
+                F.expr(f"(cast(c as {_D38}) * (c - 1)) div 2"),
+            ).otherwise(F.lit(0).cast(_D38))
+        ).alias("_diag"),
+    )
+    # Σ C(codeg, 2) counts every rectangle at both diagonals — always
+    # even, so the integer halving is exact
+    return agg.select(
+        "n_copair_rows",
+        "n_wedges",
+        F.expr("cast(_diag div 2 as long)").alias("n_four_cycles"),
+    )

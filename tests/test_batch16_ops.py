@@ -178,3 +178,41 @@ class TestAudioFingerprint:
         want = {(d, d + 20) for d in range(1, 20, 2)}
         assert set(pairs) == want
         assert all(h == 0 for h in pairs.values())
+
+
+class TestMotifFamily:
+    def test_clustering_coefficients_planted(self, spark):
+        from dr_source_spark.operators.graph import clustering_coefficients
+
+        # triangle a-b-c plus pendant d off a: lcc(b)=lcc(c)=1,
+        # lcc(a) = 1 triangle / C(3,2)=3 -> 3333 bp, lcc(d) undefined
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+            "src string, dst string",
+        )
+        out = {r["node"]: r for r in clustering_coefficients(e).collect()}
+        assert out["b"]["lcc_bp"] == 10000 and out["c"]["lcc_bp"] == 10000
+        assert out["a"]["lcc_bp"] == 20000 * 1 // (3 * 2)
+        assert out["d"]["lcc_bp"] is None and out["d"]["degree"] == 1
+
+    def test_four_cycles_bipartite_vs_triangle(self, spark):
+        from dr_source_spark.operators.graph import four_cycle_census
+
+        # K_{2,2} (a,b | x,y): exactly one 4-cycle, zero triangles
+        k22 = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+            "src string, dst string",
+        )
+        r = four_cycle_census(k22).collect()[0]
+        assert r["n_four_cycles"] == 1
+        # a pure triangle has none
+        tri = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        assert four_cycle_census(tri).collect()[0]["n_four_cycles"] == 0
+        # K4 has 3 rectangles
+        k4 = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("b", "d")],
+            "src string, dst string",
+        )
+        assert four_cycle_census(k4).collect()[0]["n_four_cycles"] == 3
