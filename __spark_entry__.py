@@ -8324,7 +8324,7 @@ def _events_rolling_outliers(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long"),
     ).select(
         F.col("grp").alias("event_type"),
-        "bucket", "value_cents", "dev2", "band2", "is_outlier",
+        "bucket", "value_cents", "is_outlier", "excess_bp",
     )
 
 
@@ -8340,9 +8340,10 @@ w AS (
   WINDOW tw AS (PARTITION BY grp ORDER BY b
                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
 SELECT grp AS event_type, b AS bucket, CAST(x AS BIGINT) AS value_cents,
-       CAST((24 * x - s) * (24 * x - s) AS BIGINT) AS dev2,
-       CAST(4 * (24 * q - s * s) AS BIGINT) AS band2,
-       (24 * x - s) * (24 * x - s) > 4 * (24 * q - s * s) AS is_outlier
+       (24 * x - s) * (24 * x - s) > 4 * (24 * q - s * s) AS is_outlier,
+       CAST(least(((24 * x - s) * (24 * x - s) * 10000)
+                  // greatest(4 * (24 * q - s * s), 1), 1000000) AS BIGINT)
+         AS excess_bp
 FROM w WHERE wn = 24
 """
 
@@ -8669,26 +8670,35 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 
 def _duck_isqrt(x: str) -> str:
     """DuckDB expression for the exact integer square root of a
-    non-negative HUGEINT expression — floor(sqrt(double)) lands within
-    ±2 of the true root, four guarded comparisons pin it exactly
-    (operators/stats.py::isqrt_expr, same contract)."""
-    r0 = f"CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS HUGEINT)"
+    non-negative HUGEINT expression at any magnitude: double seed cast
+    straight to HUGEINT (NOT via floor — see isqrt_expr's long-
+    saturation trap), two integer-Newton steps, then eight
+    short-circuiting CASE comparisons pin the result exactly
+    (candidates above the 10^19-1 root ceiling resolve before the c*c
+    product can overflow) — operators/stats.py::isqrt_expr, same
+    contract."""
+    lim = 10**19 - 1
+    r0 = f"greatest(CAST(sqrt(CAST(({x}) AS DOUBLE)) AS HUGEINT), 1)"
+    r1 = f"(({r0}) + ({x}) // ({r0})) // 2"
+    r2 = f"least((({r1}) + ({x}) // ({r1})) // 2, {lim})"
     subs = " - ".join(
-        f"(CASE WHEN ({r0} + {2 - i}) >= 0"
-        f" AND ({r0} + {2 - i}) * ({r0} + {2 - i}) > ({x})"
+        f"(CASE WHEN (({r2}) + {4 - i}) > {lim} THEN 1"
+        f" WHEN (({r2}) + {4 - i}) >= 0"
+        f" AND (({r2}) + {4 - i}) * (({r2}) + {4 - i}) > ({x})"
         f" THEN 1 ELSE 0 END)"
-        for i in range(4)
+        for i in range(8)
     )
-    return f"({r0} + 2 - {subs})"
+    return f"(({r2}) + 4 - {subs})"
 
 
 def _lineitem_spearman_rho(spark, sf_dir):
     # Exact-tie Spearman rank correlation on the (quantity, discount)
     # grid (operators/stats.py::spearman_rho_grid): doubled average
-    # ranks keep ties integer; the denominator is the EXACT integer
-    # root isqrt(vx*vy) — perfect monotone data scores exactly +/-10000
-    # — completing the association family beside Kendall (concordance)
-    # and cov_pairs (linearity).
+    # ranks keep ties integer; the denominator is the exact-per-factor
+    # isqrt(vx)*isqrt(vy) with a +/-10000 clamp (vx*vy itself overflows
+    # decimal38 past ~75k rows — review fix) — completing the
+    # association family beside Kendall (concordance) and cov_pairs
+    # (linearity).
     from dr_source_spark.operators.stats import spearman_rho_grid
 
     li = _t(spark, sf_dir, "lineitem")
@@ -8725,11 +8735,11 @@ m AS (
          n * sxx - (n * (n + 1)) * (n * (n + 1)) AS vx,
          n * syy - (n * (n + 1)) * (n * (n + 1)) AS vy
   FROM agg),
-d AS (SELECT n, cov, {_duck_isqrt('vx * vy')} AS den FROM m)
+d AS (SELECT n, cov, {_duck_isqrt('vx')} * {_duck_isqrt('vy')} AS den FROM m)
 SELECT CAST(n AS BIGINT) AS n_rows,
        CASE WHEN den <= 0 THEN NULL ELSE
          CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
-              * ((abs(cov) * 10000) // den) AS BIGINT) END AS rho_bp
+              * least((abs(cov) * 10000) // den, 10000) AS BIGINT) END AS rho_bp
 FROM d
 """
 

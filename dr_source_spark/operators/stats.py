@@ -899,15 +899,30 @@ def rolling_band_outliers(
         F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
     ).filter(F.col("wn") == window)
     wd = F.lit(window).cast(_D38)
-    dev2 = (wd * F.col("x") - F.col("s")) * (wd * F.col("x") - F.col("s"))
-    band2 = F.lit(k * k).cast(_D38) * (wd * F.col("q") - F.col("s") * F.col("s"))
-    return scored.select(
+    # the squares themselves grow past int64 at ~$1.3M/hour buckets, so
+    # they stay decimal38 internals and only BOUNDED columns come out
+    # (review fix): the exact outlier flag plus how far outside the
+    # band in bp (truncating div, clamped at 100x)
+    staged = scored.select(
         "grp",
         F.col("b").alias("bucket"),
         F.col("x").cast("long").alias("value_cents"),
-        dev2.cast("long").alias("dev2"),
-        band2.cast("long").alias("band2"),
-        (dev2 > band2).alias("is_outlier"),
+        (
+            (wd * F.col("x") - F.col("s")) * (wd * F.col("x") - F.col("s"))
+        ).alias("_dev2"),
+        (
+            F.lit(k * k).cast(_D38)
+            * (wd * F.col("q") - F.col("s") * F.col("s"))
+        ).alias("_band2"),
+    )
+    return staged.select(
+        "grp",
+        "bucket",
+        "value_cents",
+        (F.col("_dev2") > F.col("_band2")).alias("is_outlier"),
+        F.expr(
+            "cast(least((_dev2 * 10000) div greatest(_band2, 1), 1000000) as long)"
+        ).alias("excess_bp"),
     )
 
 
@@ -1107,20 +1122,35 @@ def interarrival_profile(
 
 def isqrt_expr(x: "F.Column") -> "F.Column":
     """Exact integer square root of a non-negative decimal(38,0)
-    column, ENGINE-STABLE: floor(sqrt(double(x))) lands within ±2 of
-    the true isqrt at any magnitude that fits decimal38 (double carries
-    53 mantissa bits; the cast and the sqrt each cost <1 unit at 1e31),
-    and four guarded integer comparisons then pin it exactly — so two
-    engines whose float sqrt differs in the last ulp still agree on the
-    result. The guard ``c >= 0`` keeps the tiny-x candidates (r0−1 can
-    be −1 when x = 0) from over-subtracting.
+    column at ANY decimal38 magnitude, engine-stable. Two traps shaped
+    this implementation (both caught by the 10³⁶-10³⁸ pytest sweep):
+    (1) the float seed's absolute error reaches hundreds of units at
+    10³⁷ (relative 2⁻⁵²), so the first design's fixed ±2 pin was wrong
+    above ~10³² — two Newton steps r ← (r + x/r)/2 in decimal
+    arithmetic (any division rounding is fine; quadratic convergence
+    lands within a couple of units) repair the seed before an eight-
+    comparison exact pin; (2) ``floor(double)`` returns a LONG, which
+    SATURATES at 2⁶³ ≈ 9.22·10¹⁸ — above x ≈ 8.5·10³⁷ the floored
+    seed was silently clamped 7 % low, so the seed casts the double
+    straight to decimal instead. Pin candidates above 10¹⁹−1 (the
+    decimal38 root ceiling) are resolved by a short-circuiting CASE
+    arm before the c² product can overflow. The pin runs in pure
+    integer arithmetic, so two engines whose float sqrt or division
+    rounding differ still agree on the final value.
     """
-    r0 = F.floor(F.sqrt(x.cast("double"))).cast(_D38)
-    out = r0 + F.lit(2).cast(_D38)
-    for i in range(4):
-        c = r0 + F.lit(2 - i).cast(_D38)
-        out = out - F.when((c >= 0) & (c * c > x), F.lit(1).cast(_D38)).otherwise(
-            F.lit(0).cast(_D38)
+    # 10^19-1 exceeds int64, so the literal rides in as a string
+    lim = F.lit(str(10**19 - 1)).cast(_D38)
+    r = F.greatest(F.sqrt(x.cast("double")).cast(_D38), F.lit(1).cast(_D38))
+    for _ in range(2):  # Newton: quadratic convergence from the float seed
+        r = ((r + x / r) / 2).cast(_D38)
+    r = F.least(r, lim)
+    out = r + F.lit(4).cast(_D38)
+    for i in range(8):
+        c = r + F.lit(4 - i).cast(_D38)
+        out = out - (
+            F.when(c > lim, F.lit(1).cast(_D38))
+            .when((c >= 0) & (c * c > x), F.lit(1).cast(_D38))
+            .otherwise(F.lit(0).cast(_D38))
         )
     return out
 
@@ -1136,11 +1166,17 @@ def spearman_rho_grid(
     ties stay integer (r2(v) = 2·cnt_below + cnt_v + 1), and Pearson on
     the doubled ranks uses the closed form Σw·r2 = n(n+1) for both
     margins, leaving three exact sums: cov_num = n·Σw·r2x·r2y − T²,
-    var_num = n·Σw·r2² − T². The only irrational step — √(vx·vy) — is
-    the EXACT integer root isqrt(vx·vy) via ``isqrt_expr`` (vx·vy ≈
-    n⁴/9 fits decimal38 to ~5·10^9 rows — documented bound), so
-    rho_bp = sign·(10000·|cov|) div isqrt(vx·vy) is exact: perfect
-    monotone data yields exactly ±10000.
+    var_num = n·Σw·r2² − T². The only irrational step — √(vx·vy) —
+    is carried as isqrt(vx)·isqrt(vy), each factor an EXACT integer
+    root via ``isqrt_expr``: forming vx·vy directly overflows
+    decimal38/HUGEINT at ~75 000 rows (vx ≈ n⁴/3 — the first shipped
+    design did exactly that and was rejected in review), while the
+    per-factor roots hold to n ≈ 4·10⁹ rows. The product
+    UNDERESTIMATES the true denominator by < (g+h+1)/(g·h) relative
+    (~10⁻⁹ at n = 10⁵), deterministically on every engine, so rho_bp
+    is clamped to [−10000, 10000] — perfect monotone data scores
+    exactly ±10000 and interior values match the true floor except
+    within that 10⁻⁹ band (deterministic either way).
 
     Shape: one narrow groupBy to the grid, one window per margin for
     cnt_below (over the ≤ few-thousand-cell grid), a grid-sized join,
@@ -1181,7 +1217,7 @@ def spearman_rho_grid(
         (F.col("n") * F.col("sxy") - t2).alias("cov"),
         (F.col("n") * F.col("sxx") - t2).alias("vx"),
         (F.col("n") * F.col("syy") - t2).alias("vy"),
-    ).withColumn("den", isqrt_expr(F.col("vx") * F.col("vy")))
+    ).withColumn("den", isqrt_expr(F.col("vx")) * isqrt_expr(F.col("vy")))
     # only bounded columns come out: the raw cov/var numerators grow
     # like n^4 (past int64 at ~10^5 rows), so they stay decimal38
     # internals; rho_bp is in [-10000, 10000] by construction.
@@ -1190,7 +1226,7 @@ def spearman_rho_grid(
         F.expr(
             "cast(case when den <= 0 then null else"
             " (case when cov < 0 then -1 else 1 end)"
-            " * ((abs(cov) * 10000) div den) end as long)"
+            " * least((abs(cov) * 10000) div den, 10000) end as long)"
         ).alias("rho_bp"),
     )
 

@@ -31,6 +31,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session timezone: date_trunc/to_date/hour resolve in
+        # session-local time, and the day-densification operators
+        # (cusum_changepoint, acf_by_group, seasonal_residual_anomalies)
+        # step calendars with fixed 86400s intervals — under a DST
+        # timezone the two drift 1h apart mid-range and the dense join
+        # zeroes every later bucket. UTC has no DST and matches what an
+        # unconfigured DuckDB oracle assumes.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -138,9 +138,11 @@ class TestRollingBandOutliers:
         for h in range(4, 8):
             wnd = vals[h - 4 : h]
             s, q, x = sum(wnd), sum(v * v for v in wnd), vals[h]
-            assert by_h[h]["dev2"] == (4 * x - s) ** 2
-            assert by_h[h]["band2"] == 4 * (4 * q - s * s)
-            assert by_h[h]["is_outlier"] == ((4 * x - s) ** 2 > 4 * (4 * q - s * s))
+            dev2, band2 = (4 * x - s) ** 2, 4 * (4 * q - s * s)
+            assert by_h[h]["is_outlier"] == (dev2 > band2)
+            assert by_h[h]["excess_bp"] == min(
+                dev2 * 10000 // max(band2, 1), 1000000
+            )
 
 
 class TestCohortMatrix:

@@ -18,6 +18,12 @@ class TestIsqrt:
         vals += [k * k - 1 for k in (10**9, 3037000499)]
         rng = random.Random(7)
         vals += [rng.randrange(10**30) for _ in range(50)]
+        # the band where the first design's fixed +/-2 pin was wrong by
+        # hundreds of units (float sqrt abs error ~ r * 2^-52): random
+        # values at 1e36-1e38, plus squares/off-by-ones at the top
+        vals += [rng.randrange(10**36, 10**38) for _ in range(50)]
+        big = 10**19 - 6  # isqrt near the decimal38 ceiling
+        vals += [big * big, big * big - 1, big * big + 1]
         df = spark.createDataFrame(
             [(str(v),) for v in vals], "v string"
         ).select(F.col("v").cast("decimal(38,0)").alias("v"))
