@@ -7705,7 +7705,7 @@ def _events_json_fill(spark, sf_dir):
     )
 
 
-_JSON_FILL_SQL = """
+_JSON_FILL_SQL = r"""
 WITH v AS (
   SELECT event_type,
          CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
@@ -9114,6 +9114,164 @@ FROM cop
 
 
 
+def _kg_katz(spark, sf_dir):
+    # truncated Katz centrality over the KG as EXACT walk counts
+    # (operators/graph.py::walk_counts, 3 rounds, alpha = 1/4): walks of
+    # length 1-3 ending at each node plus the division-free Katz
+    # numerator 16·w1 + 4·w2 + w3 — the attenuated-inflow sibling of
+    # pagerank (visitation) and HITS (mutual reinforcement), and the
+    # only one of the three with not even a flooring step.
+    from dr_source_spark.operators.graph import walk_counts
+
+    return walk_counts(_kg_triples(spark, sf_dir).edges, rounds=3)
+
+
+_KG_KATZ_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+w1 AS (SELECT dst AS node, CAST(count(*) AS HUGEINT) AS w FROM e GROUP BY dst),
+w2 AS (SELECT e.dst AS node, sum(w1.w) AS w
+       FROM e JOIN w1 ON e.src = w1.node GROUP BY e.dst),
+w3 AS (SELECT e.dst AS node, sum(w2.w) AS w
+       FROM e JOIN w2 ON e.src = w2.node GROUP BY e.dst)
+SELECT n.node,
+       CAST(coalesce(w1.w, 0) AS BIGINT) AS walks_1,
+       CAST(coalesce(w2.w, 0) AS BIGINT) AS walks_2,
+       CAST(coalesce(w3.w, 0) AS BIGINT) AS walks_3,
+       CAST(16 * coalesce(w1.w, 0) + 4 * coalesce(w2.w, 0) + coalesce(w3.w, 0)
+            AS BIGINT) AS katz_scaled
+FROM nodes n
+LEFT JOIN w1 USING (node) LEFT JOIN w2 USING (node) LEFT JOIN w3 USING (node)
+"""
+
+
+def _kg_katz_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_KATZ_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _events_concurrency(spark, sf_dir):
+    # sweep-line peak overlap (operators/relational.py::peak_concurrency):
+    # with every event an active [ts, ts+30min) interval, the maximum
+    # simultaneously-active count per type and the earliest instant it
+    # is reached — the capacity-planning number a groupBy count cannot
+    # produce; half-open boundary semantics pinned in the operator.
+    from dr_source_spark.operators.relational import peak_concurrency
+
+    return peak_concurrency(_t(spark, sf_dir, "events"), "event_type", "ts", 30)
+
+
+_EVENTS_CONCURRENCY_SQL = """
+WITH b AS (
+  SELECT event_type AS grp, ts AS t, 1 AS ns, 0 AS ne FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, 0, 1 FROM events),
+agg AS (SELECT grp, t, sum(ns) AS n_start, sum(ne) AS n_end
+        FROM b GROUP BY 1, 2),
+run AS (SELECT grp, t,
+          sum(n_start) OVER w - sum(n_end) OVER w AS conc,
+          sum(n_start) OVER f AS nev,
+          count(*) OVER f AS nin
+        FROM agg
+        WINDOW w AS (PARTITION BY grp ORDER BY t ROWS UNBOUNDED PRECEDING),
+               f AS (PARTITION BY grp)),
+pick AS (SELECT *,
+           row_number() OVER (PARTITION BY grp ORDER BY conc DESC, t ASC) AS rk
+         FROM run)
+SELECT grp AS event_type, CAST(nev AS BIGINT) AS n_events,
+       CAST(nin AS BIGINT) AS n_instants,
+       CAST(conc AS BIGINT) AS peak_concurrency, t AS peak_at
+FROM pick WHERE rk = 1
+"""
+
+
+def _lineitem_gini_split(spark, sf_dir):
+    # exact decision-stump search (operators/stats.py::gini_best_split):
+    # weighted Gini impurity of every quantity threshold against the
+    # returned-flag label, scaled-truncated integer cost, rk=1 = the
+    # split CART would take — the supervised-ML inner loop as an
+    # auditable engine-reproducible query.
+    from dr_source_spark.operators.stats import gini_best_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    return gini_best_split(
+        li, F.col("l_quantity"), F.col("l_returnflag") == "R"
+    )
+
+
+_LINEITEM_GINI_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS pos
+  FROM lineitem GROUP BY 1),
+c AS (SELECT v AS threshold,
+        sum(n) OVER w AS nl, sum(pos) OVER w AS pl,
+        sum(n) OVER () AS nt, sum(pos) OVER () AS pt
+      FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+k AS (SELECT threshold, nl, pl, nt - nl AS nr, pt - pl AS pr
+      FROM c WHERE nl < nt),
+cost AS (SELECT threshold,
+        CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+        CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+        CAST((1000000 * (nl * nl - pl * pl - (nl - pl) * (nl - pl))) // nl
+           + (1000000 * (nr * nr - pr * pr - (nr - pr) * (nr - pr))) // nr
+           AS BIGINT) AS cost_scaled
+      FROM k)
+SELECT threshold, n_left, pos_left, n_right, pos_right, cost_scaled,
+       CAST(row_number() OVER (ORDER BY cost_scaled ASC, threshold ASC)
+            AS BIGINT) AS rk
+FROM cost
+"""
+
+
+def _events_theil_sen(spark, sf_dir):
+    # Theil-Sen robust trend (operators/stats.py::theil_sen_by_group):
+    # median pairwise slope of the per-day revenue-cents series per
+    # event type in truncated bp — the outlier-immune sibling of
+    # lineitem_ols_slope (29% breakdown point vs 0), pair enumeration
+    # over the aggregated daily grid only.
+    from dr_source_spark.operators.stats import theil_sen_by_group
+
+    return theil_sen_by_group(
+        _t(spark, sf_dir, "events"),
+        F.col("event_type"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long"),
+    ).select(
+        F.col("grp").alias("event_type"),
+        "n_days", "n_pairs", "slope_bp_med", "slope_bp_min", "slope_bp_max",
+    )
+
+
+_EVENTS_THEIL_SEN_SQL = """
+WITH per AS (
+  SELECT event_type AS grp,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+days AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days FROM per GROUP BY 1),
+pairs AS (
+  SELECT a.grp,
+         (CASE WHEN b.x - a.x < 0 THEN -1 ELSE 1 END) *
+         ((abs(b.x - a.x) * 10000) // (b.t - a.t)) AS slope_bp
+  FROM per a JOIN per b ON a.grp = b.grp AND a.t < b.t),
+ranked AS (
+  SELECT grp, slope_bp,
+         row_number() OVER (PARTITION BY grp ORDER BY slope_bp) AS rn,
+         count(*) OVER (PARTITION BY grp) AS m,
+         min(slope_bp) OVER (PARTITION BY grp) AS mn,
+         max(slope_bp) OVER (PARTITION BY grp) AS mx
+  FROM pairs)
+SELECT r.grp AS event_type, d.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+       CAST(r.slope_bp AS BIGINT) AS slope_bp_med,
+       CAST(r.mn AS BIGINT) AS slope_bp_min, CAST(r.mx AS BIGINT) AS slope_bp_max
+FROM ranked r JOIN days d USING (grp)
+WHERE r.rn = (r.m + 1) // 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9369,6 +9527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_fp_pairs": _media_audio_fp_pairs,
         "kg_clustering_coeff": _kg_clustering_coeff,
         "kg_four_cycles": _kg_four_cycles,
+        "kg_katz": _kg_katz,
+        "events_concurrency": _events_concurrency,
+        "lineitem_gini_split": _lineitem_gini_split,
+        "events_theil_sen": _events_theil_sen,
     }
 
 
@@ -9612,4 +9774,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_quantized_topk": _ANN_QUANTIZED_SQL,
+        "kg_katz": _kg_katz_sql(),
+        "events_concurrency": _EVENTS_CONCURRENCY_SQL,
+        "lineitem_gini_split": _LINEITEM_GINI_SQL,
+        "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
     }

@@ -1560,3 +1560,72 @@ def four_cycle_census(edges: DataFrame, min_codegree: int = 2) -> DataFrame:
         "n_wedges",
         F.expr("cast(_diag div 2 as long)").alias("n_four_cycles"),
     )
+
+
+def walk_counts(edges: DataFrame, rounds: int = 3, alpha_inv: int = 4) -> DataFrame:
+    """Exact directed walk-count profile + truncated Katz centrality:
+    for each node v, the number of directed walks of length exactly
+    k (k = 1..rounds) ENDING at v, and the truncated Katz index with
+    attenuation 1/alpha_inv carried as the exact integer numerator
+
+        katz_scaled = Σ_k alpha_inv^(rounds-k) · walks_k
+                    = alpha_inv^rounds · Σ_k walks_k / alpha_inv^k.
+
+    No division ever happens (the attenuation is cleared to a common
+    denominator), so unlike the fixed-point pagerank there is not even
+    a flooring step — every cell is the exact walk-count arithmetic
+    any engine reproduces. Duplicate (src, dst) pairs and self-loops
+    drop first: walk counting on the simple digraph.
+
+    Complements the centrality family: pagerank ranks by stationary
+    visitation (normalized), HITS by mutual reinforcement (max-norm),
+    Katz by TOTAL attenuated walk inflow — the only one of the three
+    that is division-free exact, which makes it the cheapest
+    engine-portable centrality for audit pipelines.
+
+    Scale shape: per round one narrow-key join edges⋈scores on src and
+    one map-side-combinable groupBy on dst — the same shape as one
+    pagerank round, `rounds` times, no iteration-to-convergence.
+    Counts accumulate in DECIMAL(38,0) (walks_k ≤ max_indeg^k blows
+    int64 on dense graphs); outputs cast to BIGINT, which holds
+    whenever max_indeg^rounds · alpha_inv^rounds < 2^63 — on hub-heavy
+    graphs at extreme scale keep the decimal column instead.
+    """
+    if rounds < 1:
+        raise ValueError("walk_counts needs rounds >= 1")
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = []  # walks[k-1]: (node, w) — walks of length exactly k ending at node
+    w = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("w")
+    )
+    walks.append(w)
+    for _ in range(rounds - 1):
+        w = (
+            e.join(w.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("w"))
+        )
+        walks.append(w)
+    out = nodes
+    katz = F.lit(0).cast(_D38)
+    for k, wk in enumerate(walks, start=1):
+        col = f"walks_{k}"
+        out = out.join(wk.withColumnRenamed("w", col), "node", "left")
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(0).cast(_D38)))
+        katz = katz + F.col(col) * F.lit(alpha_inv ** (rounds - k)).cast(_D38)
+    out = out.withColumn("katz_scaled", katz)
+    return out.select(
+        "node",
+        *[F.col(f"walks_{k}").cast("long").alias(f"walks_{k}") for k in range(1, rounds + 1)],
+        F.col("katz_scaled").cast("long").alias("katz_scaled"),
+    )

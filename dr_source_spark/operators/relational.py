@@ -566,3 +566,71 @@ def funnel_latency(
             "cast((cast(sum(lat) as decimal(38,0)) div count(1)) as long)"
         ).alias("mean_sec"),
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    duration_minutes: int = 30,
+) -> DataFrame:
+    """Sweep-line peak-overlap: treating every event as an active
+    interval [ts, ts + duration), the maximum number of simultaneously
+    active intervals per group and the earliest instant it is reached —
+    the capacity-planning number (peak concurrent sessions, peak open
+    connections, peak in-flight jobs) a groupBy count cannot produce.
+
+    Half-open semantics are part of the contract: an interval ending at
+    instant t is NOT active at t, one starting at t IS, so concurrency
+    at any boundary instant t is exactly |starts ≤ t| − |ends ≤ t| and
+    the function only increases at start boundaries. Boundaries are
+    PRE-AGGREGATED per (group, instant) before the running sum, so tied
+    timestamps contribute atomically — no intra-tie ordering ambiguity
+    for either engine.
+
+    Scale shape: one map-side-combinable groupBy over the ±1 boundary
+    stream (2 rows per event, 3 narrow columns), then one sort-window
+    per group over the AGGREGATED boundary table (|distinct instants|
+    rows, not |events|), then a 1-row-per-group pick. The event table
+    itself is never sorted.
+    """
+    g, t = F.col(group_col), F.col(ts_col)
+    bounds = events.select(
+        g.alias("grp"), t.alias("t"), F.lit(1).alias("ns"), F.lit(0).alias("ne")
+    ).union(
+        events.select(
+            g.alias("grp"),
+            (t + F.expr(f"INTERVAL {int(duration_minutes)} MINUTES")).alias("t"),
+            F.lit(0).alias("ns"),
+            F.lit(1).alias("ne"),
+        )
+    )
+    agg = bounds.groupBy("grp", "t").agg(
+        F.sum("ns").cast("long").alias("n_start"),
+        F.sum("ne").cast("long").alias("n_end"),
+    )
+    w = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = agg.select(
+        "grp",
+        "t",
+        (F.sum("n_start").over(w) - F.sum("n_end").over(w)).alias("conc"),
+        F.sum("n_start").over(full).alias("_nev"),
+        F.count(F.lit(1)).over(full).alias("_nin"),
+    )
+    pick = Window.partitionBy("grp").orderBy(F.desc("conc"), F.asc("t"))
+    return (
+        run.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_nev").cast("long").alias("n_events"),
+            F.col("_nin").cast("long").alias("n_instants"),
+            F.col("conc").cast("long").alias("peak_concurrency"),
+            F.col("t").alias("peak_at"),
+        )
+    )

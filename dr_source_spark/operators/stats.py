@@ -1300,3 +1300,146 @@ def seasonal_residual_anomalies(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def gini_best_split(
+    df: DataFrame,
+    feature: "F.Column",
+    label: "F.Column",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact decision-stump split search: for every candidate threshold
+    t on a LOW-CARDINALITY integer feature, the weighted Gini impurity
+    of the binary split (feature ≤ t vs > t) against a boolean label —
+    the CART/XGBoost inner loop as an auditable, engine-reproducible
+    query. The weighted Gini cost
+
+        cost(t) = n_L·gini_L + n_R·gini_R,   gini = 1 − p₁² − p₀²
+
+    is carried as the SCALED TRUNCATED integer
+    ``scale·(n² − pos² − neg²) div n`` summed over the two sides (each
+    side floored independently, fixed order — deterministic on any
+    engine). Since (n² − pos² − neg²)/n ≤ n, the emitted cost is
+    bounded by n_total·scale and fits BIGINT up to ~9·10^12 rows at
+    the default scale; intermediates ride DECIMAL(38,0).
+
+    Output: one row per candidate threshold (the max feature value is
+    excluded — its right side is empty) with the side counts, the
+    scaled cost, and rk = 1 marking the best split (cost asc, threshold
+    asc tie-break).
+
+    Scale shape: rows collapse to the per-value grid first (one
+    map-side-combinable groupBy, |distinct values| rows), then
+    cumulative sums ride a window over the AGGREGATED grid — the
+    bounded SinglePartition pattern of kendall_tau_grid/equi-depth; the
+    fact table shuffles once, on the grid key.
+    """
+    grid = (
+        df.select(
+            feature.cast("long").alias("v"),
+            F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("n"),
+            F.sum("y").cast(_D38).alias("pos"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = grid.select(
+        F.col("v").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("n").over(full).alias("nt"),
+        F.sum("pos").over(full).alias("pt"),
+    ).filter(F.col("nl") < F.col("nt"))
+    cost = F.expr(
+        f"(cast({scale} as {_D38}) * (nl * nl - pl * pl - (nl - pl) * (nl - pl))) div nl"
+        f" + (cast({scale} as {_D38}) * ((nt - nl) * (nt - nl) - (pt - pl) * (pt - pl)"
+        f"   - ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)))) div (nt - nl)"
+    )
+    k = c.select(
+        "threshold",
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+        (F.col("pt") - F.col("pl")).cast("long").alias("pos_right"),
+        cost.cast("long").alias("cost_scaled"),
+    )
+    rk = Window.orderBy(F.asc("cost_scaled"), F.asc("threshold"))
+    return k.withColumn("rk", F.row_number().over(rk).cast("long"))
+
+
+def theil_sen_by_group(
+    df: DataFrame,
+    group_col: "F.Column",
+    ts_col: "F.Column",
+    value_cents: "F.Column",
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes of the per-day total series — the estimator that shrugs off
+    the outlier days that drag an OLS slope (ols_slope_by_group is the
+    fragile sibling; this is the 29%-breakdown one). Each pairwise
+    slope is the engine-stable truncated integer
+
+        slope_bp = sign(Δvalue) · (10000·|Δvalue| div Δdays)
+
+    (sign factored out — DuckDB // floors, Java div truncates; the
+    median is then the LOWER order statistic over integer slopes, the
+    mad_profile selection discipline, so every emitted cell is exact).
+    Days without observations simply contribute no point (a gap is not
+    a zero); groups with fewer than two observed days emit no row.
+
+    Scale shape: rows collapse to the per-(group, day) aggregate first
+    — pair enumeration is over the AGGREGATED daily grid (d days →
+    d(d−1)/2 pairs per group, independent of the row count), the
+    kendall_tau_grid discipline; the join on the group key is a hash
+    join with the i<j residual, never a Cartesian.
+    """
+    per = (
+        df.select(
+            group_col.alias("grp"),
+            F.datediff(ts_col.cast("date"), F.lit("1970-01-01").cast("date")).alias("t"),
+            value_cents.cast("long").alias("x"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    a, b = per.alias("pa"), per.alias("pb")
+    dy = F.col("pb.x") - F.col("pa.x")
+    dt = F.col("pb.t") - F.col("pa.t")
+    sign = F.when(dy < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    pairs = a.join(
+        b, (F.col("pa.grp") == F.col("pb.grp")) & (F.col("pa.t") < F.col("pb.t"))
+    ).select(
+        F.col("pa.grp").alias("grp"),
+        (sign * F.expr("(abs(pb.x - pa.x) * cast(10000 as bigint)) div (pb.t - pa.t)"))
+        .cast("long")
+        .alias("slope_bp"),
+    )
+    days = per.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    w = Window.partitionBy("grp").orderBy(F.asc("slope_bp"))
+    full = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.select(
+        "grp",
+        "slope_bp",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(full).alias("_m"),
+        F.min("slope_bp").over(full).alias("slope_bp_min"),
+        F.max("slope_bp").over(full).alias("slope_bp_max"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.expr("(_m + 1) div 2")
+    ).select(
+        "grp",
+        F.col("_m").cast("long").alias("n_pairs"),
+        F.col("slope_bp").alias("slope_bp_med"),
+        "slope_bp_min",
+        "slope_bp_max",
+    )
+    return med.join(days, "grp").select(
+        "grp", "n_days", "n_pairs", "slope_bp_med", "slope_bp_min", "slope_bp_max"
+    )

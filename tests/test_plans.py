@@ -543,3 +543,40 @@ def test_cohort_matrix_aggregates_are_partial_final(spark):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_batch17_plans_no_cartesian_and_aggregated_grids(spark):
+    """Batch-17 scale shapes: walk_counts' per-round edge⋈score joins
+    and theil_sen's pair enumeration must be equi-joins (the i<j
+    residual rides a hash join on the group key, never a Cartesian);
+    peak_concurrency and gini_best_split must collapse rows to the
+    boundary/value grid with a partial+final aggregate before any
+    window touches the data."""
+    from dr_source_spark.operators.graph import walk_counts
+    from dr_source_spark.operators.relational import peak_concurrency
+    from dr_source_spark.operators.stats import gini_best_split, theil_sen_by_group
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    plan = _plan(walk_counts(edges, rounds=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(peak_concurrency(events, "event_type", "ts", 30))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # boundary pre-agg partial+final
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(gini_best_split(li, F.col("l_quantity"), F.col("l_returnflag") == "R"))
+    assert plan.count("HashAggregate") >= 2  # per-value grid partial+final
+
+    plan = _plan(
+        theil_sen_by_group(
+            events, F.col("event_type"), F.col("ts"),
+            F.round(F.col("value") * 100).cast("long"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
