@@ -9272,6 +9272,153 @@ WHERE r.rn = (r.m + 1) // 2
 """
 
 
+def _kg_metapaths(spark, sf_dir):
+    # co-subject metapath census over the KG (operators/graph.py::
+    # metapath_census): unordered predicate pairs sharing a source
+    # entity, counted WITHOUT materializing a single pair row beyond
+    # per-(node, pred) counts — (TAINTED_BY, FLOWS_TO) counts variables
+    # that both carry a taint source and reach a sink. The chain shape
+    # is structurally empty on this bipartite KG (src∩dst = ∅), which
+    # the census itself surfaces.
+    from dr_source_spark.operators.graph import metapath_census
+
+    return metapath_census(_kg_triples(spark, sf_dir).edges, shape="co_subject")
+
+
+_KG_METAPATHS_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+e AS (SELECT DISTINCT src, pred, dst FROM kg_e WHERE src <> dst),
+pc AS (SELECT src AS node, pred, CAST(count(*) AS HUGEINT) AS c
+       FROM e GROUP BY 1, 2),
+pairs AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, a.node,
+         CASE WHEN a.pred < b.pred THEN a.c * b.c
+              ELSE (a.c * (a.c - 1)) // 2 END AS np
+  FROM pc a JOIN pc b ON a.node = b.node AND a.pred <= b.pred)
+SELECT pred_a, pred_b,
+       CAST(sum(np) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_mid_nodes
+FROM pairs
+GROUP BY 1, 2
+HAVING sum(np) > 0
+"""
+
+
+def _kg_metapaths_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_METAPATHS_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _kg_reciprocity(spark, sf_dir):
+    # directed-edge reciprocity of the KG (operators/graph.py::
+    # reciprocity): share of distinct directed edges whose reverse edge
+    # exists, in exact basis points — a FLOWS_TO that ever flows back is
+    # a cycle smell worth auditing. No self-join: unordered-pair groupBy.
+    from dr_source_spark.operators.graph import reciprocity
+
+    return reciprocity(_kg_triples(spark, sf_dir).edges)
+
+
+_KG_RECIPROCITY_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+e AS (SELECT DISTINCT src, dst FROM kg_e WHERE src <> dst),
+pairs AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 count(*) AS n_dirs
+          FROM e GROUP BY 1, 2)
+SELECT CAST(sum(n_dirs) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN n_dirs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mutual_pairs,
+       CAST(10000 * 2 * sum(CASE WHEN n_dirs = 2 THEN 1 ELSE 0 END)
+            // sum(n_dirs) AS BIGINT) AS reciprocity_bp
+FROM pairs
+"""
+
+
+def _kg_reciprocity_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_RECIPROCITY_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _kg_eccentricity(spark, sf_dir):
+    # pivot-based eccentricity/closeness profile (operators/graph.py::
+    # eccentricity_profile): full BFS from each of the 4 highest-degree
+    # nodes (deterministic tie-break); max(ecc) over the profile is the
+    # textbook diameter lower bound. Frontier BFS per pivot, one job per
+    # hop.
+    from dr_source_spark.operators.graph import eccentricity_profile
+
+    return eccentricity_profile(
+        _kg_triples(spark, sf_dir).edges, n_pivots=4, max_hops=8
+    )
+
+
+_KG_ECCENTRICITY_SQL_TMPL = """
+WITH RECURSIVE kg_e AS MATERIALIZED ({edges}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1),
+piv AS MATERIALIZED (SELECT node, degree FROM deg
+                     ORDER BY degree DESC, node ASC LIMIT 4),
+walk(pivot_node, node, hop) AS (
+  SELECT node, node, 0 FROM piv
+  UNION
+  SELECT w.pivot_node, s.b, w.hop + 1 FROM walk w JOIN sym s ON s.a = w.node
+  WHERE w.hop < 8
+),
+md AS (SELECT pivot_node, node, min(hop) AS hops FROM walk GROUP BY 1, 2)
+SELECT md.pivot_node, p.degree,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(max(hops) AS BIGINT) AS ecc,
+       CAST(sum(hops) AS BIGINT) AS sum_hops,
+       CAST(CASE WHEN sum(hops) > 0
+                 THEN 10000 * (count(*) - 1) // sum(hops) END AS BIGINT)
+         AS closeness_bp
+FROM md JOIN piv p ON p.node = md.pivot_node
+GROUP BY 1, 2
+"""
+
+
+def _kg_eccentricity_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_ECCENTRICITY_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _text_burstiness(spark, sf_dir):
+    # Church/Gale term burstiness (training/text.py::burstiness): top-50
+    # words by exact integer variance-to-mean ratio of per-doc counts —
+    # separates topical terms from evenly-spread function words; read
+    # next to top_ngrams as the boilerplate-leak radar.
+    from dr_source_spark.training.text import burstiness
+
+    return burstiness(_t(spark, sf_dir, "documents"), min_total=30, k=50)
+
+
+_TEXT_BURSTINESS_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS toks
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs FROM documents),
+pd AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+pc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+       FROM pd WHERE word <> '' GROUP BY 1, 2),
+pw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_docs,
+              sum(c) AS n_total, sum(c * c) AS s2
+       FROM pc GROUP BY 1)
+SELECT word, n_docs, CAST(n_total AS BIGINT) AS n_total,
+       CAST(100 * (n.n_corpus_docs * s2 - n_total * n_total)
+            // (n.n_corpus_docs * n_total) AS BIGINT) AS vmr_x100
+FROM pw, n
+WHERE n_total >= 30
+ORDER BY vmr_x100 DESC, word ASC
+LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9531,6 +9678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency": _events_concurrency,
         "lineitem_gini_split": _lineitem_gini_split,
         "events_theil_sen": _events_theil_sen,
+        "kg_metapaths": _kg_metapaths,
+        "kg_reciprocity": _kg_reciprocity,
+        "kg_eccentricity": _kg_eccentricity,
+        "text_burstiness": _text_burstiness,
     }
 
 
@@ -9778,4 +9929,8 @@ def oracle_sql() -> dict[str, str]:
         "events_concurrency": _EVENTS_CONCURRENCY_SQL,
         "lineitem_gini_split": _LINEITEM_GINI_SQL,
         "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
+        "kg_metapaths": _kg_metapaths_sql(),
+        "kg_reciprocity": _kg_reciprocity_sql(),
+        "kg_eccentricity": _kg_eccentricity_sql(),
+        "text_burstiness": _TEXT_BURSTINESS_SQL,
     }

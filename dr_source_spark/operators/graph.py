@@ -1629,3 +1629,165 @@ def walk_counts(edges: DataFrame, rounds: int = 3, alpha_inv: int = 4) -> DataFr
         *[F.col(f"walks_{k}").cast("long").alias(f"walks_{k}") for k in range(1, rounds + 1)],
         F.col("katz_scaled").cast("long").alias("katz_scaled"),
     )
+
+
+def metapath_census(edges: DataFrame, shape: str = "chain") -> DataFrame:
+    """(pred_a, pred_b, n_paths, n_mid_nodes): the 2-hop metapath census
+    over a (src, pred, dst) edge table — the schema-level digest of
+    ``two_hop_paths`` (which materializes the walks for ONE pair): which
+    property paths exist at all, and through how many distinct mid
+    entities they run.
+
+    * ``chain``: directed walks a -[pred_a]-> m -[pred_b]-> c, counted
+      per ORDERED predicate pair. Structurally empty on a bipartite KG
+      (no node is both a target and a source) — which is itself the
+      diagnostic the census exists to surface.
+    * ``co_subject``: unordered pairs of DISTINCT edges sharing their
+      source node, counted per pred_a <= pred_b — e.g.
+      (TAINTED_BY, FLOWS_TO) counts variables that both carry a taint
+      source and reach a sink, the join a KG consumer audits constantly.
+    * ``co_object``: same, sharing the target node — e.g.
+      (HAS_VULN, HAS_VULN) counts file pairs co-occurring on a weakness
+      class.
+
+    Scale shape: the walks are NEVER materialized. The simple digraph
+    (distinct (src, pred, dst), self-loops dropped) collapses to
+    per-(mid, pred) count rows first; one equi-join on the mid node —
+    per-node fanout bounded by the SQUARE OF THE PREDICATE VOCABULARY,
+    not node degree — and a map-side-combinable groupBy sums the exact
+    pair counts (c_a * c_b across predicates, C(c, 2) within one). Counts
+    accumulate in DECIMAL(38,0) (hub-degree products blow int64 at
+    extreme scale); the output casts to BIGINT."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "pred", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if shape == "chain":
+        inc = e.groupBy(F.col("dst").alias("node"), F.col("pred").alias("pred_a")).agg(
+            F.count(F.lit(1)).cast(_D38).alias("c_a")
+        )
+        out = e.groupBy(F.col("src").alias("node"), F.col("pred").alias("pred_b")).agg(
+            F.count(F.lit(1)).cast(_D38).alias("c_b")
+        )
+        res = (
+            inc.join(out, "node")
+            .groupBy("pred_a", "pred_b")
+            .agg(
+                F.sum(F.col("c_a") * F.col("c_b")).cast("long").alias("n_paths"),
+                F.count_distinct(F.col("node")).cast("long").alias("n_mid_nodes"),
+            )
+        )
+    elif shape in ("co_subject", "co_object"):
+        mid = F.col("src") if shape == "co_subject" else F.col("dst")
+        pc = e.groupBy(mid.alias("node"), F.col("pred")).agg(
+            F.count(F.lit(1)).cast(_D38).alias("c")
+        )
+        a = pc.select("node", F.col("pred").alias("pred_a"), F.col("c").alias("c_a"))
+        b = pc.select("node", F.col("pred").alias("pred_b"), F.col("c").alias("c_b"))
+        pairs = a.join(b, "node").filter(F.col("pred_a") <= F.col("pred_b"))
+        n_pairs = F.when(
+            F.col("pred_a") < F.col("pred_b"), F.col("c_a") * F.col("c_b")
+        ).otherwise((F.col("c_a") * (F.col("c_a") - 1) / 2).cast(_D38))
+        res = (
+            pairs.groupBy("pred_a", "pred_b")
+            .agg(
+                F.sum(n_pairs).cast("long").alias("n_paths"),
+                F.count_distinct(F.col("node")).cast("long").alias("n_mid_nodes"),
+            )
+            .filter(F.col("n_paths") > 0)
+        )
+    else:
+        raise ValueError(f"unknown shape: {shape!r}")
+    e.unpersist()
+    return res
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row directed-graph reciprocity summary: of the distinct directed
+    edges (self-loops dropped), how many have their reverse edge present.
+    (n_edges, n_pairs, n_mutual_pairs, reciprocity_bp) with
+    reciprocity_bp = 10000 * 2*n_mutual_pairs div n_edges — the classic
+    r = |mutual edges| / |edges| in exact basis points. On the KG this
+    measures how symmetric the extracted relations are (a FLOWS_TO that
+    ever flows back is a cycle smell worth auditing).
+
+    Scale shape: no self-join — each directed edge maps to its unordered
+    pair key (least, greatest) and ONE map-side-combinable groupBy counts
+    directions per pair (1 or 2, since edges are distinct); the final
+    digest is a single-row aggregate. One narrow shuffle total."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pairs = e.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_dirs"))
+    return pairs.select(
+        F.sum("n_dirs").cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("n_dirs") == 2).cast("long")).cast("long").alias("n_mutual_pairs"),
+        F.expr(
+            "CAST(10000 * 2 * sum(CAST(n_dirs = 2 AS BIGINT)) div sum(n_dirs) AS BIGINT)"
+        ).alias("reciprocity_bp"),
+    )
+
+
+def eccentricity_profile(
+    edges: DataFrame, n_pivots: int = 4, max_hops: int = 8
+) -> DataFrame:
+    """Pivot-based distance profile of the undirected graph: from each of
+    the ``n_pivots`` highest-degree nodes (ties broken by node id — the
+    standard deterministic pivot heuristic: high-degree pivots reach the
+    giant component fastest and their max distance lower-bounds the
+    diameter), run a full BFS and report
+    (pivot, degree, n_reached, ecc, sum_hops, closeness_bp):
+    eccentricity = max hop distance, closeness_bp = 10000*(n_reached-1)
+    div sum_hops (classic closeness over the reached set, exact basis
+    points; NULL for an isolated pivot). max(ecc) over the profile is the
+    textbook diameter lower bound.
+
+    Scale shape: degrees and pivot selection are one groupBy + a
+    TakeOrderedAndProject (k rows to the driver — the pivot list itself,
+    not data). Each pivot then runs ``bfs_distances`` (frontier BFS, one
+    job per hop, node-bounded). The loop is sequential in the FIXED pivot
+    count; for large pivot sets the design swaps to one labeled frontier
+    carrying (pivot, node) composite keys — same joins, one loop."""
+    spark = edges.sparkSession
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.distinct().groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    pivots = [
+        (r["node"], r["degree"])
+        for r in deg.orderBy(F.desc("degree"), F.asc("node")).limit(n_pivots).collect()
+    ]
+    profiles = []
+    for node, degree in pivots:
+        seeds = spark.createDataFrame([(node,)], "node string")
+        d = bfs_distances(e, seeds, max_hops=max_hops)
+        profiles.append(
+            d.agg(
+                F.lit(node).alias("pivot_node"),
+                F.lit(degree).cast("long").alias("degree"),
+                F.count(F.lit(1)).cast("long").alias("n_reached"),
+                F.max("hops").cast("long").alias("ecc"),
+                F.sum("hops").cast("long").alias("sum_hops"),
+                F.expr(
+                    "CAST(CASE WHEN sum(hops) > 0 THEN 10000 * (count(*) - 1) div sum(hops) END AS BIGINT)"
+                ).alias("closeness_bp"),
+            )
+        )
+    e.unpersist()
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out

@@ -907,3 +907,59 @@ def readability_profile(
         "min_fk_x100",
         "max_fk_x100",
     )
+
+
+def burstiness(documents: DataFrame, min_total: int = 30, k: int = 50) -> DataFrame:
+    """Corpus-wide term burstiness: the top-k words by variance-to-mean
+    ratio of their per-document counts — Church/Gale burstiness, the
+    signal that separates topical terms (bursty: absent from most docs,
+    dense where they appear) from function words (Poisson-ish: spread
+    evenly). A dedup/curation pipeline reads this next to ``top_ngrams``:
+    a high-frequency LOW-burstiness "content" word is boilerplate leaking
+    through templates.
+
+    Exact integer arithmetic: with N = |docs| (NULL-text docs count as
+    empty — they hold zero occurrences of every word, which is exactly
+    what the variance must see), per word x_d = count in doc d,
+    S1 = sum(x), S2 = sum(x^2):
+        vmr_x100 = 100 * (N*S2 - S1^2) div (N * S1)
+    (VMR = Var/mean with Var = (N*S2 - S1^2)/N^2, mean = S1/N — the N^2
+    cancels). Words below ``min_total`` total occurrences are noise and
+    are cut BEFORE the top-k.
+
+    Scale shape: explode -> (doc_id, word) groupBy (map-side combinable)
+    -> per-word groupBy -> broadcast of the one-row corpus count -> the
+    physical top-k is a TakeOrderedAndProject (no global sort). Text
+    never shuffles — only (doc_id, word, count) rows do. The int64
+    products hold while N*S2 < 2^63; at extreme corpus scale swap the
+    accumulators to DECIMAL(38,0)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda w: w != "",
+    )
+    n_docs_total = documents.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    per_doc = (
+        documents.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_word = per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+    )
+    return (
+        per_word.crossJoin(F.broadcast(n_docs_total))
+        .filter(F.col("n_total") >= min_total)
+        .select(
+            "word",
+            "n_docs",
+            "n_total",
+            F.expr(
+                "CAST(100 * (n_corpus_docs * _s2 - n_total * n_total)"
+                " div (n_corpus_docs * n_total) AS BIGINT)"
+            ).alias("vmr_x100"),
+        )
+        .orderBy(F.desc("vmr_x100"), F.asc("word"))
+        .limit(k)
+    )

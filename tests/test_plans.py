@@ -580,3 +580,36 @@ def test_batch17_plans_no_cartesian_and_aggregated_grids(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch18_plans_equi_joins_and_broadcast_corpus_count(spark):
+    """Batch-18 scale shapes: metapath_census joins per-(node, pred)
+    COUNT tables (never edge pairs) — equi-join on the node key only;
+    reciprocity is join-free (one unordered-pair groupBy);
+    burstiness's corpus-doc count is a 1-row broadcast over the
+    per-word aggregate (partial+final), with the top-k as a
+    TakeOrderedAndProject."""
+    from dr_source_spark.operators.graph import metapath_census, reciprocity
+    from dr_source_spark.training.text import burstiness
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c"), ("b", "p", "c")],
+        "src string, pred string, dst string",
+    )
+    for shape in ("chain", "co_subject", "co_object"):
+        plan = _plan(metapath_census(edges, shape=shape))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("HashAggregate") >= 2  # count tables partial+final
+
+    plan = _plan(reciprocity(edges))
+    assert "Join" not in plan  # pair-key groupBy, no self-join
+    assert plan.count("HashAggregate") >= 2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(burstiness(docs, min_total=2, k=10))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the deliberate 1-row corpus-count broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -45,6 +45,7 @@ NEW_QUERIES = [
     "lineitem_fingerprint",
     "nation_revenue_share",
     "corpus_eval_sample",
+    "text_burstiness",
 ]
 
 
