@@ -9419,6 +9419,149 @@ LIMIT 50
 """
 
 
+def _kg_wl_colors(spark, sf_dir):
+    # Weisfeiler-Lehman color refinement, 2 rounds (operators/graph.py::
+    # wl_colors): structural-role census — nodes share a color iff 1-WL
+    # cannot tell their 2-hop neighborhood shapes apart; labels are dense
+    # ranks in BINARY STRING ORDER of the signature so the label values
+    # themselves (not just the partition) are engine-reproducible.
+    from dr_source_spark.operators.graph import wl_colors
+
+    return wl_colors(_kg_triples(spark, sf_dir).edges, rounds=2)
+
+
+_KG_WL_SQL_TMPL = """
+WITH kg_e AS MATERIALIZED ({edges}),
+e AS (SELECT DISTINCT src, dst FROM kg_e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+c0 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS color FROM sym GROUP BY 1),
+s1 AS (SELECT s.a AS node, c.color AS nc FROM sym s JOIN c0 c ON c.node = s.b),
+g1 AS (SELECT node, string_agg(CAST(nc AS VARCHAR), ',' ORDER BY nc) AS ns
+       FROM s1 GROUP BY 1),
+sig1 AS (SELECT c0.node, CAST(c0.color AS VARCHAR) || '|' || g1.ns AS sig
+         FROM c0 JOIN g1 USING (node)),
+r1 AS (SELECT sig, CAST(row_number() OVER (ORDER BY sig) AS BIGINT) AS color
+       FROM (SELECT DISTINCT sig FROM sig1)),
+c1 AS MATERIALIZED (SELECT sig1.node, r1.color FROM sig1 JOIN r1 USING (sig)),
+s2 AS (SELECT s.a AS node, c.color AS nc FROM sym s JOIN c1 c ON c.node = s.b),
+g2 AS (SELECT node, string_agg(CAST(nc AS VARCHAR), ',' ORDER BY nc) AS ns
+       FROM s2 GROUP BY 1),
+sig2 AS (SELECT c1.node, CAST(c1.color AS VARCHAR) || '|' || g2.ns AS sig
+         FROM c1 JOIN g2 USING (node)),
+r2 AS (SELECT sig, CAST(row_number() OVER (ORDER BY sig) AS BIGINT) AS color
+       FROM (SELECT DISTINCT sig FROM sig2)),
+c2 AS (SELECT sig2.node, r2.color FROM sig2 JOIN r2 USING (sig))
+SELECT node, color,
+       CAST(count(*) OVER (PARTITION BY color) AS BIGINT) AS class_size
+FROM c2
+"""
+
+
+def _kg_wl_colors_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return _KG_WL_SQL_TMPL.format(edges=kg_edges_oracle_sql())
+
+
+def _orders_benford_audit(spark, sf_dir):
+    # Benford first-digit audit of order totals (operators/stats.py::
+    # benford_audit): observed vs published log10(1+1/d) x10000 constants
+    # — the fabricated-data / unit-mixing screen for monetary columns,
+    # pure integer arithmetic.
+    from dr_source_spark.operators.stats import benford_audit
+
+    return benford_audit(
+        _t(spark, sf_dir, "orders"), F.round(F.col("o_totalprice") * 100)
+    )
+
+
+_ORDERS_BENFORD_SQL = """
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+obs AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM v WHERE v > 0 GROUP BY 1),
+n AS (SELECT sum(n_obs) AS nt FROM obs),
+exp AS (SELECT CAST(d AS BIGINT) AS digit, CAST(x AS BIGINT) AS exp_x10000
+        FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+                     (6, 669), (7, 580), (8, 512), (9, 458)) AS t(d, x))
+SELECT o.digit, o.n_obs,
+       CAST(10000 * o.n_obs // n.nt AS BIGINT) AS obs_x10000,
+       e.exp_x10000,
+       CAST(10000 * o.n_obs // n.nt - e.exp_x10000 AS BIGINT) AS dev_x10000
+FROM obs o CROSS JOIN n JOIN exp e USING (digit)
+"""
+
+
+def _text_simpson_diversity(spark, sf_dir):
+    # Simpson repeat-rate / Gini-Simpson diversity per language
+    # (training/text.py::simpson_diversity): P(two tokens drawn without
+    # replacement are the same word) in exact bp — the division-free
+    # cousin of entropy; a template-flooded slice scores high repeat-rate
+    # long before perplexity could be computed.
+    from dr_source_spark.training.text import simpson_diversity
+
+    return simpson_diversity(_t(spark, sf_dir, "documents")).withColumnRenamed(
+        "grp", "lang"
+    )
+
+
+_TEXT_SIMPSON_SQL = r"""
+WITH docs AS (
+  SELECT lang,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS toks
+  FROM documents),
+pd AS (SELECT lang, unnest(toks) AS word FROM docs),
+pc AS (SELECT lang AS grp, word, CAST(count(*) AS BIGINT) AS c
+       FROM pd WHERE word <> '' GROUP BY 1, 2)
+SELECT grp AS lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(CASE WHEN sum(c) >= 2 THEN 10000 * sum(c * (c - 1))
+                 // (sum(c) * (sum(c) - 1)) END AS BIGINT) AS simpson_bp,
+       CAST(CASE WHEN sum(c) >= 2 THEN 10000 - 10000 * sum(c * (c - 1))
+                 // (sum(c) * (sum(c) - 1)) END AS BIGINT) AS gini_simpson_bp
+FROM pc
+GROUP BY grp
+"""
+
+
+def _events_bowley_skew(spark, sf_dir):
+    # Bowley quartile skewness of cent-scaled event values per type
+    # (operators/stats.py::bowley_skew_by_group): exact lower order
+    # statistics at ranks (n-1)p div 100 + 1 under (value, event_id)
+    # order; sign-factored truncated division; NULL when IQR is zero.
+    from dr_source_spark.operators.stats import bowley_skew_by_group
+
+    return bowley_skew_by_group(
+        _t(spark, sf_dir, "events"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100),
+        F.col("event_id"),
+    ).withColumnRenamed("grp", "event_type")
+
+
+_EVENTS_BOWLEY_SQL = """
+WITH v AS (SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v,
+                  event_id AS id
+           FROM events),
+r AS (SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v),
+q AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        max(CASE WHEN rn = ((n - 1) * 25) // 100 + 1 THEN v END) AS q1,
+        max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN v END) AS q2,
+        max(CASE WHEN rn = ((n - 1) * 75) // 100 + 1 THEN v END) AS q3
+      FROM r GROUP BY grp)
+SELECT grp AS event_type, n, q1, q2, q3,
+       CAST(CASE WHEN q3 - q1 > 0 THEN
+              (CASE WHEN q1 + q3 - 2 * q2 < 0 THEN -1 ELSE 1 END) *
+              ((10000 * abs(q1 + q3 - 2 * q2)) // (q3 - q1))
+            END AS BIGINT) AS bowley_x10000
+FROM q
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9682,6 +9825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": _kg_reciprocity,
         "kg_eccentricity": _kg_eccentricity,
         "text_burstiness": _text_burstiness,
+        "kg_wl_colors": _kg_wl_colors,
+        "orders_benford_audit": _orders_benford_audit,
+        "text_simpson_diversity": _text_simpson_diversity,
+        "events_bowley_skew": _events_bowley_skew,
     }
 
 
@@ -9933,4 +10080,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_reciprocity": _kg_reciprocity_sql(),
         "kg_eccentricity": _kg_eccentricity_sql(),
         "text_burstiness": _TEXT_BURSTINESS_SQL,
+        "kg_wl_colors": _kg_wl_colors_sql(),
+        "orders_benford_audit": _ORDERS_BENFORD_SQL,
+        "text_simpson_diversity": _TEXT_SIMPSON_SQL,
+        "events_bowley_skew": _EVENTS_BOWLEY_SQL,
     }

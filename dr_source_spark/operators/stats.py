@@ -1443,3 +1443,92 @@ def theil_sen_by_group(
     return med.join(days, "grp").select(
         "grp", "n_days", "n_pairs", "slope_bp_med", "slope_bp_min", "slope_bp_max"
     )
+
+
+_BENFORD_X10000 = [3010, 1761, 1249, 969, 792, 669, 580, 512, 458]
+
+
+def benford_audit(df: DataFrame, value_cents) -> DataFrame:
+    """First-significant-digit audit against Benford's law: per digit 1-9
+    the observed count, the observed share in exact basis-points-of-10000,
+    the Benford expectation (log10(1+1/d) as the standard published x10000
+    integer constants — no runtime logarithm), and the signed deviation.
+    The classic fabricated-data / unit-mixing screen for monetary columns:
+    genuine multiplicative amounts lean on 1 and 2, uniform or invented
+    ones do not.
+
+    Non-positive values carry no leading significant digit and are
+    excluded (their count is visible as sum(n_obs) vs the table count).
+    One map-side-combinable groupBy over a 9-value key + a 1-row
+    broadcast; pure integer arithmetic end to end."""
+    obs = (
+        df.select(value_cents.cast("long").alias("_v"))
+        .filter(F.col("_v") > 0)
+        .select(F.substring(F.col("_v").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").alias("_n"))
+    exp = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in _BENFORD_X10000]), F.col("digit").cast("int")
+    )
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("CAST(10000 * n_obs div _n AS BIGINT)").alias("obs_x10000"),
+            exp.alias("exp_x10000"),
+            (
+                F.expr("CAST(10000 * n_obs div _n AS BIGINT)") - exp
+            ).cast("long").alias("dev_x10000"),
+        )
+    )
+
+
+def bowley_skew_by_group(
+    df: DataFrame, group_col, value_col, id_col
+) -> DataFrame:
+    """Bowley (quartile) skewness per group in exact scaled integers:
+    (grp, n, q1, q2, q3, bowley_x10000) with
+    bowley_x10000 = 10000 * (q1 + q3 - 2*q2) / (q3 - q1), sign-factored
+    truncated division so every engine floors the same way; NULL when the
+    interquartile range is zero (the statistic is undefined, not 0).
+    The robust asymmetry screen that, unlike a moment skew, needs no
+    square root and shrugs at outliers — reads next to the mad/trimmed
+    family.
+
+    Quartiles are the exact lower order statistics at ranks
+    (n-1)*p div 100 + 1 under (value, id) order — the engine-pinned
+    selection convention of the length-quantiles family. One ranking
+    window per group over narrow columns, then a single conditional-max
+    aggregate."""
+    base = df.select(
+        F.col(group_col).alias("grp") if isinstance(group_col, str) else group_col.alias("grp"),
+        (F.col(value_col) if isinstance(value_col, str) else value_col).cast("long").alias("v"),
+        (F.col(id_col) if isinstance(id_col, str) else id_col).alias("_id"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("_id"))
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    picks = ranked.groupBy("grp").agg(
+        F.max("_n").cast("long").alias("n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr(f"((_n - 1) * {p}) div 100 + 1"),
+                    F.col("v"),
+                )
+            ).alias(name)
+            for p, name in ((25, "q1"), (50, "q2"), (75, "q3"))
+        ],
+    )
+    num = F.col("q1") + F.col("q3") - 2 * F.col("q2")
+    den = F.col("q3") - F.col("q1")
+    bowley = F.when(
+        den > 0,
+        F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.expr("CAST(10000 * abs(q1 + q3 - 2 * q2) div (q3 - q1) AS BIGINT)"),
+    ).cast("long")
+    return picks.select("grp", "n", "q1", "q2", "q3", bowley.alias("bowley_x10000"))

@@ -963,3 +963,41 @@ def burstiness(documents: DataFrame, min_total: int = 30, k: int = 50) -> DataFr
         .orderBy(F.desc("vmr_x100"), F.asc("word"))
         .limit(k)
     )
+
+
+def simpson_diversity(documents: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Simpson repeat-rate / Gini-Simpson diversity of the unigram
+    distribution per group, in exact basis points:
+    simpson_bp = 10000 * sum(n_i * (n_i - 1)) div (N * (N - 1)) — the
+    probability two tokens drawn WITHOUT replacement are the same word —
+    and gini_simpson_bp = 10000 - simpson_bp. The division-free cousin of
+    entropy: a template-flooded corpus slice scores high repeat-rate long
+    before perplexity could be computed, making this the cheap screen a
+    curation pipeline runs per source/language. NULL for groups with
+    fewer than two tokens (undefined, not zero).
+
+    Scale shape: explode -> (grp, word) count (map-side combinable) ->
+    per-group aggregate; text never shuffles, only (grp, word, count)
+    rows. sum(n_i^2) is bounded by N^2 — at extreme scale swap the long
+    accumulators for DECIMAL(38,0)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda w: w != "",
+    )
+    per_word = (
+        documents.select(F.col(group_col).alias("grp"), F.explode(toks).alias("word"))
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_word.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr(
+            "CAST(CASE WHEN sum(c) >= 2 THEN 10000 * sum(c * (c - 1))"
+            " div (sum(c) * (sum(c) - 1)) END AS BIGINT)"
+        ).alias("simpson_bp"),
+        F.expr(
+            "CAST(CASE WHEN sum(c) >= 2 THEN 10000 - 10000 * sum(c * (c - 1))"
+            " div (sum(c) * (sum(c) - 1)) END AS BIGINT)"
+        ).alias("gini_simpson_bp"),
+    )

@@ -613,3 +613,46 @@ def test_batch18_plans_equi_joins_and_broadcast_corpus_count(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_batch19_plans_equi_joins_and_narrow_windows(spark):
+    """Batch-19 scale shapes: wl_colors' per-round neighbor-color join
+    and signature-rank join must be equi-joins (never a Cartesian);
+    benford's only nested-loop is the deliberate 1-row total broadcast;
+    simpson collapses text to (grp, word, count) with partial+final
+    aggregates; bowley's ranking window rides a 3-column projection."""
+    from dr_source_spark.operators.graph import wl_colors
+    from dr_source_spark.operators.stats import benford_audit, bowley_skew_by_group
+    from dr_source_spark.training.text import simpson_diversity
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "src string, pred string, dst string"
+    )
+    plan = _plan(wl_colors(edges, rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(benford_audit(orders, F.round(F.col("o_totalprice") * 100)))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("HashAggregate") >= 2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simpson_diversity(docs))
+    assert "Join" not in plan  # pure aggregate chain, no join at all
+    assert plan.count("HashAggregate") >= 2
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        bowley_skew_by_group(
+            events, F.col("event_type"), F.round(F.col("value") * 100),
+            F.col("event_id"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    cols = scan_line.split("[")[1].split("]")[0]
+    assert {c.split("#")[0] for c in cols.split(",")} == {
+        "event_type", "value", "event_id",
+    }
