@@ -9562,6 +9562,138 @@ FROM q
 """
 
 
+def _orders_ivm_agg(spark, sf_dir):
+    # incremental view maintenance (operators/merge.py::
+    # maintain_group_agg): the per-priority (count, sum-cents) view
+    # maintained from a CDC delta (inserts = 1997+ orders, deletes =
+    # every pre-1997 order with orderkey % 10 == 0) WITHOUT rescanning
+    # the base — the oracle recomputes from scratch, so the hash match
+    # re-proves the maintenance algebra on every run.
+    from dr_source_spark.operators.merge import maintain_group_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = "1997-01-01"
+    base = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+    )
+    ins = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderpriority", cents.alias("v"), F.lit(False).alias("is_del")
+    )
+    dels = orders.filter(
+        (F.col("o_orderdate") < cut) & (F.col("o_orderkey") % 10 == 0)
+    ).select("o_orderpriority", cents.alias("v"), F.lit(True).alias("is_del"))
+    return maintain_group_agg(
+        base, ins.unionByName(dels), "o_orderpriority", "v", "is_del"
+    )
+
+
+_ORDERS_IVM_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01' OR o_orderkey % 10 <> 0
+GROUP BY 1
+"""
+
+
+def _lineitem_join_card(spark, sf_dir):
+    # histogram join-cardinality estimation (operators/stats.py::
+    # join_cardinality_estimate): the textbook uniform-assumption
+    # estimate n_a*n_b div max(d_a,d_b) per key-hash bucket next to the
+    # EXACT join size (per-key count products, never the join itself)
+    # and the signed error — where a planner's uniform assumption breaks
+    # is exactly where skew hides.
+    from dr_source_spark.operators.stats import join_cardinality_estimate
+
+    return join_cardinality_estimate(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        n_buckets=16,
+    )
+
+
+_LINEITEM_JOIN_CARD_SQL = """
+WITH ka AS (SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1),
+kb AS (SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS c
+       FROM lineitem GROUP BY 1),
+sa AS (SELECT k % 16 AS bucket, CAST(sum(c) AS BIGINT) AS n_a,
+              CAST(count(*) AS BIGINT) AS d_a FROM ka GROUP BY 1),
+sb AS (SELECT k % 16 AS bucket, CAST(sum(c) AS BIGINT) AS n_b,
+              CAST(count(*) AS BIGINT) AS d_b FROM kb GROUP BY 1),
+ex AS (SELECT ka.k % 16 AS bucket, CAST(sum(ka.c * kb.c) AS BIGINT) AS exact_rows
+       FROM ka JOIN kb USING (k) GROUP BY 1),
+j AS (SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(d_a, 0) AS d_a,
+             coalesce(n_b, 0) AS n_b, coalesce(d_b, 0) AS d_b
+      FROM sa FULL OUTER JOIN sb USING (bucket))
+SELECT j.bucket, j.n_a, j.d_a, j.n_b, j.d_b,
+       CAST(CASE WHEN j.n_a > 0 AND j.n_b > 0
+                 THEN j.n_a * j.n_b // greatest(j.d_a, j.d_b)
+                 ELSE 0 END AS BIGINT) AS est_rows,
+       CAST(coalesce(ex.exact_rows, 0) AS BIGINT) AS exact_rows,
+       CAST(CASE WHEN ex.exact_rows > 0 THEN
+              (CASE WHEN j.n_a * j.n_b // greatest(j.d_a, j.d_b)
+                         - ex.exact_rows < 0 THEN -1 ELSE 1 END)
+              * (10000 * abs(j.n_a * j.n_b // greatest(j.d_a, j.d_b)
+                             - ex.exact_rows) // ex.exact_rows)
+            END AS BIGINT) AS err_bp
+FROM j LEFT JOIN ex USING (bucket)
+"""
+
+
+def _text_heaps_curve(spark, sf_dir):
+    # Heaps'-law vocabulary-growth curve (training/text.py::heaps_curve):
+    # exact cumulative token and distinct-word counts at 10 doc_id-order
+    # prefixes — positions and cumulative sums ride global_prefix_sum
+    # (bucketed, no full-data single-partition window); words collapse to
+    # their first position, never per-checkpoint vocabularies.
+    from dr_source_spark.training.text import heaps_curve
+
+    return heaps_curve(_t(spark, sf_dir, "documents"), n_checkpoints=10)
+
+
+_TEXT_HEAPS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS toks
+  FROM documents),
+tk AS (SELECT doc_id,
+              CAST(len(list_filter(toks, w -> w <> '')) AS BIGINT) AS n_toks
+       FROM d),
+p AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS pos,
+             CAST(sum(n_toks) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_incl
+      FROM tk),
+dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+cps AS (SELECT CAST(t.k AS BIGINT) AS checkpoint,
+               CAST(dd.d * t.k // 10 AS BIGINT) AS cp_pos
+        FROM range(1, 11) t(k), dd),
+ta AS (SELECT c.checkpoint, c.cp_pos AS n_docs_cum, p.tok_incl AS n_tokens_cum
+       FROM p JOIN cps c ON p.pos = c.cp_pos),
+wx AS (SELECT DISTINCT doc_id, word
+       FROM (SELECT doc_id, unnest(toks) AS word FROM d)
+       WHERE word <> ''),
+wf AS (SELECT word, min(p.pos) AS fpos
+       FROM wx JOIN p ON p.doc_id = wx.doc_id GROUP BY 1),
+ty AS (SELECT c.checkpoint, CAST(count(*) AS BIGINT) AS n_types_cum
+       FROM wf JOIN cps c ON wf.fpos <= c.cp_pos GROUP BY 1)
+SELECT ta.checkpoint, ta.n_docs_cum, ta.n_tokens_cum,
+       CAST(coalesce(ty.n_types_cum, 0) AS BIGINT) AS n_types_cum
+FROM ta LEFT JOIN ty USING (checkpoint)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9829,6 +9961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford_audit": _orders_benford_audit,
         "text_simpson_diversity": _text_simpson_diversity,
         "events_bowley_skew": _events_bowley_skew,
+        "orders_ivm_agg": _orders_ivm_agg,
+        "lineitem_join_card": _lineitem_join_card,
+        "text_heaps_curve": _text_heaps_curve,
     }
 
 
@@ -10084,4 +10219,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_benford_audit": _ORDERS_BENFORD_SQL,
         "text_simpson_diversity": _TEXT_SIMPSON_SQL,
         "events_bowley_skew": _EVENTS_BOWLEY_SQL,
+        "orders_ivm_agg": _ORDERS_IVM_SQL,
+        "lineitem_join_card": _LINEITEM_JOIN_CARD_SQL,
+        "text_heaps_curve": _TEXT_HEAPS_SQL,
     }

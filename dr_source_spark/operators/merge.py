@@ -106,3 +106,54 @@ def apply_merge(
             ],
         )
     )
+
+
+def maintain_group_agg(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    key: str,
+    value_cents: str,
+    delete_col: str,
+) -> DataFrame:
+    """Incremental view maintenance of a (key, n_rows, sum_cents) group
+    aggregate under a CDC delta batch — WITHOUT rescanning the base
+    table: each delta insert contributes (+1, +value), each delete
+    RETRACTS (-1, -value), and the maintained view is the aggregate-merge
+    of the base summary with the delta summary. Groups whose maintained
+    count reaches zero drop out of the view (an aggregate row for an
+    empty group is not "0", it is absent — matching what a recompute
+    would produce). count and sum are self-maintainable; min/max are NOT
+    (a retraction can expose an unknown runner-up) — that asymmetry is
+    the textbook IVM boundary and deliberately out of scope here.
+
+    Scale shape: the whole point — cost is O(|delta|) + O(|groups|), one
+    map-side-combinable groupBy over the delta and one narrow-key merge
+    groupBy, while the recompute it replaces rescans the full fact
+    table. The oracle for this operator IS the recompute (base minus
+    deletes plus inserts aggregated from scratch), so every driver run
+    re-proves the maintenance algebra exactly."""
+    d = delta.groupBy(F.col(key).alias("grp")).agg(
+        F.sum(
+            F.when(F.col(delete_col), F.lit(-1)).otherwise(F.lit(1))
+        ).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col(delete_col), -F.col(value_cents)).otherwise(
+                F.col(value_cents)
+            )
+        ).cast("long").alias("sum_cents"),
+    )
+    b = base_agg.select(
+        F.col(key).alias("grp"),
+        F.col("n_rows").cast("long"),
+        F.col("sum_cents").cast("long"),
+    )
+    return (
+        b.unionByName(d)
+        .groupBy("grp")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .withColumnRenamed("grp", key)
+    )

@@ -1532,3 +1532,76 @@ def bowley_skew_by_group(
         * F.expr("CAST(10000 * abs(q1 + q3 - 2 * q2) div (q3 - q1) AS BIGINT)"),
     ).cast("long")
     return picks.select("grp", "n", "q1", "q2", "q3", bowley.alias("bowley_x10000"))
+
+
+def join_cardinality_estimate(
+    a: DataFrame, b: DataFrame, key_a: str, key_b: str, n_buckets: int = 16
+) -> DataFrame:
+    """Optimizer observability: the TEXTBOOK equi-join cardinality
+    estimate — per key-hash bucket, est = n_a * n_b div max(d_a, d_b)
+    (uniform-frequency assumption over the bucket's distinct keys) —
+    next to the EXACT join size (sum of per-key count products, computed
+    from two count tables, never by materializing the join), and the
+    signed error in basis points. This is the arithmetic a cost-based
+    planner runs on catalog histograms; surfacing it as a query makes
+    mis-estimation auditable: a bucket whose err_bp explodes is exactly
+    where a skewed key is hiding from uniform-assumption planning.
+
+    Buckets are ``key % n_buckets`` (pmod, engine-portable on integral
+    keys) — deterministic, no sampled boundaries. Scale shape: each side
+    collapses to a per-key count table first (map-side combinable), so
+    the "exact" arm is a narrow-key equi-join of two aggregates; nothing
+    ever fans out to join-result size."""
+    ka = (
+        a.select(F.col(key_a).cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("bucket", F.pmod(F.col("k"), F.lit(n_buckets)).cast("long"))
+    )
+    kb = (
+        b.select(F.col(key_b).cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("bucket", F.pmod(F.col("k"), F.lit(n_buckets)).cast("long"))
+    )
+    side_a = ka.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_a"),
+        F.count(F.lit(1)).cast("long").alias("d_a"),
+    )
+    side_b = kb.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("d_b"),
+    )
+    exact = (
+        ka.select("bucket", "k", F.col("c").alias("c_a"))
+        .join(kb.select("k", F.col("c").alias("c_b")), "k")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("long").alias("exact_rows"))
+    )
+    est = F.expr("CAST(n_a * n_b div greatest(d_a, d_b) AS BIGINT)")
+    err = F.expr(
+        "CAST(CASE WHEN exact_rows > 0 THEN"
+        " (CASE WHEN n_a * n_b div greatest(d_a, d_b) - exact_rows < 0"
+        "       THEN -1 ELSE 1 END)"
+        " * (10000 * abs(n_a * n_b div greatest(d_a, d_b) - exact_rows)"
+        "    div exact_rows) END AS BIGINT)"
+    )
+    return (
+        side_a.join(side_b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("d_a", F.lit(0)).cast("long").alias("d_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("d_b", F.lit(0)).cast("long").alias("d_b"),
+        )
+        .join(exact, "bucket", "left")
+        .select(
+            "bucket", "n_a", "d_a", "n_b", "d_b",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0), est
+            ).otherwise(F.lit(0)).cast("long").alias("est_rows"),
+            F.coalesce("exact_rows", F.lit(0)).cast("long").alias("exact_rows"),
+            err.alias("err_bp"),
+        )
+    )

@@ -1001,3 +1001,83 @@ def simpson_diversity(documents: DataFrame, group_col: str = "lang") -> DataFram
             " div (sum(c) * (sum(c) - 1)) END AS BIGINT)"
         ).alias("gini_simpson_bp"),
     )
+
+
+def heaps_curve(documents: DataFrame, n_checkpoints: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: at ``n_checkpoints`` evenly
+    spaced prefixes of the corpus in doc_id order, the exact cumulative
+    token count and cumulative DISTINCT-word count
+    (checkpoint, n_docs_cum, n_tokens_cum, n_types_cum). The curve's
+    bend is the capacity-planning number for vocabulary-bound structures
+    (tokenizer training, hash-vocab sizing): V(N) ~ K·N^beta flattens
+    when a corpus is template-flooded and keeps climbing when it is
+    genuinely diverse — read next to simpson_diversity (its pointwise
+    cousin) and top_ngrams.
+
+    Exactness contract: "cumulative" is pinned to ascending doc_id order
+    (unique integral ids), checkpoint k covers the first (D*k) div n
+    docs, and a word's arrival position is its MINIMUM doc position —
+    all order statistics any engine reproduces.
+
+    Scale shape: doc positions and cumulative token sums come from TWO
+    ``global_prefix_sum`` passes over the narrow (doc_id, n_toks)
+    projection (bucketed, no full-data single-partition window); the
+    type curve never materializes per-checkpoint vocabularies — each
+    word collapses to its first position (map-side combinable min), and
+    one broadcast join against the k-row checkpoint table counts
+    arrivals per prefix."""
+    from dr_source_spark.operators.prefix import global_prefix_sum
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda w: w != "",
+    )
+    narrow = documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    pos = global_prefix_sum(narrow, "doc_id", "_one", out_col="_p")
+    pos = global_prefix_sum(pos, "doc_id", "n_toks", out_col="_tp").select(
+        "doc_id",
+        (F.col("_p") + 1).alias("pos"),
+        (F.col("_tp") + F.col("n_toks")).alias("tok_incl"),
+    )
+    spark = documents.sparkSession
+    total = documents.agg(F.count(F.lit(1)).alias("_d"))
+    cps = (
+        spark.range(1, n_checkpoints + 1)
+        .select(F.col("id").cast("long").alias("checkpoint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "checkpoint",
+            F.expr(f"CAST(_d * checkpoint div {n_checkpoints} AS BIGINT)").alias(
+                "cp_pos"
+            ),
+        )
+    )
+    tok_at = pos.join(
+        F.broadcast(cps), pos["pos"] == cps["cp_pos"]
+    ).select("checkpoint", F.col("cp_pos").alias("n_docs_cum"), F.col("tok_incl").alias("n_tokens_cum"))
+    wfirst = (
+        documents.select("doc_id", F.explode(toks).alias("word"))
+        .distinct()
+        .join(pos.select("doc_id", "pos"), "doc_id")
+        .groupBy("word")
+        .agg(F.min("pos").alias("fpos"))
+    )
+    types_at = (
+        wfirst.crossJoin(F.broadcast(cps))
+        .filter(F.col("fpos") <= F.col("cp_pos"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types_cum"))
+    )
+    return (
+        tok_at.join(types_at, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "n_docs_cum",
+            "n_tokens_cum",
+            F.coalesce("n_types_cum", F.lit(0)).cast("long").alias("n_types_cum"),
+        )
+    )

@@ -656,3 +656,31 @@ def test_batch19_plans_equi_joins_and_narrow_windows(spark):
     assert {c.split("#")[0] for c in cols.split(",")} == {
         "event_type", "value", "event_id",
     }
+
+
+def test_batch20_plans_ivm_join_free_and_estimates_equi(spark):
+    """Batch-20 scale shapes: maintain_group_agg is JOIN-FREE (union +
+    one merge groupBy — the O(|delta| + |groups|) promise);
+    join_cardinality_estimate's exact arm joins per-key COUNT tables
+    (equi on the key, never the fact rows); heaps_curve's only
+    nested-loops are the deliberate k-row checkpoint broadcasts."""
+    from dr_source_spark.operators.merge import maintain_group_agg
+    from dr_source_spark.operators.stats import join_cardinality_estimate
+    from dr_source_spark.training.text import heaps_curve
+
+    base = spark.createDataFrame([("g", 1, 1)], "grp string, n_rows long, sum_cents long")
+    delta = spark.createDataFrame([("g", 1, False)], "grp string, v long, is_del boolean")
+    plan = _plan(maintain_group_agg(base, delta, "grp", "v", "is_del"))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(join_cardinality_estimate(orders, li, "o_orderkey", "l_orderkey"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(heaps_curve(docs, 10))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3  # 1-row total + k-row cps
