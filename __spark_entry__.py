@@ -9694,6 +9694,42 @@ FROM ta LEFT JOIN ty USING (checkpoint)
 """
 
 
+def _customer_er_snm_quality(spark, sf_dir):
+    # sorted-neighborhood blocking (operators/entity_link.py::
+    # snm_candidate_pairs, window 4) evaluated with the SAME
+    # blocking_quality_report and planted truth as the token/stop-gram
+    # strategy (customer_er_quality) — the two classic blocking
+    # paradigms, head-to-head comparable by construction.
+    from dr_source_spark.operators.entity_link import (
+        blocking_quality_report,
+        snm_candidate_pairs,
+    )
+
+    m = _er_planted_mentions(spark, sf_dir)
+    return blocking_quality_report(
+        m, F.expr("mention_id div 4"), snm_candidate_pairs(m, window=4)
+    )
+
+
+def _er_snm_quality_sql() -> str:
+    # mention CTEs verbatim from the customer-ER oracle; metric tail
+    # verbatim from the blocking-quality oracle — single source of truth
+    # for both the benchmark and the report arithmetic
+    men_prefix = _customer_er_sql().split("\ngrams AS")[0].rstrip().rstrip(",")
+    metric_tail = _er_quality_sql().split("\nmt AS")[1]
+    return (
+        men_prefix
+        + """,
+r AS (SELECT mention_id,
+             row_number() OVER (ORDER BY name, mention_id) AS rk
+      FROM men),
+cand AS (SELECT a.mention_id AS ia, b.mention_id AS ib
+         FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4),
+mt AS"""
+        + metric_tail
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -9964,6 +10000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ivm_agg": _orders_ivm_agg,
         "lineitem_join_card": _lineitem_join_card,
         "text_heaps_curve": _text_heaps_curve,
+        "customer_er_snm_quality": _customer_er_snm_quality,
     }
 
 
@@ -10222,4 +10259,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_ivm_agg": _ORDERS_IVM_SQL,
         "lineitem_join_card": _LINEITEM_JOIN_CARD_SQL,
         "text_heaps_curve": _TEXT_HEAPS_SQL,
+        "customer_er_snm_quality": _er_snm_quality_sql(),
     }

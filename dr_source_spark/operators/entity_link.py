@@ -244,6 +244,20 @@ def er_blocking_quality(
     candidate pairs via two slim equi-joins on the (mention_id, key)
     projection; the three 1-row aggregates cross-join at the end.
     """
+    cand = er_candidate_pairs(
+        mention_grams(mentions), b=b, df_cap_pct=df_cap_pct, max_bucket=max_bucket
+    )
+    return blocking_quality_report(mentions, truth_key, cand)
+
+
+def blocking_quality_report(
+    mentions: DataFrame, truth_key: Column, cand: DataFrame
+) -> DataFrame:
+    """The metric core of ``er_blocking_quality``, factored out so EVERY
+    blocking strategy (token/stop-gram, sorted-neighborhood, ...) reports
+    the same exact-bp completeness / precision / reduction numbers over
+    the same planted truth — head-to-head comparable by construction.
+    ``cand`` is any (ia, ib) candidate-pair table."""
     keyed = mentions.select(
         F.col("mention_id"), truth_key.cast("long").alias("_tk")
     )
@@ -253,9 +267,6 @@ def er_blocking_quality(
     ).agg(
         F.sum("_c").alias("_nm"),
         F.sum(F.expr(f"(_c * (_c - 1)) div 2")).alias("_truth"),
-    )
-    cand = er_candidate_pairs(
-        mention_grams(mentions), b=b, df_cap_pct=df_cap_pct, max_bucket=max_bucket
     )
     ka = keyed.select(F.col("mention_id").alias("ia"), F.col("_tk").alias("_ta"))
     kb = keyed.select(F.col("mention_id").alias("ib"), F.col("_tk").alias("_tb"))
@@ -403,4 +414,57 @@ def er_fs_weights(
                 " end as long)"
             ).alias("lr_x100"),
         )
+    )
+
+
+def snm_candidate_pairs(mentions: DataFrame, window: int = 4) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the second classic
+    blocking paradigm next to the token/stop-gram blocking above: rank
+    every mention by (normalized name, mention_id) and emit each pair
+    within rank distance < ``window``. Catches the typo class token
+    blocking structurally misses (a corrupted first trigram moves a
+    mention OUT of its token buckets but barely moves it in sort order)
+    and vice versa — which is why production linkage runs both and
+    unions the candidates; `blocking_quality_report` makes the two
+    strategies head-to-head comparable on the same planted truth.
+
+    Scale shape: candidates are found with ONE equi-join — each rank
+    lands in block rank div window, the probe side duplicates each row
+    into its own and the PREVIOUS block, and the (0 < rank gap < window)
+    filter runs inside the join; every qualifying pair is produced
+    exactly once (same-block via the identity key, boundary-crossing via
+    the previous-block key), never an all-pairs or inequality-only join.
+    The global rank itself is the one ordered step: here a window over
+    the narrow (name, mention_id) projection; at extreme scale assign it
+    with a range-partitioned sort + per-partition offsets (the
+    global_prefix_sum pattern), which preserves exactly these ranks."""
+    ranked = mentions.select(
+        "mention_id",
+        F.row_number()
+        .over(Window.orderBy(F.asc("name"), F.asc("mention_id")))
+        .cast("long")
+        .alias("rk"),
+    )
+    left = ranked.select(
+        F.col("mention_id").alias("ia"),
+        F.col("rk").alias("ra"),
+        F.expr(f"rk div {int(window)}").alias("blk"),
+    )
+    right = ranked.select(
+        F.col("mention_id").alias("ib"),
+        F.col("rk").alias("rb"),
+        F.explode(
+            F.array(
+                F.expr(f"rk div {int(window)}"),
+                F.expr(f"rk div {int(window)} - 1"),
+            )
+        ).alias("blk"),
+    )
+    return (
+        left.join(right, "blk")
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") - F.col("ra") < int(window))
+        )
+        .select("ia", "ib")
     )

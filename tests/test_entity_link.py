@@ -148,3 +148,54 @@ def test_er_plans_have_no_cartesian_or_bnlj(spark):
 def test_normalize_mention_is_alnum_lower(spark):
     df = spark.createDataFrame([("  Ab-C 1.2!Z ",)], "s string")
     assert df.select(normalize_mention(F.col("s")).alias("n")).collect()[0].n == "abc12z"
+
+
+class TestSortedNeighborhood:
+    def _m(self, spark, names):
+        return spark.createDataFrame(
+            [(i + 1, n) for i, n in enumerate(names)],
+            "mention_id long, name string",
+        )
+
+    def test_window2_adjacent_only(self, spark):
+        from dr_source_spark.operators.entity_link import snm_candidate_pairs
+
+        m = self._m(spark, ["alpha1", "zeta", "alpha2"])
+        # sort order: alpha1(1), alpha2(3), zeta(2) -> adjacency pairs
+        # (1,3) and (3,2); window=2 means rank gap exactly 1
+        pairs = {
+            tuple(sorted((r["ia"], r["ib"])))
+            for r in snm_candidate_pairs(m, window=2).collect()
+        }
+        assert pairs == {(1, 3), (2, 3)}
+
+    def test_no_duplicate_pairs_across_blocks(self, spark):
+        from dr_source_spark.operators.entity_link import snm_candidate_pairs
+
+        m = self._m(spark, [f"n{i:02d}" for i in range(6)])
+        out = snm_candidate_pairs(m, window=3).collect()
+        # gaps 1 and 2 over 6 ranks: 5 + 4 = 9 pairs, each exactly once
+        assert len(out) == 9
+        assert len({(r["ia"], r["ib"]) for r in out}) == 9
+
+    def test_quality_report_shared_core(self, spark):
+        from dr_source_spark.operators.entity_link import (
+            blocking_quality_report,
+            snm_candidate_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        # two entities, two mentions each, names adjacent in sort order
+        # within entity -> window 2 achieves perfect completeness
+        m = spark.createDataFrame(
+            [(10, "aaa1"), (11, "aaa2"), (20, "bbb1"), (21, "bbb2")],
+            "mention_id long, name string",
+        )
+        (r,) = blocking_quality_report(
+            m, F.expr("mention_id div 10"), snm_candidate_pairs(m, window=2)
+        ).collect()
+        assert r["n_truth_pairs"] == 2
+        assert r["n_candidate_pairs"] == 3  # 3 adjacent pairs in sort order
+        assert r["n_matched"] == 2
+        assert r["pair_completeness_bp"] == 10000
+        assert r["candidate_precision_bp"] == 10000 * 2 // 3

@@ -684,3 +684,17 @@ def test_batch20_plans_ivm_join_free_and_estimates_equi(spark):
     plan = _plan(heaps_curve(docs, 10))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 3  # 1-row total + k-row cps
+
+
+def test_snm_pairs_single_equi_join(spark):
+    """Sorted-neighborhood candidates must come from ONE equi-join on the
+    block key (probe side exploded to own+previous block), never an
+    inequality-only or Cartesian join."""
+    from dr_source_spark.operators.entity_link import snm_candidate_pairs
+
+    m = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "mention_id long, name string"
+    )
+    plan = _plan(snm_candidate_pairs(m, window=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
