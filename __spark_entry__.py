@@ -9730,6 +9730,115 @@ mt AS"""
     )
 
 
+def _corpus_reshard_plan(spark, sf_dir):
+    # reshard movement census (operators/layout.py::reshard_plan): rows
+    # that must move growing 8 -> 9 shards under modulo placement vs a
+    # 64-vnode consistent-hash ring (the ring is configuration — built
+    # driver-side from the shared md5 base hash and shipped as a literal,
+    # zero joins). The capacity-plan number a migration needs up front.
+    from dr_source_spark.operators.layout import reshard_plan
+
+    return reshard_plan(
+        _t(spark, sf_dir, "documents"), "doc_id", old_shards=8, new_shards=9
+    )
+
+
+def _corpus_reshard_sql() -> str:
+    from dr_source_spark.operators.layout import _ring_points
+
+    def ring_expr(n_shards: int) -> str:
+        vhs, shs = _ring_points(n_shards, 64)
+        vl = "[" + ", ".join(str(v) for v in vhs) + "]"
+        sl = "[" + ", ".join(str(s) for s in shs) + "]"
+        idx = f"len(list_filter({vl}, x -> x < h))"
+        return (
+            f"({sl})[(CASE WHEN {idx} >= {len(vhs)} THEN 0 ELSE {idx} END) + 1]"
+        )
+
+    h = _duck_minhash_base("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (SELECT {h} AS h FROM documents),
+a AS (SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END) AS BIGINT) AS mm,
+  CAST(sum(CASE WHEN {ring_expr(8)} <> {ring_expr(9)} THEN 1 ELSE 0 END)
+       AS BIGINT) AS rm
+ FROM d)
+SELECT 'mod' AS strategy, n_rows, mm AS n_moved,
+       CAST(CASE WHEN n_rows > 0 THEN 10000 * mm // n_rows END AS BIGINT)
+         AS moved_bp
+FROM a
+UNION ALL
+SELECT 'ring', n_rows, rm,
+       CAST(CASE WHEN n_rows > 0 THEN 10000 * rm // n_rows END AS BIGINT)
+FROM a
+"""
+
+
+def _documents_analyze_stats(spark, sf_dir):
+    # ANALYZE TABLE as a query (operators/stats.py::analyze_table_stats):
+    # per column exact NDV, null count, and average rendered width x100 —
+    # the catalog numbers join_cardinality_estimate's histograms refine;
+    # one aggregate pass for all columns.
+    from dr_source_spark.operators.stats import analyze_table_stats
+
+    return analyze_table_stats(_t(spark, sf_dir, "documents"))
+
+
+def _documents_analyze_sql() -> str:
+    arms = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        arms.append(f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN count({c}) > 0
+                 THEN 100 * sum(length(CAST({c} AS VARCHAR))) // count({c})
+            END AS BIGINT) AS avg_len_x100
+FROM documents""")
+    return "\nUNION ALL\n".join(arms)
+
+
+def _customer_decile_lift(spark, sf_dir):
+    # cumulative lift table (operators/stats.py::decile_lift): customers
+    # ranked by order revenue, 10 tiles; lift at tile 1 is the revenue-
+    # concentration headline, tile 10 is exactly 10000 by construction
+    # (self-check the oracle re-proves).
+    from dr_source_spark.operators.stats import decile_lift
+
+    return decile_lift(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+_CUSTOMER_DECILE_SQL = """
+WITH per AS (SELECT o_custkey AS ent,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+r AS (SELECT ent, cents,
+             row_number() OVER (ORDER BY cents DESC, ent ASC) AS rn,
+             count(*) OVER () AS n
+      FROM per),
+t AS (SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS tile,
+             CAST(count(*) AS BIGINT) AS n_entities,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM r GROUP BY 1),
+tot AS (SELECT sum(revenue_cents) AS tt FROM t),
+c AS (SELECT tile, n_entities, revenue_cents,
+             sum(revenue_cents) OVER (ORDER BY tile
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT c.tile, c.n_entities, c.revenue_cents,
+       CAST(10000 * c.revenue_cents // tot.tt AS BIGINT) AS share_bp,
+       CAST(10000 * c.cum // tot.tt AS BIGINT) AS cum_share_bp,
+       CAST((10000 * c.cum // tot.tt) * 10 // c.tile AS BIGINT) AS lift_x10000
+FROM c, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10001,6 +10110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_join_card": _lineitem_join_card,
         "text_heaps_curve": _text_heaps_curve,
         "customer_er_snm_quality": _customer_er_snm_quality,
+        "corpus_reshard_plan": _corpus_reshard_plan,
+        "documents_analyze_stats": _documents_analyze_stats,
+        "customer_decile_lift": _customer_decile_lift,
     }
 
 
@@ -10260,4 +10372,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_join_card": _LINEITEM_JOIN_CARD_SQL,
         "text_heaps_curve": _TEXT_HEAPS_SQL,
         "customer_er_snm_quality": _er_snm_quality_sql(),
+        "corpus_reshard_plan": _corpus_reshard_sql(),
+        "documents_analyze_stats": _documents_analyze_sql(),
+        "customer_decile_lift": _CUSTOMER_DECILE_SQL,
     }

@@ -327,3 +327,95 @@ def range_partition_advice(
             .alias("salt_factor"),
         )
     )
+
+
+def _ring_points(n_shards: int, vnodes: int) -> tuple[list[int], list[int]]:
+    """The consistent-hash ring as two parallel sorted lists
+    (positions, shard ids). Positions are the engine's shared 32-bit md5
+    base hash of ``s{shard}:{vnode}`` — hashlib reproduces F.md5 /
+    DuckDB md5 exactly, so the ring can be built ONCE driver-side (it is
+    configuration, not data: n_shards * vnodes integers) and embedded as
+    a literal in both the Spark expression and the SQL oracle."""
+    import hashlib
+
+    pts = sorted(
+        (
+            int(hashlib.md5(f"s{s}:{j}".encode()).hexdigest()[:8], 16),
+            s,
+        )
+        for s in range(n_shards)
+        for j in range(vnodes)
+    )
+    return [p[0] for p in pts], [p[1] for p in pts]
+
+
+def ring_assign_expr(id_col: Column, n_shards: int, vnodes: int = 64) -> Column:
+    """Consistent-hash ring assignment as a pure JVM expression: the doc
+    hash's successor on the sorted ring (wrapping past the top), found by
+    counting ring positions below the hash inside a literal array —
+    O(ring size) per row with ZERO joins, which is the point: the ring is
+    configuration-sized by definition, so shipping it as a literal beats
+    any broadcast-join plan."""
+    vhs, shards = _ring_points(n_shards, vnodes)
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+    vh_arr = F.array(*[F.lit(v).cast("long") for v in vhs])
+    sh_arr = F.array(*[F.lit(s).cast("long") for s in shards])
+    idx = F.size(F.filter(vh_arr, lambda x: x < h))  # ring points below h
+    wrapped = F.when(idx >= len(vhs), F.lit(0)).otherwise(idx)
+    return F.element_at(sh_arr, wrapped + 1)
+
+
+def reshard_plan(
+    df: DataFrame,
+    id_col: str,
+    old_shards: int,
+    new_shards: int,
+    vnodes: int = 64,
+) -> DataFrame:
+    """Reshard movement census: when a cluster grows from ``old_shards``
+    to ``new_shards``, how many rows must MOVE under (a) modulo
+    placement (hash % N — the naive scheme: changing N remaps nearly
+    everything) vs (b) a consistent-hash ring with ``vnodes`` virtual
+    nodes per shard (only keys whose ring successor changes move —
+    expectation ~1/new_shards). One row per strategy:
+    (strategy, n_rows, n_moved, moved_bp). The number a capacity plan
+    needs BEFORE the migration: moved rows are network + rewrite cost.
+
+    Scale shape: one narrow projection computing four assignments as
+    pure expressions (the ring is a literal — see ``ring_assign_expr``),
+    one map-side-combinable 2x2 aggregate, zero joins, zero shuffles of
+    data wider than the id hash."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    a = df.select(
+        (h % old_shards != h % new_shards).alias("_mod_moved"),
+        (
+            ring_assign_expr(F.col(id_col), old_shards, vnodes)
+            != ring_assign_expr(F.col(id_col), new_shards, vnodes)
+        ).alias("_ring_moved"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("_mod_moved").cast("long")).cast("long").alias("_mm"),
+        F.sum(F.col("_ring_moved").cast("long")).cast("long").alias("_rm"),
+    )
+    strategies = a.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("strategy"),
+                    F.col("n_rows"),
+                    F.col("_mm").alias("n_moved"),
+                ),
+                F.struct(
+                    F.lit("ring").alias("strategy"),
+                    F.col("n_rows"),
+                    F.col("_rm").alias("n_moved"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.strategy", "s.n_rows", "s.n_moved")
+    return strategies.withColumn(
+        "moved_bp",
+        F.expr("CAST(CASE WHEN n_rows > 0 THEN 10000 * n_moved div n_rows END AS BIGINT)"),
+    )

@@ -1605,3 +1605,100 @@ def join_cardinality_estimate(
             err.alias("err_bp"),
         )
     )
+
+
+def analyze_table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """The ANALYZE TABLE statistics collector as a query: per column one
+    row (column, n_rows, n_nulls, n_distinct, avg_len_x100) — exact NDV,
+    null count, and the average rendered width (length of the value cast
+    to string, x100 truncated) that a cost-based planner keys row-size
+    and selectivity estimates on. Read next to
+    ``join_cardinality_estimate``: these are the catalog numbers its
+    bucket histogram refines.
+
+    Scale shape: ONE aggregate pass computes every column's counters
+    side by side (count_distinct per column inside a single groupBy-less
+    agg — Spark expands to one partial+final pass with distinct
+    aggregates); the per-column rows come from exploding a literal
+    struct array, not a second scan. Exact NDV is a deliberate choice
+    over HLL here (the sketch family already provides the approximate
+    path); at extreme cardinality swap in hll_registers per column."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{c}"))
+        aggs.append(
+            F.sum(F.length(F.col(c).cast("string"))).cast("long").alias(f"_sl_{c}")
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.expr(
+                f"CAST(CASE WHEN n_rows - _nn_{c} > 0 THEN"
+                f" 100 * _sl_{c} div (n_rows - _nn_{c}) END AS BIGINT)"
+            ).alias("avg_len_x100"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.col_name", "s.n_rows", "s.n_nulls", "s.n_distinct", "s.avg_len_x100"
+    )
+
+
+def decile_lift(
+    df: DataFrame, entity_col: str, value_cents, n_tiles: int = 10
+) -> DataFrame:
+    """Cumulative-lift table — the marketing/prioritization chart "the
+    top 10% of customers carry X% of revenue" in exact integers: entities
+    ranked by total cents (desc, entity asc for engine-stable ties),
+    tile = (rank-1)*n div N + 1, and per tile the entity count, revenue,
+    share_bp, cumulative share_bp, and lift_x10000 = cumulative share
+    over the uniform expectation (tile/n). lift at tile 1 is the
+    concentration headline; lift at tile n is exactly 10000 by
+    construction (a built-in self-check the oracle re-proves).
+
+    Scale shape: rows collapse to one row per entity first (map-side
+    combinable); the rank rides a window over the (entity, cents)
+    aggregate — swap for the range-partitioned prefix pattern at extreme
+    entity counts; the tile table is n rows."""
+    per = df.groupBy(F.col(entity_col).alias("ent")).agg(
+        F.sum(value_cents).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("ent"))
+    ranked = per.withColumn("rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    tiles = (
+        ranked.withColumn(
+            "tile", F.expr(f"(rn - 1) * {n_tiles} div _n + 1").cast("long")
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    tot = tiles.agg(F.sum("revenue_cents").alias("_tot"))
+    wcum = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tiles.crossJoin(F.broadcast(tot))
+        .withColumn("share_bp", F.expr("CAST(10000 * revenue_cents div _tot AS BIGINT)"))
+        .withColumn(
+            "_cum", F.sum("revenue_cents").over(wcum).cast("long")
+        )
+        .select(
+            "tile",
+            "n_entities",
+            "revenue_cents",
+            "share_bp",
+            F.expr("CAST(10000 * _cum div _tot AS BIGINT)").alias("cum_share_bp"),
+            F.expr(
+                f"CAST((10000 * _cum div _tot) * {n_tiles} div tile AS BIGINT)"
+            ).alias("lift_x10000"),
+        )
+    )

@@ -698,3 +698,27 @@ def test_snm_pairs_single_equi_join(spark):
     plan = _plan(snm_candidate_pairs(m, window=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch21_plans_reshard_join_free_and_single_pass_analyze(spark):
+    """Batch-21 scale shapes: reshard_plan is JOIN-FREE (the ring is a
+    literal expression — zero joins, one 2x2 aggregate);
+    analyze_table_stats computes every column's counters in ONE
+    aggregate pass (no per-column scan union); decile_lift collapses to
+    one row per entity before any window."""
+    from dr_source_spark.operators.layout import reshard_plan
+    from dr_source_spark.operators.stats import analyze_table_stats, decile_lift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(reshard_plan(docs, "doc_id", 4, 5, vnodes=16))
+    assert "Join" not in plan
+
+    plan = _plan(analyze_table_stats(docs))
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1  # one pass, not per-column
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(decile_lift(orders, "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long")))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row total broadcast
+    assert plan.count("HashAggregate") >= 2
