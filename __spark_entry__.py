@@ -9839,6 +9839,95 @@ FROM c, tot
 """
 
 
+def _kg_greedy_matching(spark, sf_dir):
+    # deterministic distributed greedy matching (operators/graph.py::
+    # greedy_matching, 3 local-min rounds): an edge matches iff its
+    # lexicographic key is minimal at BOTH endpoints — local minima never
+    # share a node, so every round adds an independent edge set with no
+    # coordination. The coarsening / one-to-one assignment primitive.
+    from dr_source_spark.operators.graph import greedy_matching
+
+    return greedy_matching(_kg_triples(spark, sf_dir).edges, rounds=3)
+
+
+def _kg_matching_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    sql = f"""WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b,
+         least(src, dst) || '|' || greatest(src, dst) AS k
+  FROM kg_e WHERE src <> dst)"""
+    selects = []
+    for rnd in (1, 2, 3):
+        p = f"r{rnd - 1}"
+        sql += f""",
+mk{rnd} AS (SELECT node, min(k) AS mk FROM (
+  SELECT a AS node, k FROM {p} UNION ALL SELECT b, k FROM {p}) GROUP BY 1),
+m{rnd} AS MATERIALIZED (SELECT {p}.a, {p}.b, {p}.k FROM {p}
+  JOIN mk{rnd} x ON x.node = {p}.a AND x.mk = {p}.k
+  JOIN mk{rnd} y ON y.node = {p}.b AND y.mk = {p}.k),
+mn{rnd} AS (SELECT a AS node FROM m{rnd} UNION SELECT b FROM m{rnd}),
+r{rnd} AS MATERIALIZED (SELECT e.a, e.b, e.k FROM {p} e
+  WHERE e.a NOT IN (SELECT node FROM mn{rnd})
+    AND e.b NOT IN (SELECT node FROM mn{rnd}))"""
+        selects.append(
+            f"SELECT a, b, CAST({rnd} AS BIGINT) AS matched_round FROM m{rnd}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _dedup_cdc_chunks(spark, sf_dir):
+    # content-defined chunking storage-dedup census (training/dedup.py::
+    # cdc_chunk_census, w=6, modulus=32): boundaries follow CONTENT, so
+    # an early insertion in a near-duplicate changes one chunk's
+    # identity, not every downstream chunk — the LBFS/rsync property
+    # fixed-size chunking lacks; savings_bp is the dedup store's
+    # headline number.
+    from dr_source_spark.training.dedup import cdc_chunk_census
+
+    return cdc_chunk_census(_t(spark, sf_dir, "documents"), w=6, modulus=32)
+
+
+def _dedup_cdc_sql() -> str:
+    cut_hash = _duck_minhash_base("substr(t, CAST(i - 5 AS INT), 6)")
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t,
+                     length(coalesce(text, '')) AS L
+              FROM documents),
+wins AS (SELECT doc_id, t, unnest(generate_series(6, L)) AS i
+         FROM base WHERE L >= 6),
+cuts AS (SELECT doc_id, CAST(i AS BIGINT) AS b FROM wins
+         WHERE ({cut_hash}) % 32 = 0),
+bounds AS (SELECT DISTINCT doc_id, b FROM (
+  SELECT doc_id, b FROM cuts
+  UNION ALL SELECT doc_id, CAST(L AS BIGINT) FROM base WHERE L >= 1)),
+spans AS (SELECT doc_id,
+                 coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b) + 1, 1)
+                   AS start,
+                 b
+          FROM bounds),
+chunks AS (SELECT md5(substr(base.t, CAST(s.start AS INT),
+                             CAST(s.b - s.start + 1 AS INT))) AS h,
+                  CAST(s.b - s.start + 1 AS BIGINT) AS blen
+           FROM spans s JOIN base ON base.doc_id = s.doc_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(blen) AS BIGINT) AS total_chars FROM chunks),
+unq AS (SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+               CAST(sum(l) AS BIGINT) AS unique_chars
+        FROM (SELECT h, max(blen) AS l FROM chunks GROUP BY 1)),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs, n_chunks, n_unique_chunks, total_chars, unique_chars,
+       CAST(CASE WHEN n_chunks > 0 THEN
+         10000 * (n_chunks - n_unique_chunks) // n_chunks END AS BIGINT)
+         AS dup_chunk_bp,
+       CAST(CASE WHEN total_chars > 0 THEN
+         10000 * (total_chars - unique_chars) // total_chars END AS BIGINT)
+         AS savings_bp
+FROM nd, tot, unq
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10113,6 +10202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_reshard_plan": _corpus_reshard_plan,
         "documents_analyze_stats": _documents_analyze_stats,
         "customer_decile_lift": _customer_decile_lift,
+        "kg_greedy_matching": _kg_greedy_matching,
+        "dedup_cdc_chunks": _dedup_cdc_chunks,
     }
 
 
@@ -10375,4 +10466,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_reshard_plan": _corpus_reshard_sql(),
         "documents_analyze_stats": _documents_analyze_sql(),
         "customer_decile_lift": _CUSTOMER_DECILE_SQL,
+        "kg_greedy_matching": _kg_matching_sql(),
+        "dedup_cdc_chunks": _dedup_cdc_sql(),
     }

@@ -1868,3 +1868,78 @@ def wl_colors(edges: DataFrame, rounds: int = 2) -> DataFrame:
     out = colors.join(sizes, "color").select("node", "color", "class_size")
     sym.unpersist()
     return out
+
+
+def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Deterministic distributed greedy matching by local-minimum rounds
+    (the derandomized Israeli-Itai shape): per round, an edge joins the
+    matching iff its key is the MINIMUM among all edges incident to BOTH
+    its endpoints — local minima never share a node, so each round adds
+    an independent edge set with no coordination; matched nodes and
+    their edges then drop and the next round runs on the remainder.
+    Returns (a, b, matched_round) over the undirected simple graph
+    (a < b). A fixed ``rounds`` makes this a bounded-round contract like
+    ``ktruss_edges`` — each round at least halves... no: each round
+    matches every local-min edge, and a maximal matching needs O(log n)
+    rounds in expectation on random keys; here keys are the
+    lexicographic edge names, so determinism is bought at the cost of a
+    possibly longer tail — callers needing maximality raise ``rounds``.
+
+    The matching itself is the building block of coarsening
+    (multilevel partitioners), task assignment, and one-to-one record
+    linking (each mention matched to at most one counterpart).
+
+    Scale shape: per round one map-side-combinable groupBy (per-node min
+    incident key over the node-exploded edge list), two narrow equi-joins
+    to test both endpoints, and one node anti-join to shrink the
+    remainder — never an edge-pair join. Remainders are
+    localCheckpointed per round (lineage truncation, same discipline as
+    the other iterative operators)."""
+    if rounds < 1:
+        raise ValueError("greedy_matching needs rounds >= 1")
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .withColumn("k", F.concat(F.col("a"), F.lit("|"), F.col("b")))
+        .localCheckpoint(eager=True)
+    )
+    matched = []
+    rem = e
+    for rnd in range(1, rounds + 1):
+        inc = rem.select(F.col("a").alias("node"), "k").union(
+            rem.select(F.col("b").alias("node"), "k")
+        )
+        mins = inc.groupBy("node").agg(F.min("k").alias("mk"))
+        m = (
+            rem.join(
+                mins.select(F.col("node").alias("a"), F.col("mk").alias("_ma")), "a"
+            )
+            .join(
+                mins.select(F.col("node").alias("b"), F.col("mk").alias("_mb")), "b"
+            )
+            .filter((F.col("k") == F.col("_ma")) & (F.col("k") == F.col("_mb")))
+            .select("a", "b", "k")
+            .localCheckpoint(eager=True)
+        )
+        matched.append(
+            m.select("a", "b", F.lit(rnd).cast("long").alias("matched_round"))
+        )
+        mnodes = m.select(F.col("a").alias("node")).union(
+            m.select(F.col("b").alias("node"))
+        )
+        nxt = (
+            rem.join(mnodes.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(mnodes.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b", "k")
+            .localCheckpoint(eager=True)
+        )
+        rem.unpersist()
+        rem = nxt
+    rem.unpersist()
+    out = matched[0]
+    for m in matched[1:]:
+        out = out.unionByName(m)
+    return out

@@ -961,3 +961,93 @@ def ppjoin_pairs(documents: DataFrame, tau_bp: int = 6000) -> DataFrame:
         .filter(F.col("jaccard_bp") >= int(tau_bp))
         .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard_bp")
     )
+
+
+def cdc_chunk_census(
+    documents: DataFrame, w: int = 6, modulus: int = 32
+) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync-style) storage-dedup census:
+    each document splits at positions where the rolling ``w``-char window
+    hashes to 0 mod ``modulus`` (expected chunk ~``modulus`` chars), and
+    the census reports how much of the corpus is REDUNDANT at chunk
+    granularity — the number a dedup store quotes as its savings.
+    Because boundaries depend on CONTENT, not offsets, an insertion early
+    in a near-duplicate shifts every byte but only the chunk containing
+    the edit changes identity — the property offset-based (fixed-size)
+    chunking lacks, and the reason near-dup-heavy corpora dedup well
+    here. One row: (n_docs, n_chunks, n_unique_chunks, total_chars,
+    unique_chars, dup_chunk_bp, savings_bp).
+
+    Engine-portable determinism: the boundary hash is the shared md5
+    base hash of the exact window substring; chunk identity is md5 of
+    the chunk text. The document end is always a (sentinel) boundary;
+    empty docs contribute no chunks.
+
+    Scale shape: boundary detection explodes positions but keeps only
+    (doc_id, position) survivors (~len/modulus per doc); chunk spans
+    come from a per-doc lag window over those narrow rows; the text
+    column is joined back ONCE per chunk row and dies inside the same
+    stage (projected to (hash, len) immediately). Census = two 1-row
+    aggregates."""
+    from pyspark.sql.window import Window
+
+    base = documents.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_t")
+    ).withColumn("_len", F.length("_t"))
+    nonempty = base.filter(F.col("_len") >= 1)
+    wins = nonempty.select(
+        "doc_id",
+        "_t",
+        F.explode(
+            F.when(
+                F.col("_len") >= w, F.sequence(F.lit(w), F.col("_len"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    cut = _minhash_base(F.expr(f"substring(_t, i - {w} + 1, {w})")) % modulus == 0
+    bounds = (
+        wins.filter(cut)
+        .select("doc_id", F.col("i").cast("long").alias("b"))
+        .union(nonempty.select("doc_id", F.col("_len").cast("long").alias("b")))
+        .distinct()
+    )
+    wd = Window.partitionBy("doc_id").orderBy("b")
+    spans = bounds.withColumn(
+        "start", F.coalesce(F.lag("b").over(wd) + 1, F.lit(1))
+    ).select("doc_id", "start", (F.col("b") - F.col("start") + 1).alias("blen"))
+    chunks = spans.join(base.select("doc_id", "_t"), "doc_id").select(
+        F.md5(F.expr("substring(_t, start, blen)")).alias("h"),
+        F.col("blen").cast("long").alias("blen"),
+    )
+    totals = chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("blen").cast("long").alias("total_chars"),
+    )
+    uniq = (
+        chunks.groupBy("h")
+        .agg(F.max("blen").alias("_l"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+            F.sum("_l").cast("long").alias("unique_chars"),
+        )
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_unique_chunks",
+            "total_chars",
+            "unique_chars",
+            F.expr(
+                "CAST(CASE WHEN n_chunks > 0 THEN"
+                " 10000 * (n_chunks - n_unique_chunks) div n_chunks END AS BIGINT)"
+            ).alias("dup_chunk_bp"),
+            F.expr(
+                "CAST(CASE WHEN total_chars > 0 THEN"
+                " 10000 * (total_chars - unique_chars) div total_chars END AS BIGINT)"
+            ).alias("savings_bp"),
+        )
+    )

@@ -722,3 +722,25 @@ def test_batch21_plans_reshard_join_free_and_single_pass_analyze(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row total broadcast
     assert plan.count("HashAggregate") >= 2
+
+
+def test_batch22_plans_matching_and_cdc_narrow(spark):
+    """Batch-22 scale shapes: greedy_matching is per-round one groupBy +
+    two equi-joins + anti-joins (never an edge-pair join);
+    cdc_chunk_census keeps the text column out of every shuffle except
+    the single per-doc boundary window and chunk-extraction join."""
+    from dr_source_spark.operators.graph import greedy_matching
+    from dr_source_spark.training.dedup import cdc_chunk_census
+
+    e = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "src string, pred string, dst string"
+    )
+    plan = _plan(greedy_matching(e, rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(cdc_chunk_census(docs))
+    assert "CartesianProduct" not in plan
+    # only the two deliberate 1-row census broadcasts may nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
