@@ -9928,6 +9928,78 @@ FROM nd, tot, unq
 """
 
 
+def _supplier_part_core(spark, sf_dir):
+    # (alpha,beta)-bipartite core of the supplier x part graph
+    # (operators/graph.py::bipartite_core, 3 peel rounds, alpha=520
+    # beta=10): suppliers stocking >= 520 parts that are each stocked by
+    # >= 10 such suppliers — the SIDED mutual-reinforcement core a
+    # one-sided k-core cannot express. Thresholds chosen by a measured
+    # sweep: this near-uniform graph either barely peels or cascades to
+    # empty; (520, 10) shrinks 51731 -> 26128 -> 24363 -> 1571 at
+    # sf0.01 — every round does real work and the core survives.
+    from dr_source_spark.operators.graph import bipartite_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    return bipartite_core(edges, alpha=520, beta=10, rounds=3)
+
+
+def _supplier_part_core_sql(alpha: int = 520, beta: int = 10, rounds: int = 3) -> str:
+    sql = """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                  CAST(l_partkey AS BIGINT) AS dst
+  FROM lineitem)"""
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        sql += f""",
+l{r} AS (SELECT src FROM {p} GROUP BY src HAVING count(*) >= {alpha}),
+r{r} AS (SELECT dst FROM {p} GROUP BY dst HAVING count(*) >= {beta}),
+e{r} AS MATERIALIZED (
+  SELECT {p}.src, {p}.dst FROM {p}
+  JOIN l{r} USING (src) JOIN r{r} USING (dst))"""
+    last = f"e{rounds}"
+    sql += f""",
+ld AS (SELECT src, CAST(count(*) AS BIGINT) AS left_deg FROM {last} GROUP BY 1),
+rd AS (SELECT dst, CAST(count(*) AS BIGINT) AS right_deg FROM {last} GROUP BY 1)
+SELECT {last}.src, {last}.dst, ld.left_deg, rd.right_deg
+FROM {last} JOIN ld USING (src) JOIN rd USING (dst)"""
+    return sql
+
+
+def _events_sliding_dau(spark, sf_dir):
+    # exact rolling 7-day distinct actives (operators/relational.py::
+    # sliding_distinct_actives): distinct does not merge across
+    # subwindows, so engines fall back to approx here — this gets the
+    # exact number with a bounded (<= 7x) fanout of the (day, user) grid
+    # instead of a range join.
+    from dr_source_spark.operators.relational import sliding_distinct_actives
+
+    return sliding_distinct_actives(
+        _t(spark, sf_dir, "events"), "user_id", "ts", window_days=7
+    )
+
+
+_EVENTS_SLIDING_DAU_SQL = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, user_id AS e,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+mx AS (SELECT max(d) AS m FROM daily),
+fan AS (SELECT daily.e, daily.n,
+               unnest(list_filter(
+                 generate_series(daily.d, daily.d + INTERVAL 6 DAY,
+                                 INTERVAL 1 DAY),
+                 x -> CAST(x AS DATE) <= mx.m)) AS w
+        FROM daily, mx)
+SELECT CAST(w AS DATE) AS window_end,
+       CAST(count(DISTINCT e) AS BIGINT) AS n_active,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM fan GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10204,6 +10276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_decile_lift": _customer_decile_lift,
         "kg_greedy_matching": _kg_greedy_matching,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
+        "supplier_part_core": _supplier_part_core,
+        "events_sliding_dau": _events_sliding_dau,
     }
 
 
@@ -10468,4 +10542,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_decile_lift": _CUSTOMER_DECILE_SQL,
         "kg_greedy_matching": _kg_matching_sql(),
         "dedup_cdc_chunks": _dedup_cdc_sql(),
+        "supplier_part_core": _supplier_part_core_sql(),
+        "events_sliding_dau": _EVENTS_SLIDING_DAU_SQL,
     }

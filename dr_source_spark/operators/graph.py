@@ -1943,3 +1943,44 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     for m in matched[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bipartite_core(
+    edges: DataFrame, alpha: int = 2, beta: int = 2, rounds: int = 3
+) -> DataFrame:
+    """(alpha, beta)-core of a bipartite graph: iteratively drop edges
+    whose LEFT endpoint has fewer than ``alpha`` distinct right
+    neighbors or whose RIGHT endpoint has fewer than ``beta`` distinct
+    left neighbors, for a fixed number of peel rounds; emit the
+    surviving edges with both endpoints' final degrees
+    (src, dst, left_deg, right_deg). The SIDED version of ``kcore_nodes``
+    — on supplier x part, "suppliers stocking >= alpha parts that are
+    each stocked by >= beta such suppliers", the mutually-reinforcing
+    core a one-sided k-core cannot express (it would mix the two roles'
+    thresholds). Like ``ktruss_edges``/``kcore_nodes``, the fixed
+    ``rounds`` is a bounded-round contract: callers needing the true
+    fixpoint raise it (each extra round is the same two narrow
+    aggregates + one join).
+
+    Scale shape: per round two map-side-combinable degree groupBys and
+    two narrow equi-joins back onto the edge list; edges only ever
+    shrink; per-round localCheckpoint truncates lineage."""
+    if rounds < 1:
+        raise ValueError("bipartite_core needs rounds >= 1")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        ld = e.groupBy("src").agg(F.count(F.lit(1)).alias("_ld"))
+        rd = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_rd"))
+        nxt = (
+            e.join(ld.filter(F.col("_ld") >= alpha).select("src"), "src")
+            .join(rd.filter(F.col("_rd") >= beta).select("dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        e.unpersist()
+        e = nxt
+    ld = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("left_deg"))
+    rd = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("right_deg"))
+    out = e.join(ld, "src").join(rd, "dst").select("src", "dst", "left_deg", "right_deg")
+    e.unpersist()
+    return out

@@ -634,3 +634,49 @@ def peak_concurrency(
             F.col("t").alias("peak_at"),
         )
     )
+
+
+def sliding_distinct_actives(
+    df: DataFrame, entity_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Exact rolling distinct-actives — the 7-day DAU/WAU chart — per
+    calendar day: (window_end, n_active, n_events) where n_active is the
+    DISTINCT entity count over [window_end - days + 1, window_end] and
+    n_events the event count over the same span. Distinct does NOT
+    merge across subwindows (unlike sums, a window function cannot
+    produce it), which is why engines fall back to approx_count_distinct
+    here — this operator gets the exact number with bounded fanout
+    instead.
+
+    Scale shape: rows collapse to the (day, entity, n) grid first
+    (map-side combinable); each grid row then fans out to at most
+    ``window_days`` window-end days (a bounded explode, not a range
+    join), and one groupBy(window_end) count_distinct finishes. Output
+    days are clamped to the data's [min_day, max_day] (leading partial
+    windows are reported — day 1's window is just day 1)."""
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("_d"),
+            F.col(entity_col).alias("_e"),
+        )
+        .groupBy("_d", "_e")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    bounds = daily.agg(F.max("_d").alias("_mx"))
+    fan = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            "_e",
+            "_n",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(_d, date_add(_d, {window_days - 1})),"
+                    " x -> x <= _mx)"
+                )
+            ).alias("window_end"),
+        )
+    )
+    return fan.groupBy("window_end").agg(
+        F.count_distinct("_e").cast("long").alias("n_active"),
+        F.sum("_n").cast("long").alias("n_events"),
+    )

@@ -744,3 +744,23 @@ def test_batch22_plans_matching_and_cdc_narrow(spark):
     assert "CartesianProduct" not in plan
     # only the two deliberate 1-row census broadcasts may nested-loop
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_batch23_plans_core_and_sliding_narrow(spark):
+    """Batch-23 scale shapes: bipartite_core peels with degree groupBys +
+    equi-joins (no pair joins); sliding_distinct_actives collapses to the
+    (day, entity) grid before the bounded <= window_days fanout — its
+    only nested-loop is the 1-row max-day broadcast."""
+    from dr_source_spark.operators.graph import bipartite_core
+    from dr_source_spark.operators.relational import sliding_distinct_actives
+
+    e = spark.createDataFrame([("a", "b"), ("c", "b")], "src string, dst string")
+    plan = _plan(bipartite_core(e, alpha=1, beta=1, rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(sliding_distinct_actives(events, "user_id", "ts", 7))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("HashAggregate") >= 2  # grid collapse partial+final
