@@ -10000,6 +10000,102 @@ FROM fan GROUP BY 1
 """
 
 
+def _kg_schema_graph(spark, sf_dir):
+    # class-level KG summary (operators/triples.py::schema_graph): the
+    # ontology view — distinct triple counts per (subj_kind, pred,
+    # obj_kind) with entity counts on both sides; the drift alarm for a
+    # new structural edge class.
+    from dr_source_spark.operators.triples import schema_graph
+
+    return schema_graph(_kg_triples(spark, sf_dir).triples)
+
+
+def _kg_schema_graph_sql() -> str:
+    from dr_source_spark.sources.synth import (
+        kg_edges_oracle_sql,
+        kg_nodes_oracle_sql,
+    )
+
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+n AS MATERIALIZED ({kg_nodes_oracle_sql()}),
+e AS (SELECT DISTINCT src, pred, dst FROM kg_e)
+SELECT ns.kind AS subj_kind, e.pred, no.kind AS obj_kind,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT e.src) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT e.dst) AS BIGINT) AS n_objects
+FROM e JOIN n ns ON ns.node_id = e.src JOIN n no ON no.node_id = e.dst
+GROUP BY 1, 2, 3
+"""
+
+
+def _events_best_run(spark, sf_dir):
+    # maximum-subarray hot streak (operators/stats.py::best_run_by_group):
+    # the consecutive-day span with maximal summed deviation from the
+    # type's mean daily revenue — Kadane's loop replaced by the window
+    # identity best(t) = P_t - min(P_0..P_{t-1}); deviations scaled by n
+    # (the CUSUM trick) so everything stays integer.
+    from dr_source_spark.operators.stats import best_run_by_group
+
+    return best_run_by_group(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long"),
+    ).withColumnRenamed("grp", "event_type")
+
+
+_EVENTS_BEST_RUN_SQL = """
+WITH per AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+             FROM events GROUP BY 1, 2),
+bounds AS (SELECT grp, min(d) AS mn, max(d) AS mx,
+                  CAST(sum(x) AS HUGEINT) AS s
+           FROM per GROUP BY 1),
+cal AS MATERIALIZED (
+  SELECT b.grp, b.s, CAST(t.dd AS DATE) AS d
+  FROM bounds b,
+       unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS t(dd)),
+dense AS (SELECT cal.grp, cal.s, cal.d, coalesce(p.x, 0) AS x
+          FROM cal LEFT JOIN per p ON p.grp = cal.grp AND p.d = cal.d),
+g AS (SELECT grp, d, s, x,
+             count(*) OVER (PARTITION BY grp) AS n,
+             row_number() OVER (PARTITION BY grp ORDER BY d) AS t
+      FROM dense),
+pp AS (SELECT grp, d, t, n,
+              CAST(n AS HUGEINT) * x - s AS dev
+       FROM g),
+pf AS (SELECT grp, d, t, n,
+              sum(dev) OVER (PARTITION BY grp ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS p
+       FROM pp),
+sc AS (SELECT grp, d, t, n, p,
+              least(CAST(0 AS HUGEINT),
+                    coalesce(min(p) OVER (PARTITION BY grp ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST(0 AS HUGEINT))) AS mprev
+       FROM pf),
+ends AS (SELECT grp, CAST(n AS BIGINT) AS n_days, d AS end_day, t AS end_t,
+                p - mprev AS best, p - (p - mprev) AS target
+         FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                 ORDER BY p - mprev DESC, d ASC) AS rk FROM sc)
+         WHERE rk = 1),
+starts AS (SELECT f.grp, min(f.d) AS start_day
+           FROM (SELECT grp, d, t,
+                        coalesce(lag(p) OVER (PARTITION BY grp ORDER BY t),
+                                 CAST(0 AS HUGEINT)) AS pprev
+                 FROM pf) f
+           JOIN ends e ON e.grp = f.grp
+                      AND f.t <= e.end_t AND f.pprev = e.target
+           GROUP BY 1)
+SELECT e.grp AS event_type, e.n_days, s.start_day, e.end_day,
+       CAST(date_diff('day', s.start_day, e.end_day) + 1 AS BIGINT)
+         AS run_len,
+       CAST(e.best AS BIGINT) AS best_sum_scaled
+FROM ends e JOIN starts s ON s.grp = e.grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10278,6 +10374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "supplier_part_core": _supplier_part_core,
         "events_sliding_dau": _events_sliding_dau,
+        "kg_schema_graph": _kg_schema_graph,
+        "events_best_run": _events_best_run,
     }
 
 
@@ -10544,4 +10642,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cdc_chunks": _dedup_cdc_sql(),
         "supplier_part_core": _supplier_part_core_sql(),
         "events_sliding_dau": _EVENTS_SLIDING_DAU_SQL,
+        "kg_schema_graph": _kg_schema_graph_sql(),
+        "events_best_run": _EVENTS_BEST_RUN_SQL,
     }

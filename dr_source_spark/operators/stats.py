@@ -1702,3 +1702,109 @@ def decile_lift(
             ).alias("lift_x10000"),
         )
     )
+
+
+def best_run_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_cents: "F.Column",
+) -> DataFrame:
+    """Maximum-subarray ("hot streak") per group, exactly, as window
+    algebra: the consecutive-day span whose summed deviation from the
+    group's mean daily value is maximal. Kadane's scan is sequential;
+    the distributed identity is best(t) = P_t − min(P_0..P_{t−1}) with
+    P the prefix sum and P_0 = 0 — one cumulative-min window instead of
+    a loop. Deviations are carried scaled by n (dev = n·x − S, the CUSUM
+    trick) so the mean subtraction stays integer; the reported
+    best_sum_scaled is in n·cents units.
+
+    Series are densified (a missing day is a zero-revenue day —
+    deviation −S·n/n, i.e. below mean, so dead gaps correctly break
+    streaks). Ties: earliest end day, then earliest start day — exact
+    order statistics. Output: (grp, n_days, start_day, end_day,
+    run_len, best_sum_scaled).
+
+    Shape: one narrow (grp, day) aggregate, a dense calendar frame, two
+    windows (prefix sum + preceding-min), one row_number pick, and one
+    narrow self-join of the daily grid to recover the run's start (the
+    earliest prefix row hitting P_end − best)."""
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+            value_cents.alias("xc"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("xc").cast("long").alias("x"))
+    )
+    bounds = per.groupBy("grp").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx"), F.sum("x").alias("s")
+    )
+    dense = (
+        bounds.select(
+            "grp",
+            "s",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"),
+        )
+        .join(per, ["grp", "d"], "left")
+        .select("grp", "d", "s", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    wo = Window.partitionBy("grp").orderBy(F.asc("d"))
+    wall = Window.partitionBy("grp")
+    g = (
+        dense.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("dev", F.col("n").cast(_D38) * F.col("x").cast(_D38) - F.col("s").cast(_D38))
+        .withColumn("t", F.row_number().over(wo))
+        .withColumn("p", F.sum("dev").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            "mprev",
+            F.least(
+                F.lit(0).cast(_D38),
+                F.coalesce(
+                    F.min("p").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0).cast(_D38),
+                ),
+            ),
+        )
+        .withColumn("best", F.col("p") - F.col("mprev"))
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("grp").orderBy(F.desc("best"), F.asc("d"))
+    ends = (
+        g.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("d").alias("end_day"),
+            F.col("t").alias("_end_t"),
+            F.col("best").alias("_best"),
+            (F.col("p") - F.col("best")).alias("_target"),
+        )
+    )
+    starts = (
+        g.select(
+            "grp",
+            "t",
+            "d",
+            F.coalesce(
+                F.lag("p").over(wo), F.lit(0).cast(_D38)
+            ).alias("_pprev"),
+        )
+        .join(ends, "grp")
+        .filter((F.col("t") <= F.col("_end_t")) & (F.col("_pprev") == F.col("_target")))
+        .groupBy("grp")
+        .agg(F.min("d").alias("start_day"))
+    )
+    return (
+        ends.join(starts, "grp")
+        .select(
+            "grp",
+            "n_days",
+            "start_day",
+            "end_day",
+            (F.datediff("end_day", "start_day") + 1).cast("long").alias("run_len"),
+            F.col("_best").cast("long").alias("best_sum_scaled"),
+        )
+    )

@@ -82,3 +82,38 @@ def triples_to_nodes_edges(triples: DataFrame):
         F.col("subj").alias("src"), F.col("pred"), F.col("obj").alias("dst"), F.col("line")
     ).distinct()
     return nodes, edges
+
+
+def schema_graph(triples: DataFrame) -> DataFrame:
+    """Class-level summary of the KG — the "ontology view" a consumer
+    reads before touching instances: per (subj_kind, pred, obj_kind)
+    the distinct triple count and the distinct subject/object entity
+    counts. Collapses millions of instance edges to the handful of
+    structural edge classes (file -HAS_VULN-> cwe, entity -FLOWS_TO->
+    sink, ...), which is both the documentation of what the extractor
+    emits and the drift alarm when a new (kind, pred, kind) combination
+    appears.
+
+    Shape: triples dedupe to (subj, pred, obj), kinds come from the
+    same classification ``triples_to_nodes_edges`` applies (single
+    source of truth), two narrow equi-joins on node id, one
+    map-side-combinable groupBy over the tiny class key."""
+    nodes, _ = triples_to_nodes_edges(triples)
+    kinds = nodes.select("node_id", "kind")
+    e = triples.select("subj", "pred", "obj").distinct()
+    return (
+        e.join(
+            kinds.select(F.col("node_id").alias("subj"), F.col("kind").alias("subj_kind")),
+            "subj",
+        )
+        .join(
+            kinds.select(F.col("node_id").alias("obj"), F.col("kind").alias("obj_kind")),
+            "obj",
+        )
+        .groupBy("subj_kind", "pred", "obj_kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.count_distinct("subj").cast("long").alias("n_subjects"),
+            F.count_distinct("obj").cast("long").alias("n_objects"),
+        )
+    )

@@ -764,3 +764,31 @@ def test_batch23_plans_core_and_sliding_narrow(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert plan.count("HashAggregate") >= 2  # grid collapse partial+final
+
+
+def test_batch24_plans_schema_graph_and_best_run(spark):
+    """Batch-24 scale shapes: schema_graph joins the deduped triple
+    projection to the node-kind table on narrow keys; best_run rides
+    two per-group windows over the densified daily grid (rows collapse
+    to (grp, day) first — partial+final) and one narrow start-recovery
+    join."""
+    from dr_source_spark.operators.stats import best_run_by_group
+    from dr_source_spark.operators.triples import schema_graph
+
+    triples = spark.createDataFrame(
+        [("a:f@c", "HAS_VULN", "CWE-89", 1, "r")],
+        "subj string, pred string, obj string, line int, run_id string",
+    )
+    plan = _plan(schema_graph(triples))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        best_run_by_group(
+            events, "event_type", "ts", F.round(F.col("value") * 100).cast("long")
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
