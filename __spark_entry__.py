@@ -10096,6 +10096,53 @@ FROM ends e JOIN starts s ON s.grp = e.grp
 """
 
 
+def _orders_chi2_independence(spark, sf_dir):
+    # Pearson chi-square independence audit + Cramér's V
+    # (operators/stats.py::chi2_independence): is order STATUS associated
+    # with order PRIORITY?  The full r×c contingency (zero cells
+    # included) is built from two tiny level-total frames; each cell
+    # contributes ((obs·n − rt·ct)²·10⁶) div (n·rt·ct) in decimal(38,0)
+    # — one truncating division per cell, so any engine reproduces the
+    # sum bit-for-bit; V lands in exact basis points via isqrt_expr.
+    from dr_source_spark.operators.stats import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def _orders_chi2_sql() -> str:
+    v_arg = "(chi2_e6 * CAST(100 AS HUGEINT)) // (n * least(r - 1, c - 1))"
+    return f"""
+WITH obs AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+                    CAST(count(*) AS HUGEINT) AS obs
+             FROM orders
+             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+             GROUP BY 1, 2),
+rt AS (SELECT x, CAST(sum(obs) AS HUGEINT) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT y, CAST(sum(obs) AS HUGEINT) AS ct FROM obs GROUP BY 1),
+tot AS (SELECT CAST(sum(obs) AS HUGEINT) AS n,
+               CAST(count(DISTINCT x) AS HUGEINT) AS r,
+               CAST(count(DISTINCT y) AS HUGEINT) AS c
+        FROM obs),
+cells AS (SELECT rt.rt, ct.ct, coalesce(o.obs, CAST(0 AS HUGEINT)) AS obs
+          FROM rt CROSS JOIN ct
+          LEFT JOIN obs o ON o.x = rt.x AND o.y = ct.y),
+agg AS (SELECT n, r, c,
+               CAST(sum(((obs * n - rt * ct) * (obs * n - rt * ct)
+                         * CAST(1000000 AS HUGEINT)) // (n * rt * ct))
+                    AS HUGEINT) AS chi2_e6
+        FROM cells CROSS JOIN tot GROUP BY 1, 2, 3)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS n_levels_x,
+       CAST(c AS BIGINT) AS n_levels_y,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       CAST(chi2_e6 AS BIGINT) AS chi2_e6,
+       CAST({_duck_isqrt(v_arg)} AS BIGINT) AS cramers_v_bp
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10376,6 +10423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_dau": _events_sliding_dau,
         "kg_schema_graph": _kg_schema_graph,
         "events_best_run": _events_best_run,
+        "orders_chi2_independence": _orders_chi2_independence,
     }
 
 
@@ -10644,4 +10692,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_dau": _EVENTS_SLIDING_DAU_SQL,
         "kg_schema_graph": _kg_schema_graph_sql(),
         "events_best_run": _EVENTS_BEST_RUN_SQL,
+        "orders_chi2_independence": _orders_chi2_sql(),
     }

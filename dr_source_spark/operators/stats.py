@@ -1808,3 +1808,83 @@ def best_run_by_group(
             F.col("_best").cast("long").alias("best_sum_scaled"),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V effect size — the standard "are these two
+    labels associated?" audit a curation pipeline runs over its
+    categorical metadata (e.g. order status × priority, lang × split).
+    One summary row: n, n_levels_x, n_levels_y, dof, chi2_e6 (the
+    statistic ×10⁶, per-cell integer-truncated), cramers_v_bp
+    (V = sqrt(chi2 / (n·min(r−1, c−1))) in exact basis points via
+    ``isqrt_expr``).
+
+    Exact contract: the full r×c contingency (INCLUDING zero cells —
+    a zero cell still contributes exp = rt·ct/n to the statistic) is
+    built as a broadcast product of the two tiny level-total frames;
+    each cell contributes ``((obs·n − rt·ct)² · 10⁶) div (n·rt·ct)``
+    in DECIMAL(38,0) — algebraically (obs−exp)²/exp scaled e6 with
+    one truncating division per cell, so any engine reproduces the
+    sum bit-for-bit. Magnitude bound: (obs·n)²·10⁶ must fit decimal38
+    → n ≤ ~5·10⁹ rows; past that, pre-aggregate counts per category
+    pair first (the statistic only needs the contingency, so the
+    full-scale job feeds this the grouped counts, not raw rows).
+
+    Scale shape: one narrow groupBy(x,y) shuffle over the raw rows;
+    everything after runs on ≤ r·c rows (categorical cardinalities —
+    broadcast-sized by definition). The level-product join is an
+    intentional tiny-side nested loop, same pattern as the IVF
+    centroid assignment (training/similarity.py).
+
+    Reference: no statistics surface in the reference engine (findings
+    go to SQLite, dr_source/core/db.py); this is the independence
+    audit its findings table (severity × language) needs at lake scale.
+    """
+    obs = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("obs"))
+    )
+    rt = obs.groupBy("x").agg(F.sum("obs").cast(_D38).alias("rt"))
+    ct = obs.groupBy("y").agg(F.sum("obs").cast(_D38).alias("ct"))
+    cells = (
+        rt.join(F.broadcast(ct), F.lit(True))
+        .join(obs, ["x", "y"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0).cast(_D38)))
+    )
+    tot = obs.agg(
+        F.sum("obs").cast(_D38).alias("n"),
+        F.countDistinct("x").cast(_D38).alias("r"),
+        F.countDistinct("y").cast(_D38).alias("c"),
+    )
+    terms = cells.join(F.broadcast(tot), F.lit(True)).withColumn(
+        "term_e6",
+        F.expr(
+            "CAST((obs * n - rt * ct) * (obs * n - rt * ct)"
+            " * CAST(1000000 AS decimal(38,0)) AS decimal(38,0))"
+            " div (n * rt * ct)"
+        ).cast(_D38),
+    )
+    agg = terms.groupBy("n", "r", "c").agg(
+        F.sum("term_e6").cast(_D38).alias("chi2_e6")
+    )
+    k = F.least(F.col("r") - 1, F.col("c") - 1).cast(_D38)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_levels_x"),
+        F.col("c").cast("long").alias("n_levels_y"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.col("chi2_e6").cast("long").alias("chi2_e6"),
+        isqrt_expr(
+            F.expr(
+                "CAST((chi2_e6 * CAST(100 AS decimal(38,0)))"
+                " div (n * least(r - 1, c - 1)) AS decimal(38,0))"
+            )
+        ).cast("long").alias("cramers_v_bp"),
+    )
