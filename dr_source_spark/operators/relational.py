@@ -636,6 +636,84 @@ def peak_concurrency(
     )
 
 
+def interval_union_time(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    duration_minutes: int = 30,
+) -> DataFrame:
+    """Sweep-line interval UNION: treating every event as an active
+    interval [ts, ts + duration), the total covered time per group —
+    overlaps counted ONCE — plus the number of maximal covered segments
+    and the covered share of the group's overall span. The utilization
+    complement of ``peak_concurrency`` (same boundary-stream build):
+    peak answers "how high does overlap stack", this answers "how much
+    of the timeline is touched at all" — SLA uptime, busy-time billing,
+    sensor-coverage audits.
+
+    Exact contract: all arithmetic in epoch MICROSECONDS (integer).
+    Boundaries are pre-aggregated per (group, instant); running
+    concurrency after applying the instant's own deltas decides whether
+    the segment [t, next_t) is covered. A segment row where concurrency
+    returns to 0 contributes nothing; components count covered rows
+    whose previous row was uncovered. coverage_bp = covered·10⁴ div
+    span (span = last boundary − first boundary > 0 whenever there is
+    at least one event, since duration > 0).
+
+    Scale shape: identical to peak_concurrency — one map-side-combinable
+    groupBy over the ±1 boundary stream (2 narrow rows per event), one
+    sort-window per group over the AGGREGATED instants table, then a
+    1-row-per-group aggregate. The event table itself is never sorted.
+    """
+    g, t = F.col(group_col), F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur_us = int(duration_minutes) * 60_000_000
+    bounds = events.select(
+        g.alias("grp"), t.alias("t"), F.lit(1).alias("ns"), F.lit(0).alias("ne")
+    ).union(
+        events.select(
+            g.alias("grp"),
+            (t + F.lit(dur_us)).alias("t"),
+            F.lit(0).alias("ns"),
+            F.lit(1).alias("ne"),
+        )
+    )
+    agg = bounds.groupBy("grp", "t").agg(
+        F.sum("ns").cast("long").alias("n_start"),
+        F.sum("ne").cast("long").alias("n_end"),
+    )
+    w = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = Window.partitionBy("grp").orderBy("t")
+    run = agg.select(
+        "grp",
+        "t",
+        (F.sum("n_start").over(w) - F.sum("n_end").over(w)).alias("conc"),
+        F.col("n_start"),
+    ).select(
+        "grp",
+        "t",
+        "conc",
+        "n_start",
+        F.lead("t").over(seq).alias("_next_t"),
+        F.coalesce(F.lag("conc").over(seq), F.lit(0)).alias("_prev_conc"),
+    )
+    return run.groupBy("grp").agg(
+        F.sum("n_start").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("conc") > 0, F.col("_next_t") - F.col("t")).otherwise(0)
+        ).cast("long").alias("covered_us"),
+        F.sum(
+            ((F.col("conc") > 0) & (F.col("_prev_conc") == 0)).cast("int")
+        ).cast("long").alias("n_components"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.expr(
+            "CAST(sum(CASE WHEN conc > 0 THEN _next_t - t ELSE 0 END) * 10000"
+            " div (max(t) - min(t)) AS BIGINT)"
+        ).alias("coverage_bp"),
+    ).withColumnRenamed("grp", group_col)
+
+
 def sliding_distinct_actives(
     df: DataFrame, entity_col: str, ts_col: str, window_days: int = 7
 ) -> DataFrame:

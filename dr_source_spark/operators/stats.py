@@ -1888,3 +1888,62 @@ def chi2_independence(
             )
         ).cast("long").alias("cramers_v_bp"),
     )
+
+
+def weighted_median_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: "F.Column",
+    weight_col: "F.Column",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v such
+    that the cumulative weight of rows with value ≤ v reaches half the
+    group's total weight (2·cumw ≥ W — integer form, no halving
+    division). The quantity-weighted price a plain median misrepresents:
+    a unit-weight median treats a 1-item and a 50-item line identically.
+
+    Exact contract: weights are summed per (group, value) FIRST so tied
+    values accumulate atomically (no intra-tie ordering ambiguity
+    between engines), then one sort-window per group over the
+    aggregated value grid picks the first row crossing the threshold.
+    Weights must be non-negative integers (cast upstream); rows with
+    NULL value or NULL/zero weight contribute nothing and are dropped.
+
+    Scale shape: one map-side-combinable groupBy(group, value) over the
+    raw rows, then a per-group sort-window over the |distinct values|
+    grid (bounded by value cardinality, not row count), then rk=1.
+    """
+    grid = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            value_col.alias("v"),
+            weight_col.cast("long").alias("w"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("w") > 0))
+        .groupBy("grp", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    cum = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hit = grid.select(
+        "grp",
+        "v",
+        F.sum("w").over(cum).alias("_cw"),
+        F.sum("w").over(full).alias("_W"),
+        F.count(F.lit(1)).over(full).alias("_nv"),
+    ).filter(F.col("_cw") * 2 >= F.col("_W"))
+    pick = Window.partitionBy("grp").orderBy("v")
+    return (
+        hit.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_nv").cast("long").alias("n_values"),
+            F.col("_W").cast("long").alias("total_weight"),
+            F.col("v").alias("weighted_median"),
+        )
+    )

@@ -1081,3 +1081,60 @@ def heaps_curve(documents: DataFrame, n_checkpoints: int = 10) -> DataFrame:
             F.coalesce("n_types_cum", F.lit(0)).cast("long").alias("n_types_cum"),
         )
     )
+
+
+def yule_k(documents: DataFrame) -> DataFrame:
+    """Per-document Yule's K lexical-richness characteristic, exact and
+    scaled: with N = token count and S2 = Σ(per-type frequency²),
+    K = 10⁴·(S2 − N)/N² — the repeated-vocabulary statistic that, unlike
+    a raw type/token ratio, is (approximately) length-invariant, so it
+    ranks a 100-token and a 10 000-token document on the same scale.
+    High K = few types recycled hard (template/boilerplate smell,
+    degenerate generations); low K = rich vocabulary. Read next to
+    ``burstiness`` (corpus-level) and ``repetition metrics`` (span-level)
+    as the per-document member of the repetition family.
+
+    Output (doc_id, n_tokens, n_types, k_x100) where
+    k_x100 = (10⁶·(S2 − N)) div N² — Yule's K scaled ×100 with ONE
+    truncating division in decimal(38,0), so any engine reproduces it
+    bit-for-bit. Documents with < 2 tokens (including NULL/empty text)
+    keep their row with k_x100 NULL — K is undefined there, and the
+    audit invariant is that every input document gets a verdict row.
+
+    Scale shape: explode → one map-side-combinable groupBy(doc_id, word)
+    → one groupBy(doc_id) for (N, S2) → broadcast-safe left join back to
+    the doc_id spine (text itself never shuffles). Tokenization is the
+    family's shared whitespace split, lowercased.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda w: w != "",
+    )
+    per_type = (
+        documents.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_type.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) >= 2,
+                F.expr(
+                    "CAST((CAST(_s2 AS decimal(38,0)) - n_tokens)"
+                    " * CAST(1000000 AS decimal(38,0))"
+                    " div (CAST(n_tokens AS decimal(38,0)) * n_tokens)"
+                    " AS BIGINT)"
+                ),
+            ).alias("k_x100"),
+        )
+    )
