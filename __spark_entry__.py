@@ -10258,6 +10258,144 @@ FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
 
 
+def _orders_chi2_cells(spark, sf_dir):
+    # per-cell drill-down of the chi-square audit (operators/stats.py::
+    # chi2_cell_residuals): WHICH (status, priority) cells drive the
+    # association — observed vs expected×100 and the signed Pearson
+    # standardized residual ×100 via the shared isqrt contract; shares
+    # _contingency_cells with the summary statistic so grid and
+    # statistic can never disagree.
+    from dr_source_spark.operators.stats import chi2_cell_residuals
+
+    return chi2_cell_residuals(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def _orders_chi2_cells_sql() -> str:
+    mag = _duck_isqrt(
+        "((obs * n - rt * ct) * (obs * n - rt * ct)"
+        " * CAST(10000 AS HUGEINT)) // (n * rt * ct)"
+    )
+    return f"""
+WITH obs AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+                    CAST(count(*) AS HUGEINT) AS obs
+             FROM orders
+             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+             GROUP BY 1, 2),
+rt AS (SELECT x, CAST(sum(obs) AS HUGEINT) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT y, CAST(sum(obs) AS HUGEINT) AS ct FROM obs GROUP BY 1),
+tot AS (SELECT CAST(sum(obs) AS HUGEINT) AS n FROM obs),
+cells AS (SELECT rt.x, ct.y, rt.rt, ct.ct,
+                 coalesce(o.obs, CAST(0 AS HUGEINT)) AS obs
+          FROM rt CROSS JOIN ct
+          LEFT JOIN obs o ON o.x = rt.x AND o.y = ct.y)
+SELECT x, y, CAST(obs AS BIGINT) AS obs,
+       CAST((rt * ct * 100) // n AS BIGINT) AS exp_x100,
+       CAST((CASE WHEN obs * n - rt * ct < 0 THEN -1
+                  WHEN obs * n - rt * ct > 0 THEN 1 ELSE 0 END)
+            * ({mag}) AS BIGINT) AS resid_x100
+FROM cells CROSS JOIN tot
+"""
+
+
+def _events_mann_kendall(spark, sf_dir):
+    # exact Mann-Kendall trend test (operators/stats.py::
+    # mann_kendall_by_group): per event type over DAILY value sums
+    # (cents), S = Σ sign(x_j − x_i), tie-corrected variance numerator
+    # N18, continuity-corrected z×100 via the isqrt contract — the
+    # nonparametric drift alarm read before Theil-Sen's slope; the pair
+    # join runs on the calendar grid, never on raw rows.
+    from dr_source_spark.operators.stats import mann_kendall_by_group
+
+    return mann_kendall_by_group(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+def _events_mann_kendall_sql() -> str:
+    z = _duck_isqrt(
+        "((abs(s_stat) - 1) * (abs(s_stat) - 1)"
+        " * CAST(180000 AS HUGEINT)) // var18"
+    )
+    return f"""
+WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS x
+               FROM events GROUP BY 1, 2),
+s AS (SELECT a.grp,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON a.grp = b.grp AND a.d < b.d
+      GROUP BY 1),
+nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+ties AS (SELECT grp,
+                CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         FROM (SELECT grp, x, CAST(count(*) AS BIGINT) AS t
+               FROM daily GROUP BY 1, 2)
+         GROUP BY 1),
+base AS (SELECT nd.grp, nd.n_days, coalesce(s.s_stat, 0) AS s_stat,
+                CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                     - ties.tie_term AS HUGEINT) AS var18
+         FROM nd JOIN ties USING (grp) LEFT JOIN s USING (grp))
+SELECT grp AS event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+       CASE WHEN var18 > 0 AND abs(s_stat) >= 1
+            THEN CAST((CASE WHEN s_stat < 0 THEN -1 ELSE 1 END)
+                      * ({z}) AS BIGINT)
+       END AS z_x100
+FROM base
+"""
+
+
+def _corpus_fd_census(spark, sf_dir):
+    # approximate-functional-dependency audit (operators/relational.py::
+    # fd_violation_census): is lang a function of source (and vice
+    # versa)? g3 violation rows = minimum deletions for the FD to hold;
+    # majority pick tie-broken on the smaller string so both engines
+    # count identically.
+    from dr_source_spark.operators.relational import fd_violation_census
+
+    return fd_violation_census(
+        _t(spark, sf_dir, "documents"),
+        [("source", "lang"), ("lang", "source")],
+    )
+
+
+def _fd_leg_sql(det: str, dep: str) -> str:
+    return f"""
+SELECT '{det} -> {dep}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(sum(rows_ - maj) AS BIGINT) AS n_violating_rows,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(sum(maj) * 10000 // sum(rows_) AS BIGINT) AS support_bp
+FROM (SELECT k, sum(c) AS rows_, sum(CASE WHEN rk = 1 THEN c END) AS maj,
+             count(*) AS nv
+      FROM (SELECT k, v, c,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY c DESC, v ASC NULLS LAST)
+                     AS rk
+            FROM (SELECT CAST({det} AS VARCHAR) AS k,
+                         CAST({dep} AS VARCHAR) AS v,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM documents WHERE {det} IS NOT NULL GROUP BY 1, 2))
+      GROUP BY 1)
+"""
+
+
+def _corpus_fd_census_sql() -> str:
+    return (
+        _fd_leg_sql("source", "lang")
+        + " UNION ALL "
+        + _fd_leg_sql("lang", "source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10542,6 +10680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_coverage": _events_coverage,
         "lineitem_weighted_median": _lineitem_weighted_median,
         "text_yule_k": _text_yule_k,
+        "orders_chi2_cells": _orders_chi2_cells,
+        "events_mann_kendall": _events_mann_kendall,
+        "corpus_fd_census": _corpus_fd_census,
     }
 
 
@@ -10814,4 +10955,7 @@ def oracle_sql() -> dict[str, str]:
         "events_coverage": _EVENTS_COVERAGE_SQL,
         "lineitem_weighted_median": _LINEITEM_WMEDIAN_SQL,
         "text_yule_k": _TEXT_YULE_K_SQL,
+        "orders_chi2_cells": _orders_chi2_cells_sql(),
+        "events_mann_kendall": _events_mann_kendall_sql(),
+        "corpus_fd_census": _corpus_fd_census_sql(),
     }

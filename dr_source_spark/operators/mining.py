@@ -220,12 +220,18 @@ def item_cosine_pairs(
     return (
         co.join(n_item.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")), "item_a")
         .join(n_item.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")), "item_b")
+        # _nn is materialized as its own column before isqrt: isqrt_expr
+        # references its input ~30× (Newton steps + exact pin), and with
+        # the product expression inlined at every occurrence the fused
+        # join-output method blew janino's 64 KB limit (silent
+        # whole-stage-codegen fallback, found in the round-5 isqrt-site
+        # audit). A non-cheap multi-use expression is not collapsed by
+        # CollapseProject, so the split survives optimization.
         .withColumn(
-            "_den",
-            isqrt_expr(
-                F.expr("cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0))")
-            ),
+            "_nn",
+            F.expr("cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0))"),
         )
+        .withColumn("_den", isqrt_expr(F.col("_nn")))
         .withColumn(
             "cos_bp",
             F.expr("cast((cast(n_co as decimal(38,0)) * 10000) div _den as long)"),

@@ -758,3 +758,77 @@ def sliding_distinct_actives(
         F.count_distinct("_e").cast("long").alias("n_active"),
         F.sum("_n").cast("long").alias("n_events"),
     )
+
+
+def fd_violation_census(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Approximate-functional-dependency audit: for each candidate
+    determinant→dependent column pair, how far the data is from
+    satisfying det → dep. Per pair: distinct determinant keys, keys
+    with > 1 dependent value, rows OUTSIDE their key's majority
+    dependent (the g3 error of FD discovery literature — minimum rows
+    to delete for the FD to hold exactly), and the held share in basis
+    points (``support_bp = (n_rows − n_violating_rows)·10⁴ div
+    n_rows``). The schema-inference / DQ-contract primitive referential
+    integrity can't see: "is lang really a function of source?".
+
+    Exact contract: both columns are compared as strings (uniform census
+    schema across pairs); NULL determinants carry no key and are
+    excluded, NULL dependents participate as a distinct value. The
+    majority pick breaks count ties on the smaller string, so the
+    violation count is deterministic for any engine.
+
+    Scale shape per pair: one map-side-combinable groupBy(det, dep),
+    then a per-det sort-window over the aggregated (det, dep) grid
+    (bounded by value-combination cardinality, not row count), then one
+    1-row aggregate; pairs union at the end. The raw table is scanned
+    once per pair — for a wide audit, run pairs in one pass by melting
+    columns upstream.
+    """
+    outs = []
+    for det, dep in pairs:
+        grid = (
+            df.select(
+                F.col(det).cast("string").alias("k"),
+                F.col(dep).cast("string").alias("v"),
+            )
+            .filter(F.col("k").isNotNull())
+            .groupBy("k", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        pick = Window.partitionBy("k").orderBy(
+            F.desc("c"), F.asc_nulls_last("v")
+        )
+        per_key = (
+            grid.withColumn("_rk", F.row_number().over(pick))
+            .groupBy("k")
+            .agg(
+                F.sum("c").alias("_rows"),
+                F.max(F.when(F.col("_rk") == 1, F.col("c"))).alias("_maj"),
+                F.count(F.lit(1)).cast("long").alias("_nv"),
+            )
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(f"{det} -> {dep}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("_nv") > 1).cast("int")).cast("long").alias(
+                    "n_violating_keys"
+                ),
+                F.sum(F.col("_rows") - F.col("_maj")).cast("long").alias(
+                    "n_violating_rows"
+                ),
+                F.sum("_rows").cast("long").alias("n_rows"),
+                # numerator kept POSITIVE: Spark's div truncates toward
+                # zero but DuckDB's // floors, so a negative intermediate
+                # would diverge by 1
+                F.expr(
+                    "CAST(sum(_maj) * 10000 div sum(_rows) AS BIGINT)"
+                ).alias("support_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

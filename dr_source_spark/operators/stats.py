@@ -1133,26 +1133,43 @@ def isqrt_expr(x: "F.Column") -> "F.Column":
     SATURATES at 2⁶³ ≈ 9.22·10¹⁸ — above x ≈ 8.5·10³⁷ the floored
     seed was silently clamped 7 % low, so the seed casts the double
     straight to decimal instead. Pin candidates above 10¹⁹−1 (the
-    decimal38 root ceiling) are resolved by a short-circuiting CASE
-    arm before the c² product can overflow. The pin runs in pure
-    integer arithmetic, so two engines whose float sqrt or division
-    rounding differ still agree on the final value.
+    decimal38 root ceiling) are filtered out before the c² product can
+    overflow. The pin runs in pure integer arithmetic, so two engines
+    whose float sqrt or division rounding differ still agree on the
+    final value.
+
+    A third trap shaped the current FORM (round 5): the original
+    build-out unrolled the Newton steps and the pin as one nested
+    column expression — the repair value appeared ~30× and each copy
+    inlined its own copy of the argument, so at call sites where the
+    expression fused into a join-consume method (item_cosine,
+    mann_kendall) janino hit its 64 KB method limit and Spark silently
+    fell back to interpreting the WHOLE stage. The higher-order-
+    function form below gives real let-bindings: ``aggregate`` iterates
+    Newton with the repair value bound once as the accumulator, and the
+    pin is one ``filter``+``array_max`` over an 11-candidate window
+    with the candidate lambda-bound — the expression tree stays
+    constant-sized, whole-stage codegen survives (HOFs are expression-
+    level fallbacks, not stage-level), and the 10³⁶–10³⁸ pytest sweep
+    pins value identity with the unrolled original.
     """
     # 10^19-1 exceeds int64, so the literal rides in as a string
     lim = F.lit(str(10**19 - 1)).cast(_D38)
-    r = F.greatest(F.sqrt(x.cast("double")).cast(_D38), F.lit(1).cast(_D38))
-    for _ in range(2):  # Newton: quadratic convergence from the float seed
-        r = ((r + x / r) / 2).cast(_D38)
-    r = F.least(r, lim)
-    out = r + F.lit(4).cast(_D38)
-    for i in range(8):
-        c = r + F.lit(4 - i).cast(_D38)
-        out = out - (
-            F.when(c > lim, F.lit(1).cast(_D38))
-            .when((c >= 0) & (c * c > x), F.lit(1).cast(_D38))
-            .otherwise(F.lit(0).cast(_D38))
-        )
-    return out
+    r0 = F.greatest(F.sqrt(x.cast("double")).cast(_D38), F.lit(1).cast(_D38))
+    # two Newton steps (quadratic convergence repairs the float seed's
+    # hundreds-of-units error at 10^37); any division rounding is fine —
+    # the exact pin below decides
+    r2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(2)),
+        r0,
+        lambda acc, _: F.least(((acc + x / acc) / 2).cast(_D38), lim),
+    )
+    # exact pin: the true root lies within ±5 of the repaired seed; take
+    # the largest candidate whose square does not exceed x (candidates
+    # above the decimal38 root ceiling are filtered before squaring)
+    cands = F.array(*[r2 + F.lit(k).cast(_D38) for k in range(-5, 6)])
+    ok = F.filter(cands, lambda c: (c >= 0) & (c <= lim) & (c * c <= x))
+    return F.array_max(ok)
 
 
 def spearman_rho_grid(
@@ -1810,6 +1827,34 @@ def best_run_by_group(
     )
 
 
+def _contingency_cells(df: DataFrame, x_col: str, y_col: str):
+    """Shared contingency core for the chi-square family: the FULL r×c
+    grid (zero cells densified via the level-product of the two tiny
+    level-total frames) plus the one-row totals frame. Returns
+    (cells[x, y, obs, rt, ct], tot[n, r, c]) — all counts decimal(38,0),
+    NULL x/y rows excluded (no category). One narrow groupBy(x, y)
+    shuffle over the raw rows; everything after is broadcast-sized."""
+    obs = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("obs"))
+    )
+    rt = obs.groupBy("x").agg(F.sum("obs").cast(_D38).alias("rt"))
+    ct = obs.groupBy("y").agg(F.sum("obs").cast(_D38).alias("ct"))
+    cells = (
+        rt.join(F.broadcast(ct), F.lit(True))
+        .join(obs, ["x", "y"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0).cast(_D38)))
+    )
+    tot = obs.agg(
+        F.sum("obs").cast(_D38).alias("n"),
+        F.countDistinct("x").cast(_D38).alias("r"),
+        F.countDistinct("y").cast(_D38).alias("c"),
+    )
+    return cells, tot
+
+
 def chi2_independence(
     df: DataFrame,
     x_col: str,
@@ -1845,24 +1890,7 @@ def chi2_independence(
     go to SQLite, dr_source/core/db.py); this is the independence
     audit its findings table (severity × language) needs at lake scale.
     """
-    obs = (
-        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
-        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast(_D38).alias("obs"))
-    )
-    rt = obs.groupBy("x").agg(F.sum("obs").cast(_D38).alias("rt"))
-    ct = obs.groupBy("y").agg(F.sum("obs").cast(_D38).alias("ct"))
-    cells = (
-        rt.join(F.broadcast(ct), F.lit(True))
-        .join(obs, ["x", "y"], "left")
-        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0).cast(_D38)))
-    )
-    tot = obs.agg(
-        F.sum("obs").cast(_D38).alias("n"),
-        F.countDistinct("x").cast(_D38).alias("r"),
-        F.countDistinct("y").cast(_D38).alias("c"),
-    )
+    cells, tot = _contingency_cells(df, x_col, y_col)
     terms = cells.join(F.broadcast(tot), F.lit(True)).withColumn(
         "term_e6",
         F.expr(
@@ -1881,10 +1909,13 @@ def chi2_independence(
         F.col("c").cast("long").alias("n_levels_y"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         F.col("chi2_e6").cast("long").alias("chi2_e6"),
+        # nullif: a single-level column makes min(r-1, c-1) = 0 — V is
+        # undefined there and must surface as NULL, not an ANSI
+        # divide-by-zero
         isqrt_expr(
             F.expr(
                 "CAST((chi2_e6 * CAST(100 AS decimal(38,0)))"
-                " div (n * least(r - 1, c - 1)) AS decimal(38,0))"
+                " div nullif(n * least(r - 1, c - 1), 0) AS decimal(38,0))"
             )
         ).cast("long").alias("cramers_v_bp"),
     )
@@ -1946,4 +1977,154 @@ def weighted_median_by_group(
             F.col("_W").cast("long").alias("total_weight"),
             F.col("v").alias("weighted_median"),
         )
+    )
+
+
+def chi2_cell_residuals(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-cell drill-down of ``chi2_independence``: WHICH cells drive
+    the association. For every (x, y) of the full contingency (zero
+    cells included) the observed count, the expected count ×100
+    (``exp_x100 = (rt·ct·100) div n``), and the signed Pearson
+    standardized residual ×100:
+        resid_x100 = sign(obs·n − rt·ct) · isqrt(((obs·n − rt·ct)²·10⁴)
+                                                 div (n·rt·ct))
+    — exactly |obs−exp|/√exp scaled, one truncating division per cell,
+    engine-bit-exact via the shared isqrt contract. |resid| ≳ 2 flags
+    the cell as individually significant; the sign says over- vs
+    under-represented. Shares ``_contingency_cells`` with the summary
+    statistic so the two can never disagree on the grid.
+
+    Scale shape: identical to chi2_independence — one narrow
+    groupBy(x, y) shuffle, then arithmetic on ≤ r·c broadcast-sized
+    rows.
+    """
+    cells, tot = _contingency_cells(df, x_col, y_col)
+    t = cells.join(F.broadcast(tot), F.lit(True))
+    dev = F.expr("obs * n - rt * ct")
+    mag = isqrt_expr(
+        F.expr(
+            "CAST((obs * n - rt * ct) * (obs * n - rt * ct)"
+            " * CAST(10000 AS decimal(38,0)) AS decimal(38,0))"
+            " div (n * rt * ct)"
+        )
+    )
+    return t.select(
+        "x",
+        "y",
+        F.col("obs").cast("long").alias("obs"),
+        F.expr("CAST((rt * ct * 100) div n AS BIGINT)").alias("exp_x100"),
+        (F.signum(dev.cast("double")).cast("long") * mag.cast("long")).alias(
+            "resid_x100"
+        ),
+    )
+
+
+def mann_kendall_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_expr: "F.Column",
+) -> DataFrame:
+    """Exact Mann-Kendall monotonic-trend test per group over the DAILY
+    series: S = Σ_{i<j} sign(x_j − x_i) over calendar-day totals ordered
+    by day, the tie-corrected variance numerator
+    N18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (Var(S) = N18/18), and the
+    continuity-corrected z ×100:
+        z_x100 = sign(S) · isqrt(((|S|−1)²·18·10⁴) div N18)   (|S| ≥ 1)
+    — one truncating division, engine-bit-exact; |z_x100| ≥ 196 is the
+    5% two-sided trend flag. The nonparametric "is this drifting?"
+    audit: no distribution assumed, outlier-robust (only signs of pair
+    differences enter), the standard first look before Theil-Sen's
+    slope estimate (its sibling here).
+
+    Exact contract: values are the per-day SUM of ``value_expr``
+    (pre-scaled to integer by the caller); ties in the day totals feed
+    the variance correction. S and N18 are exact integers; z is NULL
+    when n < 2 or N18 = 0 (all days tied) or |S| < 1.
+
+    Scale shape: one map-side-combinable groupBy(group, day) collapses
+    raw rows to the calendar grid FIRST; the pair enumeration is a
+    self-equi-join on the group key over that grid — bounded by days²
+    per group (calendar-bounded: ≤ 366² pairs per group-year), never by
+    row count. The raw table never self-joins.
+    """
+    daily = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+            value_expr.alias("_v"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("_v").cast("long").alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(
+            F.sum(
+                F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    base = (
+        nd.join(ties, "grp")
+        .join(s, "grp", "left")
+        .withColumn("s_stat", F.coalesce("s_stat", F.lit(0)))
+        .withColumn(
+            "var18",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).cast("long"),
+        )
+    )
+    # the isqrt argument is materialized as its OWN projection column:
+    # isqrt_expr references its input ~30× (Newton steps + the exact
+    # pin), and inlining a compound expression that many times inside
+    # the final hash-aggregate output blew janino's 64 KB method limit
+    # (observed: whole-stage codegen fallback). A non-cheap expression
+    # used more than once is not collapsed by CollapseProject, so this
+    # split survives optimization and each occurrence compiles to one
+    # attribute read.
+    abs_s = F.abs(F.col("s_stat"))
+    staged = base.select(
+        "grp",
+        "n_days",
+        "s_stat",
+        "var18",
+        # nullif: var18 = 0 (all day totals tied) must yield NULL, not an
+        # ANSI divide-by-zero — the when() guard below masks the OUTPUT
+        # but this staged column is evaluated eagerly
+        F.expr(
+            "CAST((abs(s_stat) - 1) * (abs(s_stat) - 1)"
+            " * CAST(180000 AS decimal(38,0)) AS decimal(38,0))"
+            " div nullif(var18, 0)"
+        ).alias("_zsq"),
+    )
+    return staged.select(
+        F.col("grp").alias(group_col),
+        "n_days",
+        "s_stat",
+        "var18",
+        F.when(
+            (F.col("var18") > 0) & (abs_s >= 1),
+            F.signum(F.col("s_stat").cast("double")).cast("long")
+            * isqrt_expr(F.col("_zsq")).cast("long"),
+        ).alias("z_x100"),
     )

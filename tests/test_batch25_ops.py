@@ -75,6 +75,13 @@ class TestChi2Independence:
         r = self._run(spark, rows)
         assert r["n"] == 3  # only fully-labelled rows count
 
+    def test_single_level_column_yields_null_v(self, spark):
+        # min(r-1, c-1) = 0: V undefined -> NULL, never a divide-by-zero
+        r = self._run(spark, [("a", "u"), ("b", "u"), ("a", "u")])
+        assert r["n_levels_y"] == 1 and r["dof"] == 0
+        assert r["chi2_e6"] == 0
+        assert r["cramers_v_bp"] is None
+
     def test_plan_no_cartesian_and_broadcast_joins(self, spark):
         # plan gate: the raw rows feed ONE partial+final aggregate pair
         # (the groupBy(x, y)); everything downstream — level totals, the
