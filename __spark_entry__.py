@@ -6258,12 +6258,13 @@ def _corpus_split_assign(spark, sf_dir):
     # function of the document id through the portable md5 hash family
     # (first 8 hex nibbles as an integer — the same base every
     # minhash/sketch oracle reproduces), so re-runs, backfills, and
-    # cross-engine audits agree row for row. 80/10/10 by hash mod 10;
-    # report per (lang, split): docs and whitespace tokens.
+    # cross-engine audits agree row for row. 80/10/10 by hash mod 10
+    # (training/text.py::hash_split_expr — shared with the
+    # split-leakage census); report per (lang, split): docs and
+    # whitespace tokens.
+    from dr_source_spark.training.text import hash_split_expr
+
     docs = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
     toks = F.size(
         F.filter(
             F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
@@ -6273,7 +6274,7 @@ def _corpus_split_assign(spark, sf_dir):
     return (
         docs.select(
             "lang",
-            F.when(h % 10 <= 7, "train").when(h % 10 == 8, "val").otherwise("test").alias("split"),
+            hash_split_expr(F.col("doc_id")).alias("split"),
             toks.alias("_t"),
         )
         .groupBy("lang", "split")
@@ -10396,6 +10397,97 @@ def _corpus_fd_census_sql() -> str:
     )
 
 
+def _corpus_split_leakage(spark, sf_dir):
+    # cross-split contamination census (training/dedup.py::
+    # near_dup_split_leakage): verified near-dup pairs (LSH -> Jaccard
+    # >= 0.9, never all-pairs) whose two documents land in different
+    # train/val/test splits — evaluation leakage (the val/test member
+    # scores a near-copy of a training document). Shares the verify
+    # path with dedup_jaccard_verify and the split rule with
+    # corpus_split_assign, so the three reports agree by construction.
+    # (The exact-duplicate variant exact_dup_split_leakage is the
+    # degenerate case — pytest-gated; the bench corpus has no exact
+    # dups, so the near-dup census is the driver query.)
+    from dr_source_spark.training.dedup import near_dup_split_leakage
+
+    return near_dup_split_leakage(_t(spark, sf_dir, "documents"))
+
+
+def _split_leakage_sql() -> str:
+    split = (
+        f"CASE WHEN {_duck_minhash_base('doc_id::VARCHAR')} % 10 <= 7"
+        " THEN 'train'"
+        f" WHEN {_duck_minhash_base('doc_id::VARCHAR')} % 10 = 8"
+        " THEN 'val' ELSE 'test' END"
+    )
+    return (
+        _lsh_pairs_ctes()
+        + ","
+        + _JAC_TAIL
+        + f"""
+tag AS (SELECT doc_id, {split} AS split FROM documents)
+SELECT j.doc_a, j.doc_b, j.jaccard,
+       ta.split AS split_a, tb.split AS split_b
+FROM jac j
+JOIN tag ta ON ta.doc_id = j.doc_a
+JOIN tag tb ON tb.doc_id = j.doc_b
+WHERE j.jaccard >= 0.9 AND ta.split <> tb.split
+"""
+    )
+
+
+def _kg_rule_coverage(spark, sf_dir):
+    # catalog-coverage census (operators/triples.py::rule_coverage):
+    # every identified regex rule in the KB against the MATCHES_RULE
+    # triples it fired — silent rules (n_matches = 0) are the audit
+    # output; broadcast LEFT join FROM the tiny catalog so zeros
+    # survive.
+    from dr_source_spark.kb.compile import kb_rules_df
+    from dr_source_spark.kb.loader import load_kb
+    from dr_source_spark.operators.triples import rule_coverage
+
+    return rule_coverage(
+        _kg_triples(spark, sf_dir).triples, kb_rules_df(spark, load_kb())
+    )
+
+
+def _kg_rule_coverage_sql() -> str:
+    # the catalog side is the same public rule data kb_rules_df explodes
+    # (kb/default_rules.py), enumerated here as literals in kb_rules_df's
+    # row order (general '*' rules first, then per-language)
+    from dr_source_spark.kb.loader import load_kb
+    from dr_source_spark.sources.synth import kg_triples_oracle_sql
+
+    kb = load_kb()
+    langs = ("python", "java", "javascript", "php", "ruby")
+    rows = []
+    for vt in kb.vuln_types():
+        for r in kb.general_regex(vt):
+            if r.get("id"):
+                rows.append((r["id"], vt, "*"))
+        for lang in langs:
+            for r in kb.lang_regex(vt, lang):
+                if r.get("id"):
+                    rows.append((r["id"], vt, lang))
+    values = ",\n  ".join(
+        f"('{rid}', '{vt}', '{lang}')" for rid, vt, lang in rows
+    )
+    return f"""
+WITH t AS ({kg_triples_oracle_sql()}),
+m AS (SELECT obj AS rule_id,
+             CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(count(DISTINCT regexp_replace(subj, '#L[0-9]+$', ''))
+                  AS BIGINT) AS n_files
+      FROM t WHERE pred = 'MATCHES_RULE' GROUP BY 1),
+cat(rule_id, vuln_type, lang) AS (VALUES
+  {values})
+SELECT cat.rule_id, cat.vuln_type, cat.lang,
+       coalesce(m.n_matches, 0) AS n_matches,
+       coalesce(m.n_files, 0) AS n_files
+FROM cat LEFT JOIN m ON m.rule_id = cat.rule_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10683,6 +10775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_chi2_cells": _orders_chi2_cells,
         "events_mann_kendall": _events_mann_kendall,
         "corpus_fd_census": _corpus_fd_census,
+        "corpus_split_leakage": _corpus_split_leakage,
+        "kg_rule_coverage": _kg_rule_coverage,
     }
 
 
@@ -10958,4 +11052,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_chi2_cells": _orders_chi2_cells_sql(),
         "events_mann_kendall": _events_mann_kendall_sql(),
         "corpus_fd_census": _corpus_fd_census_sql(),
+        "corpus_split_leakage": _split_leakage_sql(),
+        "kg_rule_coverage": _kg_rule_coverage_sql(),
     }

@@ -117,3 +117,51 @@ def schema_graph(triples: DataFrame) -> DataFrame:
             F.count_distinct("obj").cast("long").alias("n_objects"),
         )
     )
+
+
+def rule_coverage(triples: DataFrame, rules: DataFrame) -> DataFrame:
+    """Catalog-coverage census: every identified REGEX rule in the
+    knowledge base joined against the MATCHES_RULE triples it produced —
+    the operational audit behind "which rules are dead weight on this
+    corpus?". A silent rule (n_matches = 0) is either mis-ported, aimed
+    at a stack the corpus doesn't contain, or masked by an earlier
+    tier — all worth knowing before anyone trusts a clean scan.
+    Reference: the rule catalog is the reference's public YAML
+    (kb/default_rules.py provenance header); the reference itself has no
+    coverage report — findings go straight to SQLite (core/db.py).
+
+    Output per catalog rule: (rule_id, vuln_type, lang, n_matches,
+    n_files) — n_files distinct files (the `repo:path@commit` prefix of
+    the MATCHES_RULE subject, i.e. the `#L<line>` suffix stripped).
+
+    Scale shape: triples filter+groupBy on the narrow rule-id key (one
+    map-side-combinable shuffle; distinct-file count rides the same
+    aggregate), then a broadcast LEFT join FROM the tiny catalog side so
+    silent rules survive with zeros. The catalog is broadcast-sized by
+    construction (tens of rows).
+    """
+    m = (
+        triples.filter(F.col("pred") == "MATCHES_RULE")
+        .select(
+            F.col("obj").alias("rule_id"),
+            F.regexp_replace(F.col("subj"), "#L[0-9]+$", "").alias("_file"),
+        )
+        .groupBy("rule_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.count_distinct("_file").cast("long").alias("n_files"),
+        )
+    )
+    cat = rules.filter(
+        (F.col("tier") == "regex") & F.col("rule_id").isNotNull()
+    ).select("rule_id", "vuln_type", "lang")
+    return (
+        cat.join(m, "rule_id", "left")
+        .select(
+            "rule_id",
+            "vuln_type",
+            "lang",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("n_files", F.lit(0)).cast("long").alias("n_files"),
+        )
+    )

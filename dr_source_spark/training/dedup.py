@@ -1051,3 +1051,79 @@ def cdc_chunk_census(
             ).alias("savings_bp"),
         )
     )
+
+
+def near_dup_split_leakage(
+    documents: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Cross-split contamination census over VERIFIED near-duplicate
+    pairs: an LSH candidate pair with n-gram Jaccard ≥ ``threshold``
+    whose two documents land in different train/val/test splits is
+    evaluation leakage — the val/test member scores a near-copy of a
+    training document. Composes the existing scale path (banded LSH →
+    Jaccard verify, never all-pairs) with the shared hash-split rule
+    (training/text.py::hash_split_expr), so this census can never
+    disagree with the dedup pipeline or the split report.
+
+    Output per leaking pair: (doc_a, doc_b, jaccard, split_a, split_b).
+    The exact-duplicate variant below is the degenerate case (identical
+    normalized text); this one catches what it misses — light edits,
+    boilerplate rewraps.
+
+    Scale shape: adds only a pure per-row split expression and an
+    inequality filter on top of the candidate-verify join — no new
+    shuffle (the split tag is computed on the pair rows directly from
+    the ids, join-free).
+    """
+    pairs = ngram_jaccard(documents, minhash_lsh_candidates(documents))
+    from .text import hash_split_expr
+
+    return (
+        pairs.filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            hash_split_expr(F.col("doc_a")).alias("split_a"),
+            hash_split_expr(F.col("doc_b")).alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
+def exact_dup_split_leakage(documents: DataFrame) -> DataFrame:
+    """Cross-split contamination census over EXACT-duplicate groups: a
+    normalized-text fingerprint whose copies land in more than one of
+    train/val/test is evaluation leakage — the val/test copies score a
+    memorized training document. Composes the exact-dedup fingerprint
+    (training/text.py::fingerprint) with the shared hash-split rule
+    (training/text.py::hash_split_expr), so the census, the dedup
+    canonical set, and the split report all agree by construction.
+
+    Output per leaking fingerprint: (fingerprint, canonical_id, n_docs,
+    n_splits, splits) with splits the sorted comma-joined distinct split
+    names (collect_set order is engine-dependent; the sort makes the
+    column deterministic). Only groups with > 1 doc AND > 1 split
+    survive — the fix list, not an inventory.
+
+    Scale shape: identical to exact_duplicates — one narrow
+    groupBy(fingerprint) shuffle (text dropped before the shuffle); the
+    split tag is a pure per-row expression, no join.
+    """
+    from .text import fingerprint, hash_split_expr
+
+    tagged = fingerprint(documents).select(
+        "fingerprint",
+        "doc_id",
+        hash_split_expr(F.col("doc_id")).alias("split"),
+    )
+    return (
+        tagged.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("split").cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
+    )

@@ -1138,3 +1138,17 @@ def yule_k(documents: DataFrame) -> DataFrame:
             ).alias("k_x100"),
         )
     )
+
+
+def hash_split_expr(id_col: "F.Column") -> "F.Column":
+    """Leakage-safe 80/10/10 train/val/test assignment as a PURE FUNCTION
+    of the id through the portable md5 hash family (first 8 hex nibbles
+    as an integer — the same base every minhash/sketch oracle
+    reproduces): re-runs, backfills, and cross-engine audits agree row
+    for row. Shared by the split-assignment report and the
+    split-leakage census so the two can never disagree on a document's
+    split."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        F.when(h % 10 <= 7, "train").when(h % 10 == 8, "val").otherwise("test")
+    )
