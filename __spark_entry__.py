@@ -10488,6 +10488,85 @@ FROM cat LEFT JOIN m ON m.rule_id = cat.rule_id
 """
 
 
+def _lineitem_simpson_audit(spark, sf_dir):
+    # aggregation-reversal audit (operators/stats.py::
+    # simpson_reversal_audit): does the quantity-discount association
+    # sign flip between the pooled table and any return flag? Signs come
+    # from the exact decimal covariance numerator n·Σxy − Σx·Σy
+    # (integer-scaled inputs: quantity as long, discount in percent) —
+    # no denominators, no rounding, engine-bit-exact.
+    from dr_source_spark.operators.stats import simpson_reversal_audit
+
+    return simpson_reversal_audit(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        "l_returnflag",
+    )
+
+
+_LINEITEM_SIMPSON_SQL = """
+WITH per AS (
+  SELECT l_returnflag AS seg,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)
+           AS sxy
+  FROM lineitem GROUP BY 1),
+pooled AS (
+  SELECT CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS pooled_sign
+  FROM (SELECT sum(n) * sum(sxy) - sum(sx) * sum(sy) AS s FROM per))
+SELECT per.seg AS l_returnflag,
+       CAST(per.n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                 WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS cov_sign,
+       CAST(pooled.pooled_sign AS BIGINT) AS pooled_sign,
+       (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+             WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END)
+         * pooled.pooled_sign = -1 AS sign_flipped
+FROM per CROSS JOIN pooled
+"""
+
+
+def _kg_blast_radius(spark, sf_dir):
+    # per-weakness-class blast radius (operators/triples.py::
+    # blast_radius): files touched directly per CWE and files reachable
+    # at two hops through co-occurring classes — the audit-scoping
+    # census; per-file join fan-out bounded by the CWE vocabulary.
+    from dr_source_spark.operators.triples import blast_radius
+
+    return blast_radius(_kg_triples(spark, sf_dir).triples)
+
+
+def _kg_blast_radius_sql() -> str:
+    from dr_source_spark.sources.synth import kg_triples_oracle_sql
+
+    return f"""
+WITH t AS ({kg_triples_oracle_sql()}),
+fc AS (SELECT DISTINCT subj AS file, obj AS cwe FROM t
+       WHERE pred = 'HAS_VULN'),
+co AS (SELECT DISTINCT a.cwe AS cwe, b.cwe AS cwe2
+       FROM fc a JOIN fc b ON a.file = b.file),
+direct AS (SELECT cwe, CAST(count(*) AS BIGINT) AS n_files_direct
+           FROM fc GROUP BY 1),
+two_hop AS (SELECT cwe, CAST(count(*) AS BIGINT) AS n_files_2hop
+            FROM (SELECT DISTINCT co.cwe, fc.file
+                  FROM co JOIN fc ON fc.cwe = co.cwe2)
+            GROUP BY 1),
+neigh AS (SELECT cwe, CAST(count(*) AS BIGINT) AS n_cooccurring_cwes
+          FROM co WHERE cwe <> cwe2 GROUP BY 1)
+SELECT d.cwe, d.n_files_direct,
+       coalesce(n.n_cooccurring_cwes, 0) AS n_cooccurring_cwes,
+       coalesce(h.n_files_2hop, 0) AS n_files_2hop
+FROM direct d
+LEFT JOIN neigh n ON n.cwe = d.cwe
+LEFT JOIN two_hop h ON h.cwe = d.cwe
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10777,6 +10856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fd_census": _corpus_fd_census,
         "corpus_split_leakage": _corpus_split_leakage,
         "kg_rule_coverage": _kg_rule_coverage,
+        "lineitem_simpson_audit": _lineitem_simpson_audit,
+        "kg_blast_radius": _kg_blast_radius,
     }
 
 
@@ -11054,4 +11135,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fd_census": _corpus_fd_census_sql(),
         "corpus_split_leakage": _split_leakage_sql(),
         "kg_rule_coverage": _kg_rule_coverage_sql(),
+        "lineitem_simpson_audit": _LINEITEM_SIMPSON_SQL,
+        "kg_blast_radius": _kg_blast_radius_sql(),
     }

@@ -2128,3 +2128,68 @@ def mann_kendall_by_group(
             * isqrt_expr(F.col("_zsq")).cast("long"),
         ).alias("z_x100"),
     )
+
+
+def simpson_reversal_audit(
+    df: DataFrame,
+    x_expr: "F.Column",
+    y_expr: "F.Column",
+    seg_col: str,
+) -> DataFrame:
+    """Aggregation-reversal (Simpson's paradox) audit: does the SIGN of
+    the x-y association flip between the pooled data and any segment?
+    The classic trap behind "discounts increase volume overall but
+    decrease it in every ship mode" — any pipeline that reports pooled
+    correlations should run this census first.
+
+    Exact contract: association sign per segment is the sign of the
+    covariance numerator C = n·Σxy − Σx·Σy in decimal(38,0) (inputs are
+    caller-scaled integers, so C is exact and needs no denominator —
+    signs don't). The pooled sign is computed from the SUMS of the
+    per-segment sums (one extra broadcast, no second scan).
+    ``sign_flipped`` = segment sign · pooled sign = −1; zero-covariance
+    segments (including n < 2) never flag.
+
+    Scale shape: one map-side-combinable groupBy(segment) over the raw
+    rows; the pooled re-aggregate and the broadcast join run on the
+    segment table (segment cardinality rows).
+    """
+    per = (
+        df.select(
+            F.col(seg_col).alias("seg"),
+            x_expr.cast(_D38).alias("x"),
+            y_expr.cast(_D38).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    cov = F.expr("n * sxy - sx * sy")
+    seg_signed = per.withColumn(
+        "cov_sign", F.signum(cov.cast("double")).cast("long")
+    )
+    pooled = per.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+    ).select(
+        F.signum(
+            F.expr("pn * psxy - psx * psy").cast("double")
+        ).cast("long").alias("pooled_sign")
+    )
+    return (
+        seg_signed.join(F.broadcast(pooled), F.lit(True))
+        .select(
+            F.col("seg").alias(seg_col),
+            F.col("n").cast("long").alias("n_rows"),
+            "cov_sign",
+            "pooled_sign",
+            (F.col("cov_sign") * F.col("pooled_sign") == -1).alias("sign_flipped"),
+        )
+    )

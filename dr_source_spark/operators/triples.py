@@ -165,3 +165,64 @@ def rule_coverage(triples: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce("n_files", F.lit(0)).cast("long").alias("n_files"),
         )
     )
+
+
+def blast_radius(triples: DataFrame) -> DataFrame:
+    """Per-weakness-class blast radius over the HAS_VULN bipartite
+    file↔CWE graph: how many files a weakness class touches directly,
+    and how many it reaches at two hops (files tagged with any CWE that
+    CO-OCCURS in a file with it — the classic "if we audit everything
+    near CWE-89, how much of the codebase is that?" scoping question).
+    Generalizes the single-source BFS (graph.bfs_distances over one
+    class) to a per-class census in three bounded joins.
+
+    Exact contract: the incidence set is DISTINCT (file, cwe) — a file's
+    200 SQLi findings count once. 2-hop files INCLUDE the direct set
+    (the co-occurrence relation contains the identity pair), so
+    n_files_2hop ≥ n_files_direct always; n_cooccurring_cwes excludes
+    the class itself.
+
+    Scale shape: dedup first, then a per-file self-equi-join whose
+    fan-out is C(k, 2) in the DISTINCT per-file class count k (bounded
+    by the CWE vocabulary, not the finding count), then one join from
+    the tiny (cwe, cwe) co-occurrence table back to the incidence set.
+    File ids never pair with file ids.
+    """
+    fc = (
+        triples.filter(F.col("pred") == "HAS_VULN")
+        .select(F.col("subj").alias("file"), F.col("obj").alias("cwe"))
+        .distinct()
+    )
+    a, b = fc.alias("a"), fc.alias("b")
+    co = (
+        a.join(b, F.col("a.file") == F.col("b.file"))
+        .select(F.col("a.cwe").alias("cwe"), F.col("b.cwe").alias("cwe2"))
+        .distinct()
+    )
+    direct = fc.groupBy("cwe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files_direct")
+    )
+    two_hop = (
+        co.join(fc.select(F.col("cwe").alias("cwe2"), "file"), "cwe2")
+        .select("cwe", "file")
+        .distinct()
+        .groupBy("cwe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files_2hop"))
+    )
+    neigh = (
+        co.filter(F.col("cwe") != F.col("cwe2"))
+        .groupBy("cwe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooccurring_cwes"))
+    )
+    return (
+        direct.join(neigh, "cwe", "left")
+        .join(two_hop, "cwe", "left")
+        .select(
+            "cwe",
+            "n_files_direct",
+            F.coalesce("n_cooccurring_cwes", F.lit(0)).cast("long").alias(
+                "n_cooccurring_cwes"
+            ),
+            F.coalesce("n_files_2hop", F.lit(0)).cast("long").alias("n_files_2hop"),
+        )
+    )
