@@ -10567,6 +10567,66 @@ LEFT JOIN two_hop h ON h.cwe = d.cwe
 """
 
 
+def _ann_recall_audit(spark, sf_dir):
+    # in-engine recall@k SLO (training/similarity.py::recall_audit): the
+    # LSH top-k against the exact brute-force top-k per query —
+    # hits·10⁴ div k in exact bp; the pytest recall gate promoted to a
+    # continuously-checkable report (run after any plane/seed change).
+    from dr_source_spark.training.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        recall_audit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+    cand = lsh_bucketed_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+    return recall_audit(cand, truth, k=3)
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH bf AS (SELECT q_id, n_id FROM ({_ANN_SQL})),
+cand AS (SELECT q_id, n_id FROM ({_ann_lsh_sql()})),
+hits AS (SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM bf JOIN cand ON cand.q_id = bf.q_id AND cand.n_id = bf.n_id
+         GROUP BY 1)
+SELECT qq.q_id, CAST(3 AS BIGINT) AS k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 10000 // 3 AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT q_id FROM bf) qq LEFT JOIN hits h ON h.q_id = qq.q_id
+"""
+
+
+def _events_audience_overlap(spark, sf_dir):
+    # exact pairwise audience overlap (operators/relational.py::
+    # audience_overlap): distinct-user intersection, set sizes, and
+    # Jaccard in exact bp for every event-type pair — the cross-sell /
+    # cannibalization matrix; incidence deduped first so volume never
+    # inflates overlap, empty intersections reported (zero is the
+    # interesting answer).
+    from dr_source_spark.operators.relational import audience_overlap
+
+    return audience_overlap(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+_EVENTS_AUDIENCE_SQL = """
+WITH inc AS (SELECT DISTINCT event_type AS cat, user_id AS ent FROM events
+             WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+tot AS (SELECT cat, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
+both_ AS (SELECT a.cat AS cat_a, b.cat AS cat_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM inc a JOIN inc b ON a.ent = b.ent AND a.cat < b.cat
+          GROUP BY 1, 2)
+SELECT ta.cat AS cat_a, tb.cat AS cat_b, ta.n AS n_a, tb.n AS n_b,
+       coalesce(n_both, 0) AS n_both,
+       CAST(coalesce(n_both, 0) * 10000
+            // (ta.n + tb.n - coalesce(n_both, 0)) AS BIGINT) AS jaccard_bp
+FROM tot ta JOIN tot tb ON ta.cat < tb.cat
+LEFT JOIN both_ ON both_.cat_a = ta.cat AND both_.cat_b = tb.cat
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10858,6 +10918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_coverage": _kg_rule_coverage,
         "lineitem_simpson_audit": _lineitem_simpson_audit,
         "kg_blast_radius": _kg_blast_radius,
+        "ann_recall_audit": _ann_recall_audit,
+        "events_audience_overlap": _events_audience_overlap,
     }
 
 
@@ -11137,4 +11199,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_rule_coverage": _kg_rule_coverage_sql(),
         "lineitem_simpson_audit": _LINEITEM_SIMPSON_SQL,
         "kg_blast_radius": _kg_blast_radius_sql(),
+        "ann_recall_audit": _ann_recall_sql(),
+        "events_audience_overlap": _EVENTS_AUDIENCE_SQL,
     }

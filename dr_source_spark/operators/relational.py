@@ -832,3 +832,54 @@ def fd_violation_census(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def audience_overlap(
+    df: DataFrame, cat_col: str, entity_col: str
+) -> DataFrame:
+    """Exact pairwise audience-overlap matrix: for every unordered pair
+    of categories, the distinct-entity intersection, both set sizes, and
+    Jaccard in exact basis points — "how much do the click and purchase
+    audiences overlap?", the cross-sell / cannibalization read a
+    per-category count can't give.
+
+    Exact contract: the incidence set is DISTINCT (category, entity)
+    first, so activity volume never inflates overlap; pairs are
+    unordered (cat_a < cat_b); jaccard_bp = n_both·10⁴ div
+    (n_a + n_b − n_both) with one truncating division. Pairs with an
+    empty intersection are REPORTED (zero is the interesting answer for
+    a cannibalization question) via the category-pair product of the
+    tiny totals frame.
+
+    Scale shape: one distinct shuffle on (category, entity); the
+    per-entity self-join fans out C(k, 2) in the DISTINCT category
+    count k per entity — bounded by the category vocabulary, not event
+    volume; totals and the pair spine are broadcast-sized.
+    """
+    inc = df.select(
+        F.col(cat_col).alias("cat"), F.col(entity_col).alias("ent")
+    ).filter(F.col("cat").isNotNull() & F.col("ent").isNotNull()).distinct()
+    totals = inc.groupBy("cat").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = inc.alias("a"), inc.alias("b")
+    both = (
+        a.join(b, (F.col("a.ent") == F.col("b.ent")) & (F.col("a.cat") < F.col("b.cat")))
+        .groupBy(F.col("a.cat").alias("cat_a"), F.col("b.cat").alias("cat_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = totals.select(F.col("cat").alias("cat_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("cat").alias("cat_b"), F.col("n").alias("n_b"))
+    spine = ta.join(F.broadcast(tb), F.col("cat_a") < F.col("cat_b"))
+    return (
+        spine.join(both, ["cat_a", "cat_b"], "left")
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+            F.expr(
+                "CAST(coalesce(n_both, 0) * 10000"
+                " div (n_a + n_b - coalesce(n_both, 0)) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )

@@ -817,3 +817,43 @@ def nn_margin_stats(
             "margin_e6", "correct_1nn",
         )
     )
+
+
+def recall_audit(candidates: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one,
+    computed IN-ENGINE: for each query id, the fraction of the true
+    top-k neighbors the candidate list recovered, in exact basis points
+    (``recall_bp = hits·10⁴ div k``). The pytest recall gates sample
+    this offline; shipping it as a query makes the ANN quality SLO a
+    first-class, continuously-checkable report ("measure, don't
+    guess") — run it after any plane/seed/nlist change.
+
+    Exact contract: both inputs are (q_id, n_id, ...) top-k tables; the
+    hit count is the (q_id, n_id) equi-join cardinality. The query-id
+    spine comes from the TRUTH side, so a query the candidate stage
+    lost entirely reports 0, not absence.
+
+    Scale shape: two narrow distinct-projections and one equi-join on
+    (q_id, n_id) — the joined tables are k rows per query by
+    construction, broadcast-sized for any realistic query batch.
+    """
+    t = truth.select("q_id", "n_id").distinct()
+    c = candidates.select("q_id", "n_id").distinct()
+    hits = (
+        t.join(c, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        t.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"CAST(coalesce(n_hits, 0) * 10000 div {int(k)} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+    )
