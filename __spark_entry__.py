@@ -10627,6 +10627,132 @@ LEFT JOIN both_ ON both_.cat_a = ta.cat AND both_.cat_b = tb.cat
 """
 
 
+def _events_max_drawdown(spark, sf_dir):
+    # exact maximum drawdown (operators/stats.py::max_drawdown_by_group):
+    # the largest peak-to-later-trough fall of the daily value series per
+    # type (cents), with the earliest trough and the earliest day
+    # achieving its peak — best_run's pessimist twin; reads the OBSERVED
+    # daily series (a calendar gap is not a zero-revenue day here).
+    from dr_source_spark.operators.stats import max_drawdown_by_group
+
+    return max_drawdown_by_group(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+_EVENTS_DRAWDOWN_SQL = """
+WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS x
+               FROM events GROUP BY 1, 2),
+run AS (SELECT grp, d, x,
+          max(x) OVER (PARTITION BY grp ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS peak
+        FROM daily),
+trough AS (SELECT grp, d AS trough_day, peak, peak - x AS drawdown
+           FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                   ORDER BY peak - x DESC, d ASC) AS rk FROM run)
+           WHERE rk = 1),
+pk AS (SELECT r.grp, t.trough_day, t.drawdown, min(r.d) AS peak_day
+       FROM run r JOIN trough t ON t.grp = r.grp
+       WHERE r.x = t.peak AND r.d <= t.trough_day
+       GROUP BY 1, 2, 3),
+nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+SELECT nd.grp AS event_type, nd.n_days, pk.peak_day, pk.trough_day,
+       CAST(pk.drawdown AS BIGINT) AS drawdown
+FROM nd JOIN pk ON pk.grp = nd.grp
+"""
+
+
+def _lineitem_ks_test(spark, sf_dir):
+    # exact two-sample Kolmogorov-Smirnov (operators/stats.py::
+    # ks_two_sample): D between the extended-price distributions of
+    # returned (R) vs delivered (N) lines, d_bp = max|c_a·n_b − c_b·n_a|
+    # ·10⁴ div (n_a·n_b) over the pooled value grid — the
+    # distribution-SHAPE alarm Mann-Whitney's rank shift can't see.
+    from dr_source_spark.operators.stats import ks_two_sample
+
+    return ks_two_sample(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        F.col("l_extendedprice"),
+        "R",
+        "N",
+    )
+
+
+_LINEITEM_KS_SQL = """
+WITH vals AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+              GROUP BY 1, 2),
+grid AS (SELECT v,
+                CAST(coalesce(sum(CASE WHEN g = 'R' THEN c END), 0) AS BIGINT)
+                  AS ca,
+                CAST(coalesce(sum(CASE WHEN g = 'N' THEN c END), 0) AS BIGINT)
+                  AS cb
+         FROM vals GROUP BY 1),
+scored AS (SELECT v,
+             sum(ca) OVER w AS fa, sum(cb) OVER w AS fb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+           FROM grid
+           WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+gapped AS (SELECT v, na, nb, abs(fa * nb - fb * na) AS gap FROM scored)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       v AS d_at,
+       CAST(gap * 10000 // (na * nb) AS BIGINT) AS d_bp
+FROM (SELECT *, row_number() OVER (ORDER BY gap DESC, v ASC) AS rk
+      FROM gapped)
+WHERE rk = 1
+"""
+
+
+def _nation_supplier_hhi(spark, sf_dir):
+    # Herfindahl concentration audit (operators/stats.py::hhi_by_group):
+    # per nation, HHI of supplier revenue (lineitem cents through the
+    # supplier dim, broadcast joins) — Σ share² in exact bp with ONE
+    # truncating division per nation; 10⁴ = monopoly, 10⁴/n = perfectly
+    # split.
+    from dr_source_spark.operators.stats import hhi_by_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return hhi_by_group(
+        joined,
+        "n_name",
+        "s_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+
+
+_NATION_HHI_SQL = """
+WITH per AS (
+  SELECT n.n_name AS grp, s.s_suppkey AS m,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+           AS w
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE round(l.l_extendedprice * 100) > 0
+  GROUP BY 1, 2)
+SELECT grp AS n_name,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(w) AS BIGINT) AS total_weight,
+       CAST(sum(w * w) * CAST(10000 AS HUGEINT)
+            // (sum(w) * sum(w)) AS BIGINT) AS hhi_bp
+FROM per GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -10920,6 +11046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_blast_radius": _kg_blast_radius,
         "ann_recall_audit": _ann_recall_audit,
         "events_audience_overlap": _events_audience_overlap,
+        "events_max_drawdown": _events_max_drawdown,
+        "lineitem_ks_test": _lineitem_ks_test,
+        "nation_supplier_hhi": _nation_supplier_hhi,
     }
 
 
@@ -11201,4 +11330,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_blast_radius": _kg_blast_radius_sql(),
         "ann_recall_audit": _ann_recall_sql(),
         "events_audience_overlap": _EVENTS_AUDIENCE_SQL,
+        "events_max_drawdown": _EVENTS_DRAWDOWN_SQL,
+        "lineitem_ks_test": _LINEITEM_KS_SQL,
+        "nation_supplier_hhi": _NATION_HHI_SQL,
     }

@@ -2193,3 +2193,187 @@ def simpson_reversal_audit(
             (F.col("cov_sign") * F.col("pooled_sign") == -1).alias("sign_flipped"),
         )
     )
+
+
+def max_drawdown_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_expr: "F.Column",
+) -> DataFrame:
+    """Exact maximum drawdown of the DAILY value series per group: the
+    largest peak-to-later-trough fall, with the days it happened — the
+    pessimist's twin of ``best_run_by_group`` (Kadane finds the hottest
+    span; this finds the worst slide a monitoring page-out would have
+    ridden). All integer: the caller pre-scales values; missing calendar
+    days simply don't exist in the series (a gap is not a zero-revenue
+    day for drawdown semantics — this reads the OBSERVED series).
+
+    Exact contract: daily totals x_d; running peak P_d = max(x_1..x_d);
+    drawdown_d = P_d − x_d; the answer is max_d drawdown_d with the
+    EARLIEST trough day on ties, and peak_day the EARLIEST day achieving
+    P_d at or before the trough. A monotone-nondecreasing series
+    reports drawdown 0 with peak_day = trough_day = first day.
+
+    Scale shape: one map-side-combinable groupBy(group, day), then two
+    sort-windows per group over the daily grid (calendar-bounded), then
+    a 1-row-per-group pick.
+    """
+    daily = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+            value_expr.alias("_v"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("_v").cast("long").alias("x"))
+    )
+    seq = Window.partitionBy("grp").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = daily.select(
+        "grp", "d", "x", F.max("x").over(seq).alias("peak")
+    ).withColumn("dd", F.col("peak") - F.col("x"))
+    pick = Window.partitionBy("grp").orderBy(F.desc("dd"), F.asc("d"))
+    trough = (
+        run.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "grp",
+            F.col("d").alias("trough_day"),
+            F.col("peak").alias("_peak"),
+            F.col("dd").alias("drawdown"),
+        )
+    )
+    # earliest day achieving the peak value at or before the trough
+    peak_pick = (
+        run.join(trough, "grp")
+        .filter((F.col("x") == F.col("_peak")) & (F.col("d") <= F.col("trough_day")))
+        .groupBy("grp", "trough_day", "drawdown")
+        .agg(F.min("d").alias("peak_day"))
+    )
+    n_days = daily.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        n_days.join(peak_pick, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            "peak_day",
+            "trough_day",
+            F.col("drawdown").cast("long").alias("drawdown"),
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: "F.Column",
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups: D = max over the pooled value grid of
+    |F_a(v) − F_b(v)|, reported WITHOUT floats as
+    ``d_bp = (max |c_a·n_b − c_b·n_a|) · 10⁴ div (n_a·n_b)`` — the
+    shape-sensitive complement of Mann-Whitney (which only sees rank
+    shifts): a variance or tail change moves D even when medians agree.
+
+    Exact contract: counts are pre-aggregated per (group, value), the
+    pooled distinct-value grid carries BOTH cumulative counts (a value
+    absent from one group still advances the other's CDF — the left
+    join + running sum handles it), and ties resolve identically in any
+    engine because the grid is the distinct-value set. Also reports
+    d_at (the smallest value achieving the max, for the "where do the
+    distributions split?" read).
+
+    Scale shape: one groupBy(group, value) over the raw rows, then one
+    sort-window over the |distinct values| grid, then a 1-row pick. The
+    int64 product c·n holds to ~3·10⁹ rows per side; past that cast the
+    counts to decimal(38,0).
+    """
+    vals = (
+        df.select(F.col(group_col).alias("g"), value_col.alias("v"))
+        .filter(F.col("v").isNotNull() & F.col("g").isin([group_a, group_b]))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        vals.groupBy("v")
+        .pivot("g", [group_a, group_b])
+        .sum("c")
+        .select(
+            "v",
+            F.coalesce(F.col(f"`{group_a}`"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col(f"`{group_b}`"), F.lit(0)).alias("cb"),
+        )
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = grid.select(
+        "v",
+        F.sum("ca").over(cum).alias("fa"),
+        F.sum("cb").over(cum).alias("fb"),
+        F.sum("ca").over(full).alias("na"),
+        F.sum("cb").over(full).alias("nb"),
+    ).withColumn("gap", F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")))
+    pick = Window.orderBy(F.desc("gap"), F.asc("v"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("v").alias("d_at"),
+            F.expr("CAST(gap * 10000 div (na * nb) AS BIGINT)").alias("d_bp"),
+        )
+    )
+
+
+def hhi_by_group(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    weight_expr: "F.Column",
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group, exact:
+    HHI = Σ_members share² with share = member weight / group total,
+    reported as ``hhi_bp = (Σ w_i²) · 10⁴ div W²`` — one truncating
+    division per GROUP (the member squares sum exactly in
+    decimal(38,0)). 10⁴ bp = monopoly; n equal members → 10⁴/n. The
+    antitrust-style "is this nation's supply concentrated in one
+    supplier?" audit; Simpson diversity is the same statistic read
+    upside-down over counts — this one takes arbitrary non-negative
+    weights (revenue, capacity).
+
+    Scale shape: one map-side-combinable groupBy(group, member), then a
+    per-group sum — two narrow aggregates, no windows, no joins.
+    """
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(member_col).alias("m"),
+            weight_expr.cast(_D38).alias("w"),
+        )
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .groupBy("grp", "m")
+        .agg(F.sum("w").alias("w"))
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("w").alias("_W"),
+            F.sum(F.col("w") * F.col("w")).alias("_s2"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_members",
+            F.col("_W").cast("long").alias("total_weight"),
+            F.expr(
+                "CAST(_s2 * CAST(10000 AS decimal(38,0)) div (_W * _W) AS BIGINT)"
+            ).alias("hhi_bp"),
+        )
+    )
