@@ -10753,6 +10753,102 @@ FROM per GROUP BY 1
 """
 
 
+def _stream_late_drop(spark, sf_dir):
+    # Structured Streaming WATERMARK LATE-DROP accounting, oracle-gated:
+    # events are staged as four file-source batches in rough time order
+    # (day-of-month octile, capped at 3) with planted stragglers
+    # (user_id % 7 == 0 shifted TWO batches later); the append-mode
+    # windowed rollup (streaming/incremental.windowed_finding_counts,
+    # 1 h window / 1 h watermark, maxFilesPerTrigger=1) then drops
+    # stragglers whose window expired — 631 rows at sf0.01 — and emits
+    # only closed windows. The oracle replays Spark 4.1's measured
+    # microbatch semantics, fitted empirically against the engine on two
+    # fixtures (0 cell diffs on both, tools-session r5): the watermark
+    # FILTERING batch k is max event time over batches <= k-2 minus the
+    # delay (one batch MORE lag than the docs' high-level description —
+    # commit timing), while final EMISSION uses the global max minus
+    # delay (an extra no-data batch flushes); a row drops iff its
+    # window END <= that lagged watermark.
+    import hashlib
+    import os
+    import shutil
+
+    from dr_source_spark.streaming.incremental import windowed_finding_counts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_latedrop_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    ev = _t(spark, sf_dir, "events")
+    bq = F.least((F.dayofmonth("ts") - 1) / F.lit(8), F.lit(3)).cast("int")
+    bexpr = (
+        F.when(F.col("user_id") % 7 == 0, F.least(bq + 2, F.lit(3))).otherwise(bq)
+    )
+    tagged = ev.select(
+        F.col("ts").alias("event_ts"),
+        F.col("event_type").alias("severity"),
+        bexpr.alias("b"),
+    )
+    for b in range(4):
+        tmp = f"{base}/tmp_{b}"
+        tagged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dst = f"{base}/src/batch_{b}.parquet"
+        shutil.copyfile(f"{tmp}/{part}", dst)
+        # forced increasing mtimes pin the file-source batch order
+        os.utime(dst, (1_700_000_000 + b * 1000,) * 2)
+    stream = (
+        spark.readStream.schema("event_ts timestamp, severity string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    counts = windowed_finding_counts(stream, window_dur="1 hour", watermark="1 hour")
+    qname = f"latedrop_{tag}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "severity",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_STREAM_LATE_DROP_SQL = """
+WITH allr AS (
+  SELECT ts AS event_ts, event_type AS severity,
+         CASE WHEN user_id % 7 = 0
+              THEN least(least(CAST((day(ts) - 1) // 8 AS INT), 3) + 2, 3)
+              ELSE least(CAST((day(ts) - 1) // 8 AS INT), 3) END AS b
+  FROM events),
+bm AS (SELECT b, max(event_ts) AS mx FROM allr GROUP BY 1),
+r AS (SELECT event_ts, severity, b,
+             time_bucket(INTERVAL '1 hour', event_ts) AS ws,
+             time_bucket(INTERVAL '1 hour', event_ts) + INTERVAL '1 hour' AS we
+      FROM allr),
+wmd AS (SELECT b.b,
+               (SELECT max(mx) FROM bm WHERE bm.b <= b.b - 2)
+                 - INTERVAL '1 hour' AS w
+        FROM bm b),
+adm AS (SELECT r.* FROM r JOIN wmd ON wmd.b = r.b
+        WHERE wmd.w IS NULL OR r.we > wmd.w),
+wmf AS (SELECT max(mx) - INTERVAL '1 hour' AS wf FROM bm)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(we, '%Y-%m-%d %H:%M:%S') AS window_end,
+       severity, CAST(count(*) AS BIGINT) AS n
+FROM adm, wmf WHERE we <= wmf.wf GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11049,6 +11145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_max_drawdown": _events_max_drawdown,
         "lineitem_ks_test": _lineitem_ks_test,
         "nation_supplier_hhi": _nation_supplier_hhi,
+        "stream_late_drop_census": _stream_late_drop,
     }
 
 
@@ -11333,4 +11430,5 @@ def oracle_sql() -> dict[str, str]:
         "events_max_drawdown": _EVENTS_DRAWDOWN_SQL,
         "lineitem_ks_test": _LINEITEM_KS_SQL,
         "nation_supplier_hhi": _NATION_HHI_SQL,
+        "stream_late_drop_census": _STREAM_LATE_DROP_SQL,
     }
