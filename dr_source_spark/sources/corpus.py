@@ -48,6 +48,13 @@ def read_source_files(
     always embed newlines, to JSONL/ORC/parquet instead."""
     if fmt == "iceberg" or ("/" not in location and "." in location):
         return spark.read.format("iceberg").load(location)
+    if fmt == "dir":
+        # checkout-tree on-ramp: the Spark 4 Python Data Source walks the
+        # tree partition-parallel (driver lists paths only; executors read
+        # contents) — see sources/pyds.py
+        from .pyds import corpus_from_dir_distributed
+
+        return corpus_from_dir_distributed(spark, location)
     if fmt == "orc":
         return spark.read.orc(location)
     if fmt in ("json", "jsonl"):
