@@ -10849,6 +10849,39 @@ FROM adm, wmf WHERE we <= wmf.wf GROUP BY 1, 2, 3
 """
 
 
+def _lineitem_quantiles_bisect(spark, sf_dir):
+    # exact quantiles WITHOUT sort or shuffle (operators/stats.py::
+    # exact_quantiles_bisect): parallel binary search on the cents value
+    # domain — ~24 map-side aggregate rounds pin p50/p90/p99 exactly per
+    # return flag; nothing ever shuffles, the driver holds only bisection
+    # bounds. The scale path where sort-window quantiles would funnel an
+    # ultra-high-cardinality grid through a per-group sort.
+    from dr_source_spark.operators.stats import exact_quantiles_bisect
+
+    return exact_quantiles_bisect(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        (0.5, 0.9, 0.99),
+    )
+
+
+_LINEITEM_BISECT_SQL = """
+WITH v AS (SELECT l_returnflag AS grp,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+r AS (SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+      FROM v),
+qs(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT n.grp AS l_returnflag, qs.q, n.n AS n_rows, r.v AS value
+FROM n CROSS JOIN qs
+JOIN r ON r.grp = n.grp
+      AND r.rn = greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11146,6 +11179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_ks_test": _lineitem_ks_test,
         "nation_supplier_hhi": _nation_supplier_hhi,
         "stream_late_drop_census": _stream_late_drop,
+        "lineitem_quantiles_bisect": _lineitem_quantiles_bisect,
     }
 
 
@@ -11431,4 +11465,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_ks_test": _LINEITEM_KS_SQL,
         "nation_supplier_hhi": _NATION_HHI_SQL,
         "stream_late_drop_census": _STREAM_LATE_DROP_SQL,
+        "lineitem_quantiles_bisect": _LINEITEM_BISECT_SQL,
     }

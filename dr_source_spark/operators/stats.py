@@ -2377,3 +2377,93 @@ def hhi_by_group(
             ).alias("hhi_bp"),
         )
     )
+
+
+def exact_quantiles_bisect(
+    df: DataFrame,
+    group_col: str,
+    value_expr: "F.Column",
+    quantiles: "list[float]" = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles WITHOUT A SORT OR SHUFFLE: parallel
+    binary search on the integer value domain. Each round is one
+    map-side-combinable full-table aggregate (conditional counts against
+    every group×quantile's current midpoint); ~log₂(value range) rounds
+    pin every order statistic exactly. This is the scale path for exact
+    percentiles over ultra-high-cardinality columns where the
+    sort-window approach (length_quantiles and friends) would funnel the
+    distinct-value grid through a per-group sort — here NOTHING ever
+    shuffles, sorts, or leaves the map side; the driver holds only
+    (group × quantile) bisection bounds.
+
+    Exact contract: values must be integral (caller pre-scales, e.g.
+    cents); the q-quantile is the LOWER order statistic — the smallest
+    value v with count(value ≤ v) ≥ ceil(q·n) — matching the
+    sort-window family's convention, so the two methods are
+    interchangeable (pytest pins parity). NULL values are excluded from
+    both n and the search.
+
+    Scale shape: one pass for (count, min, max) per group, then ≤
+    ceil(log₂(max−min+1)) passes, each a single hash aggregate over a
+    cached narrow projection with |groups|·|quantiles| conditional-sum
+    columns. Job count is bounded by the VALUE RANGE in bits (~24 for
+    prices in cents), independent of row count.
+    """
+    import math
+
+    qs = list(quantiles)
+    vals = (
+        df.select(F.col(group_col).alias("grp"), value_expr.cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .persist()
+    )
+    try:
+        base = {
+            r["grp"]: (r["n"], r["lo"], r["hi"])
+            for r in vals.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+        # state per (group, quantile): search window [lo, hi] and target k
+        state = {}
+        for g, (n, lo, hi) in base.items():
+            for q in qs:
+                k = max(1, math.ceil(q * n))
+                state[(g, q)] = [lo, hi, k]
+        while True:
+            open_keys = [key for key, (lo, hi, _k) in state.items() if lo < hi]
+            if not open_keys:
+                break
+            aggs = []
+            mids = {}
+            for i, key in enumerate(open_keys):
+                g, q = key
+                lo, hi, _k = state[key]
+                mid = (lo + hi) // 2
+                mids[key] = mid
+                aggs.append(
+                    F.sum(
+                        ((F.col("grp") == g) & (F.col("v") <= mid)).cast("long")
+                    ).alias(f"c{i}")
+                )
+            row = vals.agg(*aggs).collect()[0]
+            for i, key in enumerate(open_keys):
+                lo, hi, k = state[key]
+                if row[f"c{i}"] >= k:
+                    state[key][1] = mids[key]  # answer ≤ mid
+                else:
+                    state[key][0] = mids[key] + 1  # answer > mid
+        out_rows = [
+            (g, float(q), base[g][0], state[(g, q)][0])
+            for g in base
+            for q in qs
+        ]
+        return df.sparkSession.createDataFrame(
+            out_rows, f"{group_col} string, q double, n_rows long, value long"
+        )
+    finally:
+        vals.unpersist()
