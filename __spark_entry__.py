@@ -10882,6 +10882,160 @@ JOIN r ON r.grp = n.grp
 """
 
 
+def _events_life_table(spark, sf_dir):
+    # Kaplan-Meier survival LIFE TABLE with right-censoring
+    # (operators/stats.py::life_table): per-user active spans in days,
+    # users still active within 7 days of the corpus boundary censored;
+    # at each distinct duration the risk set, churn/censor exits, and
+    # the product-limit survival estimate in exact 1e8 fixed point via
+    # the truncating sequential recurrence (grid bounded by the day
+    # domain, so the fold is value-domain-bounded like the bisect
+    # quantiles). The churn-curve audit a retention model trains on.
+    from dr_source_spark.operators.stats import life_table
+
+    return life_table(_t(spark, sf_dir, "events"), censor_days=7)
+
+
+_LIFE_TABLE_SQL = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS d,
+         date_diff('day', CAST(max(ts) AS DATE),
+                   (SELECT CAST(max(ts) AS DATE) FROM events)) < 7 AS censored
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT d,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churn,
+         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_cens
+  FROM per_user GROUP BY 1),
+o AS (
+  SELECT d, n_churn, n_cens,
+         (SELECT count(*) FROM per_user)
+           - coalesce(sum(n_churn + n_cens)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM grid),
+rec AS (
+  SELECT rn, d, n_risk, n_churn, n_cens,
+         (100000000 * (n_risk - n_churn)) // n_risk AS s
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.d, o.n_risk, o.n_churn, o.n_cens,
+         (rec.s * (o.n_risk - o.n_churn)) // o.n_risk
+  FROM o, rec WHERE o.rn = rec.rn + 1)
+SELECT CAST(d AS INTEGER) AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       n_churn, n_cens AS n_censored, CAST(s AS BIGINT) AS s_x1e8
+FROM rec
+"""
+
+
+def _events_markov_stationary(spark, sf_dir):
+    # stationary distribution of the event-type chain
+    # (operators/relational.py::markov_stationary) — markov_transitions'
+    # fixed-point twin: 12 exact power-iteration steps in 1e12
+    # fixed point over the lag-window transition counts; stream-terminal
+    # types get a pinned self-loop so mass is conserved. The limit
+    # occupancy profile behind curriculum ordering and session mix
+    # planning.
+    from dr_source_spark.operators.relational import markov_stationary
+
+    return markov_stationary(_t(spark, sf_dir, "events"), iterations=12)
+
+
+def _markov_stationary_sql(iterations: int = 12, scale: int = 10**12) -> str:
+    # unrolled like _pagerank_sql_over: p0..pN CTEs, each one exact
+    # integer step (pi·n) // tot per transition, zero-mass states kept
+    # via the LEFT JOIN back to the state list
+    parts = [
+        "WITH steps AS MATERIALIZED (",
+        "  SELECT event_type AS t_from,",
+        "         lead(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS t_to",
+        "  FROM events),",
+        "pp AS MATERIALIZED (SELECT t_from, t_to,"
+        " CAST(count(*) AS BIGINT) AS n",
+        "  FROM steps WHERE t_to IS NOT NULL GROUP BY 1, 2),",
+        "tots AS MATERIALIZED (SELECT t_from AS f, sum(n) AS tot"
+        " FROM pp GROUP BY 1),",
+        "states AS MATERIALIZED (SELECT DISTINCT event_type AS s"
+        " FROM events),",
+        "trans AS MATERIALIZED (",
+        "  SELECT pp.t_from, pp.t_to, pp.n, tots.tot"
+        " FROM pp JOIN tots ON pp.t_from = tots.f",
+        "  UNION ALL",
+        "  SELECT s, s, 1, 1 FROM states"
+        " WHERE s NOT IN (SELECT f FROM tots)),",
+        "c AS MATERIALIZED (SELECT count(*) AS n FROM states),",
+        f"p0 AS MATERIALIZED (SELECT s, CAST({scale} // c.n AS BIGINT) AS m"
+        " FROM states CROSS JOIN c),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"cb{k} AS MATERIALIZED (SELECT t.t_to AS s,"
+            f" CAST(sum((p.m * t.n) // t.tot) AS BIGINT) AS m"
+            f" FROM trans t JOIN p{k - 1} p ON p.s = t.t_from GROUP BY 1),\n"
+            f"p{k} AS MATERIALIZED (SELECT states.s,"
+            f" coalesce(cb{k}.m, 0) AS m"
+            f" FROM states LEFT JOIN cb{k} ON cb{k}.s = states.s),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT s AS event_type, CAST(m AS BIGINT) AS pi_fp"
+        f" FROM p{iterations}"
+    )
+
+
+def _nation_dhondt_seats(spark, sf_dir):
+    # highest-averages (D'Hondt) apportionment
+    # (training/features.py::dhondt_allocate) — corpus_quota_alloc's
+    # divisor-method twin: 100 seats split across nations by supplier
+    # revenue (cents through the broadcast supplier/nation dims) via
+    # truncated integer quotients W div i with a fully pinned tie-break.
+    # Σ seats == 100 exactly (pytest law); zero-revenue nations keep a
+    # 0-seat row.
+    from dr_source_spark.training.features import dhondt_allocate
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return dhondt_allocate(
+        joined,
+        "n_name",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        100,
+    ).select(F.col("grp").alias("n_name"), "weight", "seats")
+
+
+_DHONDT_SQL = """
+WITH w AS (
+  SELECT n.n_name AS grp,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS w
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1),
+q AS (SELECT grp, w, i, w // i AS q
+      FROM w CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS i)
+      WHERE w > 0),
+r AS (SELECT grp,
+             row_number() OVER (ORDER BY q DESC, w DESC, grp ASC, i ASC)
+               AS rk
+      FROM q),
+won AS (SELECT grp, CAST(count(*) AS BIGINT) AS seats
+        FROM r WHERE rk <= 100 GROUP BY 1)
+SELECT w.grp AS n_name, w.w AS weight,
+       CAST(coalesce(won.seats, 0) AS BIGINT) AS seats
+FROM w LEFT JOIN won ON won.grp = w.grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11180,6 +11334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_hhi": _nation_supplier_hhi,
         "stream_late_drop_census": _stream_late_drop,
         "lineitem_quantiles_bisect": _lineitem_quantiles_bisect,
+        "events_life_table": _events_life_table,
+        "events_markov_stationary": _events_markov_stationary,
+        "nation_dhondt_seats": _nation_dhondt_seats,
     }
 
 
@@ -11466,4 +11623,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_hhi": _NATION_HHI_SQL,
         "stream_late_drop_census": _STREAM_LATE_DROP_SQL,
         "lineitem_quantiles_bisect": _LINEITEM_BISECT_SQL,
+        "events_life_table": _LIFE_TABLE_SQL,
+        "events_markov_stationary": _markov_stationary_sql(),
+        "nation_dhondt_seats": _DHONDT_SQL,
     }

@@ -883,3 +883,57 @@ def audience_overlap(
             ).alias("jaccard_bp"),
         )
     )
+
+
+def markov_stationary(
+    events: DataFrame, iterations: int = 12, scale: int = 10**12
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type chain —
+    ``markov_transitions``'s fixed-point twin: where does a user stream
+    spend its time in the limit? π is computed by ``iterations`` exact
+    power-iteration steps in 64-bit fixed point (mass unit =
+    ``scale``), π_{k+1}(j) = Σ_i (π_k(i)·n_ij) div tot_i, with the
+    per-term truncating division pinned so any engine reproduces the
+    same integers (the same arithmetic contract as
+    operators/graph.pagerank_fixed_point). A type with no outgoing
+    step (it only ever ends streams) gets a pinned self-loop (n=1,
+    tot=1) so its mass is retained rather than silently destroyed.
+
+    Scale shape: transition counts come from ONE distributed lag-window
+    + narrow-pair aggregate over the event stream (same plan as
+    markov_transitions); the iteration then runs on the TRANSITION
+    MATRIX, whose size is |event-type domain|² — bounded by the value
+    domain, not row count — so folding it on the driver is as
+    scale-clean as the bisect-quantile bounds state. For a chain whose
+    state space IS row-scale (e.g. per-entity graphs), use
+    operators/graph.pagerank_fixed_point's distributed loop instead.
+    Output: (event_type, pi_fp) with Σ pi_fp ≤ scale (truncation
+    leaks ≤ 1 unit per state per round — deterministic).
+    """
+    pairs = (
+        markov_transitions(events)
+        .select("t_from", "t_to", "n_steps")
+        .collect()
+    )
+    states = sorted(
+        r[0]
+        for r in events.select(F.col("event_type")).distinct().collect()
+    )
+    n = {(r["t_from"], r["t_to"]): int(r["n_steps"]) for r in pairs}
+    tot = {}
+    for (a, _b), c in n.items():
+        tot[a] = tot.get(a, 0) + c
+    for s in states:
+        if s not in tot:  # stream-terminal type: pinned self-loop
+            n[(s, s)] = 1
+            tot[s] = 1
+    pi = {s: int(scale) // len(states) for s in states}
+    for _ in range(int(iterations)):
+        nxt = {s: 0 for s in states}
+        for (a, b), c in n.items():
+            nxt[b] += (pi[a] * c) // tot[a]
+        pi = nxt
+    rows = [(s, pi[s]) for s in states]
+    return events.sparkSession.createDataFrame(
+        rows, "event_type string, pi_fp long"
+    )

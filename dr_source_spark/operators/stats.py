@@ -2467,3 +2467,97 @@ def exact_quantiles_bisect(
         )
     finally:
         vals.unpersist()
+
+
+def life_table(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    censor_days: int = 7,
+    scale: int = 10**8,
+) -> DataFrame:
+    """Kaplan-Meier LIFE TABLE with right-censoring over per-user event
+    spans — the survival-analysis audit of "how long does a user stay
+    active before churning", computed exactly.
+
+    Each user contributes one observation: duration_days =
+    datediff(last event date, first event date). A user whose last
+    event falls within ``censor_days`` of the corpus's global last day
+    is right-CENSORED (still active at the observation boundary — we
+    know only that their true lifetime exceeds the observed span);
+    everyone else is an observed churn. At every distinct duration d
+    (ascending): n_risk = users with duration ≥ d, n_churn / n_censored
+    = users exiting at exactly d, and the product-limit survival
+    estimate S(d) = Π_{d'≤d} (n_risk(d') − n_churn(d')) / n_risk(d')
+    carried in ``scale``-fixed-point via the truncating recurrence
+    s ← (s · (n_risk − n_churn)) div n_risk — bit-exact on any engine
+    (censored exits shrink later risk sets but never the product, the
+    defining KM property).
+
+    Scale shape: one groupBy(user) min/max aggregate (narrow), a 1-row
+    global-max broadcast join, one groupBy(duration) count — then the
+    sequential product runs over the DURATION GRID ONLY, whose size is
+    bounded by the corpus's day span (the value domain), not by row
+    count, so folding it through a single collect_list + F.aggregate
+    (JVM-side, no UDF) is as scale-clean as the bisect-quantile driver
+    state. Output: (duration_days, n_risk, n_churn, n_censored,
+    s_x1e8).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.col(ts_col).cast("date")).alias("d0"),
+        F.max(F.col(ts_col).cast("date")).alias("d1"),
+    )
+    gmax = events.agg(F.max(F.col(ts_col).cast("date")).alias("dmax"))
+    obs = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("d1", "d0").alias("d"),
+        (F.datediff("dmax", "d1") < F.lit(int(censor_days))).alias("censored"),
+    )
+    grid = obs.groupBy("d").agg(
+        F.sum((~F.col("censored")).cast("long")).alias("n_churn"),
+        F.sum(F.col("censored").cast("long")).alias("n_cens"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    ordered = grid.select(
+        "d",
+        "n_churn",
+        "n_cens",
+        (
+            F.sum(F.col("n_churn") + F.col("n_cens")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("n_churn") + F.col("n_cens")).over(w), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    # fold the (bounded) grid through the exact product-limit recurrence
+    packed = ordered.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "n_risk", "n_churn", "n_cens"))
+        ).alias("rows")
+    )
+    elem_t = (
+        "array<struct<d:int,n_risk:bigint,n_churn:bigint,"
+        "n_cens:bigint,s_fp:bigint>>"
+    )
+    fold = (
+        "aggregate(rows,"
+        f" named_struct('s', CAST({int(scale)} AS BIGINT),"
+        f" 'out', CAST(array() AS {elem_t})),"
+        " (acc, x) -> named_struct("
+        "'s', (acc.s * (x.n_risk - x.n_churn)) div x.n_risk,"
+        " 'out', array_append(acc.out, named_struct("
+        "'d', x.d, 'n_risk', x.n_risk, 'n_churn', x.n_churn,"
+        " 'n_cens', x.n_cens,"
+        " 's_fp', (acc.s * (x.n_risk - x.n_churn)) div x.n_risk))),"
+        " acc -> acc.out)"
+    )
+    return (
+        packed.select(F.explode(F.expr(fold)).alias("r"))
+        .select(
+            F.col("r.d").alias("duration_days"),
+            F.col("r.n_risk").alias("n_risk"),
+            F.col("r.n_churn").alias("n_churn"),
+            F.col("r.n_cens").alias("n_censored"),
+            F.col("r.s_fp").alias("s_x1e8"),
+        )
+    )

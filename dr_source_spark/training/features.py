@@ -149,3 +149,57 @@ def quota_allocate(
             F.col("base_alloc") + (F.col("_rk") <= F.col("_leftover")).cast("long")
         ).cast("long").alias("final_alloc"),
     )
+
+
+def dhondt_allocate(
+    df: DataFrame, group_col: str, weight_expr, seats: int
+) -> DataFrame:
+    """Highest-averages (D'Hondt) apportionment of ``seats`` across
+    groups proportional to an integer weight — ``quota_allocate``'s
+    divisor-method twin (Hamilton favors small groups at the margin,
+    D'Hondt large ones; a pipeline allocating shard budgets or eval
+    quotas by bytes wants both on the shelf). Every group generates
+    quotients q(g, i) = W_g div i for i = 1..seats (TRUNCATED integer
+    quotients — the pinned convention both engines reproduce exactly;
+    a tie in the truncated quotient is broken by (W_g desc, group asc,
+    i asc), deterministic end to end); the ``seats`` largest quotients
+    win one seat each. Groups with zero/negative weight keep a 0-seat
+    row. Σ seats_g == seats exactly (pytest-pinned law).
+
+    Scale shape: one groupBy(group) sum, then the quotient explode is
+    |groups| × seats rows — both dimension-bounded, tiny — through a
+    single row_number ranking. Output: (group, weight, seats).
+    """
+    weights = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(weight_expr).cast("long").alias("w")
+    )
+    quot = (
+        weights.filter(F.col("w") > 0)
+        .select(
+            "grp",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.lit(int(seats)))).alias("i"),
+        )
+        .select("grp", "w", "i", F.expr("w div i").alias("q"))
+    )
+    ranked = quot.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc("q"), F.desc("w"), F.asc("grp"), F.asc("i")
+            )
+        ),
+    )
+    won = (
+        ranked.filter(F.col("_rk") <= int(seats))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("seats"))
+    )
+    return (
+        weights.join(won, "grp", "left")
+        .select(
+            "grp",
+            F.col("w").alias("weight"),
+            F.coalesce(F.col("seats"), F.lit(0)).cast("long").alias("seats"),
+        )
+    )
