@@ -11036,6 +11036,149 @@ FROM w LEFT JOIN won ON won.grp = w.grp
 """
 
 
+def _kg_conductance(spark, sf_dir):
+    # community-quality audit over the KG (operators/graph.py::
+    # conductance_by_label): conductance φ = cut div min(vol, vol̄) in
+    # exact bp for every label-propagation community — modularity's
+    # per-community complement (kg_modularity scores the partition;
+    # this names the leaky clusters). Labels from the same pinned
+    # 4-sweep LPA as kg_label_prop, so the two queries compose.
+    from dr_source_spark.operators.graph import (
+        conductance_by_label,
+        label_propagation,
+    )
+
+    edges = _kg_triples(spark, sf_dir).edges
+    return conductance_by_label(
+        edges, label_propagation(edges, rounds=_LPA_ROUNDS)
+    )
+
+
+def _kg_conductance_sql() -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    # the LPA oracle (itself a full WITH...SELECT) embeds as a
+    # parenthesized subquery CTE; DuckDB allows nested WITH
+    return f"""
+WITH labels AS MATERIALIZED ({_kg_label_prop_sql()}),
+kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kg_e WHERE src <> dst),
+adj AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d
+                     FROM adj GROUP BY 1),
+el AS (SELECT la.label AS l_a, lb.label AS l_b
+       FROM und u
+       JOIN labels la ON la.node = u.a
+       JOIN labels lb ON lb.node = u.b),
+cut AS (SELECT label, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+          SELECT l_a AS label FROM el WHERE l_a <> l_b
+          UNION ALL SELECT l_b FROM el WHERE l_a <> l_b) GROUP BY 1),
+vol AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(coalesce(sum(deg.d), 0) AS BIGINT) AS vol
+        FROM labels l LEFT JOIN deg ON deg.node = l.node GROUP BY 1),
+tot AS (SELECT sum(vol) AS tv FROM vol)
+SELECT v.label, v.n_nodes, v.vol,
+       CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       CAST((10000 * coalesce(c.cut_edges, 0))
+            // least(v.vol, tot.tv - v.vol) AS BIGINT) AS phi_bp
+FROM vol v CROSS JOIN tot LEFT JOIN cut c ON c.label = v.label
+WHERE v.vol > 0 AND v.vol < tot.tv
+"""
+
+
+def _events_u_attribution(spark, sf_dir):
+    # position-based (U-shaped) multi-touch attribution
+    # (operators/relational.py::u_shape_attribution): each purchase
+    # distributes 10 000 bp over its journey's touches — 40/20/40 with
+    # the truncating middle split's remainder pinned to the earliest
+    # middle, so Σ credit == 10 000 per credited conversion exactly.
+    # stream_join_attrib's batch complement (that one is last-touch
+    # within a window; this is whole-journey positional).
+    from dr_source_spark.operators.relational import u_shape_attribution
+
+    return u_shape_attribution(_t(spark, sf_dir, "events"))
+
+
+_U_ATTRIBUTION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j,
+         event_type = 'purchase' AS is_conv
+  FROM events),
+ended AS (SELECT DISTINCT user_id AS eu, j AS ej FROM seq WHERE is_conv),
+touches AS (
+  SELECT s.user_id, s.event_type, s.ts, s.event_id, s.j
+  FROM seq s JOIN ended e ON s.user_id = e.eu AND s.j = e.ej
+  WHERE NOT s.is_conv),
+pos AS (
+  SELECT user_id, j, event_type,
+         row_number() OVER (PARTITION BY user_id, j
+                            ORDER BY ts, event_id) AS p,
+         count(*) OVER (PARTITION BY user_id, j) AS n
+  FROM touches),
+credit AS (
+  SELECT user_id, j, event_type,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN p = 1 OR p = n THEN 4000
+              ELSE 2000 // (n - 2)
+                   + (CASE WHEN p = 2 THEN 2000 % (n - 2) ELSE 0 END)
+         END AS credit_bp
+  FROM pos)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT (user_id, j)) AS BIGINT) AS n_conversions,
+       CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+FROM credit GROUP BY 1
+"""
+
+
+def _customer_palma_ratio(spark, sf_dir):
+    # Palma inequality ratio (operators/stats.py::palma_ratio) over
+    # per-customer order spend in cents — the top-10% / bottom-40%
+    # share ratio in exact bp; gini_split's tail-naming complement
+    # (Gini summarizes the whole curve, Palma says where the
+    # concentration lives). Cohort sizes and both rank tie-breaks
+    # pinned.
+    from dr_source_spark.operators.stats import palma_ratio
+
+    return palma_ratio(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+_PALMA_SQL = """
+WITH per AS (
+  SELECT o_custkey AS k,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT v,
+         row_number() OVER (ORDER BY v DESC, k ASC) AS rd,
+         row_number() OVER (ORDER BY v ASC, k ASC) AS ra,
+         count(*) OVER () AS n
+  FROM per),
+s AS (
+  SELECT max(n) AS n,
+         sum(CASE WHEN rd <= n // 10 THEN v ELSE 0 END) AS top_sum,
+         sum(CASE WHEN ra <= (4 * n) // 10 THEN v ELSE 0 END) AS bottom_sum
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       CAST(n // 10 AS BIGINT) AS top_k,
+       CAST((4 * n) // 10 AS BIGINT) AS bottom_k,
+       CAST(top_sum AS BIGINT) AS top_sum,
+       CAST(bottom_sum AS BIGINT) AS bottom_sum,
+       CASE WHEN bottom_sum > 0 THEN
+         CAST((10000 * top_sum) // bottom_sum AS BIGINT) END AS palma_bp
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11337,6 +11480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_life_table": _events_life_table,
         "events_markov_stationary": _events_markov_stationary,
         "nation_dhondt_seats": _nation_dhondt_seats,
+        "kg_conductance": _kg_conductance,
+        "events_u_attribution": _events_u_attribution,
+        "customer_palma_ratio": _customer_palma_ratio,
     }
 
 
@@ -11626,4 +11772,7 @@ def oracle_sql() -> dict[str, str]:
         "events_life_table": _LIFE_TABLE_SQL,
         "events_markov_stationary": _markov_stationary_sql(),
         "nation_dhondt_seats": _DHONDT_SQL,
+        "kg_conductance": _kg_conductance_sql(),
+        "events_u_attribution": _U_ATTRIBUTION_SQL,
+        "customer_palma_ratio": _PALMA_SQL,
     }

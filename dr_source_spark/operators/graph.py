@@ -1984,3 +1984,74 @@ def bipartite_core(
     out = e.join(ld, "src").join(rd, "dst").select("src", "dst", "left_deg", "right_deg")
     e.unpersist()
     return out
+
+
+def conductance_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Community-quality audit: CONDUCTANCE φ(S) = cut(S) / min(vol(S),
+    vol(V∖S)) per community, in exact basis points — the standard
+    "how leaky is this cluster" score for any node-labelling (label
+    propagation, components, ER entities). A tight community has low
+    φ (few boundary edges relative to its internal volume); φ near
+    10⁴ means the 'community' is mostly boundary.
+
+    Semantics (pinned): the graph is the DISTINCT undirected simple
+    edge set (self-loops dropped); vol(S) = Σ degree over members,
+    cut(S) = edges with exactly one endpoint in S; φ in truncated
+    integer bp. Labels whose volume is 0 (isolated nodes) or the
+    whole graph's volume (no complement) are excluded — φ is
+    undefined there.
+
+    Scale shape: one distinct-edge pass, two broadcast-joinable
+    narrow aggregates (degree, per-label volume), and the cut count
+    is a single join of the edge list against the label table on both
+    endpoints — every shuffle keyed on node or label, nothing
+    quadratic. Input ``labels``: (node, label).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("l_a"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("l_b"))
+    el = und.join(la, "a").join(lb, "b")
+    cross = el.filter(F.col("l_a") != F.col("l_b"))
+    cut = (
+        cross.select(F.col("l_a").alias("label"))
+        .unionByName(cross.select(F.col("l_b").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    vol = (
+        labels.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("vol"),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        vol.withColumn("_tv", F.sum("vol").over(wall))
+        .join(cut, "label", "left")
+        .filter((F.col("vol") > 0) & (F.col("vol") < F.col("_tv")))
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            F.coalesce(F.col("cut_edges"), F.lit(0)).cast("long").alias(
+                "cut_edges"
+            ),
+            F.expr(
+                "CAST((10000 * coalesce(cut_edges, 0))"
+                " div least(vol, _tv - vol) AS BIGINT)"
+            ).alias("phi_bp"),
+        )
+    )

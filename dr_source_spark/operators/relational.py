@@ -937,3 +937,83 @@ def markov_stationary(
     return events.sparkSession.createDataFrame(
         rows, "event_type string, pi_fp long"
     )
+
+
+def u_shape_attribution(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """Position-based (U-shaped) MULTI-TOUCH ATTRIBUTION in exact basis
+    points: every conversion event distributes 10 000 bp of credit over
+    the touch events in its journey — the touches after the user's
+    previous conversion (or stream start) and strictly before this one,
+    in the same (ts, event_id) total order every sequence operator
+    here uses. The U: first and last touch get 4 000 bp each, the
+    2 000-bp middle splits evenly by truncating division with the
+    REMAINDER pinned to the earliest middle touch (so Σ credit ==
+    10 000 per credited conversion — the law an attribution report
+    must satisfy and independent float splits can't). Journeys of one
+    touch take all 10 000; of two, 5 000 each; conversions with no
+    touches credit nothing.
+
+    Scale shape: two stacked per-user sort windows (journey id = count
+    of prior conversions, then position/count within journey) — the
+    sessionize plan shape — followed by one narrow groupBy(event_type).
+    Output: (event_type, n_touches, n_conversions, credit_bp) per
+    TOUCH type, conversions ranked by total credited basis points.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    conv = F.col("event_type") == conversion_type
+    seq = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(conv.cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("j"),
+        conv.alias("is_conv"),
+    ).withColumn("j", F.coalesce(F.col("j"), F.lit(0)))
+    # journeys that actually END in a conversion
+    ended = (
+        seq.filter("is_conv")
+        .select(F.col("user_id").alias("_eu"), F.col("j").alias("_ej"))
+        .distinct()
+    )
+    touches = seq.filter(~F.col("is_conv")).join(
+        ended,
+        (F.col("user_id") == F.col("_eu")) & (F.col("j") == F.col("_ej")),
+    ).drop("_eu", "_ej")
+    wj = Window.partitionBy("user_id", "j").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pos = touches.select(
+        "user_id",
+        "j",
+        "event_type",
+        F.row_number().over(wj).alias("p"),
+        F.count(F.lit(1)).over(
+            wj.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    credit = pos.withColumn(
+        "credit_bp",
+        F.expr(
+            "CASE WHEN n = 1 THEN 10000"
+            " WHEN n = 2 THEN 5000"
+            " WHEN p = 1 OR p = n THEN 4000"
+            " ELSE 2000 div (n - 2)"
+            " + (CASE WHEN p = 2 THEN 2000 % (n - 2) ELSE 0 END) END"
+        ).cast("long"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("user_id", "j").cast("long").alias("n_conversions"),
+            F.sum("credit_bp").cast("long").alias("credit_bp"),
+        )
+    )

@@ -2561,3 +2561,59 @@ def life_table(
             F.col("r.s_fp").alias("s_x1e8"),
         )
     )
+
+
+def palma_ratio(
+    df: DataFrame, key_col: str, value_expr: "F.Column"
+) -> DataFrame:
+    """PALMA inequality ratio over a per-key integer value distribution
+    — the top-10% share against the bottom-40% share, the inequality
+    audit that (unlike Gini) says WHERE the concentration lives. Keys
+    are ranked by (value desc, key asc) for the top decile and
+    (value asc, key asc) for the bottom two quintiles — both pinned so
+    ties cannot flip membership; cohort sizes top_k = n div 10 and
+    bottom_k = (4·n) div 10 (truncated, pinned). palma_bp =
+    (10⁴ · top_sum) div bottom_sum, NULL when the bottom cohort holds
+    nothing (division undefined — the caller sees the degenerate
+    distribution explicitly rather than an arbitrary sentinel).
+
+    Scale shape: one groupBy(key) sum over the fact table, then two
+    rank windows over the PER-KEY aggregate (key-domain-sized, far
+    smaller than the fact table); one global row out. Gini
+    (gini_by_group) gives the scalar curve summary; Palma names the
+    tails.
+    """
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(value_expr).cast("long").alias("v")
+    )
+    wd = Window.orderBy(F.desc("v"), F.asc("k"))
+    wa = Window.orderBy(F.asc("v"), F.asc("k"))
+    wall = Window.partitionBy()
+    ranked = per.select(
+        "v",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wa).alias("ra"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.expr("CAST(max(n) div 10 AS BIGINT)").alias("top_k"),
+        F.expr("CAST((4 * max(n)) div 10 AS BIGINT)").alias("bottom_k"),
+        F.sum(F.when(F.expr("rd <= n div 10"), F.col("v"))).cast("long")
+        .alias("top_sum"),
+        F.sum(F.when(F.expr("ra <= (4 * n) div 10"), F.col("v"))).cast("long")
+        .alias("bottom_sum"),
+    ).select(
+        "n_keys",
+        "top_k",
+        "bottom_k",
+        F.coalesce(F.col("top_sum"), F.lit(0)).cast("long").alias("top_sum"),
+        F.coalesce(F.col("bottom_sum"), F.lit(0)).cast("long").alias(
+            "bottom_sum"
+        ),
+        F.expr(
+            "CASE WHEN coalesce(bottom_sum, 0) > 0 THEN"
+            " CAST((10000 * coalesce(top_sum, 0)) div bottom_sum AS BIGINT)"
+            " END"
+        ).alias("palma_bp"),
+    )
