@@ -11179,6 +11179,128 @@ FROM s
 """
 
 
+def _kg_path_rollup(spark, sf_dir):
+    # hierarchical directory rollup of the flagship findings
+    # (operators/relational.py::path_rollup): every finding credits ALL
+    # its ancestor directories — the treemap a security dashboard draws
+    # (which subtree is riskiest); per prefix: depth, findings, distinct
+    # files, CRITICAL count. Oracle from the per-template finding
+    # constants (template paths' directory parts are placeholder-free).
+    from dr_source_spark.operators.relational import path_rollup
+
+    return path_rollup(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_path_rollup_sql() -> str:
+    from dr_source_spark.sources.synth import (
+        _TEMPLATES,
+        EXPECTED_FINDINGS,
+        EXPECTED_TRIPLES,
+    )
+
+    rows = []
+    for tpl, (path_t, _) in EXPECTED_TRIPLES.items():
+        parts = path_t.split("/")[:-1]
+        n_f = len(EXPECTED_FINDINGS[tpl])
+        n_c = sum(1 for f in EXPECTED_FINDINGS[tpl] if f[5] == "CRITICAL")
+        if n_f == 0:  # index-only companion (tpl 6): its files never
+            continue  # appear in findings, so they credit no subtree
+        for d in range(1, len(parts) + 1):
+            prefix = "/".join(parts[:d])
+            assert "§" not in prefix, "dir prefix must be placeholder-free"
+            rows.append(f"({tpl}, '{prefix}', {d}, {n_f}, {n_c})")
+    return f"""
+WITH docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl
+              FROM documents),
+per_tpl(tpl, dir, depth, n_f, n_c) AS (VALUES {', '.join(rows)})
+SELECT dir, CAST(depth AS INT) AS depth,
+       CAST(sum(n_f) AS BIGINT) AS n_findings,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_c) AS BIGINT) AS n_critical
+FROM docs JOIN per_tpl USING (tpl)
+GROUP BY dir, depth
+"""
+
+
+def _events_trigram_paths(spark, sf_dir):
+    # contiguous three-step sequence census over per-user streams
+    # (operators/relational.py::trigram_paths) — the sequence depth the
+    # markov pair profile can't see (loops vs progressions), with exact
+    # bp share of all trigrams. Same (ts, event_id) total order as the
+    # CEP/markov family.
+    from dr_source_spark.operators.relational import trigram_paths
+
+    return trigram_paths(_t(spark, sf_dir, "events"))
+
+
+_TRIGRAM_SQL = """
+WITH tri AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT t1, t2, t3, n,
+       CAST((10000 * n) // sum(n) OVER () AS BIGINT) AS share_bp
+FROM c
+"""
+
+
+def _kg_cwe_lift(spark, sf_dir):
+    # association LIFT over per-file vuln-type co-occurrence
+    # (operators/relational.py::cooccurrence_lift) —
+    # kg_vuln_cooccurrence's normalized twin: 10⁴ = independence,
+    # above = the pair clusters in the same files (systemic pattern).
+    # Same distinct-(repo, path, type) base, so the reports reconcile.
+    from dr_source_spark.operators.relational import cooccurrence_lift
+
+    return cooccurrence_lift(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_cwe_lift_sql() -> str:
+    from itertools import combinations
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    type_rows, pair_rows = [], []
+    for tpl, findings in EXPECTED_FINDINGS.items():
+        types = sorted(
+            {
+                f"{f[0]} (AST Taint)" if f[3] not in (None, "structural") else f[0]
+                for f in findings
+            }
+        )
+        if not types:  # index-only companion: not in the findings base
+            continue
+        for t in types:
+            type_rows.append(f"({tpl}, '{t}')")
+        for ta, tb in combinations(types, 2):
+            pair_rows.append(f"({tpl}, '{ta}', '{tb}')")
+    return f"""
+WITH docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl
+              FROM documents),
+tcnt AS (SELECT tpl, CAST(count(*) AS BIGINT) AS nd FROM docs GROUP BY 1),
+tpl_types(tpl, t) AS (VALUES {', '.join(type_rows)}),
+tpl_pairs(tpl, ta, tb) AS (VALUES {', '.join(pair_rows)}),
+marg AS (SELECT t, CAST(sum(nd) AS BIGINT) AS n_t
+         FROM tpl_types JOIN tcnt USING (tpl) GROUP BY 1),
+pairs AS (SELECT ta, tb, CAST(sum(nd) AS BIGINT) AS n_both
+          FROM tpl_pairs JOIN tcnt USING (tpl) GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n_total FROM tcnt
+        WHERE tpl IN (SELECT DISTINCT tpl FROM tpl_types))
+SELECT pairs.ta AS type_a, pairs.tb AS type_b, n_both,
+       ma.n_t AS n_a, mb.n_t AS n_b, tot.n_total,
+       CAST((10000 * tot.n_total * n_both) // (ma.n_t * mb.n_t) AS BIGINT)
+         AS lift_bp
+FROM pairs
+JOIN marg ma ON ma.t = pairs.ta
+JOIN marg mb ON mb.t = pairs.tb
+CROSS JOIN tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11483,6 +11605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conductance": _kg_conductance,
         "events_u_attribution": _events_u_attribution,
         "customer_palma_ratio": _customer_palma_ratio,
+        "kg_path_rollup": _kg_path_rollup,
+        "events_trigram_paths": _events_trigram_paths,
+        "kg_cwe_lift": _kg_cwe_lift,
     }
 
 
@@ -11775,4 +11900,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conductance": _kg_conductance_sql(),
         "events_u_attribution": _U_ATTRIBUTION_SQL,
         "customer_palma_ratio": _PALMA_SQL,
+        "kg_path_rollup": _kg_path_rollup_sql(),
+        "events_trigram_paths": _TRIGRAM_SQL,
+        "kg_cwe_lift": _kg_cwe_lift_sql(),
     }

@@ -1017,3 +1017,137 @@ def u_shape_attribution(
             F.sum("credit_bp").cast("long").alias("credit_bp"),
         )
     )
+
+
+def path_rollup(findings: DataFrame) -> DataFrame:
+    """Hierarchical DIRECTORY ROLLUP of findings — the "which subtree
+    is riskiest" report a security dashboard renders as a treemap:
+    every finding is credited to ALL its ancestor directories, so each
+    prefix row aggregates its whole subtree. Per directory prefix:
+    depth, total findings, distinct files, and CRITICAL-severity count.
+
+    Semantics (pinned): prefixes come from '/'-split of ``path``; a
+    path with no directory component contributes no rows (there is no
+    subtree to credit); files are distinct (repo, path) pairs.
+
+    Scale shape: the prefix explode fans each finding out by its path
+    DEPTH (bounded by tree depth, not corpus size), then one
+    groupBy(dir) with a distinct-file count — shuffle keyed on the
+    directory prefix. Dimensionally the same plan as text n-gram
+    census, applied to the path hierarchy."""
+    pref = findings.select(
+        "repo",
+        "path",
+        "severity",
+        # NB sequence(1, 0) DESCENDS in Spark, so the depth-1 case must
+        # short-circuit to an empty array, not an empty sequence
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(path, '/')) > 1 THEN"
+                " transform(sequence(1, size(split(path, '/')) - 1),"
+                " d -> array_join(slice(split(path, '/'), 1, d), '/'))"
+                " ELSE array() END"
+            )
+        ).alias("dir"),
+    )
+    return (
+        pref.groupBy("dir")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_findings"),
+            F.countDistinct("repo", "path").cast("long").alias("n_files"),
+            F.sum((F.col("severity") == "CRITICAL").cast("long"))
+            .cast("long")
+            .alias("n_critical"),
+        )
+        .select(
+            "dir",
+            F.size(F.split("dir", "/")).alias("depth"),
+            "n_findings",
+            "n_files",
+            "n_critical",
+        )
+    )
+
+
+def trigram_paths(events: DataFrame) -> DataFrame:
+    """Contiguous THREE-STEP sequence census over per-user event
+    streams — the sequence-mining depth markov_transitions' pair
+    profile can't see (a→b→a loops vs a→b→c progressions): every
+    (t1, t2, t3) window in the (ts, event_id) total order, with counts
+    and exact basis-point share of all trigrams. Cross-user windows
+    never form (the lag window is per-user); a user needs ≥ 3 events
+    to contribute.
+
+    Scale shape: one per-user sort window (two leads), then a narrow
+    triple-key count — the same plan family as markov_transitions with
+    one more lag."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        events.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+    )
+    counted = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wall = Window.partitionBy()
+    return (
+        counted.withColumn("_tot", F.sum("n").over(wall)).select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.expr("CAST((10000 * n) div _tot AS BIGINT)").alias("share_bp"),
+        )
+    )
+
+
+def cooccurrence_lift(findings: DataFrame) -> DataFrame:
+    """Association LIFT over per-file vulnerability-type co-occurrence
+    — vuln_cooccurrence's normalized twin: lift(a, b) = P(a∧b) /
+    (P(a)·P(b)) in exact basis points, (10⁴·N·n_ab) div (n_a·n_b)
+    over the N files carrying at least one finding. 10⁴ =
+    independence; above = the pair clusters in the same files (a
+    systemic pattern), below = the types repel. Type counts use the
+    same distinct-(repo, path, vuln_type) base and display-type
+    semantics as vuln_cooccurrence, so the two reports reconcile
+    row-for-row.
+
+    Scale shape: the pair base is vuln_cooccurrence's bounded-fan-out
+    self-join; the marginals are one narrow groupBy(type) broadcast
+    back onto the pairs; N is a 1-row aggregate broadcast."""
+    per_file = findings.select("repo", "path", "vuln_type").distinct()
+    pairs = vuln_cooccurrence(findings)
+    marg = per_file.groupBy(F.col("vuln_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    n_files = per_file.select("repo", "path").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_files))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_files").alias("n_both"),
+            "n_a",
+            "n_b",
+            "n_total",
+            F.expr(
+                "CAST((10000 * n_total * n_files) div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
