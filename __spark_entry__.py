@@ -11301,6 +11301,169 @@ CROSS JOIN tot
 """
 
 
+def _part_price_index(spark, sf_dir):
+    # exact Laspeyres/Paasche/Fisher price indices 1996→1997 over
+    # matched parts (operators/stats.py::price_index): unit prices in
+    # truncated cents, basket sums in DECIMAL(38,0), Fisher's geometric
+    # mean via the exact integer isqrt — the econometric "price vs
+    # volume" split raw revenue growth confounds. One conditional
+    # groupBy pass, no window, no sort.
+    from dr_source_spark.operators.stats import price_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    return price_index(
+        li,
+        "l_partkey",
+        F.year(F.col("l_shipdate").cast("date")),
+        F.floor(F.col("l_quantity")).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        1996,
+        1997,
+    )
+
+
+def _price_index_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey AS k, year(CAST(l_shipdate AS DATE)) AS p,
+         CAST(floor(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)),
+per AS (SELECT k,
+               sum(CASE WHEN p = 1996 THEN q END) AS q0,
+               sum(CASE WHEN p = 1996 THEN c END) AS c0,
+               sum(CASE WHEN p = 1997 THEN q END) AS q1,
+               sum(CASE WHEN p = 1997 THEN c END) AS c1
+        FROM f GROUP BY 1),
+pp AS (SELECT k, q0, q1, c0 // q0 AS p0, c1 // q1 AS p1 FROM per
+       WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             sum(CAST(p1 AS HUGEINT) * q0) AS l_num,
+             sum(CAST(p0 AS HUGEINT) * q0) AS l_den,
+             sum(CAST(p1 AS HUGEINT) * q1) AS p_num,
+             sum(CAST(p0 AS HUGEINT) * q1) AS p_den
+      FROM pp),
+i AS (SELECT n_keys,
+             CAST((10000 * l_num) // l_den AS BIGINT) AS laspeyres_bp,
+             CAST((10000 * p_num) // p_den AS BIGINT) AS paasche_bp
+      FROM s)
+SELECT n_keys, laspeyres_bp, paasche_bp,
+       CAST({_duck_isqrt('CAST(laspeyres_bp AS HUGEINT) * paasche_bp')}
+            AS BIGINT) AS fisher_bp
+FROM i
+"""
+
+
+def _orders_holt_forecast(spark, sf_dir):
+    # Holt linear (double exponential) smoothing over monthly order
+    # revenue (operators/stats.py::holt_linear): α=1/2, β=3/10 as exact
+    # rationals, div truncating toward zero (the oracle sign-factors
+    # DuckDB's flooring //); init l₁=y₁, l₂=y₂, b₂=y₂−y₁ pinned; fits
+    # + 3 forecast months. The adaptive-trend forecaster next to the
+    # deck's OLS/Theil-Sen global trends; the sequential recurrence
+    # folds over the month-domain-bounded grid like life_table.
+    from dr_source_spark.operators.stats import holt_linear
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+                - 1
+            ).alias("idx"),
+            F.floor(F.col("o_totalprice").cast(_DEC) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("idx")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    return holt_linear(monthly, "idx", "y", horizon=3)
+
+
+def _holt_sql(horizon: int = 3) -> str:
+    def sdiv(a: str, d: int) -> str:
+        return (
+            f"(CASE WHEN ({a}) < 0 THEN -((-({a})) // {d})"
+            f" ELSE ({a}) // {d} END)"
+        )
+
+    lnew = sdiv("o.y + rec.l + rec.b", 2)
+    bnew = sdiv(f"3 * ({lnew} - rec.l) + 7 * rec.b", 10)
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT (year(CAST(o_orderdate AS DATE)) * 12
+          + month(CAST(o_orderdate AS DATE)) - 1) AS idx,
+         CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+o AS (SELECT idx, y, row_number() OVER (ORDER BY idx) AS rn FROM m),
+rec AS (
+  SELECT rn, idx, y, CAST(y AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+         CAST(NULL AS BIGINT) AS tr, CAST(NULL AS BIGINT) AS yhat
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.idx, o.y,
+         CASE WHEN o.rn = 2 THEN o.y ELSE {lnew} END,
+         CASE WHEN o.rn = 2 THEN o.y - rec.l ELSE {bnew} END,
+         CASE WHEN o.rn = 2 THEN o.y - rec.l ELSE {bnew} END,
+         CASE WHEN o.rn = 2 THEN CAST(NULL AS BIGINT)
+              ELSE rec.l + rec.b END
+  FROM o JOIN rec ON o.rn = rec.rn + 1)
+SELECT CAST(idx AS INT) AS month_id, 'fit' AS kind, y AS y_cents,
+       l AS level_c, tr AS trend_c, yhat AS yhat_c
+FROM rec
+UNION ALL
+SELECT CAST(last.idx + h.h AS INT), 'forecast', NULL, NULL, NULL,
+       CAST(last.l + h.h * last.b AS BIGINT)
+FROM (SELECT idx, l, b FROM rec ORDER BY rn DESC LIMIT 1) last
+CROSS JOIN (SELECT unnest(generate_series(1, {int(horizon)})) AS h) h
+"""
+
+
+def _customer_tier_migration(spark, sf_dir):
+    # customer value-tier migration matrix
+    # (operators/mining.py::tier_migration): exact spend quintiles per
+    # temporal half (split at the date midpoint, each half ranked
+    # independently), tier 0 = absent — the segment-dynamics report
+    # behind retention/churn/acquisition planning; orders_rfm_segments'
+    # dynamic twin.
+    from dr_source_spark.operators.mining import tier_migration
+
+    return tier_migration(_t(spark, sf_dir, "orders"))
+
+
+_TIER_MIGRATION_SQL = """
+WITH n AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+           AS cents
+  FROM orders),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM n),
+s AS (SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS split FROM b),
+h AS (SELECT cust,
+             sum(CASE WHEN d <= split THEN cents END) AS c1,
+             sum(CASE WHEN d > split THEN cents END) AS c2
+      FROM n CROSS JOIN s GROUP BY 1),
+t1 AS (SELECT cust,
+              CAST(1 + ((row_number() OVER (ORDER BY c1, cust) - 1) * 5)
+                   // count(*) OVER () AS BIGINT) AS tf
+       FROM h WHERE c1 IS NOT NULL),
+t2 AS (SELECT cust, c2,
+              CAST(1 + ((row_number() OVER (ORDER BY c2, cust) - 1) * 5)
+                   // count(*) OVER () AS BIGINT) AS tt
+       FROM h WHERE c2 IS NOT NULL),
+j AS (SELECT coalesce(t1.tf, 0) AS tier_from,
+             coalesce(t2.tt, 0) AS tier_to,
+             coalesce(t2.c2, 0) AS c2
+      FROM t1 FULL OUTER JOIN t2 ON t1.cust = t2.cust)
+SELECT tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c2) AS BIGINT) AS cents_to
+FROM j GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11608,6 +11771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_rollup": _kg_path_rollup,
         "events_trigram_paths": _events_trigram_paths,
         "kg_cwe_lift": _kg_cwe_lift,
+        "part_price_index": _part_price_index,
+        "orders_holt_forecast": _orders_holt_forecast,
+        "customer_tier_migration": _customer_tier_migration,
     }
 
 
@@ -11903,4 +12069,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_rollup": _kg_path_rollup_sql(),
         "events_trigram_paths": _TRIGRAM_SQL,
         "kg_cwe_lift": _kg_cwe_lift_sql(),
+        "part_price_index": _price_index_sql(),
+        "orders_holt_forecast": _holt_sql(),
+        "customer_tier_migration": _TIER_MIGRATION_SQL,
     }

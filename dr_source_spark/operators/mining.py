@@ -246,3 +246,92 @@ def item_cosine_pairs(
             "cos_bp",
         )
     )
+
+
+def tier_migration(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """Customer VALUE-TIER MIGRATION matrix — the segment-dynamics
+    report RFM's static grid can't show: split the corpus at its
+    temporal midpoint, assign every customer an exact spend-quintile
+    tier in each half, and count the (tier_from → tier_to) flows.
+    Tier 0 is the ABSENT state: (0, t) rows are acquisitions, (t, 0)
+    rows churn — the matrix diagonal is retention, above-diagonal is
+    growth.
+
+    Pinned: split date = min + (datediff(max, min) div 2) days, first
+    half is d ≤ split; tiers use rfm_segments' exact rank convention
+    (tier = 1 + (rank−1)·n_bins div n_half, spend ascending, key
+    tie-break) computed INDEPENDENTLY per half (each half's quintiles
+    are its own population — a shrinking market still fills all
+    tiers).
+
+    Scale shape: one conditional groupBy(customer) pass over orders
+    (both halves' cents in one aggregate), two rank windows over the
+    per-customer halves, a self-outer-join on the customer key, and a
+    ≤ (n_bins+1)² cell count. Output: (tier_from, tier_to,
+    n_customers, cents_to) — cents_to = second-half spend of the
+    cell's customers (0 for churn cells).
+    """
+    from pyspark.sql.window import Window
+
+    narrow = orders.select(
+        F.col(key_col).alias("cust"),
+        F.col(date_col).cast("date").alias("d"),
+        F.floor(F.col(amount_col).cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = narrow.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(
+        F.expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").alias(
+            "split"
+        )
+    )
+    halves = (
+        narrow.crossJoin(F.broadcast(bounds))
+        .groupBy("cust")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("split"), F.col("cents")))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("d") > F.col("split"), F.col("cents")))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    b = int(n_bins)
+
+    def _tiers(col: str, alias: str) -> DataFrame:
+        part = halves.filter(F.col(col).isNotNull()).select(
+            "cust", F.col(col).alias("v")
+        )
+        w = Window.orderBy(F.asc("v"), F.asc("cust"))
+        wall = Window.partitionBy()
+        return part.withColumn(
+            "rn", F.row_number().over(w)
+        ).withColumn("nh", F.count(F.lit(1)).over(wall)).select(
+            "cust",
+            F.col("v").alias(f"v_{alias}"),
+            F.expr(f"CAST(1 + ((rn - 1) * {b}) div nh AS BIGINT)").alias(
+                f"tier_{alias}"
+            ),
+        )
+    t1 = _tiers("c1", "from")
+    t2 = _tiers("c2", "to")
+    joined = t1.join(t2, "cust", "full_outer").select(
+        F.coalesce(F.col("tier_from"), F.lit(0)).cast("long").alias(
+            "tier_from"
+        ),
+        F.coalesce(F.col("tier_to"), F.lit(0)).cast("long").alias("tier_to"),
+        F.coalesce(F.col("v_to"), F.lit(0)).cast("long").alias("_c2"),
+    )
+    return joined.groupBy("tier_from", "tier_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_c2").cast("long").alias("cents_to"),
+    )

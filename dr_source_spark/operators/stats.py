@@ -2617,3 +2617,182 @@ def palma_ratio(
             " END"
         ).alias("palma_bp"),
     )
+
+
+def price_index(
+    df: DataFrame,
+    key_col: str,
+    period_expr: "F.Column",
+    qty_expr: "F.Column",
+    cents_expr: "F.Column",
+    base,
+    curr,
+) -> DataFrame:
+    """Exact LASPEYRES / PAASCHE / FISHER price indices between two
+    periods over a transaction table — "how much did the same basket
+    get more expensive" in basis points, the econometric aggregate a
+    revenue dashboard needs beside raw growth (growth confounds price
+    and volume; the index isolates price).
+
+    Semantics (pinned): per key present in BOTH periods, the unit
+    price p̂ᵗ = Σcents div Σqty (truncating — cents precision is the
+    contract, like every money column here); Laspeyres = (10⁴ ·
+    Σ p̂¹q⁰) div Σ p̂⁰q⁰ (base-period basket), Paasche with the
+    current basket, Fisher = isqrt(L·P) — the geometric mean in exact
+    integer arithmetic via ``isqrt_expr``. Keys sold in only one
+    period are excluded (no price RELATIVE exists for them —
+    the standard matched-sample convention).
+
+    Scale shape: one conditional groupBy(key) aggregate over the fact
+    table (map-side combinable, both periods in one pass), the basket
+    sums one 1-row aggregate in DECIMAL(38,0); no window, no sort.
+    Output: 1 row (n_keys, laspeyres_bp, paasche_bp, fisher_bp).
+    """
+    in_base = period_expr == F.lit(base)
+    in_curr = period_expr == F.lit(curr)
+    per = (
+        df.filter(in_base | in_curr)
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.sum(F.when(in_base, qty_expr)).cast("long").alias("q0"),
+            F.sum(F.when(in_base, cents_expr)).cast("long").alias("c0"),
+            F.sum(F.when(in_curr, qty_expr)).cast("long").alias("q1"),
+            F.sum(F.when(in_curr, cents_expr)).cast("long").alias("c1"),
+        )
+        .filter(
+            F.col("q0").isNotNull()
+            & F.col("q1").isNotNull()
+            & (F.col("q0") > 0)
+            & (F.col("q1") > 0)
+        )
+        .select(
+            "k",
+            "q0",
+            "q1",
+            F.expr("c0 div q0").alias("p0"),
+            F.expr("c1 div q1").alias("p1"),
+        )
+    )
+    sums = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.expr("CAST(p1 AS DECIMAL(38,0)) * q0")).alias("l_num"),
+        F.sum(F.expr("CAST(p0 AS DECIMAL(38,0)) * q0")).alias("l_den"),
+        F.sum(F.expr("CAST(p1 AS DECIMAL(38,0)) * q1")).alias("p_num"),
+        F.sum(F.expr("CAST(p0 AS DECIMAL(38,0)) * q1")).alias("p_den"),
+    )
+    idx = sums.select(
+        "n_keys",
+        F.expr("CAST((10000 * l_num) div l_den AS BIGINT)").alias(
+            "laspeyres_bp"
+        ),
+        F.expr("CAST((10000 * p_num) div p_den AS BIGINT)").alias(
+            "paasche_bp"
+        ),
+    )
+    return idx.select(
+        "n_keys",
+        "laspeyres_bp",
+        "paasche_bp",
+        isqrt_expr(
+            (F.col("laspeyres_bp") * F.col("paasche_bp")).cast(_D38)
+        )
+        .cast("long")
+        .alias("fisher_bp"),
+    )
+
+
+def holt_linear(
+    series: DataFrame,
+    idx_col: str = "idx",
+    value_col: str = "y",
+    horizon: int = 3,
+) -> DataFrame:
+    """HOLT LINEAR (double exponential) smoothing with exact integer
+    arithmetic — the recursive level+trend forecaster, the method
+    family the OLS-trend queries can't cover (smoothing adapts to
+    recent shifts; a global regression line can't). Fixed smoothing
+    constants α = 1/2, β = 3/10 as exact rationals:
+
+        l_t = (y_t + l_{t-1} + b_{t-1}) div 2
+        b_t = (3·(l_t − l_{t-1}) + 7·b_{t-1}) div 10
+
+    with div truncating TOWARD ZERO on both engines (the SQL oracle
+    factors the sign out of DuckDB's flooring ``//``). Initialization
+    pinned: l₁ = y₁ (trend undefined), l₂ = y₂, b₂ = y₂ − y₁;
+    recurrences and one-step-ahead fits ŷ_t = l_{t-1} + b_{t-1} from
+    t ≥ 3; then ``horizon`` forecast rows ŷ_{T+h} = l_T + h·b_T.
+    Gaps in the index are treated as consecutive steps (the OBSERVED
+    series — max_drawdown's convention, the opposite of best_run's
+    densified one).
+
+    Scale shape: the input is already an aggregated series whose
+    length is bounded by the TIME domain (months), so the sequential
+    recurrence folds through one collect_list + SQL aggregate()
+    (JVM-only, no UDF) exactly like life_table. Output: (month_id,
+    kind 'fit'|'forecast', y_cents, level_c, trend_c, yhat_c).
+    """
+    packed = (
+        series.select(
+            F.col(idx_col).cast("int").alias("idx"),
+            F.col(value_col).cast("long").alias("y"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "y"))).alias("rows"))
+    )
+    elem_t = (
+        "array<struct<idx:int,y:bigint,level_c:bigint,trend_c:bigint,"
+        "yhat_c:bigint>>"
+    )
+    fold = (
+        "aggregate(rows,"
+        " named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),"
+        " 't', 0, 'last', 0,"
+        f" 'out', CAST(array() AS {elem_t})),"
+        " (acc, x) -> CASE"
+        " WHEN acc.t = 0 THEN named_struct("
+        "   'l', x.y, 'b', CAST(0 AS BIGINT), 't', 1, 'last', x.idx,"
+        "   'out', array_append(acc.out, named_struct("
+        "     'idx', x.idx, 'y', x.y, 'level_c', x.y,"
+        "     'trend_c', CAST(NULL AS BIGINT), 'yhat_c', CAST(NULL AS BIGINT))))"
+        " WHEN acc.t = 1 THEN named_struct("
+        "   'l', x.y, 'b', x.y - acc.l, 't', 2, 'last', x.idx,"
+        "   'out', array_append(acc.out, named_struct("
+        "     'idx', x.idx, 'y', x.y, 'level_c', x.y,"
+        "     'trend_c', x.y - acc.l, 'yhat_c', CAST(NULL AS BIGINT))))"
+        " ELSE named_struct("
+        "   'l', (x.y + acc.l + acc.b) div 2,"
+        "   'b', (3 * ((x.y + acc.l + acc.b) div 2 - acc.l) + 7 * acc.b)"
+        "        div 10,"
+        "   't', acc.t + 1, 'last', x.idx,"
+        "   'out', array_append(acc.out, named_struct("
+        "     'idx', x.idx, 'y', x.y,"
+        "     'level_c', (x.y + acc.l + acc.b) div 2,"
+        "     'trend_c', (3 * ((x.y + acc.l + acc.b) div 2 - acc.l)"
+        "                 + 7 * acc.b) div 10,"
+        "     'yhat_c', acc.l + acc.b))) END,"
+        " acc -> acc)"
+    )
+    folded = packed.select(F.expr(fold).alias("st")).cache()
+    fitted = folded.select(F.explode("st.out").alias("r")).select(
+        F.col("r.idx").alias("month_id"),
+        F.lit("fit").alias("kind"),
+        F.col("r.y").alias("y_cents"),
+        F.col("r.level_c").alias("level_c"),
+        F.col("r.trend_c").alias("trend_c"),
+        F.col("r.yhat_c").alias("yhat_c"),
+    )
+    fc = folded.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {int(horizon)}), h -> named_struct("
+                "'idx', st.last + h, 'yhat', st.l + h * st.b))"
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.idx").alias("month_id"),
+        F.lit("forecast").alias("kind"),
+        F.lit(None).cast("long").alias("y_cents"),
+        F.lit(None).cast("long").alias("level_c"),
+        F.lit(None).cast("long").alias("trend_c"),
+        F.col("r.yhat").cast("long").alias("yhat_c"),
+    )
+    return fitted.unionByName(fc)
