@@ -11464,6 +11464,119 @@ FROM j GROUP BY 1, 2
 """
 
 
+def _lineitem_eoq(spark, sf_dir):
+    # economic order quantity per part (operators/stats.py::eoq_by_key):
+    # EOQ = isqrt((2·D·S) div H) over exact integer demand with S = 5000
+    # / H = 200 cents and ceiling replenishment counts — the isqrt
+    # machinery applied to operations planning (the price-index family's
+    # inventory sibling). One map-side groupBy, then per-row math.
+    from dr_source_spark.operators.stats import eoq_by_key
+
+    return eoq_by_key(
+        _t(spark, sf_dir, "lineitem"),
+        "l_partkey",
+        F.floor(F.col("l_quantity")).cast("long"),
+    ).select(F.col("k").alias("l_partkey"), "demand_qty", "eoq_units", "n_orders")
+
+
+def _eoq_sql() -> str:
+    rad = "(2 * CAST(demand_qty AS HUGEINT) * 5000) // 200"
+    return f"""
+WITH per AS (
+  SELECT l_partkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+           AS demand_qty
+  FROM lineitem GROUP BY 1),
+q AS (SELECT l_partkey, demand_qty,
+             greatest(CAST({_duck_isqrt(rad)} AS BIGINT), 1) AS eoq_units
+      FROM per WHERE demand_qty > 0)
+SELECT l_partkey, demand_qty, eoq_units,
+       CAST((demand_qty + eoq_units - 1) // eoq_units AS BIGINT) AS n_orders
+FROM q
+"""
+
+
+def _corpus_systematic_sample(spark, sf_dir):
+    # systematic every-10th sampling over the portable md5-prefix hash
+    # ring (training/features.py::systematic_sample) — the third
+    # deterministic sampling flavor beside stratified/weighted: exactly
+    # ceil(N/10) rows, uniform hash-ring coverage, no RNG state, same
+    # rows on every engine and every retry.
+    from dr_source_spark.training.features import systematic_sample
+
+    return systematic_sample(_t(spark, sf_dir, "documents"), "doc_id", 10)
+
+
+def _systematic_sample_sql() -> str:
+    hv = _duck_minhash_base("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT doc_id, {hv} AS hv FROM documents),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY hv, doc_id) AS sample_rank
+      FROM h)
+SELECT doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE (sample_rank - 1) % 10 = 0
+"""
+
+
+def _kg_hub_removal(spark, sf_dir):
+    # attack-robustness census over the KG
+    # (operators/graph.py::hub_removal_impact): delete the top-5
+    # undirected-degree hubs (tie-break pinned) and compare component
+    # structure before/after — node count, component count, giant
+    # component size. The scale-free-fragility audit kg_blast_radius's
+    # per-CWE scoping complements with a structural whole-graph view.
+    from dr_source_spark.operators.graph import hub_removal_impact
+
+    return hub_removal_impact(_kg_triples(spark, sf_dir).edges, k=5)
+
+
+def _kg_hub_removal_sql(k: int = 5) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return f"""
+WITH RECURSIVE kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM kg_e),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+adj AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+deg AS MATERIALIZED (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+hubs AS MATERIALIZED (
+  SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT {int(k)}),
+e2 AS MATERIALIZED (
+  SELECT src, dst FROM e
+  WHERE src NOT IN (SELECT node FROM hubs)
+    AND dst NOT IN (SELECT node FROM hubs)),
+dir1 AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+nodes1 AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+dir2 AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e2 UNION ALL SELECT dst, src FROM e2),
+nodes2 AS MATERIALIZED (
+  SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+walk1(node, lbl) AS (
+  SELECT node, node FROM nodes1
+  UNION
+  SELECT d.b, w.lbl FROM walk1 w JOIN dir1 d ON d.a = w.node),
+walk2(node, lbl) AS (
+  SELECT node, node FROM nodes2
+  UNION
+  SELECT d.b, w.lbl FROM walk2 w JOIN dir2 d ON d.a = w.node),
+c1 AS (SELECT comp, count(*) AS sz FROM (
+         SELECT node, min(lbl) AS comp FROM walk1 GROUP BY 1) GROUP BY 1),
+c2 AS (SELECT comp, count(*) AS sz FROM (
+         SELECT node, min(lbl) AS comp FROM walk2 GROUP BY 1) GROUP BY 1)
+SELECT 'before' AS phase, CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(sz) AS BIGINT) AS giant_size
+FROM c1
+UNION ALL
+SELECT 'after', CAST(coalesce(sum(sz), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(max(sz) AS BIGINT)
+FROM c2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -11774,6 +11887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_index": _part_price_index,
         "orders_holt_forecast": _orders_holt_forecast,
         "customer_tier_migration": _customer_tier_migration,
+        "lineitem_eoq": _lineitem_eoq,
+        "corpus_systematic_sample": _corpus_systematic_sample,
+        "kg_hub_removal": _kg_hub_removal,
     }
 
 
@@ -12072,4 +12188,7 @@ def oracle_sql() -> dict[str, str]:
         "part_price_index": _price_index_sql(),
         "orders_holt_forecast": _holt_sql(),
         "customer_tier_migration": _TIER_MIGRATION_SQL,
+        "lineitem_eoq": _eoq_sql(),
+        "corpus_systematic_sample": _systematic_sample_sql(),
+        "kg_hub_removal": _kg_hub_removal_sql(),
     }

@@ -2055,3 +2055,81 @@ def conductance_by_label(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("phi_bp"),
         )
     )
+
+
+def component_labels(edges: DataFrame) -> DataFrame:
+    """(node, component) labels over the edge set — the
+    alternating-star loop with the 1:1 min-agg guard and the
+    isolated-endpoint coalesce, shared by kg_components and the
+    robustness census below."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    stars = alternating_star_components(edges)
+    labels = stars.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+
+
+def hub_removal_impact(edges: DataFrame, k: int = 5) -> DataFrame:
+    """Attack-robustness census: how does the graph's component
+    structure change when the top-``k`` HUBS (highest undirected
+    degree, ties broken by node id — fully pinned) are deleted? One
+    'before' and one 'after' row with node count, component count, and
+    giant-component size — the classic scale-free-network fragility
+    audit (a hub-and-spoke KG shatters; a mesh barely notices).
+
+    Semantics (pinned): degree counts DISTINCT undirected neighbors
+    (self-loops dropped); the 'after' graph is the edge set with both
+    endpoints outside the hub list — nodes left with no surviving
+    edge (including the hubs) drop out of the census entirely
+    (component membership is defined by edges here, matching
+    component_labels' node universe).
+
+    Scale shape: degree = one narrow aggregate; the hub list is k
+    rows (broadcast anti-joins); two component runs over the same
+    alternating-star machinery (adaptive driver escape at bounded
+    edge counts); summaries are narrow label aggregates.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hubs = deg.orderBy(F.desc("d"), F.asc("node")).limit(int(k)).select("node")
+    kept = (
+        edges.join(
+            F.broadcast(hubs.withColumnRenamed("node", "src")), "src", "left_anti"
+        ).join(
+            F.broadcast(hubs.withColumnRenamed("node", "dst")), "dst", "left_anti"
+        )
+    )
+
+    def _summary(lbls: DataFrame, phase: str) -> DataFrame:
+        per = lbls.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        return per.agg(
+            F.lit(phase).alias("phase"),
+            # empty 'after' graph: 0 nodes/components, giant NULL
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("giant_size"),
+        )
+
+    return _summary(component_labels(edges), "before").unionByName(
+        _summary(component_labels(kept), "after")
+    )

@@ -2796,3 +2796,47 @@ def holt_linear(
         F.col("r.yhat").cast("long").alias("yhat_c"),
     )
     return fitted.unionByName(fc)
+
+
+def eoq_by_key(
+    df: DataFrame,
+    key_col: str,
+    qty_expr: "F.Column",
+    order_cost_c: int = 5000,
+    holding_c: int = 200,
+) -> DataFrame:
+    """Economic Order Quantity per key — the classic inventory-policy
+    operator, exact: EOQ = √(2·D·S ÷ H) with annual demand D (units),
+    order cost S and holding cost H in cents, the square root taken
+    over the TRUNCATED integer radicand by ``isqrt_expr`` (engine-
+    stable; clamped up to 1 so a tiny-demand key still gets a policy)
+    and the replenishment count as the exact CEILING (D + EOQ − 1)
+    div EOQ. Fisher-index's isqrt machinery applied to operations
+    planning.
+
+    Scale shape: one map-side-combinable groupBy(key) sum, then pure
+    per-row column math — no window, no second pass. Keys with zero
+    demand are excluded (no policy exists). Output: (key, demand_qty,
+    eoq_units, n_orders).
+    """
+    per = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.sum(qty_expr).cast("long").alias("demand_qty"))
+        .filter(F.col("demand_qty") > 0)
+    )
+    rad = F.expr(
+        f"CAST((2 * CAST(demand_qty AS DECIMAL(38,0)) * {int(order_cost_c)})"
+        f" div {int(holding_c)} AS DECIMAL(38,0))"
+    )
+    withq = per.withColumn(
+        "eoq_units",
+        F.greatest(isqrt_expr(rad).cast("long"), F.lit(1)),
+    )
+    return withq.select(
+        "k",
+        "demand_qty",
+        "eoq_units",
+        F.expr("(demand_qty + eoq_units - 1) div eoq_units")
+        .cast("long")
+        .alias("n_orders"),
+    )

@@ -203,3 +203,30 @@ def dhondt_allocate(
             F.coalesce(F.col("seats"), F.lit(0)).cast("long").alias("seats"),
         )
     )
+
+
+def systematic_sample(
+    df: DataFrame, id_col: str, stride: int
+) -> DataFrame:
+    """SYSTEMATIC every-``stride``-th sampling over a portable-hash
+    total order — the third deterministic sampling flavor beside
+    stratified and weighted: rank every row by (hash32(id), id) — the
+    package's md5-prefix hash, so the order is pseudo-random yet
+    engine-reproducible — and keep ranks 1, 1+stride, 1+2·stride, …
+    (⌈N/stride⌉ rows exactly, uniform coverage of the hash ring, no
+    RNG state anywhere).
+
+    Scale shape: systematic sampling REQUIRES a total order by
+    definition; here it is one global sort window over (hash, id) —
+    at lake scale the same order comes from a range-partitioned sort
+    on the hash (documented; the convention is identical). Output:
+    (id, sample_rank).
+    """
+    h = _portable_hash32(F.col(id_col).cast("string"))
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter((F.col("sample_rank") - 1) % int(stride) == 0)
+        .select(F.col(id_col), F.col("sample_rank").cast("long"))
+    )
