@@ -2133,3 +2133,52 @@ def hub_removal_impact(edges: DataFrame, k: int = 5) -> DataFrame:
     return _summary(component_labels(edges), "before").unionByName(
         _summary(component_labels(kept), "after")
     )
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """Granovetter LOCAL BRIDGES: undirected edges whose endpoints
+    share NO common neighbor — removing one lengthens the a↔b path to
+    ≥ 3 hops, so these are the weak ties that connect otherwise
+    separate neighborhoods (the edges an information-flow or
+    contagion analysis watches; triangle-embedded ties are redundant,
+    bridges are not). The edge-level complement of
+    clustering_coefficients: coefficient counts a node's closed
+    wedges, this names the edges in NO closed wedge.
+
+    Semantics (pinned): the DISTINCT undirected simple graph
+    (self-loops dropped); an edge qualifies iff |N(a) ∩ N(b)| = 0.
+    Output: (a, b, deg_a, deg_b) with a < b.
+
+    Scale shape: the common-neighbor count is one wedge equi-join of
+    the adjacency list against itself keyed on the shared neighbor —
+    fan-out bounded by degree, never all-pairs — LEFT ANTI joined back
+    onto the edge list; degrees are one narrow aggregate broadcast.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedged = (
+        adj.select(F.col("node").alias("wa"), F.col("nb").alias("x"))
+        .join(
+            adj.select(F.col("node").alias("wb"), F.col("nb").alias("x")),
+            "x",
+        )
+        .filter(F.col("wa") < F.col("wb"))
+        .select(F.col("wa").alias("a"), F.col("wb").alias("b"))
+        .distinct()
+    )
+    return (
+        und.join(wedged, ["a", "b"], "left_anti")
+        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select("a", "b", "deg_a", "deg_b")
+    )

@@ -1151,3 +1151,66 @@ def cooccurrence_lift(findings: DataFrame) -> DataFrame:
             ).alias("lift_bp"),
         )
     )
+
+
+def supplier_scorecard(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """Vendor SCORECARD — the composite per-supplier operations report
+    a procurement team reviews: volume, revenue (exact cents), on-time
+    performance and return rate in exact basis points, and a pinned
+    revenue rank. late_bp counts lines shipped more than ``late_days``
+    after the order date (the fulfillment-lag SLA this schema can
+    express); return_bp counts 'R'-flagged lines; both are truncated
+    (10⁴·k) div n shares over the supplier's own lines.
+
+    Scale shape: one orderkey equi-join lineitem↔orders (both
+    fact-sized — the q4-family shuffle join), one map-side-combinable
+    groupBy(suppkey), the supplier dim broadcast in, one rank window
+    over the per-SUPPLIER aggregate. Output: (s_suppkey, s_name,
+    n_lines, revenue_cents, late_bp, return_bp, rev_rank).
+    """
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    )
+    per = joined.groupBy(F.col("l_suppkey").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.sum(
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                > int(late_days)
+            ).cast("long")
+        ).alias("n_late"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_ret"),
+    )
+    return (
+        per.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            per["s"] == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            "revenue_cents",
+            F.expr("CAST((10000 * n_late) div n_lines AS BIGINT)").alias(
+                "late_bp"
+            ),
+            F.expr("CAST((10000 * n_ret) div n_lines AS BIGINT)").alias(
+                "return_bp"
+            ),
+        )
+        .withColumn("rev_rank", F.row_number().over(
+            Window.orderBy(F.desc("revenue_cents"), F.asc("s_suppkey"))
+        ).cast("long"))
+    )

@@ -230,3 +230,99 @@ def systematic_sample(
         .filter((F.col("sample_rank") - 1) % int(stride) == 0)
         .select(F.col(id_col), F.col("sample_rank").cast("long"))
     )
+
+
+def waterfill_allocate(
+    df: DataFrame, group_col: str, avail_expr, budget: int
+) -> DataFrame:
+    """MAX-MIN FAIR (water-filling) allocation of an integer budget
+    across groups with per-group capacity caps — the third allocation
+    method on the shelf beside largest-remainder (quota_allocate) and
+    highest-averages (dhondt_allocate): proportional methods starve
+    small groups under a dominant one; max-min fairness raises every
+    group to a common water level L, capping each at its own
+    availability.
+
+    Exact semantics (pinned): avail_g = Σ avail_expr; if Σ avail ≤
+    budget every group gets its full availability (no water to
+    ration). Otherwise L = the unique level with Σ min(avail_g, L) ≤
+    budget < Σ min(avail_g, L+1); groups at or below L keep avail_g,
+    the rest get L — and the leftover budget − Σ min(avail_g, L)
+    (strictly fewer units than unsaturated groups) goes +1 each to the
+    first unsaturated groups by group key ascending. Σ alloc ==
+    min(budget, Σ avail) exactly, every alloc ≤ avail, and any two
+    unsaturated allocations differ by ≤ 1 (the max-min laws, all
+    pytest-pinned).
+
+    Scale shape: one groupBy(group) sum, then ONE sort window over the
+    GROUP table (group-domain-sized) for the prefix sums that locate
+    the water level in closed form — no iteration, no driver loop.
+    Output: (grp, avail, alloc).
+    """
+    b = int(budget)
+    groups = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(avail_expr).cast("long").alias("avail")
+    )
+    w = Window.orderBy(F.asc("avail"), F.asc("grp"))
+    wall = Window.partitionBy()
+    staged = groups.select(
+        "grp",
+        "avail",
+        F.row_number().over(w).alias("i"),
+        F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("avail").over(wall).alias("total"),
+    )
+    # water level in closed form: i* = largest i with P_i + (n−i)·a_i ≤
+    # budget (groups 1..i* saturated at their own avail); then L =
+    # (budget − P_i*) div (n − i*), provably in [a_i*, a_{i*+1}) by
+    # maximality. No feasible i (even the smallest group can't be
+    # fully served) → zero saturated groups, L = budget div n.
+    level = staged.agg(
+        F.max(
+            F.when(
+                F.expr(f"pfx + (n - i) * avail <= {b}"),
+                F.struct("i", "pfx", "n"),
+            )
+        ).alias("s"),
+        F.max("n").alias("nn"),
+    ).select(
+        F.expr(
+            f"CAST(coalesce(({b} - s.pfx) div nullif(s.n - s.i, 0),"
+            f" {b} div nn) AS BIGINT)"
+        ).alias("lvl")
+    )
+    alloc = staged.crossJoin(F.broadcast(level)).select(
+        "grp",
+        "avail",
+        "total",
+        F.when(F.col("total") <= b, F.col("avail"))
+        .otherwise(F.least(F.col("avail"), F.col("lvl")))
+        .alias("base"),
+        F.col("lvl"),
+    )
+    # leftover = budget - sum(base); +1 to the first leftover
+    # unsaturated groups (avail > base) by key ascending
+    wk = Window.orderBy(F.asc("grp"))
+    return (
+        alloc.withColumn("_spent", F.sum("base").over(wall))
+        .withColumn(
+            "_rk",
+            F.sum(
+                (F.col("avail") > F.col("base")).cast("long")
+            ).over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            "grp",
+            "avail",
+            (
+                F.col("base")
+                + F.when(
+                    (F.col("total") > b)
+                    & (F.col("avail") > F.col("base"))
+                    & (F.col("_rk") <= b - F.col("_spent")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
