@@ -11701,6 +11701,95 @@ FROM per JOIN supplier ON s_suppkey = s
 """
 
 
+def _orders_double_charge(spark, sf_dir):
+    # double-charge screen (operators/forensics.py::
+    # near_duplicate_payments): same-customer order pairs within $1 000
+    # and 90 days — a BAND join rewritten to the exploded-bucket
+    # equi-join (the dedup_simhash_pairs technique applied to money;
+    # never a cross join). The oracle states the same semantics as a
+    # brute-force self-join DuckDB can afford at sf0.01.
+    from dr_source_spark.operators.forensics import near_duplicate_payments
+
+    return near_duplicate_payments(_t(spark, sf_dir, "orders"))
+
+
+_DOUBLE_CHARGE_SQL = """
+WITH n AS (SELECT o_custkey AS cust, o_orderkey AS okey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(o_orderdate AS DATE) AS d
+           FROM orders)
+SELECT a.cust AS o_custkey, a.okey AS okey_a, b.okey AS okey_b,
+       a.cents AS cents_a, b.cents AS cents_b,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS diff_c,
+       CAST(abs(date_diff('day', b.d, a.d)) AS BIGINT) AS day_gap
+FROM n a JOIN n b ON a.cust = b.cust AND a.okey < b.okey
+WHERE abs(a.cents - b.cents) <= 100000
+  AND abs(date_diff('day', a.d, b.d)) <= 90
+"""
+
+
+def _orders_structuring(spark, sf_dir):
+    # structuring/smurfing screen (operators/forensics.py::
+    # structuring_census): customers whose same-ISO-week orders each
+    # stay under $300 000 but sum past it — the split-to-dodge-the-
+    # threshold pattern a reporting control watches. One filter + one
+    # map-side-combinable groupBy.
+    from dr_source_spark.operators.forensics import structuring_census
+
+    return structuring_census(_t(spark, sf_dir, "orders"))
+
+
+_STRUCTURING_SQL = """
+SELECT o_custkey,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+         AS week_start,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM (SELECT o_custkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+WHERE cents < 30000000
+GROUP BY 1, 2
+HAVING count(*) >= 2 AND sum(cents) >= 30000000
+"""
+
+
+def _lineitem_round_bias(spark, sf_dir):
+    # fabricated-figure screen (operators/forensics.py::
+    # round_number_bias): observed vs expected share of round
+    # quantities (mult of 5; expected 2 000 bp on the 1..50 domain) and
+    # whole-dollar prices (expected 100 bp) in exact truncated bp —
+    # humans invent round figures, real processes don't. One
+    # conditional global aggregate.
+    from dr_source_spark.operators.forensics import round_number_bias
+
+    return round_number_bias(_t(spark, sf_dir, "lineitem"))
+
+
+_ROUND_BIAS_SQL = """
+WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN q % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS h_qty,
+             CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS h_price
+      FROM b)
+SELECT 'qty_mult_of_5' AS metric, n, h_qty AS n_hits,
+       CAST((10000 * h_qty) // n AS BIGINT) AS share_bp,
+       CAST(2000 AS BIGINT) AS expected_bp,
+       CAST((10000 * h_qty) // n - 2000 AS BIGINT) AS excess_bp
+FROM a
+UNION ALL
+SELECT 'whole_dollar_price', n, h_price,
+       CAST((10000 * h_price) // n AS BIGINT),
+       CAST(100 AS BIGINT),
+       CAST((10000 * h_price) // n - 100 AS BIGINT)
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -12017,6 +12106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_waterfill_quota": _corpus_waterfill_quota,
         "kg_local_bridges": _kg_local_bridges,
         "supplier_scorecard": _supplier_scorecard,
+        "orders_double_charge": _orders_double_charge,
+        "orders_structuring": _orders_structuring,
+        "lineitem_round_bias": _lineitem_round_bias,
     }
 
 
@@ -12321,4 +12413,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_waterfill_quota": _WATERFILL_SQL,
         "kg_local_bridges": _kg_local_bridges_sql(),
         "supplier_scorecard": _SUPPLIER_SCORECARD_SQL,
+        "orders_double_charge": _DOUBLE_CHARGE_SQL,
+        "orders_structuring": _STRUCTURING_SQL,
+        "lineitem_round_bias": _ROUND_BIAS_SQL,
     }
