@@ -1127,3 +1127,35 @@ def exact_dup_split_leakage(documents: DataFrame) -> DataFrame:
         )
         .filter((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
     )
+
+
+def dup_rate_by_group(
+    documents: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """EXACT duplicate-rate dashboard per group — the per-language
+    curation metric a corpus report leads with: how much of each
+    slice is byte-identical repetition? n_docs, distinct md5(text)
+    (NULL text coalesced to '' — the curation null-hardening
+    convention), and dup_rate_bp = (n − n_distinct)·10⁴ div n.
+
+    Scale shape: one groupBy(group) with a distinct-count over the
+    128-bit content hash — never the text itself — so the shuffle
+    carries 32-byte digests (the exact-dedup plan's reporting twin).
+    Output: (grp, n_docs, n_distinct, dup_rate_bp).
+    """
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        documents.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "n_distinct",
+            F.expr("CAST((10000 * (n_docs - n_distinct)) div n_docs AS BIGINT)")
+            .alias("dup_rate_bp"),
+        )
+    )

@@ -857,3 +857,129 @@ def recall_audit(candidates: DataFrame, truth: DataFrame, k: int) -> DataFrame:
             ),
         )
     )
+
+
+def _qrows(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, dim, qv) — the posexploded int8 quantization stream the
+    dim-stats / drift / PCA monitors share."""
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    return q.select(
+        F.col(id_col), F.posexplode("qvec").alias("dim", "qv")
+    )
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-dimension EMBEDDING DRIFT monitor over the quantized (index-
+    space) representation: the corpus splits into two cohorts by
+    ``id % 2`` (the deterministic stand-in for before/after batches —
+    a production deployment keys on ingest batch), and each dimension
+    reports both cohort means in exact 10⁶ fixed point (truncating
+    division toward zero, sign factored in the SQL oracle) plus their
+    absolute gap. The feature-store health check that catches an
+    upstream encoder change before the ANN index silently degrades —
+    int8 index space is what the index actually stores, hence what is
+    monitored.
+
+    Scale shape: one posexplode + one groupBy(dim) conditional
+    aggregate — dimension-bounded output. Output: (dim, n_a, n_b,
+    mean_a_fp, mean_b_fp, drift_fp).
+    """
+    rows = _qrows(embeddings, id_col, vec_col).select(
+        "dim", "qv", (F.col(id_col) % 2 == 0).alias("in_a")
+    )
+    agg = rows.groupBy("dim").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("qv"))).cast("long").alias("s_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("qv"))).cast("long").alias("s_b"),
+    )
+    s = int(scale)
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_a",
+        "n_b",
+        F.expr(f"(coalesce(s_a, 0) * {s}) div n_a").cast("long").alias(
+            "mean_a_fp"
+        ),
+        F.expr(f"(coalesce(s_b, 0) * {s}) div n_b").cast("long").alias(
+            "mean_b_fp"
+        ),
+        F.expr(
+            f"abs((coalesce(s_a, 0) * {s}) div n_a"
+            f" - (coalesce(s_b, 0) * {s}) div n_b)"
+        ).cast("long").alias("drift_fp"),
+    )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    xnorm: int = 10**5,
+) -> DataFrame:
+    """EXACT fixed-point POWER ITERATION for the top principal
+    direction of the quantized embedding cloud — the dominant variance
+    axis an embedding-health monitor tracks (a collapsing or rotating
+    top component means the encoder changed). The scatter matrix is
+    the EXACT integer S = n·Σqqᵀ − (Σq)(Σq)ᵀ (the cov_pairs
+    construction, matrix-valued); ``iterations`` fixed multiply-
+    normalize rounds run in pure integer arithmetic: x ← S·x, then
+    x ← x div g with g = max(1, max|x| div ``xnorm``) — the truncating
+    renormalization that bounds every product inside int64 (|S|·xnorm·
+    dims < 2⁶³ holds up to tens of millions of vectors; beyond that
+    pre-divide S by n). Sign pinned: the first nonzero component of
+    the result is positive. Deterministic on every engine — the SQL
+    oracle unrolls the same rounds with sign-factored division.
+
+    Scale shape: the qq pair stream is one dim²-bounded aggregate
+    (map-side combinable); the iteration runs on the dim×dim matrix —
+    value-domain bounded like the bisect-quantile state — on the
+    driver. Output: (dim, component_fp) — the unnormalized integer
+    direction after the final round.
+    """
+    rows = _qrows(embeddings, id_col, vec_col)
+    n = rows.select(F.col(id_col)).distinct().count()
+    pairs = (
+        rows.alias("a")
+        .join(rows.alias("b"), F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(
+            F.sum(F.expr("a.qv * b.qv")).cast("long").alias("sqq"),
+        )
+    )
+    sums = rows.groupBy("dim").agg(F.sum("qv").cast("long").alias("s"))
+    sd = {r["dim"]: int(r["s"]) for r in sums.collect()}
+    S = {}
+    for r in pairs.collect():
+        i, j = int(r["i"]), int(r["j"])
+        S[(i, j)] = n * int(r["sqq"]) - sd.get(i, 0) * sd.get(j, 0)
+    dims = sorted({i for i, _ in S} | {j for _, j in S} | set(sd))
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    x = {d: 1 for d in dims}
+    for _ in range(int(iterations)):
+        nx = {d: 0 for d in dims}
+        for (i, j), v in S.items():
+            nx[i] += v * x[j]
+        mx = max((abs(v) for v in nx.values()), default=0)
+        g = max(1, mx // int(xnorm))
+        x = {d: tdiv(v, g) for d, v in nx.items()}
+    flip = 1
+    for d in dims:
+        if x[d] != 0:
+            flip = 1 if x[d] > 0 else -1
+            break
+    out = [(int(d), int(flip * x[d])) for d in dims]
+    return embeddings.sparkSession.createDataFrame(
+        out, "dim long, component_fp long"
+    )
