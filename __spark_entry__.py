@@ -11862,7 +11862,7 @@ def _emb_pca_top(spark, sf_dir):
     return pca_top_component(_t(spark, sf_dir, "embeddings"))
 
 
-def _emb_pca_sql(iterations: int = 8, xnorm: int = 10**5) -> str:
+def _emb_pca_chain(iterations: int = 8, xnorm: int = 10**5) -> str:
     parts = [
         f"WITH {_EMB_Q_CTES},",
         "nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM e),",
@@ -11884,7 +11884,11 @@ def _emb_pca_sql(iterations: int = 8, xnorm: int = 10**5) -> str:
             f"x{k} AS (SELECT dim, CASE WHEN y < 0 THEN -((-y) // g{k}.g)"
             f" ELSE y // g{k}.g END AS x FROM y{k} CROSS JOIN g{k}),"
         )
-    body = "\n".join(parts).rstrip(",")
+    return "\n".join(parts).rstrip(",")
+
+
+def _emb_pca_sql(iterations: int = 8, xnorm: int = 10**5) -> str:
+    body = _emb_pca_chain(iterations, xnorm)
     last = f"x{iterations}"
     return f"""{body},
 fl AS (SELECT coalesce((SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END
@@ -11893,6 +11897,31 @@ fl AS (SELECT coalesce((SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END
 SELECT CAST({last}.dim AS BIGINT) AS dim,
        CAST({last}.x * fl.f AS BIGINT) AS component_fp
 FROM {last} CROSS JOIN fl
+"""
+
+
+def _emb_pca_explained_sql(iterations: int = 8, xnorm: int = 10**5) -> str:
+    # same unrolled chain, finished with the Rayleigh-quotient scalars;
+    # the big receipts travel as digit strings (HUGEINT would degrade
+    # to float64 through pandas)
+    body = _emb_pca_chain(iterations, xnorm)
+    last = f"x{iterations}"
+    return f"""{body},
+tr AS (SELECT sum(sv) AS trace FROM S WHERE i = j),
+xsx AS (SELECT sum(S.sv * xa.x * xb.x) AS v
+        FROM S JOIN {last} xa ON xa.dim = S.i
+        JOIN {last} xb ON xb.dim = S.j),
+xx AS (SELECT sum(x * x) AS v FROM {last})
+SELECT CAST((SELECT count(*) FROM {last}) AS BIGINT) AS n_dims,
+       CAST(tr.trace AS VARCHAR) AS trace,
+       CAST(xsx.v AS VARCHAR) AS rayleigh_num,
+       CAST(xx.v AS VARCHAR) AS xx,
+       CASE WHEN xx.v > 0 AND tr.trace > 0 THEN
+         CAST(CASE WHEN xsx.v < 0
+                   THEN -((-(10000 * xsx.v)) // (xx.v * tr.trace))
+                   ELSE (10000 * xsx.v) // (xx.v * tr.trace) END AS BIGINT)
+       END AS explained_bp
+FROM tr CROSS JOIN xsx CROSS JOIN xx
 """
 
 
@@ -11913,6 +11942,195 @@ SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
        CAST((10000 * (count(*) - count(DISTINCT md5(coalesce(text, '')))))
             // count(*) AS BIGINT) AS dup_rate_bp
 FROM documents GROUP BY 1
+"""
+
+
+def _emb_pca_explained(spark, sf_dir):
+    # variance-explained share of the top principal direction
+    # (training/similarity.py::pca_explained_ratio): exact Rayleigh
+    # quotient of the power-iteration vector over the integer scatter
+    # matrix as a share of its trace — the embedding-collapse alarm
+    # (one direction swallowing the variance = encoder failure). Big
+    # scalars (~10²³) travel as digit strings; ratio in truncated bp.
+    from dr_source_spark.training.similarity import pca_explained_ratio
+
+    return pca_explained_ratio(_t(spark, sf_dir, "embeddings"))
+
+
+def _part_dual_source_risk(spark, sf_dir):
+    # supply-chain resilience census per brand
+    # (operators/relational.py::dual_source_risk): single-supplier and
+    # single-nation shares of the OBSERVED catalog (supplier sets from
+    # lineitem — who actually shipped), in exact bp. Distinct pair
+    # projection + two broadcast dims + two narrow aggregates.
+    from dr_source_spark.operators.relational import dual_source_risk
+
+    return dual_source_risk(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+_DUAL_SOURCE_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (SELECT p.l_partkey, p.l_suppkey, s.s_nationkey
+      FROM pairs p JOIN supplier s ON s.s_suppkey = p.l_suppkey),
+pp AS (SELECT l_partkey,
+              count(DISTINCT l_suppkey) AS n_supp,
+              count(DISTINCT s_nationkey) AS n_nat
+       FROM e GROUP BY 1),
+wb AS (SELECT pp.n_supp, pp.n_nat, pt.p_brand
+       FROM pp JOIN part pt ON pt.p_partkey = pp.l_partkey)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_supplier,
+       CAST((10000 * sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS single_supplier_bp,
+       CAST(sum(CASE WHEN n_nat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_nation,
+       CAST((10000 * sum(CASE WHEN n_nat = 1 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS single_nation_bp
+FROM wb GROUP BY 1
+"""
+
+
+def _events_cadence(spark, sf_dir):
+    # per-user cadence-regularity bot screen
+    # (operators/relational.py::cadence_regularity): CV² of
+    # inter-event gaps in exact 1e8 fixed point over MICROSECOND gaps
+    # (unix_micros/epoch_us — whole seconds would alias sub-second
+    # bots); timer bots collapse toward 0, Poisson-ish humans sit near
+    # 1e8. DECIMAL(38,0) sums ((Σg)² passes int64 within hours).
+    from dr_source_spark.operators.relational import cadence_regularity
+
+    return cadence_regularity(_t(spark, sf_dir, "events"))
+
+
+_CADENCE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS g
+  FROM events),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS HUGEINT) AS sg,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+      FROM g WHERE g IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+       CAST((100000000 * (n_gaps * sgg - sg * sg)) // (sg * sg) AS BIGINT)
+         AS cv2_x1e8,
+       (100000000 * (n_gaps * sgg - sg * sg)) // (sg * sg) < 25000000
+         AS bot_like
+FROM a WHERE n_gaps >= 3 AND sg > 0
+"""
+
+
+def _kg_neighbor_jaccard_topk(spark, sf_dir):
+    # top-k node pairs by neighbor-set Jaccard over the KG
+    # (operators/graph.py::neighbor_jaccard_topk): exact truncated-bp
+    # structural similarity / link prediction — high-Jaccard
+    # NON-adjacent pairs are the missing-link candidates, adjacent
+    # ones the role-redundant ties (pair-level complement of
+    # kg_local_bridges). Same wedge equi-join as local bridges (never
+    # all-pairs), TakeOrdered cut, deterministic tiebreak.
+    from dr_source_spark.operators.graph import neighbor_jaccard_topk
+
+    return neighbor_jaccard_topk(_kg_triples(spark, sf_dir).edges, k=100)
+
+
+def _kg_neighbor_jaccard_topk_sql(k: int = 100) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+e AS (SELECT DISTINCT src, dst FROM kg_e),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+inter AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS inter_cnt
+          FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+          GROUP BY 1, 2)
+SELECT i.a, i.b, i.inter_cnt, da.d AS deg_a, db.d AS deg_b,
+       CAST((10000 * i.inter_cnt) // (da.d + db.d - i.inter_cnt) AS BIGINT)
+         AS jac_bp,
+       (u.a IS NOT NULL) AS adjacent
+FROM inter i
+JOIN deg da ON da.node = i.a
+JOIN deg db ON db.node = i.b
+LEFT JOIN und u ON u.a = i.a AND u.b = i.b
+ORDER BY jac_bp DESC, i.a, i.b
+LIMIT {k}
+"""
+
+
+def _customer_pareto_cut(spark, sf_dir):
+    # Pareto-cut census ("is it really 80/20?")
+    # (operators/stats.py::pareto_cut): minimal richest-first customer
+    # prefix covering >= 80% of exact-cent order revenue, the coverage
+    # test kept cross-multiplied (5·cum >= 4·total) so no ratio is
+    # materialized. One narrow per-customer aggregate + a window
+    # cumsum over the aggregate + a single-row finisher.
+    from dr_source_spark.operators.stats import pareto_cut
+
+    return pareto_cut(_t(spark, sf_dir, "orders"))
+
+
+_PARETO_CUT_SQL = """
+WITH per AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev
+             FROM orders GROUP BY 1),
+c AS (SELECT rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(rev) OVER () AS BIGINT) AS tot
+      FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN 5 * (cum - rev) < 4 * tot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cover,
+       CAST((10000 * sum(CASE WHEN 5 * (cum - rev) < 4 * tot
+                              THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS cover_share_bp,
+       CAST(max(cum) AS BIGINT) AS total_cents
+FROM c
+"""
+
+
+def _orders_month_seasonality(spark, sf_dir):
+    # month-of-year seasonality index
+    # (operators/stats.py::month_seasonality): per calendar month,
+    # revenue and order-count index in exact truncated bp (10000 = an
+    # average observed month; denominator = DISTINCT months observed,
+    # so short datasets still center). The calendar companion to the
+    # Holt forecast / MoM-growth monitors. 12-ary groupBy with
+    # map-side combine; products carried in DECIMAL(38,0).
+    from dr_source_spark.operators.stats import month_seasonality
+
+    return month_seasonality(_t(spark, sf_dir, "orders"))
+
+
+_MONTH_SEASONALITY_SQL = """
+WITH per AS (SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_month,
+                    CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev_cents
+             FROM orders GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS nm,
+             CAST(sum(rev_cents) AS HUGEINT) AS rt,
+             CAST(sum(n_orders) AS HUGEINT) AS ct
+      FROM per)
+SELECT o_month, n_orders, rev_cents,
+       CAST((10000 * CAST(rev_cents AS HUGEINT) * nm) // rt AS BIGINT)
+         AS rev_index_bp,
+       CAST((10000 * CAST(n_orders AS HUGEINT) * nm) // ct AS BIGINT)
+         AS cnt_index_bp
+FROM per CROSS JOIN t
 """
 
 
@@ -12238,6 +12456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_drift": _emb_centroid_drift,
         "emb_pca_top": _emb_pca_top,
         "corpus_dup_rate_by_lang": _corpus_dup_rate_by_lang,
+        "emb_pca_explained": _emb_pca_explained,
+        "part_dual_source_risk": _part_dual_source_risk,
+        "events_cadence": _events_cadence,
+        "kg_neighbor_jaccard_topk": _kg_neighbor_jaccard_topk,
+        "customer_pareto_cut": _customer_pareto_cut,
+        "orders_month_seasonality": _orders_month_seasonality,
     }
 
 
@@ -12548,4 +12772,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_drift": _CENTROID_DRIFT_SQL,
         "emb_pca_top": _emb_pca_sql(),
         "corpus_dup_rate_by_lang": _DUP_RATE_SQL,
+        "emb_pca_explained": _emb_pca_explained_sql(),
+        "part_dual_source_risk": _DUAL_SOURCE_SQL,
+        "events_cadence": _CADENCE_SQL,
+        "kg_neighbor_jaccard_topk": _kg_neighbor_jaccard_topk_sql(),
+        "customer_pareto_cut": _PARETO_CUT_SQL,
+        "orders_month_seasonality": _MONTH_SEASONALITY_SQL,
     }

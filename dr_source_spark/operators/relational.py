@@ -1214,3 +1214,111 @@ def supplier_scorecard(
             Window.orderBy(F.desc("revenue_cents"), F.asc("s_suppkey"))
         ).cast("long"))
     )
+
+
+def dual_source_risk(
+    lineitem: DataFrame, supplier: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Supply-chain RESILIENCE census: per part brand, how much of the
+    observed catalog is SINGLE-SOURCED — one supplier (and one
+    supplier nation) across every shipment in the fact table? The
+    procurement-risk report behind dual-sourcing mandates; supplier
+    sets are OBSERVED from lineitem (the schema's ground truth for who
+    actually supplied what). Shares in exact truncated bp.
+
+    Scale shape: one distinct (part, supplier) projection of the fact
+    table, the supplier and part dims broadcast in, two narrow
+    aggregates (per part, then per brand). Output: (p_brand, n_parts,
+    n_single_supplier, single_supplier_bp, n_single_nation,
+    single_nation_bp).
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    enriched = pairs.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        pairs["l_suppkey"] == F.col("s_suppkey"),
+    )
+    per_part = enriched.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.countDistinct("s_nationkey").cast("long").alias("n_nat"),
+    )
+    with_brand = per_part.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        per_part["l_partkey"] == F.col("p_partkey"),
+    )
+    return (
+        with_brand.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum((F.col("n_supp") == 1).cast("long"))
+            .cast("long")
+            .alias("n_single_supplier"),
+            F.sum((F.col("n_nat") == 1).cast("long"))
+            .cast("long")
+            .alias("n_single_nation"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_single_supplier",
+            F.expr("CAST((10000 * n_single_supplier) div n_parts AS BIGINT)")
+            .alias("single_supplier_bp"),
+            "n_single_nation",
+            F.expr("CAST((10000 * n_single_nation) div n_parts AS BIGINT)")
+            .alias("single_nation_bp"),
+        )
+    )
+
+
+def cadence_regularity(
+    events: DataFrame, min_gaps: int = 3, bot_cv2_fp: int = 25000000
+) -> DataFrame:
+    """Per-user CADENCE REGULARITY — the bot-detection screen a
+    curation/fraud pipeline runs on behavioral streams: squared
+    coefficient of variation of inter-event gaps in exact 10⁸ fixed
+    point, CV² = (n·Σg² − (Σg)²) div (Σg)² with gaps in exact
+    MICROSECONDS (unix_micros / epoch_us — the lossless cross-engine
+    carrier; whole-second truncation would alias sub-second bots).
+    Human arrivals look Poisson-ish (CV² ≈ 10⁸); a timer-driven bot's
+    near-constant gaps collapse CV² toward 0 — ``bot_cv2_fp`` flags
+    below-threshold users. Sums carried in DECIMAL(38,0) ((Σg)²
+    passes int64 within hours of activity).
+
+    Scale shape: one per-user lag window (the sessionize plan shape),
+    one groupBy(user) aggregate; users with < ``min_gaps`` gaps are
+    excluded (CV of two points is noise). Output: (user_id, n_gaps,
+    mean_gap_us, cv2_x1e8, bot_like).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # testdata ts is TIMESTAMP_NTZ; the session TZ is pinned UTC
+    # (session.py), so the cast to TIMESTAMP is lossless and matches
+    # DuckDB's epoch_us over the same naive values
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select(
+            "user_id",
+            (F.lead(us).over(w) - us).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("sgg"),
+    )
+    return (
+        agg.filter(
+            (F.col("n_gaps") >= int(min_gaps)) & (F.col("sg") > 0)
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("CAST(sg div n_gaps AS BIGINT)").alias("mean_gap_us"),
+            F.expr(
+                "CAST((100000000 * (n_gaps * sgg - sg * sg))"
+                " div (sg * sg) AS BIGINT)"
+            ).alias("cv2_x1e8"),
+        )
+        .withColumn("bot_like", F.col("cv2_x1e8") < int(bot_cv2_fp))
+    )

@@ -2840,3 +2840,124 @@ def eoq_by_key(
         .cast("long")
         .alias("n_orders"),
     )
+
+
+def pareto_cut(
+    orders: DataFrame, cover_pct_num: int = 4, cover_pct_den: int = 5
+) -> DataFrame:
+    """PARETO-CUT census ("is it really 80/20 here?"): the minimal
+    number of customers, taken richest-first, whose order revenue
+    covers ≥ cover_pct (default 4/5 = 80%) of the total — exact in
+    integer cents, the coverage test kept in cross-multiplied form
+    (den·cum ≥ num·total) so no ratio is ever materialized. The
+    concentration receipt procurement and account-management planning
+    starts from (Gini/HHI/Palma siblings report the curve; this names
+    the head-count).
+
+    Semantics (pinned): per-customer revenue = Σ round(o_totalprice·
+    100) over that customer's orders; richest-first order with custkey
+    asc as the deterministic tiebreak; a customer is IN the cut iff
+    the running total BEFORE adding them is still short of the target
+    (den·(cum − rev) < num·total) — equivalently the minimal covering
+    prefix. Output: 1 row (n_customers, n_cover, cover_share_bp,
+    total_cents).
+
+    Scale shape: one narrow per-customer aggregate, then a sort-based
+    window cumsum over the (much smaller) customer aggregate — the
+    same shape as the decile-lift/quantile family — and a single-row
+    final aggregate.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "rev",
+        F.sum("rev").over(w).cast("long").alias("cum"),
+        F.sum("rev").over(wt).cast("long").alias("tot"),
+    )
+    num, den = int(cover_pct_num), int(cover_pct_den)
+    return cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(
+            (
+                F.lit(den) * (F.col("cum") - F.col("rev"))
+                < F.lit(num) * F.col("tot")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_cover"),
+        F.max("cum").cast("long").alias("total_cents"),
+    ).select(
+        "n_customers",
+        "n_cover",
+        F.expr("CAST((10000 * n_cover) div n_customers AS BIGINT)").alias(
+            "cover_share_bp"
+        ),
+        "total_cents",
+    )
+
+
+def month_seasonality(orders: DataFrame) -> DataFrame:
+    """Month-of-year SEASONALITY INDEX over order revenue and order
+    count, exact truncated bp: idx = 10⁴ · (month total · #months
+    observed) div grand total — 10 000 means an average month, the
+    ratio carried in cross-multiplied integer form. The calendar
+    companion to the Holt forecast and MoM-growth monitors: those
+    track the trend, this names the recurring intra-year shape
+    (capacity planning's first input).
+
+    Semantics (pinned): months keyed 1-12 by o_orderdate; the index
+    denominator uses the number of DISTINCT months observed (a short
+    dataset missing some months still centers at 10⁴); revenue in
+    exact cents. Output: (o_month, n_orders, rev_cents, rev_index_bp,
+    cnt_index_bp), one row per observed month.
+
+    Scale shape: one 12-ary groupBy with map-side combine, totals via
+    an unpartitioned window over the 12-row aggregate. Nothing touches
+    the fact table twice.
+    """
+    per = orders.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("o_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.select(
+            "o_month",
+            "n_orders",
+            "rev_cents",
+            F.count(F.lit(1)).over(w).cast("long").alias("nm"),
+            F.sum("rev_cents").over(w).cast("long").alias("rt"),
+            F.sum("n_orders").over(w).cast("long").alias("ct"),
+        )
+        .select(
+            "o_month",
+            "n_orders",
+            "rev_cents",
+            # 10⁴·rev_cents·nm can pass int64 at warehouse scale —
+            # carried in DECIMAL(38,0) before the div
+            F.expr(
+                "CAST((10000 * CAST(rev_cents AS DECIMAL(38,0)) * nm)"
+                " div rt AS BIGINT)"
+            ).alias("rev_index_bp"),
+            F.expr(
+                "CAST((10000 * CAST(n_orders AS DECIMAL(38,0)) * nm)"
+                " div ct AS BIGINT)"
+            ).alias("cnt_index_bp"),
+        )
+    )

@@ -943,6 +943,36 @@ def pca_top_component(
     driver. Output: (dim, component_fp) — the unnormalized integer
     direction after the final round.
     """
+    S, dims, x = _scatter_power_iterate(
+        embeddings, id_col, vec_col, iterations, xnorm
+    )
+    flip = 1
+    for d in dims:
+        if x[d] != 0:
+            flip = 1 if x[d] > 0 else -1
+            break
+    out = [(int(d), int(flip * x[d])) for d in dims]
+    return embeddings.sparkSession.createDataFrame(
+        out, "dim long, component_fp long"
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark `div` / DuckDB
+    sign-factored `//` convention)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _scatter_power_iterate(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iterations: int,
+    xnorm: int,
+):
+    """(S, dims, x): the exact integer scatter matrix, the dim list,
+    and the power-iteration vector after ``iterations`` rounds —
+    shared by pca_top_component and pca_explained_ratio."""
     rows = _qrows(embeddings, id_col, vec_col)
     n = rows.select(F.col(id_col)).distinct().count()
     pairs = (
@@ -962,10 +992,6 @@ def pca_top_component(
         i, j = int(r["i"]), int(r["j"])
         S[(i, j)] = n * int(r["sqq"]) - sd.get(i, 0) * sd.get(j, 0)
     dims = sorted({i for i, _ in S} | {j for _, j in S} | set(sd))
-
-    def tdiv(a: int, b: int) -> int:
-        return -((-a) // b) if a < 0 else a // b
-
     x = {d: 1 for d in dims}
     for _ in range(int(iterations)):
         nx = {d: 0 for d in dims}
@@ -973,13 +999,44 @@ def pca_top_component(
             nx[i] += v * x[j]
         mx = max((abs(v) for v in nx.values()), default=0)
         g = max(1, mx // int(xnorm))
-        x = {d: tdiv(v, g) for d, v in nx.items()}
-    flip = 1
-    for d in dims:
-        if x[d] != 0:
-            flip = 1 if x[d] > 0 else -1
-            break
-    out = [(int(d), int(flip * x[d])) for d in dims]
+        x = {d: _tdiv(v, g) for d, v in nx.items()}
+    return S, dims, x
+
+
+def pca_explained_ratio(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    xnorm: int = 10**5,
+) -> DataFrame:
+    """VARIANCE-EXPLAINED share of the top principal direction, exact:
+    the Rayleigh quotient of the power-iteration vector against the
+    integer scatter matrix, taken as a ratio of the matrix trace —
+    explained_bp = (10⁴ · xᵀSx) div (xᵀx · trace(S)), every product
+    carried in arbitrary-precision Python / HUGEINT (xᵀSx reaches
+    ~10²³ at sf0.01 — far past int64, which is why this is a
+    driver/oracle scalar computation over the dim²-bounded state, not
+    a column expression). A collapsing embedding space (one direction
+    swallowing the variance) is the classic encoder-failure signature
+    this flags. Output: 1 row (n_dims, trace, rayleigh_num, xx,
+    explained_bp).
+    """
+    S, dims, x = _scatter_power_iterate(
+        embeddings, id_col, vec_col, iterations, xnorm
+    )
+    trace = sum(S.get((d, d), 0) for d in dims)
+    xsx = sum(v * x[i] * x[j] for (i, j), v in S.items())
+    xx = sum(v * v for v in x.values())
+    explained = (
+        _tdiv(10**4 * xsx, xx * trace) if xx > 0 and trace > 0 else None
+    )
+    # the big scalars exceed int64 (xᵀSx ~ 10²³ at sf0.01) and DuckDB
+    # HUGEINTs degrade to float64 through pandas — digit STRINGS are the
+    # lossless cross-engine carrier for the receipt columns
+    row = [(len(dims), str(trace), str(xsx), str(xx), explained)]
     return embeddings.sparkSession.createDataFrame(
-        out, "dim long, component_fp long"
+        row,
+        "n_dims long, trace string, rayleigh_num string,"
+        " xx string, explained_bp long",
     )
