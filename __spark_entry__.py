@@ -12134,6 +12134,105 @@ FROM per CROSS JOIN t
 """
 
 
+def _emb_norm_extremes(spark, sf_dir):
+    # dead / exploding embedding screen
+    # (training/similarity.py::norm_extremes): k smallest + k largest
+    # vectors by exact fixed-point squared L2 norm (Σ round(x·10⁶)²,
+    # DECIMAL(38,0) carry) — near-zero = collapsed encoder output,
+    # runaway = dot-product retrieval distortion. Fixed GLOBAL scale
+    # (unlike the per-vector int8 index quantization) so magnitudes
+    # compare across vectors; two TakeOrdered cuts, never a global
+    # sort.
+    from dr_source_spark.training.similarity import norm_extremes
+
+    return norm_extremes(_t(spark, sf_dir, "embeddings"))
+
+
+_NORM_EXTREMES_SQL = """
+WITH f AS (
+  SELECT vec_id, CAST(round(v[u.i] * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       unnest(generate_series(1, CAST(len(v) AS BIGINT))) u(i)),
+per AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+               CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS normsq
+        FROM f GROUP BY 1),
+low AS (SELECT vec_id, n_dims, normsq, 'low' AS side
+        FROM per ORDER BY normsq, vec_id LIMIT 50),
+high AS (SELECT vec_id, n_dims, normsq, 'high' AS side
+         FROM per ORDER BY normsq DESC, vec_id LIMIT 50)
+SELECT * FROM low UNION ALL SELECT * FROM high
+"""
+
+
+def _customer_overdue(spark, sf_dir):
+    # churn-risk screen by purchase rhythm
+    # (operators/mining.py::overdue_customers): customers silent past
+    # 2× their own mean inter-order gap, exact integer days with the
+    # comparison cross-multiplied (silence·n_gaps > 2·span). "Now" =
+    # the corpus's latest order date over ALL customers. One narrow
+    # per-customer aggregate; the reactivation-trigger companion to
+    # the life-table / tier-migration retention reports.
+    from dr_source_spark.operators.mining import overdue_customers
+
+    return overdue_customers(_t(spark, sf_dir, "orders"))
+
+
+_OVERDUE_SQL = """
+WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                    min(CAST(o_orderdate AS DATE)) AS first_d,
+                    max(CAST(o_orderdate AS DATE)) AS last_d
+             FROM orders GROUP BY 1),
+t AS (SELECT max(last_d) AS clock FROM per),
+s AS (SELECT o_custkey, n_orders,
+             CAST(date_diff('day', first_d, last_d) AS BIGINT) AS span_days,
+             n_orders - 1 AS n_gaps,
+             CAST(date_diff('day', last_d, t.clock) AS BIGINT)
+               AS days_since_last
+      FROM per CROSS JOIN t WHERE n_orders >= 3)
+SELECT o_custkey, n_orders, span_days,
+       CAST(span_days // n_gaps AS BIGINT) AS mean_gap_days,
+       days_since_last,
+       days_since_last * n_gaps > 2 * span_days AS overdue
+FROM s
+"""
+
+
+def _part_brand_dispersion(spark, sf_dir):
+    # per-brand quartile price dispersion
+    # (operators/stats.py::brand_price_dispersion): robust pricing
+    # spread disp_bp = 10⁴·(q3−q1) div (q3+q1) in exact cents, the
+    # quartiles taken at the lower-nearest rank ((n−1)k div 4 + 1) so
+    # both engines agree with no interpolation. One per-brand rank
+    # window over the part dim + a conditional aggregate.
+    from dr_source_spark.operators.stats import brand_price_dispersion
+
+    return brand_price_dispersion(_t(spark, sf_dir, "part"))
+
+
+_BRAND_DISPERSION_SQL = """
+WITH pc AS (SELECT p_brand, p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS c
+            FROM part),
+r AS (SELECT p_brand, c,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY c, p_partkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+      FROM pc),
+a AS (SELECT p_brand,
+             max(n) AS n_parts,
+             max(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN c END) AS q1_cents,
+             max(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 THEN c END)
+               AS median_cents,
+             max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN c END) AS q3_cents
+      FROM r GROUP BY 1)
+SELECT p_brand, n_parts, q1_cents, median_cents, q3_cents,
+       CAST(q3_cents - q1_cents AS BIGINT) AS iqr_cents,
+       CAST((10000 * (q3_cents - q1_cents)) // (q3_cents + q1_cents)
+            AS BIGINT) AS disp_bp
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -12462,6 +12561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_jaccard_topk": _kg_neighbor_jaccard_topk,
         "customer_pareto_cut": _customer_pareto_cut,
         "orders_month_seasonality": _orders_month_seasonality,
+        "emb_norm_extremes": _emb_norm_extremes,
+        "customer_overdue": _customer_overdue,
+        "part_brand_dispersion": _part_brand_dispersion,
     }
 
 
@@ -12778,4 +12880,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_jaccard_topk": _kg_neighbor_jaccard_topk_sql(),
         "customer_pareto_cut": _PARETO_CUT_SQL,
         "orders_month_seasonality": _MONTH_SEASONALITY_SQL,
+        "emb_norm_extremes": _NORM_EXTREMES_SQL,
+        "customer_overdue": _OVERDUE_SQL,
+        "part_brand_dispersion": _BRAND_DISPERSION_SQL,
     }

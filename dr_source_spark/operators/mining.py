@@ -335,3 +335,67 @@ def tier_migration(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("_c2").cast("long").alias("cents_to"),
     )
+
+
+def overdue_customers(
+    orders: DataFrame,
+    factor: int = 2,
+    min_orders: int = 3,
+) -> DataFrame:
+    """CHURN-RISK screen by purchase rhythm: customers whose silence
+    since their last order has outlasted ``factor``× their own mean
+    inter-order gap — the classic "overdue" reactivation trigger,
+    exact in integer days with the comparison kept cross-multiplied
+    (days_since_last · n_gaps > factor · span_days, where span div
+    n_gaps IS the mean gap) so no ratio is materialized. "Now" is the
+    corpus's latest order date (the only clock the dataset carries).
+
+    Semantics (pinned): only customers with ≥ ``min_orders`` orders
+    are screened (a one-gap rhythm is noise — the cadence_regularity
+    convention); mean_gap_days is the truncated integer mean. Output:
+    (o_custkey, n_orders, span_days, mean_gap_days, days_since_last,
+    overdue), one row per screened customer.
+
+    Scale shape: one narrow per-customer aggregate (min/max/count —
+    map-side combinable), the global clock taken by a window over the
+    aggregate, pure column math after.
+    """
+    from pyspark.sql.window import Window
+
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the corpus clock comes from ALL customers (computed before the
+    # min_orders screen — a 1-order customer can still hold the latest
+    # order date)
+    clocked = per.withColumn("clock", F.max("last_d").over(wt))
+    return (
+        clocked.filter(F.col("n_orders") >= int(min_orders))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.datediff("last_d", "first_d").cast("long").alias("span_days"),
+            (F.col("n_orders") - 1).cast("long").alias("n_gaps"),
+            F.datediff(F.col("clock"), F.col("last_d"))
+            .cast("long")
+            .alias("days_since_last"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "span_days",
+            F.expr("CAST(span_days div n_gaps AS BIGINT)").alias(
+                "mean_gap_days"
+            ),
+            "days_since_last",
+            (
+                F.col("days_since_last") * F.col("n_gaps")
+                > F.lit(int(factor)) * F.col("span_days")
+            ).alias("overdue"),
+        )
+    )

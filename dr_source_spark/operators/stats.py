@@ -2961,3 +2961,61 @@ def month_seasonality(orders: DataFrame) -> DataFrame:
             ).alias("cnt_index_bp"),
         )
     )
+
+
+def brand_price_dispersion(part: DataFrame) -> DataFrame:
+    """Per-brand QUARTILE price dispersion — the robust pricing-spread
+    report (quartile coefficient of dispersion, disp_bp =
+    10⁴·(q3−q1) div (q3+q1)): outlier-immune where a variance-based
+    spread is not, exact in integer cents end-to-end. The
+    assortment-pricing audit ("which brands price tight, which
+    sprawl") beside the mean/variance and Bowley families.
+
+    Semantics (pinned): quartile q_k = the cent value at 1-indexed
+    rank ((n−1)·k) div 4 + 1 of the (cents asc, p_partkey asc) order —
+    the lower-nearest-rank convention, exactly expressible in both
+    engines (no interpolation, no floats). Output: (p_brand, n_parts,
+    q1_cents, median_cents, q3_cents, iqr_cents, disp_bp).
+
+    Scale shape: one per-brand rank window over the (brand-partitioned)
+    part dim + one 25-ary conditional aggregate. Brand cardinality is
+    bounded, so the window partitions are balanced by construction.
+    """
+    cents = part.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("c"),
+    )
+    wb = Window.partitionBy("p_brand").orderBy(F.asc("c"), F.asc("p_partkey"))
+    wf = Window.partitionBy("p_brand")
+    ranked = cents.select(
+        "p_brand",
+        "c",
+        F.row_number().over(wb).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n"),
+    )
+    pos = lambda k: F.expr(f"((n - 1) * {k}) div 4 + 1")  # noqa: E731
+    agg = ranked.groupBy("p_brand").agg(
+        F.max("n").cast("long").alias("n_parts"),
+        F.max(F.when(F.col("rn") == pos(1), F.col("c")))
+        .cast("long")
+        .alias("q1_cents"),
+        F.max(F.when(F.col("rn") == pos(2), F.col("c")))
+        .cast("long")
+        .alias("median_cents"),
+        F.max(F.when(F.col("rn") == pos(3), F.col("c")))
+        .cast("long")
+        .alias("q3_cents"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_parts",
+        "q1_cents",
+        "median_cents",
+        "q3_cents",
+        (F.col("q3_cents") - F.col("q1_cents")).cast("long").alias("iqr_cents"),
+        F.expr(
+            "CAST((10000 * (q3_cents - q1_cents))"
+            " div (q3_cents + q1_cents) AS BIGINT)"
+        ).alias("disp_bp"),
+    )

@@ -1040,3 +1040,60 @@ def pca_explained_ratio(
         "n_dims long, trace string, rayleigh_num string,"
         " xx string, explained_bp long",
     )
+
+
+def norm_extremes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 50,
+    scale: int = 10**6,
+) -> DataFrame:
+    """DEAD / EXPLODING embedding screen: the k smallest and k largest
+    vectors by exact fixed-point squared L2 norm — normsq =
+    Σ round(x·10⁶)² per vector, integer end-to-end (≈6.4·10¹³ for a
+    unit-ish 64-dim vector, far inside int64). Near-zero norms are
+    collapsed/dead encoder outputs; runaway norms distort cosine-free
+    dot-product retrieval — both are the first things an embedding
+    health dashboard pins. Uses a FIXED global scale (not the
+    per-vector max-abs of the int8 index quantization) precisely so
+    magnitudes stay comparable across vectors.
+
+    Semantics (pinned): deterministic total order (normsq, vec_id) on
+    each side; ``side`` ∈ {'low','high'}; a vector may appear on both
+    sides iff the table has ≤ 2k rows. Output: (vec_id, n_dims,
+    normsq, side), ≤ 2k rows.
+
+    Scale shape: one posexplode + narrow per-vector aggregate, then
+    two TakeOrdered cuts (per-partition top-k, k-sized merge — no
+    global sort materialized).
+    """
+    per = (
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        )
+        .select(
+            id_col,
+            F.round(F.col("x") * int(scale)).cast("long").alias("q"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            # q² summed in DECIMAL(38,0): double-carried sums drift past
+            # 2^53 at production dims; the final norm is re-bounded long
+            F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q"))
+            .cast("long")
+            .alias("normsq"),
+        )
+    )
+    low = (
+        per.orderBy(F.asc("normsq"), F.asc(id_col))
+        .limit(int(k))
+        .withColumn("side", F.lit("low"))
+    )
+    high = (
+        per.orderBy(F.desc("normsq"), F.asc(id_col))
+        .limit(int(k))
+        .withColumn("side", F.lit("high"))
+    )
+    return low.unionByName(high)
