@@ -399,3 +399,45 @@ def overdue_customers(
             ).alias("overdue"),
         )
     )
+
+
+def monthly_streaks(orders: DataFrame) -> DataFrame:
+    """Per-customer MONTHLY-ACTIVITY STREAKS — the loyalty-run report:
+    for each customer, how many calendar months saw ≥ 1 order, how
+    many maximal runs of CONSECUTIVE active months those form, and the
+    longest run. The classic gaps-and-islands shape on the month
+    index (12·year + month), islands keyed by month_idx − row_number
+    (constant within a consecutive run), exact integers end-to-end.
+    The rhythm companion to overdue_customers (which watches silence;
+    this names the habit being broken).
+
+    Scale shape: one distinct (customer, month) projection of the
+    fact table, one per-customer rank window over the (≤ months-
+    observed)-sized distinct set, two narrow aggregates. Output:
+    (o_custkey, n_active_months, n_streaks, max_streak_months).
+    """
+    from pyspark.sql.window import Window
+
+    months = orders.select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("midx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("midx"))
+    islands = months.select(
+        "o_custkey",
+        "midx",
+        (F.col("midx") - F.row_number().over(w)).alias("isl"),
+    )
+    runs = islands.groupBy("o_custkey", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("o_custkey").agg(
+        F.sum("run_len").cast("long").alias("n_active_months"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("run_len").cast("long").alias("max_streak_months"),
+    )

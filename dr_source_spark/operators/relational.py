@@ -1322,3 +1322,42 @@ def cadence_regularity(
         )
         .withColumn("bot_like", F.col("cv2_x1e8") < int(bot_cv2_fp))
     )
+
+
+def repo_risk_scores(
+    findings: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Per-repository RISK SCORECARD over the findings table — the
+    triage view a security org actually ranks remediation by: finding
+    count, affected-file count, and a severity-weighted risk score
+    (CRITICAL 8 / HIGH 5 / MEDIUM 2 / LOW 1 by default, unknown
+    severities floor-weighted at 1), with a pinned deterministic rank
+    (risk desc, repo asc). The repo-level rollup beside the A8
+    severity histogram (global) and the path-hierarchy rollup
+    (directory-level).
+
+    Scale shape: one narrow groupBy(repo) with map-side combine —
+    message/trace columns never travel — and the rank window runs
+    over the per-repo aggregate only (bounded by repo count, not
+    finding count). Output: (repo, n_findings, n_files, risk_score,
+    risk_rank).
+    """
+    weights = weights or {"CRITICAL": 8, "HIGH": 5, "MEDIUM": 2, "LOW": 1}
+    w = F.coalesce(
+        *[
+            F.when(F.col("severity") == k, F.lit(int(v)))
+            for k, v in weights.items()
+        ],
+        F.lit(1),
+    ).cast("long")
+    per = findings.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_findings"),
+        F.countDistinct("path").cast("long").alias("n_files"),
+        F.sum(w).cast("long").alias("risk_score"),
+    )
+    return per.withColumn(
+        "risk_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("risk_score"), F.asc("repo")))
+        .cast("long"),
+    )

@@ -1152,3 +1152,54 @@ def hash_split_expr(id_col: "F.Column") -> "F.Column":
     return (
         F.when(h % 10 <= 7, "train").when(h % 10 == 8, "val").otherwise("test")
     )
+
+
+# license-marker phrases, tested in PRIORITY order (first hit wins) —
+# lowercase literals so both engines match with plain `contains`, no
+# regex dialect in play. The MIT grant sentence outranks the generic
+# "mit license" tag; the BSD clause sentence outranks "bsd license".
+LICENSE_MARKERS: list[tuple[str, str]] = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("mit", "mit license"),
+    ("apache-2.0", "apache license"),
+    ("lgpl", "gnu lesser general public license"),
+    ("gpl", "gnu general public license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+    ("bsd", "bsd license"),
+    ("mpl-2.0", "mozilla public license"),
+    ("unlicense", "this is free and unencumbered software"),
+]
+
+
+def license_screen(documents: DataFrame) -> DataFrame:
+    """LICENSE-HEADER census — the compliance gate every code-LLM
+    training pipeline runs before a corpus ships: each document is
+    classified by the first license-marker phrase its lowercased text
+    contains (priority order pinned in ``LICENSE_MARKERS``; no match →
+    'none'), rolled up per (lang, license). Phrase CONTAINMENT on
+    lowercased text, not regex — identical semantics in every engine,
+    and the scan is a handful of JVM `Contains` predicates inside one
+    codegen stage (no Python in the path).
+
+    Output: (lang, license, n_docs, total_chars). NULL text coalesces
+    to '' (the curation convention), classifying as 'none'.
+
+    Scale shape: a pure map + one low-cardinality groupBy with
+    map-side combine; the text column dies in-stage.
+    """
+    txt = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    lic = F.lit("none")
+    for name, phrase in reversed(LICENSE_MARKERS):
+        lic = F.when(txt.contains(phrase), F.lit(name)).otherwise(lic)
+    return (
+        documents.select(
+            "lang",
+            lic.alias("license"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("_n"),
+        )
+        .groupBy("lang", "license")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_chars"),
+        )
+    )

@@ -792,3 +792,24 @@ def test_batch24_plans_schema_graph_and_best_run(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_batch49_50_plans_topk_and_no_cartesian(spark):
+    import __spark_entry__ as E
+
+    # top-k cuts must plan as TakeOrderedAndProject (per-partition
+    # top-k + k-merge), never a global Sort over the full pair table
+    for name in ("kg_neighbor_jaccard_topk",):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # both extremes sides of the norm screen take the TakeOrdered path
+    plan = _plan(E.queries()["emb_norm_extremes"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") == 2
+    # the churn screen and Pareto cut stay join-free over the fact scan:
+    # one aggregate, window only over the per-customer aggregate
+    for name in ("customer_overdue", "customer_pareto_cut"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
