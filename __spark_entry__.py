@@ -12340,6 +12340,100 @@ GROUP BY 1, 2
 """
 
 
+def _kg_trace_depth(spark, sf_dir):
+    # taint-trace depth census over the flagship findings
+    # (operators/triples.py::trace_depth_census): per display type,
+    # findings by trace hop count — 0 = regex/structural tier, 1 =
+    # direct source→sink, ≥2 = constant propagation / inter-file call
+    # simulation. The direct oracle-gated evidence that the depth-3
+    # simulation contributes findings (the propagation-regression
+    # canary). Trace arrays reduce to lengths in-stage.
+    from dr_source_spark.operators.triples import trace_depth_census
+
+    return trace_depth_census(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_trace_depth_sql() -> str:
+    from collections import Counter
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    cells: Counter = Counter()
+    for tpl, fs in EXPECTED_FINDINGS.items():
+        for f in fs:
+            disp = (
+                f"{f[0]} (AST Taint)"
+                if f[3] not in (None, "structural")
+                else f[0]
+            )
+            hops = f[6].count(" -> ") + 1 if f[6] else 0
+            cells[(tpl, disp, hops)] += 1
+    rows = [
+        f"({tpl}, '{disp}', {hops}, {k})"
+        for (tpl, disp, hops), k in sorted(cells.items())
+    ]
+    return f"""
+WITH per_tpl(tpl, vuln_type, n_hops, k) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents)
+SELECT vuln_type, CAST(n_hops AS BIGINT) AS n_hops,
+       CAST(sum(k) AS BIGINT) AS n_findings
+FROM docs JOIN per_tpl USING (tpl)
+GROUP BY vuln_type, n_hops
+"""
+
+
+def _events_dow_hour(spark, sf_dir):
+    # day-of-week × hour activity heatmap
+    # (operators/stats.py::dow_hour_census): event count + exact bp
+    # share per (weekday, hour) cell, weekday pinned to 0=Monday
+    # (Spark weekday() / DuckDB isodow−1 — the dayofweek() conventions
+    # of the two engines silently disagree and are avoided). Bounded
+    # 168-cell aggregate; share windows over the aggregate only.
+    from dr_source_spark.operators.stats import dow_hour_census
+
+    return dow_hour_census(_t(spark, sf_dir, "events"))
+
+
+_DOW_HOUR_SQL = """
+WITH c AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                  CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT dow, hour, n_events,
+       CAST((10000 * n_events) // (sum(n_events) OVER ()) AS BIGINT)
+         AS share_bp
+FROM c
+"""
+
+
+def _lineitem_discount_audit(spark, sf_dir):
+    # discount-policy audit per tier
+    # (operators/stats.py::discount_audit): volume, exact-cent gross
+    # and given discount, realized give-back share in bp — the
+    # pricing sanity drilldown behind the q19-style revenue checks.
+    # One ≤11-ary groupBy; the double product is rounded once, both
+    # engines IEEE-identical (the repo's cents convention).
+    from dr_source_spark.operators.stats import discount_audit
+
+    return discount_audit(_t(spark, sf_dir, "lineitem"))
+
+
+_DISCOUNT_AUDIT_SQL = """
+WITH p AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS g,
+                  CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+                    AS d
+           FROM lineitem),
+a AS (SELECT disc_pct, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(g) AS BIGINT) AS gross_cents,
+             CAST(sum(d) AS BIGINT) AS discount_cents
+      FROM p GROUP BY 1)
+SELECT disc_pct, n_lines, gross_cents, discount_cents,
+       CAST((10000 * discount_cents) // gross_cents AS BIGINT) AS giveback_bp
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -12674,6 +12768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_repo_risk": _kg_repo_risk,
         "customer_monthly_streaks": _customer_monthly_streaks,
         "corpus_license_screen": _corpus_license_screen,
+        "kg_trace_depth": _kg_trace_depth,
+        "events_dow_hour": _events_dow_hour,
+        "lineitem_discount_audit": _lineitem_discount_audit,
     }
 
 
@@ -12996,4 +13093,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_repo_risk": _kg_repo_risk_sql(),
         "customer_monthly_streaks": _MONTHLY_STREAKS_SQL,
         "corpus_license_screen": _corpus_license_screen_sql(),
+        "kg_trace_depth": _kg_trace_depth_sql(),
+        "events_dow_hour": _DOW_HOUR_SQL,
+        "lineitem_discount_audit": _DISCOUNT_AUDIT_SQL,
     }

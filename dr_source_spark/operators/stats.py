@@ -3019,3 +3019,74 @@ def brand_price_dispersion(part: DataFrame) -> DataFrame:
             " div (q3_cents + q1_cents) AS BIGINT)"
         ).alias("disp_bp"),
     )
+
+
+def dow_hour_census(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour ACTIVITY HEATMAP — the capacity/anomaly
+    dashboard behind every ops review: event count per (weekday,
+    hour) cell and its exact truncated-bp share of total traffic.
+    The weekday convention is pinned to 0 = Monday (Spark
+    ``weekday()``, DuckDB ``isodow − 1``) — Spark's ``dayofweek``
+    (1 = Sunday) and DuckDB's ``dayofweek`` (0 = Sunday) silently
+    disagree, which is exactly the cross-engine trap this pins shut.
+
+    Output: (dow, hour, n_events, share_bp), ≤ 168 rows.
+
+    Scale shape: a 2-column derived projection + one bounded groupBy
+    with map-side combine; the total for the share windows over the
+    ≤ 168-cell aggregate, never the fact table.
+    """
+    cells = events.select(
+        F.expr("weekday(ts)").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return cells.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.expr(
+            "CAST((10000 * n_events) div (sum(n_events) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
+def discount_audit(lineitem: DataFrame) -> DataFrame:
+    """DISCOUNT-POLICY audit per discount level: line count, gross
+    revenue, and the discount actually given — both in exact cents —
+    plus the realized give-back share in truncated bp. The pricing
+    sanity report ("does the 10 % tier really give back ~1000 bp, and
+    how much volume rides each tier") and the drilldown behind the
+    q19-style disjunctive revenue checks.
+
+    Semantics (pinned): tier key = round(l_discount·100) (the discount
+    column is a clean 2-decimal double in this schema); discount_cents
+    = Σ round(l_extendedprice·l_discount·100) — the double product is
+    IEEE-identical in both engines before the single round, the same
+    convention every cents column in this repo uses. Output:
+    (disc_pct, n_lines, gross_cents, discount_cents, giveback_bp).
+
+    Scale shape: 2-column projection + one ≤ 11-ary groupBy with
+    map-side combine. Nothing else touches the fact table.
+    """
+    per = lineitem.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("g"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long")
+        .alias("d"),
+    ).groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("g").cast("long").alias("gross_cents"),
+        F.sum("d").cast("long").alias("discount_cents"),
+    )
+    return per.select(
+        "disc_pct",
+        "n_lines",
+        "gross_cents",
+        "discount_cents",
+        F.expr(
+            "CAST((10000 * discount_cents) div gross_cents AS BIGINT)"
+        ).alias("giveback_bp"),
+    )

@@ -226,3 +226,34 @@ def blast_radius(triples: DataFrame) -> DataFrame:
             F.coalesce("n_files_2hop", F.lit(0)).cast("long").alias("n_files_2hop"),
         )
     )
+
+
+def trace_depth_census(findings: DataFrame) -> DataFrame:
+    """TAINT-TRACE DEPTH census — the observability report on the
+    propagation engine itself: per display vulnerability type, how
+    many findings carry 0-hop traces (regex/structural tier — no
+    dataflow), 1-hop (source reached the sink directly), 2+ hops
+    (constant propagation / inter-file call simulation at work). The
+    direct evidence that the depth-3 simulation actually contributes
+    findings, and the first place a propagation regression shows up
+    (deep buckets drain toward shallow ones).
+
+    Semantics (pinned): n_hops = size of the trace array, NULL trace
+    coalesced to 0 (Spark's size(NULL) = -1 would otherwise leak
+    through). Output: (vuln_type, n_hops, n_findings).
+
+    Scale shape: a 2-column projection (the trace array reduces to
+    its length in-stage — the strings never shuffle) + one
+    low-cardinality groupBy with map-side combine.
+    """
+    return (
+        findings.select(
+            "vuln_type",
+            F.when(F.col("trace").isNull(), F.lit(0))
+            .otherwise(F.size("trace"))
+            .cast("long")
+            .alias("n_hops"),
+        )
+        .groupBy("vuln_type", "n_hops")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_findings"))
+    )
