@@ -12434,6 +12434,105 @@ FROM a
 """
 
 
+def _kg_rich_club(spark, sf_dir):
+    # rich-club coefficient over the KG
+    # (operators/graph.py::rich_club): density among the top-k-degree
+    # nodes at k = 5/10/20/50, exact bp — is the hub core wired into
+    # one elite nucleus? The structural complement of kg_hub_removal
+    # (which deletes the core; this measures its internal tightness).
+    # Deterministic TakeOrdered clubs broadcast-semi-joined onto the
+    # edge list.
+    from dr_source_spark.operators.graph import rich_club
+
+    return rich_club(_kg_triples(spark, sf_dir).edges)
+
+
+def _kg_rich_club_sql(ks: tuple = (5, 10, 20, 50)) -> str:
+    from dr_source_spark.sources.synth import kg_edges_oracle_sql
+
+    vals = ", ".join(f"({k})" for k in ks)
+    return f"""
+WITH kg_e AS MATERIALIZED ({kg_edges_oracle_sql()}),
+e AS (SELECT DISTINCT src, dst FROM kg_e),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+adj AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+ranked AS MATERIALIZED (
+  SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rn FROM deg),
+ks(k) AS (VALUES {vals}),
+club AS (SELECT ks.k, r.node FROM ks JOIN ranked r ON r.rn <= ks.k),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_club FROM club GROUP BY 1),
+ek AS (SELECT c1.k, CAST(count(*) AS BIGINT) AS n_club_edges
+       FROM und u
+       JOIN club c1 ON c1.node = u.a
+       JOIN club c2 ON c2.node = u.b AND c2.k = c1.k
+       GROUP BY 1)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_club,
+       coalesce(ek.n_club_edges, 0) AS n_club_edges,
+       CASE WHEN nk.n_club > 1
+            THEN CAST((10000 * 2 * coalesce(ek.n_club_edges, 0))
+                      // (nk.n_club * (nk.n_club - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS density_bp
+FROM nk LEFT JOIN ek USING (k)
+"""
+
+
+def _lineitem_returns_by_lag(spark, sf_dir):
+    # return rate by fulfillment-lag week
+    # (operators/stats.py::returns_by_lag): does slow shipping drive
+    # returns? Exact bp rate per whole-week lag bucket; one orderkey
+    # equi-join (the scorecard shape) + one bounded groupBy. The
+    # logistics-quality signal table an SLA/churn model trains on.
+    from dr_source_spark.operators.stats import returns_by_lag
+
+    return returns_by_lag(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+_RETURNS_BY_LAG_SQL = """
+WITH j AS (SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) // 7 AS BIGINT)
+                    AS lag_weeks,
+                  CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+a AS (SELECT lag_weeks, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(r) AS BIGINT) AS n_returns
+      FROM j GROUP BY 1)
+SELECT lag_weeks, n_lines, n_returns,
+       CAST((10000 * n_returns) // n_lines AS BIGINT) AS return_bp
+FROM a
+"""
+
+
+def _media_frame_plan(spark, sf_dir):
+    # uniform frame-sampling plan for video-like assets
+    # (training/multimodal.py::frame_sample_plan): per asset, 4
+    # uniformly spaced frame indices over a deterministically derived
+    # frame count (len div 100 + 1 — the testdata stand-in for real
+    # container metadata), idx = (j·(n−1)) div 3, first and last
+    # frame always in. The exact, shuffle-free planning half of the
+    # decode pipeline (decode itself stays a documented stub — no
+    # codec libs in this container).
+    from dr_source_spark.training.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_t(spark, sf_dir, "documents"))
+
+
+_FRAME_PLAN_SQL = """
+SELECT doc_id, CAST(u.j AS BIGINT) AS frame_j,
+       CAST((u.j * (n_frames - 1)) // 3 AS BIGINT) AS frame_idx,
+       n_frames
+FROM (SELECT doc_id,
+             CAST(length(coalesce(text, '')) // 100 + 1 AS BIGINT)
+               AS n_frames
+      FROM documents),
+     unnest(generate_series(0, 3)) u(j)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -12771,6 +12870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_trace_depth": _kg_trace_depth,
         "events_dow_hour": _events_dow_hour,
         "lineitem_discount_audit": _lineitem_discount_audit,
+        "kg_rich_club": _kg_rich_club,
+        "lineitem_returns_by_lag": _lineitem_returns_by_lag,
+        "media_frame_plan": _media_frame_plan,
     }
 
 
@@ -13096,4 +13198,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_trace_depth": _kg_trace_depth_sql(),
         "events_dow_hour": _DOW_HOUR_SQL,
         "lineitem_discount_audit": _DISCOUNT_AUDIT_SQL,
+        "kg_rich_club": _kg_rich_club_sql(),
+        "lineitem_returns_by_lag": _RETURNS_BY_LAG_SQL,
+        "media_frame_plan": _FRAME_PLAN_SQL,
     }

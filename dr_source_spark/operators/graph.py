@@ -2248,3 +2248,63 @@ def neighbor_jaccard_topk(edges: DataFrame, k: int = 100) -> DataFrame:
     return scored.orderBy(
         F.desc("jac_bp"), F.asc("a"), F.asc("b")
     ).limit(int(k))
+
+
+def rich_club(edges: DataFrame, ks: tuple[int, ...] = (5, 10, 20, 50)) -> DataFrame:
+    """RICH-CLUB coefficient at several club sizes — do the highest-
+    degree nodes preferentially link to EACH OTHER? φ(k) = 2·E_k div
+    (n_k·(n_k−1)) over the top-k-degree node set, exact truncated bp.
+    A high φ marks an elite core (in a vuln KG: hub files and rules
+    wired into one dense nucleus — the structural complement of
+    hub_removal_impact, which measures what breaks when that core is
+    deleted; this measures how tight the core itself is).
+
+    Semantics (pinned): DISTINCT undirected simple graph; the club =
+    first k nodes by (degree desc, node asc) — a deterministic
+    TakeOrdered cut, so degree ties at the boundary resolve stably;
+    clubs larger than the graph clamp to all nodes. Output: one row
+    per k — (k, n_club, n_club_edges, density_bp).
+
+    Scale shape: degree is one narrow aggregate; each club is a k-row
+    TakeOrdered result BROADCAST onto the edge list (two semi-joins)
+    — the edge table is never shuffled on a new key, and club sizes
+    are constants.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    spark = edges.sparkSession
+    out = None
+    for k in ks:
+        club = deg.orderBy(F.desc("d"), F.asc("node")).limit(int(k)).select("node")
+        ek = (
+            und.join(
+                F.broadcast(club.select(F.col("node").alias("a"))), "a", "left_semi"
+            )
+            .join(
+                F.broadcast(club.select(F.col("node").alias("b"))), "b", "left_semi"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_club_edges"))
+        )
+        row = ek.crossJoin(
+            club.agg(F.count(F.lit(1)).cast("long").alias("n_club"))
+        ).select(
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_club",
+            "n_club_edges",
+            F.expr(
+                "CAST(CASE WHEN n_club > 1 THEN (10000 * 2 * n_club_edges)"
+                " div (n_club * (n_club - 1)) ELSE 0 END AS BIGINT)"
+            ).alias("density_bp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3090,3 +3090,40 @@ def discount_audit(lineitem: DataFrame) -> DataFrame:
             "CAST((10000 * discount_cents) div gross_cents AS BIGINT)"
         ).alias("giveback_bp"),
     )
+
+
+def returns_by_lag(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """RETURN RATE by fulfillment-lag bucket — does slow shipping
+    drive returns? Lines bucketed by whole weeks between order and
+    ship date; per bucket: volume, returned-line count
+    (l_returnflag = 'R'), and the exact truncated-bp return rate.
+    The logistics-quality signal table a churn or SLA model trains
+    on; the per-supplier scorecard's lag column aggregated along the
+    other axis.
+
+    Scale shape: one orderkey equi-join (the scorecard's shape), a
+    2-column derived projection, one bounded groupBy with map-side
+    combine. Output: (lag_weeks, n_lines, n_returns, return_bp).
+    """
+    j = lineitem.select("l_orderkey", "l_shipdate", "l_returnflag").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per = j.select(
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+            " div 7 AS BIGINT)"
+        ).alias("lag_weeks"),
+        (F.col("l_returnflag") == "R").cast("long").alias("r"),
+    ).groupBy("lag_weeks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("r").cast("long").alias("n_returns"),
+    )
+    return per.select(
+        "lag_weeks",
+        "n_lines",
+        "n_returns",
+        F.expr("CAST((10000 * n_returns) div n_lines AS BIGINT)").alias(
+            "return_bp"
+        ),
+    )

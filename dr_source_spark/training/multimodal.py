@@ -810,3 +810,49 @@ def audio_fingerprint_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+def frame_sample_plan(
+    documents: DataFrame, n_samples: int = 4, chars_per_frame: int = 100
+) -> DataFrame:
+    """Uniform FRAME-SAMPLING plan for video-like assets — the
+    Spark-side planning half of a frame-extraction pipeline: given
+    per-asset frame counts (derived deterministically here as
+    len(text) div chars_per_frame + 1, the testdata stand-in for real
+    container metadata), emit ``n_samples`` uniformly spaced frame
+    indices per asset, idx_j = (j·(n_frames−1)) div (n_samples−1) —
+    exact integer spacing, first and last frame always included,
+    short assets repeat indices rather than under-sample (the
+    downstream decode batch dedups). The decode step itself stays a
+    stub by design (no codec libs in this container — see the module
+    docstring); the PLAN is the part that must be exact, distributed,
+    and joinable back to the binary column.
+
+    Output: (doc_id, frame_j, frame_idx, n_frames), n_samples rows
+    per asset.
+
+    Scale shape: pure per-row sequence explode — no shuffle at all;
+    the plan co-partitions with the asset table for the decode join.
+    """
+    n_frames = F.expr(
+        f"length(coalesce(text, '')) div {int(chars_per_frame)} + 1"
+    )
+    k = int(n_samples)
+    return (
+        documents.select(
+            "doc_id", n_frames.cast("long").alias("n_frames")
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("frame_j"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_j").cast("long").alias("frame_j"),
+            F.expr(
+                f"CAST((frame_j * (n_frames - 1)) div {k - 1} AS BIGINT)"
+            ).alias("frame_idx"),
+            "n_frames",
+        )
+    )
