@@ -2587,15 +2587,22 @@ def _dedup_jaccard(spark, sf_dir):
     return ngram_jaccard(docs, minhash_lsh_candidates(docs))
 
 
-_DEDUP_JACCARD_SQL = _lsh_pairs_ctes() + """,
+# shared CTE chain ending in pairs_j(doc_a, doc_b, jaccard) — consumed by
+# the verify query below AND the threshold sweep, so the two cannot drift
+_JACCARD_PAIRS_CTES = _lsh_pairs_ctes() + """,
 counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS i
   FROM pairs p JOIN words a ON a.doc_id = p.doc_a JOIN words b ON b.doc_id = p.doc_b AND a.w = b.w
   GROUP BY p.doc_a, p.doc_b
-)
-SELECT i.doc_a, i.doc_b, round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard
-FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id = i.doc_b
+),
+pairs_j AS (
+  SELECT i.doc_a, i.doc_b, round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard
+  FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a JOIN counts cb ON cb.doc_id = i.doc_b
+)"""
+
+_DEDUP_JACCARD_SQL = _JACCARD_PAIRS_CTES + """
+SELECT doc_a, doc_b, jaccard FROM pairs_j
 """
 
 
@@ -12533,6 +12540,99 @@ FROM (SELECT doc_id,
 """
 
 
+def _kg_defect_density(spark, sf_dir):
+    # per-language defect density over the flagship corpus + findings
+    # (operators/triples.py::defect_density): findings per 100k source
+    # lines, exact — the size-normalized risk view raw counts miss (a
+    # language with half the findings but a tenth of the code is the
+    # riskier surface). Line counts measured from the actual corpus
+    # (size(split(content))), findings attached via (repo, path)
+    # equi-join; zero-finding languages still report.
+    from dr_source_spark.operators.triples import defect_density
+    from dr_source_spark.sources.corpus import ingest_source_files
+    from dr_source_spark.sources.synth import synth_code_corpus
+
+    files = ingest_source_files(synth_code_corpus(_t(spark, sf_dir, "documents")))
+    return defect_density(files, _kg_triples(spark, sf_dir).findings)
+
+
+def _kg_defect_density_sql() -> str:
+    # ground truth: per-template language (via the SAME extension map
+    # the ingest stage uses), constant line count (the §-substitutions
+    # never inject newlines), and finding count from the constants
+    import re as _re
+
+    from dr_source_spark.kb.compile import AST_LANG_MAP
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    rows = []
+    for i, (_lang, path_t, content_t) in enumerate(_TEMPLATES):
+        ext = _re.search(r"(\.[^./\\]+)$", path_t).group(1)
+        lang = AST_LANG_MAP.get(ext, "other")
+        nl = content_t.count("\n") + 1
+        nf = len(EXPECTED_FINDINGS[i])
+        rows.append(f"({i}, '{lang}', {nl}, {nf})")
+    return f"""
+WITH per_tpl(tpl, lang, nl, nf) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(nl) AS BIGINT) AS total_lines,
+       CAST(sum(nf) AS BIGINT) AS n_findings,
+       CAST((100000 * sum(nf)) // sum(nl) AS BIGINT) AS per_100k_lines
+FROM docs JOIN per_tpl USING (tpl)
+GROUP BY lang
+"""
+
+
+def _dedup_threshold_sweep(spark, sf_dir):
+    # dedup threshold tuning table
+    # (training/dedup.py::jaccard_threshold_sweep): over the verified
+    # LSH candidate pairs, pair count + candidate-share (bp) surviving
+    # each Jaccard cut (per-mille; 900 = the production 0.9 cut, 1000
+    # isolates the exact-dup mass). One extra aggregate over the
+    # existing banded pipeline — never all-pairs; comparisons run on
+    # the 4-decimal-rounded jaccard both engines share.
+    from dr_source_spark.training.dedup import jaccard_threshold_sweep
+
+    return jaccard_threshold_sweep(_t(spark, sf_dir, "documents"))
+
+
+_THRESHOLD_SWEEP_SQL = _JACCARD_PAIRS_CTES + """,
+ks(pm) AS (VALUES (500), (700), (800), (900), (950), (1000)),
+tot AS (SELECT count(*) AS c FROM pairs_j)
+SELECT CAST(ks.pm AS BIGINT) AS threshold_pm,
+       CAST(sum(CASE WHEN p.jaccard >= ks.pm / 1000.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs_ge,
+       CAST((10000 * sum(CASE WHEN p.jaccard >= ks.pm / 1000.0
+                              THEN 1 ELSE 0 END)) // (SELECT c FROM tot)
+            AS BIGINT) AS share_bp
+FROM ks CROSS JOIN pairs_j p
+GROUP BY ks.pm
+"""
+
+
+def _orders_size_histogram(spark, sf_dir):
+    # order-size distribution (operators/stats.py::order_size_histogram):
+    # lines per order, then orders per size with exact bp share — the
+    # basket-shape census, q13's sibling along the order axis. Two
+    # bounded aggregates; shares window over the histogram only.
+    from dr_source_spark.operators.stats import order_size_histogram
+
+    return order_size_histogram(_t(spark, sf_dir, "lineitem"))
+
+
+_ORDER_SIZE_SQL = """
+WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY 1),
+h AS (SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+      FROM s GROUP BY 1)
+SELECT n_lines, n_orders,
+       CAST((10000 * n_orders) // (sum(n_orders) OVER ()) AS BIGINT)
+         AS share_bp
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -12873,6 +12973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_club": _kg_rich_club,
         "lineitem_returns_by_lag": _lineitem_returns_by_lag,
         "media_frame_plan": _media_frame_plan,
+        "kg_defect_density": _kg_defect_density,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
+        "orders_size_histogram": _orders_size_histogram,
     }
 
 
@@ -13201,4 +13304,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rich_club": _kg_rich_club_sql(),
         "lineitem_returns_by_lag": _RETURNS_BY_LAG_SQL,
         "media_frame_plan": _FRAME_PLAN_SQL,
+        "kg_defect_density": _kg_defect_density_sql(),
+        "dedup_threshold_sweep": _THRESHOLD_SWEEP_SQL,
+        "orders_size_histogram": _ORDER_SIZE_SQL,
     }

@@ -3127,3 +3127,33 @@ def returns_by_lag(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             "return_bp"
         ),
     )
+
+
+def order_size_histogram(lineitem: DataFrame) -> DataFrame:
+    """ORDER-SIZE distribution — lines per order, then orders per
+    size: the basket-shape census behind picking/packing capacity
+    planning and the sibling of the q13 customer-order distribution
+    (that counts orders per customer; this counts lines per order).
+    Exact bp share per size bucket.
+
+    Semantics (pinned): only orders observed in the fact table appear
+    (a zero-line order has no lines to count). Output: (n_lines,
+    n_orders, share_bp).
+
+    Scale shape: one narrow groupBy(orderkey) with map-side combine,
+    then a bounded (≤ 7 in TPC-H shapes) second aggregate; the share
+    windows over the size histogram only.
+    """
+    sizes = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    hist = sizes.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.expr(
+            "CAST((10000 * n_orders) div (sum(n_orders) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -257,3 +257,56 @@ def trace_depth_census(findings: DataFrame) -> DataFrame:
         .groupBy("vuln_type", "n_hops")
         .agg(F.count(F.lit(1)).cast("long").alias("n_findings"))
     )
+
+
+def defect_density(files: DataFrame, findings: DataFrame) -> DataFrame:
+    """DEFECT DENSITY per language — the classic software-quality
+    normalization the raw finding counts lack: findings per 100 000
+    source lines, exact (density = 10⁵·n_findings div total_lines),
+    beside file and line volume. A language with half the findings
+    but a tenth of the code is the RISKIER surface — this is the
+    report that says so.
+
+    Semantics (pinned): line count = size(split(content, '\\n')) —
+    trailing-newline files count the empty tail line, matching the
+    constant-per-template oracle arithmetic; findings attach to a
+    language via (repo, path) equi-join onto the corpus projection;
+    languages with zero findings still report (density 0).
+
+    Scale shape: one narrow per-lang aggregate over a 2-column
+    projection (content dies in-stage), one equi-join of the
+    (much smaller) findings table onto a 3-column corpus projection,
+    one bounded merge. Output: (lang, n_files, total_lines,
+    n_findings, per_100k_lines).
+    """
+    per_lang = (
+        files.select(
+            "lang",
+            F.size(F.split(F.col("content"), "\n")).cast("long").alias("nl"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("nl").cast("long").alias("total_lines"),
+        )
+    )
+    per_find = (
+        findings.join(
+            files.select("repo", "path", "lang"), ["repo", "path"]
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_findings"))
+    )
+    return (
+        per_lang.join(per_find, "lang", "left")
+        .select(
+            "lang",
+            "n_files",
+            "total_lines",
+            F.coalesce("n_findings", F.lit(0)).cast("long").alias("n_findings"),
+        )
+        .withColumn(
+            "per_100k_lines",
+            F.expr("CAST((100000 * n_findings) div total_lines AS BIGINT)"),
+        )
+    )

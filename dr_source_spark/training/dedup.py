@@ -1159,3 +1159,45 @@ def dup_rate_by_group(
             .alias("dup_rate_bp"),
         )
     )
+
+
+def jaccard_threshold_sweep(
+    documents: DataFrame,
+    thresholds_pm: tuple[int, ...] = (500, 700, 800, 900, 950, 1000),
+) -> DataFrame:
+    """DEDUP THRESHOLD TUNING table — the report that answers "what
+    does moving the near-dup cut actually cost?": over the verified
+    LSH candidate pairs, the count and candidate-share (exact bp)
+    surviving each Jaccard threshold (per-mille, so 900 = the
+    pipeline's production 0.9 cut and 1000 isolates the exact-dup
+    mass). One pass over the pair table — every threshold is a
+    conditional sum in the SAME aggregate, and the comparisons run on
+    the 4-decimal-rounded jaccard both engines share bit-for-bit.
+
+    Output: (threshold_pm, n_pairs_ge, share_bp), one row per
+    threshold. Scale shape: the pair pipeline is the existing
+    banded-LSH + verify path (never all-pairs); the sweep adds one
+    map-side-combinable aggregate and a constant-width unpivot.
+    """
+    pairs = ngram_jaccard(documents, minhash_lsh_candidates(documents))
+    aggs = [F.count(F.lit(1)).cast("long").alias("total")]
+    for pm in thresholds_pm:
+        aggs.append(
+            F.sum((F.col("jaccard") >= pm / 1000.0).cast("long"))
+            .cast("long")
+            .alias(f"t{pm}")
+        )
+    wide = pairs.agg(*aggs)
+    stack = ", ".join(f"{pm}, t{pm}" for pm in thresholds_pm)
+    return wide.select(
+        F.expr(
+            f"stack({len(thresholds_pm)}, {stack})"
+        ).alias("threshold_pm", "n_pairs_ge"),
+        "total",
+    ).select(
+        F.col("threshold_pm").cast("long").alias("threshold_pm"),
+        "n_pairs_ge",
+        F.expr("CAST((10000 * n_pairs_ge) div total AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
