@@ -3240,10 +3240,15 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3)
 
 
-def _ann_lsh_sql() -> str:
+def _lsh_sig_union_sql(
+    num_tables: int = 16, planes_per_table: int = 4, seed: int = 42, dim: int = 64
+) -> str:
+    """The multitable sign-LSH signature stream as a SQL union over an `e`
+    CTE (vec_id, v DOUBLE[]) — the identical literal planes the engine's
+    multitable_signatures derives; shared by the ANN top-k oracle and the
+    bucket-balance audit so the two inspect the SAME buckets."""
     from dr_source_spark.training.similarity import rademacher_planes
 
-    num_tables, planes_per_table, seed, dim, k = 16, 4, 42, 64, 3  # lsh_bucketed_topk defaults
     tables = []
     for t in range(num_tables):
         bits = []
@@ -3251,7 +3256,12 @@ def _ann_lsh_sql() -> str:
             lit = "[" + ", ".join(str(x) for x in plane) + "]"
             bits.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)")
         tables.append(f"SELECT vec_id, {t} AS tbl, {' || '.join(bits)} AS bucket FROM e")
-    sig_union = "\nUNION ALL\n".join(tables)
+    return "\nUNION ALL\n".join(tables)
+
+
+def _ann_lsh_sql() -> str:
+    k = 3  # lsh_bucketed_topk default
+    sig_union = _lsh_sig_union_sql()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sig AS ({sig_union}),
@@ -12633,6 +12643,81 @@ FROM h
 """
 
 
+def _emb_bucket_balance(spark, sf_dir):
+    # ANN load-balance audit over the production sign-LSH index
+    # (training/similarity.py::lsh_bucket_balance): bucket-size
+    # histogram across all 16 hash tables with exact bp posting mass —
+    # a mega-bucket is the ANN latency killer (its candidate equi-join
+    # degenerates toward cross-join for queries landing there) and the
+    # signal to raise planes_per_table. Same md5-derived planes as
+    # ann_lsh_topk, so the audit inspects exactly the index it ships.
+    from dr_source_spark.training.similarity import lsh_bucket_balance
+
+    return lsh_bucket_balance(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_bucket_balance_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS ({_lsh_sig_union_sql()}),
+sizes AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS bucket_size
+          FROM sig GROUP BY 1, 2),
+h AS (SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM sizes GROUP BY 1)
+SELECT bucket_size, n_buckets,
+       CAST((10000 * bucket_size * n_buckets)
+            // (sum(bucket_size * n_buckets) OVER ()) AS BIGINT) AS mass_bp
+FROM h
+"""
+
+
+def _nation_trade_balance(spark, sf_dir):
+    # per-nation trade balance (operators/relational.py::trade_balance):
+    # each nation's exact-cent revenue as supplier vs as buyer over the
+    # same fact table, surplus, and supply-to-consumption ratio in bp —
+    # the whole-matrix rollup of the q7 nation-pair shape. Two fact
+    # passes with broadcast dims, nation-keyed merge of two tiny
+    # aggregates.
+    from dr_source_spark.operators.relational import trade_balance
+
+    return trade_balance(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+_TRADE_BALANCE_SQL = """
+WITH srev AS (
+  SELECT s.s_nationkey AS nationkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS supp_rev_cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1),
+crev AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cust_rev_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1),
+m AS (SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+             coalesce(s.supp_rev_cents, 0) AS supp_rev_cents,
+             coalesce(c.cust_rev_cents, 0) AS cust_rev_cents
+      FROM srev s FULL JOIN crev c ON c.nationkey = s.nationkey)
+SELECT n.n_name,
+       m.supp_rev_cents, m.cust_rev_cents,
+       CAST(m.supp_rev_cents - m.cust_rev_cents AS BIGINT) AS balance_cents,
+       CASE WHEN m.cust_rev_cents > 0 THEN
+         CAST((10000 * m.supp_rev_cents) // m.cust_rev_cents AS BIGINT)
+       END AS supp_to_cust_bp
+FROM m JOIN nation n ON n.n_nationkey = m.nationkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -12976,6 +13061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_defect_density": _kg_defect_density,
         "dedup_threshold_sweep": _dedup_threshold_sweep,
         "orders_size_histogram": _orders_size_histogram,
+        "emb_bucket_balance": _emb_bucket_balance,
+        "nation_trade_balance": _nation_trade_balance,
     }
 
 
@@ -13307,4 +13394,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_defect_density": _kg_defect_density_sql(),
         "dedup_threshold_sweep": _THRESHOLD_SWEEP_SQL,
         "orders_size_histogram": _ORDER_SIZE_SQL,
+        "emb_bucket_balance": _emb_bucket_balance_sql(),
+        "nation_trade_balance": _TRADE_BALANCE_SQL,
     }

@@ -1361,3 +1361,78 @@ def repo_risk_scores(
         .over(Window.orderBy(F.desc("risk_score"), F.asc("repo")))
         .cast("long"),
     )
+
+
+def trade_balance(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Per-nation TRADE BALANCE — each nation's revenue as a SUPPLIER
+    versus as a BUYER over the same fact table, exact cents, plus the
+    surplus and the supply-to-consumption ratio in truncated bp. The
+    whole-matrix rollup of the q7 bidirectional nation-pair shape
+    (q7 filters to one pair; this nets out every nation's two roles).
+
+    Scale shape: two passes over a 2-column fact projection — the
+    supplier leg joins one broadcast dim, the buyer leg rides the
+    orderkey equi-join then a broadcast customer dim — then a
+    nation-keyed merge of two ≤|nations| aggregates with the nation
+    name broadcast in. Output: (n_name, supp_rev_cents,
+    cust_rev_cents, balance_cents, supp_to_cust_bp).
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    srev = (
+        lineitem.select("l_suppkey", cents.alias("c"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.sum("c").cast("long").alias("supp_rev_cents"))
+    )
+    crev = (
+        lineitem.select("l_orderkey", cents.alias("c"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum("c").cast("long").alias("cust_rev_cents"))
+    )
+    merged = (
+        srev.join(crev, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("supp_rev_cents", F.lit(0)).cast("long").alias(
+                "supp_rev_cents"
+            ),
+            F.coalesce("cust_rev_cents", F.lit(0)).cast("long").alias(
+                "cust_rev_cents"
+            ),
+        )
+    )
+    return (
+        merged.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            merged["nationkey"] == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "supp_rev_cents",
+            "cust_rev_cents",
+            (F.col("supp_rev_cents") - F.col("cust_rev_cents"))
+            .cast("long")
+            .alias("balance_cents"),
+            F.expr(
+                "CAST(CASE WHEN cust_rev_cents > 0 THEN"
+                " (10000 * supp_rev_cents) div cust_rev_cents END AS BIGINT)"
+            ).alias("supp_to_cust_bp"),
+        )
+    )

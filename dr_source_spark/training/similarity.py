@@ -1097,3 +1097,48 @@ def norm_extremes(
         .withColumn("side", F.lit("high"))
     )
     return low.unionByName(high)
+
+
+def lsh_bucket_balance(
+    embeddings: DataFrame,
+    num_tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN LOAD-BALANCE audit over the sign-LSH index: the bucket-size
+    histogram across all hash tables — how many (table, bucket) cells
+    hold 1 vector, how many hold 500. A skewed histogram is the ANN
+    latency killer (one mega-bucket turns the candidate equi-join
+    into a near-cross-join for every query landing there) and the
+    signal to raise planes_per_table; this is the same per-key-skew
+    discipline the LSH band join and the salted dedup apply, measured
+    on the index itself. Same portable md5-derived planes as
+    lsh_bucketed_topk (multitable_signatures), so the audit inspects
+    EXACTLY the production buckets.
+
+    Output: (bucket_size, n_buckets, mass_bp) — mass = share of all
+    (vector × table) postings sitting in buckets of that size, exact
+    truncated bp.
+
+    Scale shape: one groupBy over (tbl, bucket), one bounded
+    histogram aggregate; the mass denominator windows over the
+    histogram only.
+    """
+    sigs = multitable_signatures(
+        embeddings, num_tables, planes_per_table, seed, dim
+    )
+    sizes = sigs.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_size")
+    )
+    hist = sizes.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    return hist.select(
+        "bucket_size",
+        "n_buckets",
+        F.expr(
+            "CAST((10000 * bucket_size * n_buckets)"
+            " div (sum(bucket_size * n_buckets) over ()) AS BIGINT)"
+        ).alias("mass_bp"),
+    )
