@@ -12718,6 +12718,137 @@ FROM m JOIN nation n ON n.n_nationkey = m.nationkey
 """
 
 
+def _kg_severity_by_lang(spark, sf_dir):
+    # severity × language matrix over the flagship findings
+    # (operators/triples.py::severity_by_lang): which languages carry
+    # the CRITICAL mass, row-normalized in exact bp so languages of
+    # different sizes compare — the drilldown between the global A8
+    # histogram and the per-repo scorecard.
+    from dr_source_spark.operators.triples import severity_by_lang
+    from dr_source_spark.sources.corpus import ingest_source_files
+    from dr_source_spark.sources.synth import synth_code_corpus
+
+    files = ingest_source_files(synth_code_corpus(_t(spark, sf_dir, "documents")))
+    return severity_by_lang(files, _kg_triples(spark, sf_dir).findings)
+
+
+def _kg_severity_by_lang_sql() -> str:
+    import re as _re
+    from collections import Counter
+
+    from dr_source_spark.kb.compile import AST_LANG_MAP
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    cells: Counter = Counter()
+    for i, (_lang, path_t, _content_t) in enumerate(_TEMPLATES):
+        ext = _re.search(r"(\.[^./\\]+)$", path_t).group(1)
+        lang = AST_LANG_MAP.get(ext, "other")
+        for f in EXPECTED_FINDINGS[i]:
+            cells[(i, lang, f[5])] += 1
+    rows = [
+        f"({tpl}, '{lang}', '{sev}', {k})"
+        for (tpl, lang, sev), k in sorted(cells.items())
+    ]
+    return f"""
+WITH per_tpl(tpl, lang, severity, k) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents)
+SELECT lang, severity, CAST(sum(k) AS BIGINT) AS n_findings,
+       CAST((10000 * sum(k)) // (sum(sum(k)) OVER (PARTITION BY lang))
+            AS BIGINT) AS lang_share_bp
+FROM docs JOIN per_tpl USING (tpl)
+GROUP BY lang, severity
+"""
+
+
+def _text_quality_dup_matrix(spark, sf_dir):
+    # quality × duplication interaction audit
+    # (training/curate.py::quality_dup_interaction): every doc's
+    # quality verdict (the SHARED quality_reason_expr, dup layer
+    # deliberately off) crossed with exact-dup-family membership
+    # (canonical rep included) — "are the duplicates also the junk?"
+    # decides whether dedup and quality filters overlap or each costs
+    # unique content. Fingerprint groupBy (digests shuffle, text
+    # never) + one bounded cell aggregate.
+    from dr_source_spark.training.curate import quality_dup_interaction
+
+    return quality_dup_interaction(_t(spark, sf_dir, "documents"))
+
+
+def _text_quality_dup_sql() -> str:
+    from dr_source_spark.training.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS t,
+         sha256(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+           AS fp
+  FROM documents),
+fam AS (SELECT fp, count(*) AS n FROM toks GROUP BY fp),
+v AS (
+  SELECT CASE WHEN length(t) < 5 THEN 'too_short'
+              WHEN round(length(list_filter(t, x -> lower(x) IN ({stops})))
+                         / greatest(length(t), 1), 4) < 0.05
+                THEN 'low_stopword_ratio'
+              ELSE 'kept' END AS quality_reason,
+         (f.n >= 2) AS is_dup
+  FROM toks k JOIN fam f ON f.fp = k.fp),
+a AS (SELECT quality_reason, is_dup, CAST(count(*) AS BIGINT) AS n_docs
+      FROM v GROUP BY 1, 2)
+SELECT quality_reason, is_dup, n_docs,
+       CAST((10000 * n_docs) // (sum(n_docs) OVER ()) AS BIGINT) AS share_bp
+FROM a
+"""
+
+
+def _stream_license_screen(spark, sf_dir):
+    # STREAMING license census: the documents table split into two
+    # micro-batches (maxFilesPerTrigger=1); per-doc classification via
+    # the SAME license_expr the batch census uses (shared-expression
+    # discipline — the quality_reason_expr convention), aggregated
+    # cross-batch in complete mode under availableNow. The oracle is
+    # the batch census SQL verbatim: stream == batch is the law being
+    # checked.
+    import hashlib
+    import shutil
+
+    from dr_source_spark.training.text import license_expr
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/drs_slic_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{base}/src/part1")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{base}/src/part2")
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/part*")
+    )
+    agg = (
+        stream.select(
+            "lang",
+            license_expr().alias("license"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("_n"),
+        )
+        .groupBy("lang", "license")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_chars"),
+        )
+    )
+    qname = f"slic_{tag}"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13063,6 +13194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_size_histogram": _orders_size_histogram,
         "emb_bucket_balance": _emb_bucket_balance,
         "nation_trade_balance": _nation_trade_balance,
+        "kg_severity_by_lang": _kg_severity_by_lang,
+        "text_quality_dup_matrix": _text_quality_dup_matrix,
+        "stream_license_screen": _stream_license_screen,
     }
 
 
@@ -13396,4 +13530,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_size_histogram": _ORDER_SIZE_SQL,
         "emb_bucket_balance": _emb_bucket_balance_sql(),
         "nation_trade_balance": _TRADE_BALANCE_SQL,
+        "kg_severity_by_lang": _kg_severity_by_lang_sql(),
+        "text_quality_dup_matrix": _text_quality_dup_sql(),
+        "stream_license_screen": _corpus_license_screen_sql(),
     }

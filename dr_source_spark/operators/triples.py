@@ -310,3 +310,30 @@ def defect_density(files: DataFrame, findings: DataFrame) -> DataFrame:
             F.expr("CAST((100000 * n_findings) div total_lines AS BIGINT)"),
         )
     )
+
+
+def severity_by_lang(files: DataFrame, findings: DataFrame) -> DataFrame:
+    """SEVERITY × LANGUAGE matrix — the drilldown between the global A8
+    histogram and the per-repo scorecard: which languages carry the
+    CRITICAL mass, with each cell's exact-bp share of that language's
+    findings (row-normalized, so languages of different sizes
+    compare). Output: (lang, severity, n_findings, lang_share_bp).
+
+    Scale shape: the findings table joins a 3-column corpus
+    projection on (repo, path), then one bounded groupBy; the share
+    windows per language over the ≤ |langs|·|severities| cell table.
+    """
+    cells = (
+        findings.join(files.select("repo", "path", "lang"), ["repo", "path"])
+        .groupBy("lang", "severity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_findings"))
+    )
+    return cells.select(
+        "lang",
+        "severity",
+        "n_findings",
+        F.expr(
+            "CAST((10000 * n_findings)"
+            " div (sum(n_findings) over (partition by lang)) AS BIGINT)"
+        ).alias("lang_share_bp"),
+    )

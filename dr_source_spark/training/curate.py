@@ -124,3 +124,53 @@ def final_keep_list(
             (reason == REASON_KEPT).alias("keep"),
         )
     )
+
+
+def quality_dup_interaction(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """QUALITY × DUPLICATION interaction audit — "are the duplicates
+    also the junk?": every document gets its quality verdict (the
+    shared ``quality_reason_expr``, dup layer deliberately NOT
+    applied) crossed with whether it belongs to an exact-duplicate
+    family (≥ 2 docs sharing the whitespace-normalized lowercase
+    sha256 fingerprint — the full family, canonical representative
+    included). A corpus where low-quality mass concentrates inside
+    dup families dedups almost for free; one where they are
+    independent loses real unique content to each filter — this table
+    is how you know which corpus you have.
+
+    Output: (quality_reason, is_dup, n_docs, share_bp) — ≤ 6 cells,
+    shares of the whole corpus in exact truncated bp.
+
+    Scale shape: one fingerprint groupBy (the exact-dedup shape, text
+    never shuffles — only the digest), one join back, one bounded
+    cell aggregate; shares window over the cells only.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.regexp_replace(F.lower(txt), r"\s+", " ")
+    docs = documents.select(
+        "doc_id", txt.alias("text"), F.sha2(norm, 256).alias("_fp")
+    )
+    fam = docs.groupBy("_fp").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    cells = (
+        docs.join(fam, "_fp")
+        .select(
+            quality_reason_expr(
+                F.col("text"), min_tokens, min_stopword_ratio
+            ).alias("quality_reason"),
+            (F.col("_n") >= 2).alias("is_dup"),
+        )
+        .groupBy("quality_reason", "is_dup")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return cells.select(
+        "quality_reason",
+        "is_dup",
+        "n_docs",
+        F.expr(
+            "CAST((10000 * n_docs) div (sum(n_docs) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -1171,6 +1171,18 @@ LICENSE_MARKERS: list[tuple[str, str]] = [
 ]
 
 
+def license_expr(text_col=None):
+    """The first-match-wins license classification as a Column over
+    ``text_col`` (default: the ``text`` column) — THE definition both
+    the batch census and the streaming screen consume, so the two
+    paths cannot drift (the quality_reason_expr convention)."""
+    txt = F.lower(F.coalesce(text_col if text_col is not None else F.col("text"), F.lit("")))
+    lic = F.lit("none")
+    for name, phrase in reversed(LICENSE_MARKERS):
+        lic = F.when(txt.contains(phrase), F.lit(name)).otherwise(lic)
+    return lic
+
+
 def license_screen(documents: DataFrame) -> DataFrame:
     """LICENSE-HEADER census — the compliance gate every code-LLM
     training pipeline runs before a corpus ships: each document is
@@ -1187,14 +1199,10 @@ def license_screen(documents: DataFrame) -> DataFrame:
     Scale shape: a pure map + one low-cardinality groupBy with
     map-side combine; the text column dies in-stage.
     """
-    txt = F.lower(F.coalesce(F.col("text"), F.lit("")))
-    lic = F.lit("none")
-    for name, phrase in reversed(LICENSE_MARKERS):
-        lic = F.when(txt.contains(phrase), F.lit(name)).otherwise(lic)
     return (
         documents.select(
             "lang",
-            lic.alias("license"),
+            license_expr().alias("license"),
             F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("_n"),
         )
         .groupBy("lang", "license")
