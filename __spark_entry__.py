@@ -12526,16 +12526,16 @@ FROM a
 
 def _media_frame_plan(spark, sf_dir):
     # uniform frame-sampling plan for video-like assets
-    # (training/multimodal.py::frame_sample_plan): per asset, 4
+    # (training/multimodal.py::uniform_frame_plan): per asset, 4
     # uniformly spaced frame indices over a deterministically derived
     # frame count (len div 100 + 1 — the testdata stand-in for real
     # container metadata), idx = (j·(n−1)) div 3, first and last
     # frame always in. The exact, shuffle-free planning half of the
     # decode pipeline (decode itself stays a documented stub — no
     # codec libs in this container).
-    from dr_source_spark.training.multimodal import frame_sample_plan
+    from dr_source_spark.training.multimodal import uniform_frame_plan
 
-    return frame_sample_plan(_t(spark, sf_dir, "documents"))
+    return uniform_frame_plan(_t(spark, sf_dir, "documents"))
 
 
 _FRAME_PLAN_SQL = """

@@ -812,10 +812,13 @@ def audio_fingerprint_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame
     )
 
 
-def frame_sample_plan(
+def uniform_frame_plan(
     documents: DataFrame, n_samples: int = 4, chars_per_frame: int = 100
 ) -> DataFrame:
     """Uniform FRAME-SAMPLING plan for video-like assets — the
+    fixed-budget complement of ``frame_sample_plan`` above (that one
+    strides every Nth frame, cost ∝ asset length; this one spends
+    exactly ``n_samples`` per asset whatever its length) — the
     Spark-side planning half of a frame-extraction pipeline: given
     per-asset frame counts (derived deterministically here as
     len(text) div chars_per_frame + 1, the testdata stand-in for real

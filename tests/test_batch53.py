@@ -71,7 +71,7 @@ def test_returns_by_lag_hand_computed(spark):
 # ------------------------------------------------------------- frame_sample_plan
 
 def test_frame_plan_hand_computed(spark):
-    from dr_source_spark.training.multimodal import frame_sample_plan
+    from dr_source_spark.training.multimodal import uniform_frame_plan
 
     rows = [
         (0, "x" * 350),   # 350 div 100 + 1 = 4 frames -> idx 0,1,2,3
@@ -80,7 +80,7 @@ def test_frame_plan_hand_computed(spark):
         (3, None),        # NULL text -> same as empty
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = frame_sample_plan(df).collect()
+    out = uniform_frame_plan(df).collect()
     plan = {}
     for r in out:
         plan.setdefault(r["doc_id"], []).append((r["frame_j"], r["frame_idx"], r["n_frames"]))
