@@ -1436,3 +1436,46 @@ def trade_balance(
             ).alias("supp_to_cust_bp"),
         )
     )
+
+
+def segment_profile(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """MARKET-SEGMENT profile — the account-planning rollup over the
+    one TPC-H dimension nothing else in the deck reads
+    (c_mktsegment): per segment, customer count, order count,
+    exact-cent revenue, the segment's revenue share in truncated bp,
+    and the truncated mean order value. Distinguishes the big-segment
+    /small-ticket and small-segment/big-ticket shapes a revenue
+    headline hides.
+
+    Scale shape: one orderkey-side aggregate is unnecessary — orders
+    carry o_totalprice — so a single custkey equi-join onto a
+    2-column customer projection, one bounded groupBy, shares
+    windowed over the ≤|segments| aggregate. Output: (c_mktsegment,
+    n_customers, n_orders, revenue_cents, revenue_share_bp,
+    avg_order_cents).
+    """
+    j = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).join(
+        customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per = j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("c").cast("long").alias("revenue_cents"),
+    )
+    return per.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_orders",
+        "revenue_cents",
+        F.expr(
+            "CAST((10000 * revenue_cents)"
+            " div (sum(revenue_cents) over ()) AS BIGINT)"
+        ).alias("revenue_share_bp"),
+        F.expr("CAST(revenue_cents div n_orders AS BIGINT)").alias(
+            "avg_order_cents"
+        ),
+    )

@@ -3157,3 +3157,80 @@ def order_size_histogram(lineitem: DataFrame) -> DataFrame:
             "CAST((10000 * n_orders) div (sum(n_orders) over ()) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def tax_audit(lineitem: DataFrame) -> DataFrame:
+    """TAX-TIER audit — discount_audit's sibling on the other pricing
+    lever: per tax level, line volume, the net taxable base
+    (extendedprice·(1−discount), the q1 charge convention), the tax
+    actually collected — both exact cents, each product rounded once
+    — and the realized effective rate in truncated bp (the 8 % tier
+    must read ~800 bp; a drift is a pricing-pipeline bug).
+
+    Output: (tax_pct, n_lines, base_cents, tax_cents, effective_bp).
+
+    Scale shape: a 3-column derived projection + one ≤ 9-ary groupBy
+    with map-side combine.
+    """
+    base = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = lineitem.select(
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+        F.round(base * 100).cast("long").alias("b"),
+        (
+            F.round(base * (1 + F.col("l_tax")) * 100).cast("long")
+            - F.round(base * 100).cast("long")
+        ).alias("t"),
+    ).groupBy("tax_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("b").cast("long").alias("base_cents"),
+        F.sum("t").cast("long").alias("tax_cents"),
+    )
+    return per.select(
+        "tax_pct",
+        "n_lines",
+        "base_cents",
+        "tax_cents",
+        F.expr("CAST((10000 * tax_cents) div base_cents AS BIGINT)").alias(
+            "effective_bp"
+        ),
+    )
+
+
+def key_skew_census(events: DataFrame, k: int = 10) -> DataFrame:
+    """HOT-KEY census — the skew diagnostic that feeds the salting /
+    AQE policy decisions (operators/skew.py) as a human-readable
+    report: the k heaviest user keys with exact event counts, each
+    key's share of the whole stream, and the running cumulative share
+    (both truncated bp). "Three users are 40 % of the stream" is the
+    sentence that justifies a salted groupBy before anyone writes
+    one.
+
+    Output: (rank, user_id, n_events, share_bp, cum_share_bp), k
+    rows. Scale shape: one narrow groupBy(user), a TakeOrdered k-cut,
+    then rank/cumsum windows over the K-ROW cut only (the global
+    total rides the aggregate via a scalar-free window on the cut
+    plus the total carried per row).
+    """
+    per = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    # total via a 1-row aggregate broadcast onto the k-row cut — an
+    # unpartitioned window here would funnel the whole per-user table
+    # through one task (the RFM bounds pattern)
+    tot = per.agg(F.sum("n_events").cast("long").alias("_tot"))
+    top = (
+        per.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(int(k))
+        .crossJoin(F.broadcast(tot))
+    )
+    wr = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "user_id",
+        "n_events",
+        F.expr("CAST((10000 * n_events) div _tot AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CAST((10000 * sum(n_events) over (order by n_events desc,"
+            " user_id asc rows unbounded preceding)) div _tot AS BIGINT)"
+        ).alias("cum_share_bp"),
+    )
