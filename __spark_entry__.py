@@ -12938,6 +12938,109 @@ FROM top CROSS JOIN tot
 """
 
 
+def _supplier_shard_plan(spark, sf_dir):
+    # load-aware snake-order shard plan
+    # (operators/layout.py::snake_shard_plan): suppliers ranked by
+    # exact revenue, dealt into 8 shards boustrophedon (near-LPT,
+    # fully deterministic and shuffle-expressible — true greedy LPT is
+    # sequential) — the load-balanced complement of the key-stable
+    # consistent-hash reshard planner. Output = the per-shard load
+    # census with fairness ratio (10000 = perfect).
+    from dr_source_spark.operators.layout import snake_shard_plan
+
+    return snake_shard_plan(_t(spark, sf_dir, "lineitem"))
+
+
+_SHARD_PLAN_SQL = """
+WITH per AS (SELECT l_suppkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev
+             FROM lineitem GROUP BY 1),
+a AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, l_suppkey) - 1 AS r0
+      FROM per),
+s AS (SELECT rev,
+             CAST(CASE WHEN (r0 % 16) < 8 THEN r0 % 16
+                       ELSE 15 - (r0 % 16) END AS BIGINT) AS shard
+      FROM a),
+sh AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_suppliers,
+              CAST(sum(rev) AS BIGINT) AS load_cents
+       FROM s GROUP BY 1)
+SELECT shard, n_suppliers, load_cents,
+       CAST((10000 * load_cents) // (sum(load_cents) OVER ()) AS BIGINT)
+         AS load_share_bp,
+       CAST((10000 * 8 * load_cents) // (sum(load_cents) OVER ()) AS BIGINT)
+         AS vs_fair_bp
+FROM sh
+"""
+
+
+def _kg_message_templates(spark, sf_dir):
+    # finding-message template census
+    # (operators/triples.py::message_templates): digit runs collapse
+    # to '#', so per-instance identifiers fold away and each row
+    # counts one message CLASS — the "500 findings are really 4
+    # messages" triage view and the unstable-message-text canary.
+    from dr_source_spark.operators.triples import message_templates
+
+    return message_templates(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_message_templates_sql() -> str:
+    import re as _re
+    from collections import Counter
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS, _sq
+
+    cells: Counter = Counter()
+    for tpl, fs in EXPECTED_FINDINGS.items():
+        for f in fs:
+            disp = (
+                f"{f[0]} (AST Taint)"
+                if f[3] not in (None, "structural")
+                else f[0]
+            )
+            template = _re.sub(r"[0-9]+", "#", f[2].replace("{N}", "0"))
+            cells[(tpl, disp, template)] += 1
+    rows = [
+        f"({tpl}, '{disp}', {_sq(t)}, {k})"
+        for (tpl, disp, t), k in sorted(cells.items())
+    ]
+    return f"""
+WITH per_tpl(tpl, vuln_type, template, k) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents)
+SELECT vuln_type, template, CAST(sum(k) AS BIGINT) AS n_findings
+FROM docs JOIN per_tpl USING (tpl)
+GROUP BY vuln_type, template
+"""
+
+
+def _part_size_price_curve(spark, sf_dir):
+    # price-vs-size curve (operators/stats.py::size_price_curve): per
+    # p_size, part count + exact lower-median retail cents at the
+    # brand_price_dispersion quartile convention (k=2), so the two
+    # reports reconcile on shared groups. Bounded rank window over the
+    # part dim.
+    from dr_source_spark.operators.stats import size_price_curve
+
+    return size_price_curve(_t(spark, sf_dir, "part"))
+
+
+_SIZE_PRICE_SQL = """
+WITH pc AS (SELECT p_size, p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS c
+            FROM part),
+r AS (SELECT p_size, c,
+             CAST(row_number() OVER (PARTITION BY p_size
+                                     ORDER BY c, p_partkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY p_size) AS BIGINT) AS n
+      FROM pc)
+SELECT p_size, CAST(max(n) AS BIGINT) AS n_parts,
+       CAST(max(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 THEN c END) AS BIGINT)
+         AS median_cents
+FROM r GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13289,6 +13392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_segment_profile": _customer_segment_profile,
         "lineitem_tax_audit": _lineitem_tax_audit,
         "events_key_skew": _events_key_skew,
+        "supplier_shard_plan": _supplier_shard_plan,
+        "kg_message_templates": _kg_message_templates,
+        "part_size_price_curve": _part_size_price_curve,
     }
 
 
@@ -13628,4 +13734,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_profile": _SEGMENT_PROFILE_SQL,
         "lineitem_tax_audit": _TAX_AUDIT_SQL,
         "events_key_skew": _KEY_SKEW_SQL,
+        "supplier_shard_plan": _SHARD_PLAN_SQL,
+        "kg_message_templates": _kg_message_templates_sql(),
+        "part_size_price_curve": _SIZE_PRICE_SQL,
     }

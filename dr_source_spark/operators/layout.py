@@ -419,3 +419,64 @@ def reshard_plan(
         "moved_bp",
         F.expr("CAST(CASE WHEN n_rows > 0 THEN 10000 * n_moved div n_rows END AS BIGINT)"),
     )
+
+
+def snake_shard_plan(
+    lineitem: "DataFrame", n_shards: int = 8
+) -> "DataFrame":
+    """LOAD-AWARE SHARD PLAN by snake (boustrophedon) assignment — the
+    layout-planning complement of consistent-hash resharding (that one
+    is key-stable; this one is load-balanced): suppliers ranked by
+    exact-cent revenue descending, dealt into ``n_shards`` in snake
+    order (1..N, then N..1, …) so each pass pairs a heavy pick with a
+    light slot — the classic near-LPT heuristic that is fully
+    deterministic and shuffle-expressible (greedy true-LPT is
+    inherently sequential). Output is the per-shard LOAD CENSUS the
+    planner reads: supplier count, load, exact share bp, and the
+    balance ratio vs the ideal equal split in bp (10 000 = perfectly
+    fair).
+
+    Output: (shard, n_suppliers, load_cents, load_share_bp,
+    vs_fair_bp).
+
+    Scale shape: one narrow per-supplier aggregate, one rank window
+    over that aggregate (bounded by supplier count, not line count),
+    one ≤ n_shards merge.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    per = lineitem.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+    n = int(n_shards)
+    assigned = per.select(
+        "rev",
+        (F.row_number().over(w) - 1).alias("r0"),
+    ).select(
+        "rev",
+        F.expr(
+            f"CAST(CASE WHEN (r0 % {2 * n}) < {n} THEN r0 % {2 * n}"
+            f" ELSE {2 * n - 1} - (r0 % {2 * n}) END AS BIGINT)"
+        ).alias("shard"),
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("load_cents"),
+    )
+    return shards.select(
+        "shard",
+        "n_suppliers",
+        "load_cents",
+        F.expr(
+            "CAST((10000 * load_cents) div (sum(load_cents) over ())"
+            " AS BIGINT)"
+        ).alias("load_share_bp"),
+        F.expr(
+            f"CAST((10000 * {n} * load_cents)"
+            " div (sum(load_cents) over ()) AS BIGINT)"
+        ).alias("vs_fair_bp"),
+    )

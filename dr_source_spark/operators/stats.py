@@ -3234,3 +3234,39 @@ def key_skew_census(events: DataFrame, k: int = 10) -> DataFrame:
             " user_id asc rows unbounded preceding)) div _tot AS BIGINT)"
         ).alias("cum_share_bp"),
     )
+
+
+def size_price_curve(part: DataFrame) -> DataFrame:
+    """PRICE-VS-SIZE curve over the part dimension: per p_size, the
+    part count and the exact lower-median retail price in cents
+    (rank ((n−1)·2) div 4 + 1 — the brand_price_dispersion quartile
+    convention at k = 2, so the two reports reconcile cell-for-cell
+    on shared groups). The "does bigger cost more" curve a pricing
+    analyst eyeballs for monotonicity breaks.
+
+    Output: (p_size, n_parts, median_cents).
+
+    Scale shape: one per-size rank window over the part dim + one
+    conditional aggregate; size cardinality is bounded.
+    """
+    cents = part.select(
+        "p_size",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("c"),
+    )
+    wb = Window.partitionBy("p_size").orderBy(F.asc("c"), F.asc("p_partkey"))
+    wf = Window.partitionBy("p_size")
+    ranked = cents.select(
+        "p_size",
+        "c",
+        F.row_number().over(wb).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n"),
+    )
+    return ranked.groupBy("p_size").agg(
+        F.max("n").cast("long").alias("n_parts"),
+        F.max(
+            F.when(F.col("rn") == F.expr("((n - 1) * 2) div 4 + 1"), F.col("c"))
+        )
+        .cast("long")
+        .alias("median_cents"),
+    )

@@ -337,3 +337,31 @@ def severity_by_lang(files: DataFrame, findings: DataFrame) -> DataFrame:
             " div (sum(n_findings) over (partition by lang)) AS BIGINT)"
         ).alias("lang_share_bp"),
     )
+
+
+def message_templates(findings: DataFrame) -> DataFrame:
+    """FINDING-MESSAGE TEMPLATE census — triage by message SHAPE:
+    digit runs collapse to '#' (regexp_replace(message, '[0-9]+',
+    '#')), so per-instance identifiers (line numbers, generated
+    variable suffixes) fold away and each (vuln_type, template) row
+    counts one *class* of message. The "500 findings are really 4
+    messages" view a security reviewer reads first, and the canary
+    for a detector suddenly emitting unstable message text.
+
+    Output: (vuln_type, template, n_findings).
+
+    Scale shape: a 2-column projection (messages reduce to templates
+    in-stage) + one low-cardinality groupBy with map-side combine —
+    cardinality is bounded by the rule catalog, not the finding
+    count.
+    """
+    return (
+        findings.select(
+            "vuln_type",
+            F.regexp_replace(F.col("message"), "[0-9]+", "#").alias(
+                "template"
+            ),
+        )
+        .groupBy("vuln_type", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_findings"))
+    )
