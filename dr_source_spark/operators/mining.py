@@ -441,3 +441,43 @@ def monthly_streaks(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("run_len").cast("long").alias("max_streak_months"),
     )
+
+
+def gap_histogram(orders: DataFrame, min_orders: int = 3) -> DataFrame:
+    """Customer PURCHASE-RHYTHM histogram — the population view over
+    the same per-customer mean inter-order gap overdue_customers
+    screens individually: customers bucketed by mean gap in whole
+    weeks (span div n_gaps div 7, truncated — the shared integer-mean
+    convention), with exact bp shares. The capacity/planning shape
+    ("most of the base reorders every N weeks") behind reactivation
+    cadence choices.
+
+    Output: (mean_gap_weeks, n_customers, share_bp).
+
+    Scale shape: one narrow per-customer aggregate, one bounded
+    histogram aggregate; shares window over the histogram only.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    hist = (
+        per.filter(F.col("n_orders") >= int(min_orders))
+        .select(
+            F.expr(
+                "CAST(datediff(last_d, first_d) div (n_orders - 1) div 7"
+                " AS BIGINT)"
+            ).alias("mean_gap_weeks")
+        )
+        .groupBy("mean_gap_weeks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    return hist.select(
+        "mean_gap_weeks",
+        "n_customers",
+        F.expr(
+            "CAST((10000 * n_customers) div (sum(n_customers) over ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -3270,3 +3270,41 @@ def size_price_curve(part: DataFrame) -> DataFrame:
         .cast("long")
         .alias("median_cents"),
     )
+
+
+def type_burstiness(events: DataFrame) -> DataFrame:
+    """Per-type TEMPORAL BURSTINESS — peak-to-mean hourly rate, exact:
+    events bucketed to the hour, and each type reports its busiest
+    hour's count against its own all-hours mean as burst_bp =
+    (10⁴·max_hour·n_hours) div total (10⁴ = perfectly flat; a
+    10×-spike type reads ~10⁵). n_hours counts the type's OWN active
+    hours, so a sparse type is not flattered by silence. The
+    time-axis sibling of the per-word Gopher/burstiness text metrics
+    and the load number an ingestion autoscaler keys on.
+
+    Output: (event_type, n_events, n_hours, max_hour_events,
+    burst_bp).
+
+    Scale shape: one (type, hour) groupBy with map-side combine, then
+    a bounded per-type aggregate. Nothing re-reads the fact table.
+    """
+    hourly = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max("n").cast("long").alias("max_hour_events"),
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "n_hours",
+        "max_hour_events",
+        F.expr(
+            "CAST((10000 * max_hour_events * n_hours) div n_events AS BIGINT)"
+        ).alias("burst_bp"),
+    )

@@ -1142,3 +1142,43 @@ def lsh_bucket_balance(
             " div (sum(bucket_size * n_buckets) over ()) AS BIGINT)"
         ).alias("mass_bp"),
     )
+
+
+def dim_variance_ranking(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension VARIANCE ranking over the quantized (int8 index-
+    space) embedding stream — the diagonal of the exact integer
+    scatter matrix the PCA monitors consume (var_n2 = n·Σq² − (Σq)²,
+    the n²-scaled variance, exact in int64), ranked descending. The
+    "which dimensions carry signal" census: near-zero entries are
+    dead dimensions an index could prune; the rank order is the
+    cheap per-dim complement of emb_pca_top's rotated direction.
+
+    Output: (dim, var_n2, rank), one row per dimension,
+    deterministic rank tiebreak on dim.
+
+    Scale shape: one posexplode + one per-dim aggregate (dim
+    cardinality bounded), the count broadcast via a 1-row aggregate,
+    rank window over the ≤dim-row table.
+    """
+    q = _qrows(embeddings, id_col, vec_col)
+    n = q.select(F.col(id_col)).distinct().count()
+    per = q.groupBy("dim").agg(
+        F.sum(F.col("qv")).cast("long").alias("s"),
+        F.sum(F.expr("CAST(qv AS BIGINT) * qv")).cast("long").alias("sq"),
+    )
+    scored = per.select(
+        F.col("dim").cast("long").alias("dim"),
+        (F.lit(int(n)) * F.col("sq") - F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("var_n2"),
+    )
+    return scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("var_n2"), F.asc("dim")))
+        .cast("long"),
+    )
