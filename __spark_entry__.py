@@ -13121,6 +13121,70 @@ FROM g
 """
 
 
+def _dedup_method_agreement(spark, sf_dir):
+    # classic-vs-OPH candidate agreement census
+    # (training/dedup.py::candidate_agreement): pairs both methods
+    # surface vs each method's exclusives, exact bp of the union — the
+    # migration receipt for the ~5× cheaper OPH signature path (what
+    # its densified banding gives up or gains). One full outer
+    # equi-join of the two existing banded pipelines.
+    from dr_source_spark.training.dedup import candidate_agreement
+
+    return candidate_agreement(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_method_agreement_sql() -> str:
+    # composes the two EXISTING verified candidate oracles as
+    # subqueries (their WITH chains stay scoped inside), so the
+    # agreement oracle cannot drift from either method's own gate
+    return f"""
+WITH fullp AS (SELECT * FROM ({_DEDUP_LSH_SQL}) f),
+ophp AS (SELECT * FROM ({_DEDUP_LSH_OPH_SQL}) o),
+m AS (SELECT coalesce(f.doc_a, o.doc_a) AS doc_a,
+             coalesce(f.doc_b, o.doc_b) AS doc_b,
+             (f.doc_a IS NOT NULL) AS in_full,
+             (o.doc_a IS NOT NULL) AS in_oph
+      FROM fullp f FULL JOIN ophp o
+        ON o.doc_a = f.doc_a AND o.doc_b = f.doc_b),
+a AS (SELECT CASE WHEN in_full AND in_oph THEN 'both'
+                  WHEN in_full THEN 'full_only'
+                  ELSE 'oph_only' END AS status,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY 1)
+SELECT status, n_pairs,
+       CAST((10000 * n_pairs) // (sum(n_pairs) OVER ()) AS BIGINT)
+         AS share_bp
+FROM a
+"""
+
+
+def _customer_balance_buckets(spark, sf_dir):
+    # account-balance histogram in $500 buckets, negatives included
+    # (operators/stats.py::balance_buckets): the credit-exposure
+    # profile, with the bucket key pinned to mathematical FLOOR —
+    # Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    # a silent cross-engine divergence on every negative balance, so
+    # both sides compute floor from non-negative operands explicitly.
+    from dr_source_spark.operators.stats import balance_buckets
+
+    return balance_buckets(_t(spark, sf_dir, "customer"))
+
+
+_BALANCE_BUCKETS_SQL = """
+WITH c AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+b AS (SELECT CAST(CASE WHEN c >= 0 THEN c // 50000
+                       ELSE -((-c + 49999) // 50000) END AS BIGINT)
+               AS bucket
+      FROM c),
+h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers
+      FROM b GROUP BY 1)
+SELECT bucket, CAST(bucket * 50000 AS BIGINT) AS lo_cents, n_customers,
+       CAST((10000 * n_customers) // (sum(n_customers) OVER ()) AS BIGINT)
+         AS share_bp
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13478,6 +13542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dim_variance": _emb_dim_variance,
         "events_burstiness": _events_burstiness,
         "orders_gap_histogram": _orders_gap_histogram,
+        "dedup_method_agreement": _dedup_method_agreement,
+        "customer_balance_buckets": _customer_balance_buckets,
     }
 
 
@@ -13823,4 +13889,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_dim_variance": _emb_dim_variance_sql(),
         "events_burstiness": _BURSTINESS_SQL,
         "orders_gap_histogram": _GAP_HISTOGRAM_SQL,
+        "dedup_method_agreement": _dedup_method_agreement_sql(),
+        "customer_balance_buckets": _BALANCE_BUCKETS_SQL,
     }

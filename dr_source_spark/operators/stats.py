@@ -3308,3 +3308,42 @@ def type_burstiness(events: DataFrame) -> DataFrame:
             "CAST((10000 * max_hour_events * n_hours) div n_events AS BIGINT)"
         ).alias("burst_bp"),
     )
+
+
+def balance_buckets(customer: DataFrame, bucket_cents: int = 50000) -> DataFrame:
+    """Account-balance HISTOGRAM in fixed $500 buckets, negatives
+    included — the credit-exposure profile. The bucket key is the
+    mathematical FLOOR of cents/bucket (so −0.01 lands in bucket −1,
+    not bucket 0): Spark's integer `div` truncates toward zero while
+    DuckDB's `//` floors, a silent cross-engine divergence on every
+    negative balance — both sides therefore compute floor explicitly
+    from non-negative operands only (CASE on sign), which this
+    operator pins as the convention.
+
+    Output: (bucket, lo_cents, n_customers, share_bp); lo_cents =
+    bucket·bucket_cents is the bucket's inclusive lower edge.
+
+    Scale shape: a 1-column derived projection + one bounded groupBy;
+    shares window over the histogram only.
+    """
+    b = int(bucket_cents)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    bucket = F.expr(
+        f"CAST(CASE WHEN c >= 0 THEN c div {b}"
+        f" ELSE -((-c + {b - 1}) div {b}) END AS BIGINT)"
+    )
+    hist = (
+        customer.select(cents.alias("c"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    return hist.select(
+        "bucket",
+        (F.col("bucket") * b).cast("long").alias("lo_cents"),
+        "n_customers",
+        F.expr(
+            "CAST((10000 * n_customers) div (sum(n_customers) over ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )

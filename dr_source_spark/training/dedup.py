@@ -1201,3 +1201,46 @@ def jaccard_threshold_sweep(
             "share_bp"
         ),
     )
+
+
+def candidate_agreement(documents: DataFrame) -> DataFrame:
+    """DEDUP-METHOD AGREEMENT census — classic minhash-LSH versus OPH
+    (one-permutation-hashing) candidate generation over the SAME
+    corpus: how many candidate pairs both surface, how many each finds
+    alone, with exact bp shares of the union. The method-migration
+    receipt: OPH is the ~5× cheaper signature path, and this table is
+    the evidence of what its densified banding gives up (or gains)
+    versus the per-hash classic family before a pipeline switches
+    over.
+
+    Output: (status ∈ {both, full_only, oph_only}, n_pairs, share_bp).
+
+    Scale shape: both generators are the existing banded pipelines
+    (never all-pairs); the agreement is one full outer equi-join on
+    the pair key plus a 3-row aggregate.
+    """
+    full = minhash_lsh_candidates(documents).select("doc_a", "doc_b")
+    oph = oph_lsh_candidates(documents).select("doc_a", "doc_b")
+    m = full.withColumn("in_full", F.lit(1)).join(
+        oph.withColumn("in_oph", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    cells = (
+        m.select(
+            F.when(
+                F.col("in_full").isNotNull() & F.col("in_oph").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("in_full").isNotNull(), F.lit("full_only"))
+            .otherwise(F.lit("oph_only"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return cells.select(
+        "status",
+        "n_pairs",
+        F.expr(
+            "CAST((10000 * n_pairs) div (sum(n_pairs) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
