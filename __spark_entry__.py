@@ -13185,6 +13185,106 @@ FROM h
 """
 
 
+def _kg_subject_kinds(spark, sf_dir):
+    # triple-shape census (operators/triples.py::subject_kinds): every
+    # subject classified by fragment form (file / #L<n> line anchor /
+    # #var: taint anchor) × predicate, exact bp shares — the
+    # graph-consumer's first sanity check ("do FLOWS_TO edges always
+    # hang off variables?") and the malformed-URI canary. Subjects
+    # reduce to kinds in-stage.
+    from dr_source_spark.operators.triples import subject_kinds
+
+    return subject_kinds(_kg_triples(spark, sf_dir).triples)
+
+
+def _kg_subject_kinds_sql() -> str:
+    import re as _re
+    from collections import Counter
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_TRIPLES
+
+    cells: Counter = Counter()
+    for tpl, (_path, ts) in EXPECTED_TRIPLES.items():
+        for frag, pred, _obj, _line, _tr in ts:
+            if frag.startswith("#var:"):
+                kind = "variable"
+            elif _re.search(r"#L[0-9]+$", frag):
+                kind = "line"
+            else:
+                kind = "file"
+            cells[(tpl, kind, pred)] += 1
+    rows = [
+        f"({tpl}, '{kind}', '{pred}', {k})"
+        for (tpl, kind, pred), k in sorted(cells.items())
+    ]
+    return f"""
+WITH per_tpl(tpl, subj_kind, pred, k) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents),
+a AS (SELECT subj_kind, pred, CAST(sum(k) AS BIGINT) AS n_triples
+      FROM docs JOIN per_tpl USING (tpl)
+      GROUP BY 1, 2)
+SELECT subj_kind, pred, n_triples,
+       CAST((10000 * n_triples) // (sum(n_triples) OVER ()) AS BIGINT)
+         AS share_bp
+FROM a
+"""
+
+
+def _orders_year_growth(spark, sf_dir):
+    # year-over-year revenue growth (operators/stats.py::year_growth):
+    # per year, exact-cent revenue and signed truncated-bp growth vs
+    # the previous year (sign factored so truncation is toward zero on
+    # both engines; first year NULL) — the board-deck number beside
+    # the MoM monitor; partial boundary years stay visible.
+    from dr_source_spark.operators.stats import year_growth
+
+    return year_growth(_t(spark, sf_dir, "orders"))
+
+
+_YEAR_GROWTH_SQL = """
+WITH per AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+                    CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev_cents
+             FROM orders GROUP BY 1),
+l AS (SELECT *, lag(rev_cents) OVER (ORDER BY o_year) AS prev FROM per)
+SELECT o_year, n_orders, rev_cents,
+       CASE WHEN prev > 0 THEN
+         CASE WHEN rev_cents >= prev
+              THEN CAST((10000 * (rev_cents - prev)) // prev AS BIGINT)
+              ELSE CAST(-((10000 * (prev - rev_cents)) // prev) AS BIGINT)
+         END
+       END AS yoy_bp
+FROM l
+"""
+
+
+def _lineitem_quantity_profile(spark, sf_dir):
+    # quantity-mix profile (operators/stats.py::quantity_profile): per
+    # integer quantity, line and revenue shares in bp — the two
+    # disagreeing (small quantities overweight in lines, underweight
+    # in revenue) is exactly the shape q17's threshold exploits. One
+    # ≤50-ary map-side groupBy.
+    from dr_source_spark.operators.stats import quantity_profile
+
+    return quantity_profile(_t(spark, sf_dir, "lineitem"))
+
+
+_QUANTITY_PROFILE_SQL = """
+WITH per AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                    CAST(count(*) AS BIGINT) AS n_lines,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev_cents
+             FROM lineitem GROUP BY 1)
+SELECT qty, n_lines, rev_cents,
+       CAST((10000 * n_lines) // (sum(n_lines) OVER ()) AS BIGINT)
+         AS line_share_bp,
+       CAST((10000 * rev_cents) // (sum(rev_cents) OVER ()) AS BIGINT)
+         AS rev_share_bp
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13544,6 +13644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gap_histogram": _orders_gap_histogram,
         "dedup_method_agreement": _dedup_method_agreement,
         "customer_balance_buckets": _customer_balance_buckets,
+        "kg_subject_kinds": _kg_subject_kinds,
+        "orders_year_growth": _orders_year_growth,
+        "lineitem_quantity_profile": _lineitem_quantity_profile,
     }
 
 
@@ -13891,4 +13994,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_gap_histogram": _GAP_HISTOGRAM_SQL,
         "dedup_method_agreement": _dedup_method_agreement_sql(),
         "customer_balance_buckets": _BALANCE_BUCKETS_SQL,
+        "kg_subject_kinds": _kg_subject_kinds_sql(),
+        "orders_year_growth": _YEAR_GROWTH_SQL,
+        "lineitem_quantity_profile": _QUANTITY_PROFILE_SQL,
     }

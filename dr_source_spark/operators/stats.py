@@ -3347,3 +3347,79 @@ def balance_buckets(customer: DataFrame, bucket_cents: int = 50000) -> DataFrame
             " AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def year_growth(orders: DataFrame) -> DataFrame:
+    """YEAR-over-year revenue growth — the board-deck number beside
+    the MoM monitor's operational one: per calendar year, order count,
+    exact-cent revenue, and growth vs the PREVIOUS year in signed
+    truncated bp (cross-multiplied, sign factored so truncation is
+    toward zero on both engines; NULL for the first year). A partial
+    first/last calendar year shows up as a violent swing — that is
+    the honest readout, not a bug, and the report leaves it visible.
+
+    Output: (o_year, n_orders, rev_cents, yoy_bp).
+
+    Scale shape: one ≤ |years|-ary groupBy with map-side combine; the
+    lag window runs over the tiny aggregate.
+    """
+    per = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    w = Window.orderBy(F.asc("o_year"))
+    return per.select(
+        "o_year",
+        "n_orders",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("_prev"),
+    ).select(
+        "o_year",
+        "n_orders",
+        "rev_cents",
+        F.expr(
+            "CAST(CASE WHEN _prev > 0 THEN"
+            " CASE WHEN rev_cents >= _prev"
+            "   THEN (10000 * (rev_cents - _prev)) div _prev"
+            "   ELSE -((10000 * (_prev - rev_cents)) div _prev) END"
+            " END AS BIGINT)"
+        ).alias("yoy_bp"),
+    )
+
+
+def quantity_profile(lineitem: DataFrame) -> DataFrame:
+    """QUANTITY-mix profile — the q17 small-quantity drilldown
+    generalized to every quantity level: per integer quantity, line
+    count, exact-cent revenue, and both the volume share and the
+    revenue share in bp. The two shares DISAGREEING (small quantities
+    overweight in lines, underweight in revenue) is the shape q17's
+    threshold exploits.
+
+    Output: (qty, n_lines, rev_cents, line_share_bp, rev_share_bp).
+
+    Scale shape: a 2-column projection + one ≤ 50-ary groupBy with
+    map-side combine; shares window over the profile only.
+    """
+    per = lineitem.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    ).groupBy("qty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("c").cast("long").alias("rev_cents"),
+    )
+    return per.select(
+        "qty",
+        "n_lines",
+        "rev_cents",
+        F.expr(
+            "CAST((10000 * n_lines) div (sum(n_lines) over ()) AS BIGINT)"
+        ).alias("line_share_bp"),
+        F.expr(
+            "CAST((10000 * rev_cents) div (sum(rev_cents) over ())"
+            " AS BIGINT)"
+        ).alias("rev_share_bp"),
+    )

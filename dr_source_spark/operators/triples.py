@@ -365,3 +365,40 @@ def message_templates(findings: DataFrame) -> DataFrame:
         .groupBy("vuln_type", "template")
         .agg(F.count(F.lit(1)).cast("long").alias("n_findings"))
     )
+
+
+def subject_kinds(triples: DataFrame) -> DataFrame:
+    """TRIPLE-SHAPE census — the KG's own data-quality profile: every
+    subject classified by its fragment form (``file`` — bare file
+    URI, ``line`` — ``#L<n>`` regex-tier anchor, ``variable`` —
+    ``#var:<name>`` taint anchor) crossed with the predicate, with
+    exact bp shares. The first thing a graph consumer checks before
+    writing traversals ("do FLOWS_TO edges really always hang off
+    variables?") and the canary for a projection emitting malformed
+    URIs.
+
+    Output: (subj_kind, pred, n_triples, share_bp).
+
+    Scale shape: a 2-column projection (subjects reduce to kinds
+    in-stage) + one bounded groupBy; shares window over the ≤ 3·|preds|
+    cell table.
+    """
+    kind = (
+        F.when(F.col("subj").contains("#var:"), F.lit("variable"))
+        .when(F.col("subj").rlike("#L[0-9]+$"), F.lit("line"))
+        .otherwise(F.lit("file"))
+    )
+    cells = (
+        triples.select(kind.alias("subj_kind"), "pred")
+        .groupBy("subj_kind", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+    )
+    return cells.select(
+        "subj_kind",
+        "pred",
+        "n_triples",
+        F.expr(
+            "CAST((10000 * n_triples) div (sum(n_triples) over ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )
