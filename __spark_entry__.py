@@ -13285,6 +13285,91 @@ FROM per
 """
 
 
+def _supplier_return_outliers(spark, sf_dir):
+    # vendor-quality outlier screen
+    # (operators/relational.py::return_outlier_suppliers): suppliers
+    # whose return rate runs > 2× the corpus rate, cross-multiplied
+    # (no rate materialized) and volume-floored (≥20 lines). The
+    # population screen fed by the scorecard's return column; corpus
+    # totals broadcast via a 1-row aggregate.
+    from dr_source_spark.operators.relational import return_outlier_suppliers
+
+    return return_outlier_suppliers(_t(spark, sf_dir, "lineitem"))
+
+
+_RETURN_OUTLIERS_SQL = """
+WITH per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_returns
+             FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS tl,
+               CAST(sum(n_returns) AS BIGINT) AS tr
+        FROM per)
+SELECT l_suppkey, n_lines, n_returns,
+       CAST((10000 * n_returns) // n_lines AS BIGINT) AS return_bp,
+       CAST((10000 * tr) // tl AS BIGINT) AS corpus_return_bp
+FROM per CROSS JOIN tot
+WHERE n_lines >= 20 AND n_returns * tl > 2 * tr * n_lines
+"""
+
+
+def _orders_new_vs_repeat(spark, sf_dir):
+    # acquisition-vs-retention revenue split per year
+    # (operators/mining.py::new_vs_repeat): an order is 'new' iff its
+    # year equals its customer's first order year; exact-cent split +
+    # new share bp. First-year via a per-customer aggregate joined
+    # back — no window over the fact table.
+    from dr_source_spark.operators.mining import new_vs_repeat
+
+    return new_vs_repeat(_t(spark, sf_dir, "orders"))
+
+
+_NEW_VS_REPEAT_SQL = """
+WITH base AS (SELECT o_custkey,
+                     CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders),
+f AS (SELECT o_custkey, min(y) AS first_y FROM base GROUP BY 1),
+per AS (SELECT b.y AS o_year,
+               CAST(sum(CASE WHEN b.y = f.first_y THEN b.c ELSE 0 END)
+                    AS BIGINT) AS new_rev_cents,
+               CAST(sum(CASE WHEN b.y <> f.first_y THEN b.c ELSE 0 END)
+                    AS BIGINT) AS repeat_rev_cents
+        FROM base b JOIN f ON f.o_custkey = b.o_custkey
+        GROUP BY 1)
+SELECT o_year, new_rev_cents, repeat_rev_cents,
+       CAST((10000 * new_rev_cents) // (new_rev_cents + repeat_rev_cents)
+            AS BIGINT) AS new_share_bp
+FROM per
+"""
+
+
+def _emb_saturation(spark, sf_dir):
+    # int8 saturation census per dimension
+    # (training/similarity.py::quantize_saturation): which dims hit
+    # the ±127 rail — the per-vector max-abs quantization saturates
+    # exactly the peak-carrying entries, so high-saturation dims are
+    # the ones DOMINATING vectors. The clipping-audit companion to
+    # emb_quantize_stats and emb_dim_variance, on the shared _qrows
+    # stream.
+    from dr_source_spark.training.similarity import quantize_saturation
+
+    return quantize_saturation(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_saturation_sql() -> str:
+    return f"""
+WITH {_EMB_Q_CTES},
+per AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum(CASE WHEN abs(qv) >= 127 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_saturated
+        FROM e GROUP BY 1)
+SELECT CAST(dim AS BIGINT) AS dim, n_values, n_saturated,
+       CAST((10000 * n_saturated) // n_values AS BIGINT) AS sat_bp
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13647,6 +13732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subject_kinds": _kg_subject_kinds,
         "orders_year_growth": _orders_year_growth,
         "lineitem_quantity_profile": _lineitem_quantity_profile,
+        "supplier_return_outliers": _supplier_return_outliers,
+        "orders_new_vs_repeat": _orders_new_vs_repeat,
+        "emb_saturation": _emb_saturation,
     }
 
 
@@ -13997,4 +14085,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_subject_kinds": _kg_subject_kinds_sql(),
         "orders_year_growth": _YEAR_GROWTH_SQL,
         "lineitem_quantity_profile": _QUANTITY_PROFILE_SQL,
+        "supplier_return_outliers": _RETURN_OUTLIERS_SQL,
+        "orders_new_vs_repeat": _NEW_VS_REPEAT_SQL,
+        "emb_saturation": _emb_saturation_sql(),
     }

@@ -481,3 +481,47 @@ def gap_histogram(orders: DataFrame, min_orders: int = 3) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def new_vs_repeat(orders: DataFrame) -> DataFrame:
+    """NEW-vs-REPEAT revenue split per year — the acquisition-vs-
+    retention decomposition every growth review starts with: each
+    order is 'new' iff its year equals its customer's FIRST order
+    year; per year, both revenues in exact cents and the new share in
+    truncated bp. A business sustained by its base and one re-buying
+    its base every year look identical in total revenue — this is the
+    column that separates them.
+
+    Output: (o_year, new_rev_cents, repeat_rev_cents, new_share_bp).
+
+    Scale shape: the first-order year is one narrow per-customer
+    aggregate equi-joined back (no window over the fact table), then
+    one ≤|years| aggregate.
+    """
+    base = orders.select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    first = base.groupBy("o_custkey").agg(F.min("y").alias("first_y"))
+    per = (
+        base.join(first, "o_custkey")
+        .groupBy(F.col("y").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("y") == F.col("first_y"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("new_rev_cents"),
+            F.sum(F.when(F.col("y") != F.col("first_y"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("repeat_rev_cents"),
+        )
+    )
+    return per.select(
+        "o_year",
+        "new_rev_cents",
+        "repeat_rev_cents",
+        F.expr(
+            "CAST((10000 * new_rev_cents)"
+            " div (new_rev_cents + repeat_rev_cents) AS BIGINT)"
+        ).alias("new_share_bp"),
+    )

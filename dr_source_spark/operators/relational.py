@@ -1479,3 +1479,55 @@ def segment_profile(orders: DataFrame, customer: DataFrame) -> DataFrame:
             "avg_order_cents"
         ),
     )
+
+
+def return_outlier_suppliers(
+    lineitem: DataFrame, factor: int = 2, min_lines: int = 20
+) -> DataFrame:
+    """VENDOR-QUALITY outlier screen: suppliers whose return rate runs
+    more than ``factor``× the corpus-wide rate, the comparison kept
+    cross-multiplied (n_returns·total_lines > factor·total_returns·
+    n_lines — no rate is ever materialized) and volume-floored
+    (≥ ``min_lines`` lines; a 1-of-2 returner is noise, not a
+    signal). The population screen the per-supplier scorecard's
+    return column feeds; output is ONLY the flagged suppliers, rate
+    in exact bp beside the corpus rate for context.
+
+    Output: (l_suppkey, n_lines, n_returns, return_bp,
+    corpus_return_bp).
+
+    Scale shape: one narrow per-supplier aggregate; the corpus totals
+    ride a 1-row aggregate broadcast onto it (the RFM bounds
+    pattern).
+    """
+    per = lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("n_returns"),
+    )
+    tot = per.agg(
+        F.sum("n_lines").cast("long").alias("_tl"),
+        F.sum("n_returns").cast("long").alias("_tr"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n_lines") >= int(min_lines))
+            & (
+                F.col("n_returns") * F.col("_tl")
+                > F.lit(int(factor)) * F.col("_tr") * F.col("n_lines")
+            )
+        )
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "n_returns",
+            F.expr("CAST((10000 * n_returns) div n_lines AS BIGINT)").alias(
+                "return_bp"
+            ),
+            F.expr("CAST((10000 * _tr) div _tl AS BIGINT)").alias(
+                "corpus_return_bp"
+            ),
+        )
+    )

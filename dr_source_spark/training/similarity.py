@@ -1182,3 +1182,39 @@ def dim_variance_ranking(
         .over(Window.orderBy(F.desc("var_n2"), F.asc("dim")))
         .cast("long"),
     )
+
+
+def quantize_saturation(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INT8 SATURATION census per dimension — which dimensions hit the
+    ±127 rail: the per-vector max-abs quantization saturates exactly
+    the entries carrying each vector's peak magnitude, so a dimension
+    with a high saturation share is the one DOMINATING vectors (and
+    the one whose values the int8 index represents most coarsely
+    relative to its dynamic range). The clipping-audit companion to
+    emb_quantize_stats (error moments) and emb_dim_variance (signal
+    ranking).
+
+    Output: (dim, n_values, n_saturated, sat_bp).
+
+    Scale shape: the shared _qrows posexplode + one per-dim bounded
+    aggregate.
+    """
+    q = _qrows(embeddings, id_col, vec_col)
+    per = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum((F.abs(F.col("qv")) >= 127).cast("long"))
+        .cast("long")
+        .alias("n_saturated"),
+    )
+    return per.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_values",
+        "n_saturated",
+        F.expr("CAST((10000 * n_saturated) div n_values AS BIGINT)").alias(
+            "sat_bp"
+        ),
+    )
