@@ -13370,6 +13370,59 @@ FROM per
 """
 
 
+def _events_user_diversity(spark, sf_dir):
+    # behavioral-diversity census (operators/stats.py::user_diversity):
+    # users bucketed by distinct event types touched, exact bp shares —
+    # the engagement-breadth histogram separating single-feature users
+    # from power users. Distinct projection → per-user count → bounded
+    # histogram.
+    from dr_source_spark.operators.stats import user_diversity
+
+    return user_diversity(_t(spark, sf_dir, "events"))
+
+
+_USER_DIVERSITY_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types
+        FROM d GROUP BY 1),
+h AS (SELECT n_types, CAST(count(*) AS BIGINT) AS n_users
+      FROM per GROUP BY 1)
+SELECT n_types, n_users,
+       CAST((10000 * n_users) // (sum(n_users) OVER ()) AS BIGINT)
+         AS share_bp
+FROM h
+"""
+
+
+def _text_prefix_families(spark, sf_dir):
+    # templated-prefix family screen (training/text.py::prefix_families):
+    # docs sharing the same normalized 32-char opening form a family —
+    # the cheap boilerplate signal beside the 13-gram span detector;
+    # family-size histogram with DOC shares so "40 % of the corpus
+    # opens identically" reads directly. Prefixes reduce to digests
+    # in-stage.
+    from dr_source_spark.training.text import prefix_families
+
+    return prefix_families(_t(spark, sf_dir, "documents"))
+
+
+_PREFIX_FAMILIES_SQL = r"""
+WITH fp AS (
+  SELECT sha256(substr(regexp_replace(lower(coalesce(text, '')), '\s+', ' ',
+                                      'g'), 1, 32)) AS fp
+  FROM documents),
+fam AS (SELECT fp, CAST(count(*) AS BIGINT) AS family_size
+        FROM fp GROUP BY 1),
+h AS (SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
+      FROM fam GROUP BY 1)
+SELECT family_size, n_families,
+       CAST((10000 * family_size * n_families)
+            // (sum(family_size * n_families) OVER ()) AS BIGINT)
+         AS docs_share_bp
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13735,6 +13788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_return_outliers": _supplier_return_outliers,
         "orders_new_vs_repeat": _orders_new_vs_repeat,
         "emb_saturation": _emb_saturation,
+        "events_user_diversity": _events_user_diversity,
+        "text_prefix_families": _text_prefix_families,
     }
 
 
@@ -14088,4 +14143,6 @@ def oracle_sql() -> dict[str, str]:
         "supplier_return_outliers": _RETURN_OUTLIERS_SQL,
         "orders_new_vs_repeat": _NEW_VS_REPEAT_SQL,
         "emb_saturation": _emb_saturation_sql(),
+        "events_user_diversity": _USER_DIVERSITY_SQL,
+        "text_prefix_families": _PREFIX_FAMILIES_SQL,
     }

@@ -3423,3 +3423,34 @@ def quantity_profile(lineitem: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("rev_share_bp"),
     )
+
+
+def user_diversity(events: DataFrame) -> DataFrame:
+    """BEHAVIORAL-DIVERSITY census — users bucketed by how many
+    DISTINCT event types they touch, with exact bp shares: the
+    engagement-breadth histogram ("most users do one thing" vs
+    "the base uses the whole product") that segments single-feature
+    users from power users before anyone fits a model.
+
+    Output: (n_types, n_users, share_bp).
+
+    Scale shape: one distinct (user, type) projection, one per-user
+    count, one bounded histogram aggregate; shares window over the
+    histogram only.
+    """
+    per = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    )
+    hist = per.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return hist.select(
+        "n_types",
+        "n_users",
+        F.expr(
+            "CAST((10000 * n_users) div (sum(n_users) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -1211,3 +1211,45 @@ def license_screen(documents: DataFrame) -> DataFrame:
             F.sum("_n").cast("long").alias("total_chars"),
         )
     )
+
+
+def prefix_families(documents: DataFrame, prefix_chars: int = 32) -> DataFrame:
+    """TEMPLATED-DOCUMENT screen by shared PREFIX — the cheap
+    boilerplate signal beside the 13-gram span detector: documents
+    whose first ``prefix_chars`` characters (whitespace-normalized,
+    lowercased — the exact-dedup normalization) coincide form a
+    family; families of ≥ 2 are template suspects (form letters,
+    scraped page chrome, generated headers). Reported as the
+    family-size histogram with the share of DOCS (not families)
+    sitting in each size, so "40 % of the corpus opens identically"
+    reads directly.
+
+    Output: (family_size, n_families, docs_share_bp) — singleton
+    families included (family_size 1 = unique openings), so the
+    shares add to ~10⁴ over the whole corpus.
+
+    Scale shape: prefixes reduce to digests in-stage (text never
+    shuffles), one digest groupBy + one bounded histogram; shares
+    window over the histogram only.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+    )
+    fam = (
+        documents.select(
+            F.sha2(F.substring(norm, 1, int(prefix_chars)), 256).alias("_fp")
+        )
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("family_size"))
+    )
+    hist = fam.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families")
+    )
+    return hist.select(
+        "family_size",
+        "n_families",
+        F.expr(
+            "CAST((10000 * family_size * n_families)"
+            " div (sum(family_size * n_families) over ()) AS BIGINT)"
+        ).alias("docs_share_bp"),
+    )

