@@ -13423,6 +13423,94 @@ FROM h
 """
 
 
+def _supplier_catalog_breadth(spark, sf_dir):
+    # generalist-vs-specialist supplier census
+    # (operators/relational.py::catalog_breadth): distinct parts
+    # supplied, exact-bp share of the observed catalog, brands touched
+    # — dual_source_risk's transpose (that asks suppliers-per-part);
+    # catalog size broadcast via a 1-row aggregate.
+    from dr_source_spark.operators.relational import catalog_breadth
+
+    return catalog_breadth(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_CATALOG_BREADTH_SQL = """
+WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS c FROM pairs),
+per AS (SELECT p.l_suppkey,
+               CAST(count(DISTINCT p.l_partkey) AS BIGINT)
+                 AS n_parts_supplied,
+               CAST(count(DISTINCT pt.p_brand) AS BIGINT) AS n_brands
+        FROM pairs p JOIN part pt ON pt.p_partkey = p.l_partkey
+        GROUP BY 1)
+SELECT l_suppkey, n_parts_supplied,
+       CAST((10000 * n_parts_supplied) // cat.c AS BIGINT)
+         AS catalog_share_bp,
+       n_brands
+FROM per CROSS JOIN cat
+"""
+
+
+def _kg_findings_per_file(spark, sf_dir):
+    # findings-per-file histogram
+    # (operators/triples.py::findings_per_file): flagged files bucketed
+    # by finding count, exact bp shares — the remediation-effort shape
+    # ("most flagged files need one fix; a few need a campaign").
+    # Oracle from the per-template finding-count constants.
+    from dr_source_spark.operators.triples import findings_per_file
+
+    return findings_per_file(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_findings_per_file_sql() -> str:
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    rows = [
+        f"({tpl}, {len(fs)})"
+        for tpl, fs in EXPECTED_FINDINGS.items()
+        if len(fs) > 0
+    ]
+    return f"""
+WITH per_tpl(tpl, nf) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents),
+h AS (SELECT CAST(nf AS BIGINT) AS n_findings_per_file,
+             CAST(count(*) AS BIGINT) AS n_files
+      FROM docs JOIN per_tpl USING (tpl)
+      GROUP BY 1)
+SELECT n_findings_per_file, n_files,
+       CAST((10000 * n_files) // (sum(n_files) OVER ()) AS BIGINT)
+         AS share_bp
+FROM h
+"""
+
+
+def _text_token_lengths(spark, sf_dir):
+    # token-length histogram (training/text.py::token_length_histogram):
+    # the lexical shape profile behind vocab/merge budget choices;
+    # lengths clamp at 30 so a megatoken cannot stretch the report.
+    # Text reduces to integer lengths in-stage.
+    from dr_source_spark.training.text import token_length_histogram
+
+    return token_length_histogram(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_LENGTHS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                               '\s+'), x -> x <> '')) AS w
+  FROM documents),
+h AS (SELECT CAST(least(length(w), 30) AS BIGINT) AS token_len,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1)
+SELECT token_len, n_tokens,
+       CAST((10000 * n_tokens) // (sum(n_tokens) OVER ()) AS BIGINT)
+         AS share_bp
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13790,6 +13878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_saturation": _emb_saturation,
         "events_user_diversity": _events_user_diversity,
         "text_prefix_families": _text_prefix_families,
+        "supplier_catalog_breadth": _supplier_catalog_breadth,
+        "kg_findings_per_file": _kg_findings_per_file,
+        "text_token_lengths": _text_token_lengths,
     }
 
 
@@ -14145,4 +14236,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_saturation": _emb_saturation_sql(),
         "events_user_diversity": _USER_DIVERSITY_SQL,
         "text_prefix_families": _PREFIX_FAMILIES_SQL,
+        "supplier_catalog_breadth": _CATALOG_BREADTH_SQL,
+        "kg_findings_per_file": _kg_findings_per_file_sql(),
+        "text_token_lengths": _TOKEN_LENGTHS_SQL,
     }

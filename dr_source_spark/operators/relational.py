@@ -1531,3 +1531,43 @@ def return_outlier_suppliers(
             ),
         )
     )
+
+
+def catalog_breadth(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supplier CATALOG BREADTH — generalist-vs-specialist census from
+    observed shipments: per supplier, distinct parts supplied, the
+    exact-bp share of the whole observed catalog that represents, and
+    distinct brands touched. The sourcing-strategy profile
+    (dual_source_risk asks "how many suppliers per part"; this is the
+    transpose) with the catalog size broadcast as a 1-row aggregate.
+
+    Output: (l_suppkey, n_parts_supplied, catalog_share_bp,
+    n_brands).
+
+    Scale shape: one distinct (supplier, part) projection of the fact
+    table, the part dim broadcast in for brands, one narrow
+    per-supplier aggregate.
+    """
+    pairs = lineitem.select("l_suppkey", "l_partkey").distinct()
+    catalog = pairs.select(
+        F.countDistinct("l_partkey").cast("long").alias("_cat")
+    )
+    per = (
+        pairs.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            pairs["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts_supplied"),
+            F.countDistinct("p_brand").cast("long").alias("n_brands"),
+        )
+    )
+    return per.crossJoin(F.broadcast(catalog)).select(
+        "l_suppkey",
+        "n_parts_supplied",
+        F.expr("CAST((10000 * n_parts_supplied) div _cat AS BIGINT)").alias(
+            "catalog_share_bp"
+        ),
+        "n_brands",
+    )

@@ -402,3 +402,30 @@ def subject_kinds(triples: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def findings_per_file(findings: DataFrame) -> DataFrame:
+    """FINDINGS-PER-FILE histogram — single-issue vs hotspot files:
+    files bucketed by how many findings they carry, with exact bp
+    shares of all FLAGGED files. The remediation-effort shape ("most
+    flagged files need one fix; a few need a campaign") that decides
+    whether triage routes by file or by finding.
+
+    Output: (n_findings_per_file, n_files, share_bp).
+
+    Scale shape: one narrow (repo, path) groupBy, one bounded
+    histogram aggregate; shares window over the histogram only.
+    """
+    per = findings.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_findings_per_file")
+    )
+    hist = per.groupBy("n_findings_per_file").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    return hist.select(
+        "n_findings_per_file",
+        "n_files",
+        F.expr(
+            "CAST((10000 * n_files) div (sum(n_files) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -1253,3 +1253,36 @@ def prefix_families(documents: DataFrame, prefix_chars: int = 32) -> DataFrame:
             " div (sum(family_size * n_families) over ()) AS BIGINT)"
         ).alias("docs_share_bp"),
     )
+
+
+def token_length_histogram(documents: DataFrame, max_len: int = 30) -> DataFrame:
+    """TOKEN-LENGTH histogram — the lexical shape profile a tokenizer
+    owner reads before choosing vocab/merge budgets: all whitespace
+    tokens across the corpus bucketed by character length (lengths
+    above ``max_len`` clamp into one tail bucket, so a single
+    megatoken cannot stretch the report), with exact bp shares of the
+    token stream.
+
+    Output: (token_len, n_tokens, share_bp).
+
+    Scale shape: one explode + one bounded (≤ max_len+1) groupBy with
+    map-side combine; text reduces to integer lengths in-stage.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    m = int(max_len)
+    hist = (
+        documents.select(F.explode(toks).alias("w"))
+        .select(F.least(F.length("w"), F.lit(m)).cast("long").alias("token_len"))
+        .groupBy("token_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    return hist.select(
+        "token_len",
+        "n_tokens",
+        F.expr(
+            "CAST((10000 * n_tokens) div (sum(n_tokens) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
