@@ -13511,6 +13511,78 @@ FROM h
 """
 
 
+def _events_daily_cycle(spark, sf_dir):
+    # daily-cycle strength (operators/stats.py::daily_cycle): lag-24h
+    # autocorrelation of the hourly count series as signed exact r² bp
+    # (DECIMAL(38,0) sums; pairs only where both hours have events) —
+    # the dow_hour heatmap's single-number summary. Hourly groupBy +
+    # tiny shifted self-join + 1-row aggregate.
+    from dr_source_spark.operators.stats import daily_cycle
+
+    return daily_cycle(_t(spark, sf_dir, "events"))
+
+
+_DAILY_CYCLE_SQL = """
+WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+pairs AS (SELECT a.n AS x, b.n AS y
+          FROM hourly a JOIN hourly b ON b.h = a.h + INTERVAL 24 HOURS),
+agg AS (SELECT CAST(count(*) AS HUGEINT) AS np,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM pairs)
+SELECT CAST(np AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN np * sxy - sx * sy > 0 THEN 1
+                 WHEN np * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS num_sign,
+       CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0 THEN
+         CASE WHEN np * sxy - sx * sy >= 0 THEN
+           CAST((10000 * (np * sxy - sx * sy) * (np * sxy - sx * sy))
+                // ((np * sxx - sx * sx) * (np * syy - sy * sy)) AS BIGINT)
+         ELSE
+           CAST(-((10000 * (np * sxy - sx * sy) * (np * sxy - sx * sy))
+                // ((np * sxx - sx * sx) * (np * syy - sy * sy))) AS BIGINT)
+         END
+       END AS r2_bp
+FROM agg
+"""
+
+
+def _text_digit_heavy(spark, sf_dir):
+    # digit-heavy document screen (training/text.py::digit_heavy_screen):
+    # per lang, docs whose digit share of non-whitespace chars exceeds
+    # 30 % (cross-multiplied, no ratio) — the "prose or dump" signal
+    # the stopword ratio misses. Two JVM regexp_counts, one aggregate.
+    from dr_source_spark.training.text import digit_heavy_screen
+
+    return digit_heavy_screen(_t(spark, sf_dir, "documents"))
+
+
+_DIGIT_HEAVY_SQL = r"""
+WITH cc AS (
+  SELECT lang,
+         CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g'))
+              AS BIGINT) AS digits,
+         CAST(length(regexp_replace(coalesce(text, ''), '\s', '', 'g'))
+              AS BIGINT) AS chars
+  FROM documents),
+per AS (
+  SELECT lang,
+         CASE WHEN 10000 * digits > 3000 * chars AND chars > 0
+              THEN 1 ELSE 0 END AS heavy
+  FROM cc),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(heavy) AS BIGINT) AS n_digit_heavy
+      FROM per GROUP BY 1)
+SELECT lang, n_docs, n_digit_heavy,
+       CAST((10000 * n_digit_heavy) // n_docs AS BIGINT) AS flagged_bp
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13881,6 +13953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_catalog_breadth": _supplier_catalog_breadth,
         "kg_findings_per_file": _kg_findings_per_file,
         "text_token_lengths": _text_token_lengths,
+        "events_daily_cycle": _events_daily_cycle,
+        "text_digit_heavy": _text_digit_heavy,
     }
 
 
@@ -14239,4 +14313,6 @@ def oracle_sql() -> dict[str, str]:
         "supplier_catalog_breadth": _CATALOG_BREADTH_SQL,
         "kg_findings_per_file": _kg_findings_per_file_sql(),
         "text_token_lengths": _TOKEN_LENGTHS_SQL,
+        "events_daily_cycle": _DAILY_CYCLE_SQL,
+        "text_digit_heavy": _DIGIT_HEAVY_SQL,
     }

@@ -3454,3 +3454,55 @@ def user_diversity(events: DataFrame) -> DataFrame:
             "CAST((10000 * n_users) div (sum(n_users) over ()) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def daily_cycle(events: DataFrame) -> DataFrame:
+    """DAILY-CYCLE strength — the lag-24-hour autocorrelation of the
+    hourly event-count series, exact: signed r² in truncated bp from
+    pure integer sums (num = n·Σxy − Σx·Σy; signed_r2_bp =
+    sign(num)·(10⁴·num²) div ((n·Σxx−Σx²)·(n·Σyy−Σy²)), every product
+    carried in DECIMAL(38,0)). Near 10⁴ = strong 24-hour rhythm (the
+    dow_hour heatmap's single-number summary); near 0 = arrivals
+    don't repeat daily. Pairs exist only where BOTH hours have events
+    (inner join — silence is absence, not zero, matching the
+    burstiness convention).
+
+    Output: 1 row (n_pairs, num_sign, r2_bp).
+
+    Scale shape: one hourly groupBy, a self-equi-join of the (small)
+    hourly series shifted 24 h, one 1-row aggregate.
+    """
+    hourly = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = hourly.select(F.col("h").alias("ha"), F.col("n").alias("x"))
+    b = hourly.select(
+        F.expr("h - INTERVAL 24 HOURS").alias("ha"), F.col("n").alias("y")
+    )
+    pairs = a.join(b, "ha")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("x").cast(_D38)).alias("sx"),
+        F.sum(F.col("y").cast(_D38)).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.expr(
+            "CAST(CASE WHEN n_pairs * sxy - sx * sy > 0 THEN 1"
+            " WHEN n_pairs * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("num_sign"),
+        F.expr(
+            "CAST(CASE WHEN (n_pairs * sxx - sx * sx) > 0"
+            " AND (n_pairs * syy - sy * sy) > 0 THEN"
+            " CASE WHEN n_pairs * sxy - sx * sy >= 0 THEN"
+            "  (10000 * (n_pairs * sxy - sx * sy) * (n_pairs * sxy - sx * sy))"
+            "   div ((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))"
+            " ELSE"
+            "  -((10000 * (n_pairs * sxy - sx * sy) * (n_pairs * sxy - sx * sy))"
+            "   div ((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)))"
+            " END END AS BIGINT)"
+        ).alias("r2_bp"),
+    )

@@ -1286,3 +1286,43 @@ def token_length_histogram(documents: DataFrame, max_len: int = 30) -> DataFrame
             "CAST((10000 * n_tokens) div (sum(n_tokens) over ()) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def digit_heavy_screen(
+    documents: DataFrame, max_digit_bp: int = 3000
+) -> DataFrame:
+    """DIGIT-HEAVY document screen — the "is this prose or a dump"
+    curation signal the stopword ratio misses (log lines, CSV blobs,
+    serialized tables are digit-dense but can carry stopwords): per
+    language, documents whose digit share of non-whitespace
+    characters exceeds ``max_digit_bp`` (exact cross-multiplied
+    comparison — 10⁴·digits > bp·chars, no ratio materialized), with
+    the flagged share in bp. Char-class counts via one JVM
+    regexp_count each — no tokenization, no Python.
+
+    Output: (lang, n_docs, n_digit_heavy, flagged_bp).
+
+    Scale shape: a pure map (two regexp_counts) + one per-lang
+    aggregate with map-side combine.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    digits = F.regexp_count(txt, F.lit(r"[0-9]")).cast("long")
+    chars = F.regexp_count(txt, F.lit(r"\S")).cast("long")
+    bp = int(max_digit_bp)
+    per = documents.select(
+        "lang",
+        (
+            (F.lit(10000) * digits > F.lit(bp) * chars) & (chars > 0)
+        ).cast("long").alias("heavy"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("heavy").cast("long").alias("n_digit_heavy"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_digit_heavy",
+        F.expr("CAST((10000 * n_digit_heavy) div n_docs AS BIGINT)").alias(
+            "flagged_bp"
+        ),
+    )
