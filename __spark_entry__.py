@@ -13583,6 +13583,103 @@ FROM a
 """
 
 
+def _orders_priority_speed(spark, sf_dir):
+    # SLA-promise audit (operators/stats.py::priority_speed): per
+    # order priority, exact truncated mean + max fulfillment lag —
+    # a priority tier whose mean matches the others' is a label, not
+    # a service. Orderkey equi-join + ≤5-ary groupBy.
+    from dr_source_spark.operators.stats import priority_speed
+
+    return priority_speed(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+_PRIORITY_SPEED_SQL = """
+WITH j AS (SELECT o.o_orderpriority,
+                  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(lag) AS BIGINT) AS s,
+             CAST(max(lag) AS BIGINT) AS max_lag_days
+      FROM j GROUP BY 1)
+SELECT o_orderpriority, n_lines,
+       CAST(s // n_lines AS BIGINT) AS mean_lag_days,
+       max_lag_days
+FROM a
+"""
+
+
+def _kg_repo_concentration(spark, sf_dir):
+    # risk-concentration Gini over repositories
+    # (operators/triples.py::repo_concentration): exact sorted-rank
+    # Gini of per-repo finding counts in bp — the single-number
+    # companion to the kg_repo_risk scorecard (heavy-tailed repo
+    # assignment makes this genuinely nonzero by construction).
+    from dr_source_spark.operators.triples import repo_concentration
+
+    return repo_concentration(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_repo_concentration_sql() -> str:
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    rows = [f"({tpl}, {len(fs)})" for tpl, fs in EXPECTED_FINDINGS.items()]
+    return f"""
+WITH per_tpl(tpl, nf) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT 'repo_' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR)
+                  AS repo,
+                CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl
+         FROM documents),
+per AS (SELECT repo, CAST(sum(nf) AS BIGINT) AS x
+        FROM docs JOIN per_tpl USING (tpl)
+        GROUP BY 1
+        HAVING sum(nf) > 0),
+r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, repo) AS BIGINT) AS i
+      FROM per),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_repos,
+             CAST(sum(x) AS BIGINT) AS total_findings,
+             CAST(sum((2 * i - 1) * x) AS BIGINT) AS num
+      FROM r)
+SELECT n_repos, total_findings,
+       CAST((10000 * (num - n_repos * total_findings))
+            // (n_repos * total_findings) AS BIGINT) AS gini_bp
+FROM a
+"""
+
+
+def _text_shout_screen(spark, sf_dir):
+    # uppercase-shouting screen (training/text.py::shout_screen):
+    # digit_heavy's letter-case sibling — uppercase share of LETTERS
+    # > 30 % (cross-multiplied; letters-only denominator so digits
+    # don't dilute), per lang with flagged bp.
+    from dr_source_spark.training.text import shout_screen
+
+    return shout_screen(_t(spark, sf_dir, "documents"))
+
+
+_SHOUT_SCREEN_SQL = r"""
+WITH cc AS (
+  SELECT lang,
+         CAST(length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g'))
+              AS BIGINT) AS up,
+         CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+              AS BIGINT) AS let
+  FROM documents),
+per AS (SELECT lang,
+               CASE WHEN 10000 * up > 3000 * let AND let > 0
+                    THEN 1 ELSE 0 END AS shout
+        FROM cc),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(shout) AS BIGINT) AS n_shouting
+      FROM per GROUP BY 1)
+SELECT lang, n_docs, n_shouting,
+       CAST((10000 * n_shouting) // n_docs AS BIGINT) AS flagged_bp
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -13955,6 +14052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_lengths": _text_token_lengths,
         "events_daily_cycle": _events_daily_cycle,
         "text_digit_heavy": _text_digit_heavy,
+        "orders_priority_speed": _orders_priority_speed,
+        "kg_repo_concentration": _kg_repo_concentration,
+        "text_shout_screen": _text_shout_screen,
     }
 
 
@@ -14315,4 +14415,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_lengths": _TOKEN_LENGTHS_SQL,
         "events_daily_cycle": _DAILY_CYCLE_SQL,
         "text_digit_heavy": _DIGIT_HEAVY_SQL,
+        "orders_priority_speed": _PRIORITY_SPEED_SQL,
+        "kg_repo_concentration": _kg_repo_concentration_sql(),
+        "text_shout_screen": _SHOUT_SCREEN_SQL,
     }

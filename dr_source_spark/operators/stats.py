@@ -3506,3 +3506,37 @@ def daily_cycle(events: DataFrame) -> DataFrame:
             " END END AS BIGINT)"
         ).alias("r2_bp"),
     )
+
+
+def priority_speed(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Does URGENT actually ship faster? Fulfillment-lag profile per
+    order priority: line volume, exact truncated mean lag in days
+    (sum div count — no floats), and the worst lag. The SLA-promise
+    audit: a priority tier whose mean matches the others' is a
+    label, not a service.
+
+    Output: (o_orderpriority, n_lines, mean_lag_days, max_lag_days).
+
+    Scale shape: one orderkey equi-join (the scorecard shape) + one
+    ≤ 5-ary groupBy with map-side combine.
+    """
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    per = j.select("o_orderpriority", lag.alias("lag")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("lag").cast("long").alias("_s"),
+        F.max("lag").cast("long").alias("max_lag_days"),
+    )
+    return per.select(
+        "o_orderpriority",
+        "n_lines",
+        F.expr("CAST(_s div n_lines AS BIGINT)").alias("mean_lag_days"),
+        "max_lag_days",
+    )

@@ -429,3 +429,40 @@ def findings_per_file(findings: DataFrame) -> DataFrame:
             "CAST((10000 * n_files) div (sum(n_files) over ()) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def repo_concentration(findings: DataFrame) -> DataFrame:
+    """RISK-CONCENTRATION Gini over repositories — one number for "is
+    the vulnerable surface concentrated or smeared": the exact Gini
+    coefficient of per-repo finding counts, gini_bp =
+    (10⁴·Σ(2i−n−1)·x_(i)) div (n·Σx) over counts sorted ascending
+    with rank tiebreak on repo — pure integers, the rank window
+    bounded by repo count. 0 = every repo equally risky; →10⁴ = one
+    repo carries it all. The single-number companion to the
+    kg_repo_risk scorecard (which lists; this summarizes).
+
+    Output: 1 row (n_repos, total_findings, gini_bp).
+    """
+    from pyspark.sql.window import Window
+
+    per = findings.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("repo"))
+    ranked = per.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repos"),
+        F.sum("x").cast("long").alias("total_findings"),
+        F.sum(F.expr("(2 * i - 1) * x")).cast("long").alias("_num"),
+    ).select(
+        "n_repos",
+        "total_findings",
+        # Σ(2i−1)x − n·Σx  ==  2Σi·x − (n+1)Σx, the exact sorted-rank
+        # Gini numerator
+        F.expr(
+            "CAST((10000 * (_num - n_repos * total_findings))"
+            " div (n_repos * total_findings) AS BIGINT)"
+        ).alias("gini_bp"),
+    )

@@ -1326,3 +1326,38 @@ def digit_heavy_screen(
             "flagged_bp"
         ),
     )
+
+
+def shout_screen(documents: DataFrame, max_upper_bp: int = 3000) -> DataFrame:
+    """UPPERCASE-SHOUTING screen — digit_heavy_screen's letter-case
+    sibling: per language, documents whose uppercase share of LETTERS
+    exceeds ``max_upper_bp`` (cross-multiplied, letters-only
+    denominator so digits and punctuation don't dilute the signal) —
+    the all-caps spam / shouting-comment / constant-dump signal.
+
+    Output: (lang, n_docs, n_shouting, flagged_bp).
+
+    Scale shape: two JVM regexp_counts per row + one per-lang
+    aggregate with map-side combine.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    upper = F.regexp_count(txt, F.lit("[A-Z]")).cast("long")
+    letters = F.regexp_count(txt, F.lit("[A-Za-z]")).cast("long")
+    bp = int(max_upper_bp)
+    per = documents.select(
+        "lang",
+        (
+            (F.lit(10000) * upper > F.lit(bp) * letters) & (letters > 0)
+        ).cast("long").alias("shout"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("shout").cast("long").alias("n_shouting"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_shouting",
+        F.expr("CAST((10000 * n_shouting) div n_docs AS BIGINT)").alias(
+            "flagged_bp"
+        ),
+    )
