@@ -13680,6 +13680,66 @@ FROM a
 """
 
 
+def _dedup_geometry_agreement(spark, sf_dir):
+    # simhash-vs-jaccard geometry agreement
+    # (training/dedup.py::simhash_jaccard_agreement): the two
+    # similarity GEOMETRIES (angle vs set overlap) compared on the
+    # same corpus — candidate_agreement's sibling (that compared two
+    # generators of the same geometry). 'both' is the consensus core
+    # a conservative dedup keeps. Composes the two existing verified
+    # pair oracles as scoped subqueries.
+    from dr_source_spark.training.dedup import simhash_jaccard_agreement
+
+    return simhash_jaccard_agreement(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_geometry_agreement_sql() -> str:
+    return f"""
+WITH sh AS (SELECT doc_a, doc_b FROM ({_simhash_pairs_sql()}) s),
+jc AS (SELECT doc_a, doc_b FROM ({_DEDUP_JACCARD_SQL}) j
+       WHERE j.jaccard >= 0.9),
+m AS (SELECT coalesce(s.doc_a, c.doc_a) AS doc_a,
+             coalesce(s.doc_b, c.doc_b) AS doc_b,
+             (s.doc_a IS NOT NULL) AS in_sh,
+             (c.doc_a IS NOT NULL) AS in_jc
+      FROM sh s FULL JOIN jc c
+        ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b),
+a AS (SELECT CASE WHEN in_sh AND in_jc THEN 'both'
+                  WHEN in_sh THEN 'simhash_only'
+                  ELSE 'jaccard_only' END AS status,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY 1)
+SELECT status, n_pairs,
+       CAST((10000 * n_pairs) // (sum(n_pairs) OVER ()) AS BIGINT)
+         AS share_bp
+FROM a
+"""
+
+
+def _events_weekly_actives(spark, sf_dir):
+    # weekly-active-users trend (operators/stats.py::weekly_actives):
+    # per ISO week (ISO week-numbering YEAR pinned — Spark
+    # extract(YEAROFWEEK) / DuckDB isoyear — so the Dec/Jan boundary
+    # week is one row), distinct actives, volume, events-per-active
+    # in exact milli-units. One distinct-count aggregate.
+    from dr_source_spark.operators.stats import weekly_actives
+
+    return weekly_actives(_t(spark, sf_dir, "events"))
+
+
+_WEEKLY_ACTIVES_SQL = """
+WITH per AS (SELECT CAST(isoyear(ts) AS BIGINT) AS iso_year,
+                    CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1, 2)
+SELECT iso_year, iso_week, n_active, n_events,
+       CAST((1000 * n_events) // n_active AS BIGINT)
+         AS events_per_active_x1000
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -14055,6 +14115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_speed": _orders_priority_speed,
         "kg_repo_concentration": _kg_repo_concentration,
         "text_shout_screen": _text_shout_screen,
+        "dedup_geometry_agreement": _dedup_geometry_agreement,
+        "events_weekly_actives": _events_weekly_actives,
     }
 
 
@@ -14418,4 +14480,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_speed": _PRIORITY_SPEED_SQL,
         "kg_repo_concentration": _kg_repo_concentration_sql(),
         "text_shout_screen": _SHOUT_SCREEN_SQL,
+        "dedup_geometry_agreement": _dedup_geometry_agreement_sql(),
+        "events_weekly_actives": _WEEKLY_ACTIVES_SQL,
     }

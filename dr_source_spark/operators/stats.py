@@ -3540,3 +3540,36 @@ def priority_speed(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         F.expr("CAST(_s div n_lines AS BIGINT)").alias("mean_lag_days"),
         "max_lag_days",
     )
+
+
+def weekly_actives(events: DataFrame) -> DataFrame:
+    """WEEKLY-ACTIVE-USERS trend — the canonical engagement series:
+    per ISO week (year taken from the ISO week-numbering year, so the
+    Dec/Jan boundary week is one row, not two), distinct active
+    users, event volume, and events-per-active in exact truncated
+    milli-units. The WAU line every growth dashboard opens with;
+    retention/funnel answer who comes back — this answers how many
+    are here.
+
+    Output: (iso_year, iso_week, n_active, n_events,
+    events_per_active_x1000).
+
+    Scale shape: one (week, user) distinct-count aggregate with
+    map-side partials. Nothing else touches the stream.
+    """
+    per = events.groupBy(
+        F.expr("extract(YEAROFWEEK FROM ts)").cast("long").alias("iso_year"),
+        F.weekofyear(F.col("ts")).cast("long").alias("iso_week"),
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return per.select(
+        "iso_year",
+        "iso_week",
+        "n_active",
+        "n_events",
+        F.expr("CAST((1000 * n_events) div n_active AS BIGINT)").alias(
+            "events_per_active_x1000"
+        ),
+    )

@@ -1244,3 +1244,50 @@ def candidate_agreement(documents: DataFrame) -> DataFrame:
             "CAST((10000 * n_pairs) div (sum(n_pairs) over ()) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def simhash_jaccard_agreement(documents: DataFrame) -> DataFrame:
+    """SECOND method-agreement census — simhash near-dup pairs
+    (banded 16-bit signature, hamming ≤ 3) versus the Jaccard ≥ 0.9
+    verified LSH pairs: the two DIFFERENT similarity geometries
+    (weighted-feature angle vs set overlap) compared on the same
+    corpus, candidate_agreement's sibling (that compares two
+    generators of the SAME geometry). ``both`` is the consensus core
+    a conservative dedup keeps; each exclusive set names what one
+    geometry sees that the other cannot.
+
+    Output: (status ∈ {both, simhash_only, jaccard_only}, n_pairs,
+    share_bp).
+
+    Scale shape: both sides are the existing banded pipelines; one
+    full outer equi-join on the pair key + a 3-row aggregate.
+    """
+    sh = simhash_near_dup_pairs(documents).select("doc_a", "doc_b")
+    jc = (
+        ngram_jaccard(documents, minhash_lsh_candidates(documents))
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    m = sh.withColumn("in_sh", F.lit(1)).join(
+        jc.withColumn("in_jc", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    cells = (
+        m.select(
+            F.when(
+                F.col("in_sh").isNotNull() & F.col("in_jc").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("in_sh").isNotNull(), F.lit("simhash_only"))
+            .otherwise(F.lit("jaccard_only"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return cells.select(
+        "status",
+        "n_pairs",
+        F.expr(
+            "CAST((10000 * n_pairs) div (sum(n_pairs) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
