@@ -13740,6 +13740,100 @@ FROM per
 """
 
 
+def _kg_sink_census(spark, sf_dir):
+    # sink-API census (operators/triples.py::sink_census): which
+    # dangerous APIs actually drive the findings — per sink, finding
+    # count, distinct vuln types reached, bp share of sink-bearing
+    # findings. The API-hardening priority list a static rule
+    # severity cannot give; regex-tier rows (no sink) excluded.
+    from dr_source_spark.operators.triples import sink_census
+
+    return sink_census(_kg_triples(spark, sf_dir).findings)
+
+
+def _kg_sink_census_sql() -> str:
+    from collections import Counter
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_FINDINGS
+
+    counts: Counter = Counter()
+    types: dict = {}
+    for tpl, fs in EXPECTED_FINDINGS.items():
+        for f in fs:
+            if f[4] is None:
+                continue
+            counts[(tpl, f[4])] += 1
+            disp = f"{f[0]} (AST Taint)" if f[3] not in (None, "structural") else f[0]
+            types.setdefault(f[4], set()).add(disp)
+    rows = [f"({tpl}, '{s}', {k})" for (tpl, s), k in sorted(counts.items())]
+    nt = [f"('{s}', {len(ts)})" for s, ts in sorted(types.items())]
+    return f"""
+WITH per_tpl(tpl, sink, k) AS (VALUES {', '.join(rows)}),
+nt(sink, n_vuln_types) AS (VALUES {', '.join(nt)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents),
+a AS (SELECT sink, CAST(sum(k) AS BIGINT) AS n_findings
+      FROM docs JOIN per_tpl USING (tpl)
+      GROUP BY 1)
+SELECT a.sink, a.n_findings, CAST(nt.n_vuln_types AS BIGINT) AS n_vuln_types,
+       CAST((10000 * a.n_findings) // (sum(a.n_findings) OVER ()) AS BIGINT)
+         AS share_bp
+FROM a JOIN nt ON nt.sink = a.sink
+"""
+
+
+def _part_type_vocabulary(spark, sf_dir):
+    # p_type vocabulary decomposition (operators/stats.py::
+    # type_vocabulary): the hidden grade/finish/material schema inside
+    # the flat composite label, per (position, token) with exact
+    # per-position bp shares — the profiling step before normalizing
+    # the dimension. Bounded posexplode + bounded groupBy.
+    from dr_source_spark.operators.stats import type_vocabulary
+
+    return type_vocabulary(_t(spark, sf_dir, "part"))
+
+
+_TYPE_VOCAB_SQL = """
+WITH toks AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS token
+  FROM (SELECT string_split(p_type, ' ') AS t FROM part),
+       unnest(generate_series(1, CAST(len(t) AS BIGINT))) u(i)),
+per AS (SELECT pos, token, CAST(count(*) AS BIGINT) AS n_parts
+        FROM toks GROUP BY 1, 2)
+SELECT pos, token, n_parts,
+       CAST((10000 * n_parts) // (sum(n_parts) OVER (PARTITION BY pos))
+            AS BIGINT) AS pos_share_bp
+FROM per
+"""
+
+
+def _customer_spend_volatility(spark, sf_dir):
+    # spend-volatility screen (operators/mining.py::spend_volatility):
+    # cadence_regularity's monetary sibling — CV² of order values in
+    # exact 1e8 fixed point (DECIMAL(38,0) sums), subscription-like
+    # near 0, volatile past 1e8. One narrow per-customer aggregate.
+    from dr_source_spark.operators.mining import spend_volatility
+
+    return spend_volatility(_t(spark, sf_dir, "orders"))
+
+
+_SPEND_VOLATILITY_SQL = """
+WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS HUGEINT) AS sc,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                             * CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS HUGEINT) AS scc
+             FROM orders GROUP BY 1)
+SELECT o_custkey, n_orders,
+       CAST(sc // n_orders AS BIGINT) AS mean_cents,
+       CAST((100000000 * (n_orders * scc - sc * sc)) // (sc * sc) AS BIGINT)
+         AS cv2_x1e8,
+       (100000000 * (n_orders * scc - sc * sc)) // (sc * sc) > 100000000
+         AS volatile
+FROM per WHERE n_orders >= 3 AND sc > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -14117,6 +14211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_shout_screen": _text_shout_screen,
         "dedup_geometry_agreement": _dedup_geometry_agreement,
         "events_weekly_actives": _events_weekly_actives,
+        "kg_sink_census": _kg_sink_census,
+        "part_type_vocabulary": _part_type_vocabulary,
+        "customer_spend_volatility": _customer_spend_volatility,
     }
 
 
@@ -14482,4 +14579,7 @@ def oracle_sql() -> dict[str, str]:
         "text_shout_screen": _SHOUT_SCREEN_SQL,
         "dedup_geometry_agreement": _dedup_geometry_agreement_sql(),
         "events_weekly_actives": _WEEKLY_ACTIVES_SQL,
+        "kg_sink_census": _kg_sink_census_sql(),
+        "part_type_vocabulary": _TYPE_VOCAB_SQL,
+        "customer_spend_volatility": _SPEND_VOLATILITY_SQL,
     }

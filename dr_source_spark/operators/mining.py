@@ -525,3 +525,46 @@ def new_vs_repeat(orders: DataFrame) -> DataFrame:
             " div (new_rev_cents + repeat_rev_cents) AS BIGINT)"
         ).alias("new_share_bp"),
     )
+
+
+def spend_volatility(
+    orders: DataFrame, min_orders: int = 3, volatile_cv2_fp: int = 100000000
+) -> DataFrame:
+    """Per-customer SPEND VOLATILITY — cadence_regularity's monetary
+    sibling: squared coefficient of variation of ORDER VALUES in
+    exact 10⁸ fixed point, CV² = (n·Σc² − (Σc)²) div (Σc)² over
+    integer cents with DECIMAL(38,0) sums. A subscription-like
+    customer (same basket every time) sits near 0; past
+    ``volatile_cv2_fp`` (default 10⁸ ≈ exponential-spread) the
+    customer buys erratically — different upsell treatment, different
+    revenue forecast error.
+
+    Output: (o_custkey, n_orders, mean_cents, cv2_x1e8, volatile),
+    one row per customer with ≥ ``min_orders`` orders.
+
+    Scale shape: one narrow per-customer aggregate; pure column math
+    after.
+    """
+    per = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0))")).alias("sc"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("scc"),
+    )
+    return (
+        per.filter(
+            (F.col("n_orders") >= int(min_orders)) & (F.col("sc") > 0)
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.expr("CAST(sc div n_orders AS BIGINT)").alias("mean_cents"),
+            F.expr(
+                "CAST((100000000 * (n_orders * scc - sc * sc))"
+                " div (sc * sc) AS BIGINT)"
+            ).alias("cv2_x1e8"),
+        )
+        .withColumn("volatile", F.col("cv2_x1e8") > int(volatile_cv2_fp))
+    )

@@ -3573,3 +3573,35 @@ def weekly_actives(events: DataFrame) -> DataFrame:
             "events_per_active_x1000"
         ),
     )
+
+
+def type_vocabulary(part: DataFrame) -> DataFrame:
+    """DIMENSION-VOCABULARY decomposition of the composite p_type
+    string ("STANDARD POLISHED BRASS" = grade + finish + material):
+    per (position, token), part count and the token's exact bp share
+    of its position — surfacing the hidden 3-attribute schema inside
+    the flat label, the profiling step before anyone normalizes the
+    dimension. Positions beyond the observed arity simply don't
+    appear.
+
+    Output: (pos, token, n_parts, pos_share_bp).
+
+    Scale shape: one posexplode over a bounded-arity split + one
+    bounded groupBy; shares window per position over the vocabulary
+    table only.
+    """
+    toks = F.split(F.col("p_type"), " ")
+    per = (
+        part.select(F.posexplode(toks).alias("pos", "token"))
+        .groupBy("pos", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    return per.select(
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+        "n_parts",
+        F.expr(
+            "CAST((10000 * n_parts)"
+            " div (sum(n_parts) over (partition by pos)) AS BIGINT)"
+        ).alias("pos_share_bp"),
+    )

@@ -466,3 +466,37 @@ def repo_concentration(findings: DataFrame) -> DataFrame:
             " div (n_repos * total_findings) AS BIGINT)"
         ).alias("gini_bp"),
     )
+
+
+def sink_census(findings: DataFrame) -> DataFrame:
+    """SINK-API census — which dangerous APIs actually drive the
+    findings: per sink function (taint findings carry it; regex-tier
+    rows have none and are excluded), finding count, distinct
+    vulnerability types reached through it, and the exact bp share of
+    all sink-bearing findings. The API-hardening priority list
+    ("wrap executeQuery first") that a rule catalog's static severity
+    cannot give.
+
+    Output: (sink, n_findings, n_vuln_types, share_bp).
+
+    Scale shape: a 2-column projection + one bounded groupBy (sink
+    vocabulary is catalog-bounded); shares window over the census
+    only.
+    """
+    per = (
+        findings.filter(F.col("sink").isNotNull())
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_findings"),
+            F.countDistinct("vuln_type").cast("long").alias("n_vuln_types"),
+        )
+    )
+    return per.select(
+        "sink",
+        "n_findings",
+        "n_vuln_types",
+        F.expr(
+            "CAST((10000 * n_findings) div (sum(n_findings) over ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )
