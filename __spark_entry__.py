@@ -13834,6 +13834,78 @@ FROM per WHERE n_orders >= 3 AND sc > 0
 """
 
 
+def _kg_cwe_mix(spark, sf_dir):
+    # headline CWE distribution (operators/triples.py::cwe_mix):
+    # affected-file count + bp share per weakness class over HAS_VULN
+    # edges (duplicate taggings collapse) — the executive-summary pie
+    # behind kg_blast_radius's audit-scoping detail.
+    from dr_source_spark.operators.triples import cwe_mix
+
+    return cwe_mix(_kg_triples(spark, sf_dir).triples)
+
+
+def _kg_cwe_mix_sql() -> str:
+    from collections import Counter
+
+    from dr_source_spark.sources.synth import _TEMPLATES, EXPECTED_TRIPLES
+
+    cells: Counter = Counter()
+    for tpl, (_path, ts) in EXPECTED_TRIPLES.items():
+        cwes = {obj for _f, pred, obj, _l, _t in ts if pred == "HAS_VULN"}
+        for c in cwes:
+            cells[(tpl, c)] += 1
+    rows = [f"({tpl}, '{c}', {k})" for (tpl, c), k in sorted(cells.items())]
+    return f"""
+WITH per_tpl(tpl, cwe, k) AS (VALUES {', '.join(rows)}),
+docs AS (SELECT CAST(doc_id % {len(_TEMPLATES)} AS INT) AS tpl FROM documents),
+a AS (SELECT cwe, CAST(sum(k) AS BIGINT) AS n_files
+      FROM docs JOIN per_tpl USING (tpl)
+      GROUP BY 1)
+SELECT cwe, n_files,
+       CAST((10000 * n_files) // (sum(n_files) OVER ()) AS BIGINT)
+         AS share_bp
+FROM a
+"""
+
+
+def _customer_segment_dispersion(spark, sf_dir):
+    # per-segment balance quartile dispersion
+    # (operators/stats.py::segment_balance_dispersion):
+    # brand_price_dispersion's shape on a column that goes NEGATIVE —
+    # quartile coefficient guarded NULL when q3+q1 ≤ 0 (meaningless
+    # across the sign boundary, a pinned semantic the positive-only
+    # price version never needed).
+    from dr_source_spark.operators.stats import segment_balance_dispersion
+
+    return segment_balance_dispersion(_t(spark, sf_dir, "customer"))
+
+
+_SEGMENT_DISPERSION_SQL = """
+WITH cc AS (SELECT c_mktsegment, c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS c
+            FROM customer),
+r AS (SELECT c_mktsegment, c,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c, c_custkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      FROM cc),
+a AS (SELECT c_mktsegment,
+             max(n) AS n_customers,
+             max(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN c END) AS q1_cents,
+             max(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 THEN c END)
+               AS median_cents,
+             max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN c END) AS q3_cents
+      FROM r GROUP BY 1)
+SELECT c_mktsegment, n_customers, q1_cents, median_cents, q3_cents,
+       CAST(q3_cents - q1_cents AS BIGINT) AS iqr_cents,
+       CASE WHEN q3_cents + q1_cents > 0 THEN
+         CAST((10000 * (q3_cents - q1_cents)) // (q3_cents + q1_cents)
+              AS BIGINT)
+       END AS disp_bp
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -14214,6 +14286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sink_census": _kg_sink_census,
         "part_type_vocabulary": _part_type_vocabulary,
         "customer_spend_volatility": _customer_spend_volatility,
+        "kg_cwe_mix": _kg_cwe_mix,
+        "customer_segment_dispersion": _customer_segment_dispersion,
     }
 
 
@@ -14582,4 +14656,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_sink_census": _kg_sink_census_sql(),
         "part_type_vocabulary": _TYPE_VOCAB_SQL,
         "customer_spend_volatility": _SPEND_VOLATILITY_SQL,
+        "kg_cwe_mix": _kg_cwe_mix_sql(),
+        "customer_segment_dispersion": _SEGMENT_DISPERSION_SQL,
     }

@@ -3605,3 +3605,54 @@ def type_vocabulary(part: DataFrame) -> DataFrame:
             " div (sum(n_parts) over (partition by pos)) AS BIGINT)"
         ).alias("pos_share_bp"),
     )
+
+
+def segment_balance_dispersion(customer: DataFrame) -> DataFrame:
+    """Per-SEGMENT account-balance quartiles — brand_price_dispersion's
+    shape on a column that goes NEGATIVE: per market segment, exact
+    cent quartiles at the lower-nearest rank convention, the IQR, and
+    the quartile coefficient of dispersion guarded NULL when q3+q1
+    ≤ 0 (the ratio is meaningless across the sign boundary — a pinned
+    semantic the positive-only price version never needed).
+
+    Output: (c_mktsegment, n_customers, q1_cents, median_cents,
+    q3_cents, iqr_cents, disp_bp).
+
+    Scale shape: one per-segment rank window over the customer dim +
+    one conditional aggregate; segment cardinality is bounded.
+    """
+    cents = customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c"),
+    )
+    wb = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c"), F.asc("c_custkey")
+    )
+    wf = Window.partitionBy("c_mktsegment")
+    ranked = cents.select(
+        "c_mktsegment",
+        "c",
+        F.row_number().over(wb).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n"),
+    )
+    pos = lambda k: F.expr(f"((n - 1) * {k}) div 4 + 1")  # noqa: E731
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max(F.when(F.col("rn") == pos(1), F.col("c"))).cast("long").alias("q1_cents"),
+        F.max(F.when(F.col("rn") == pos(2), F.col("c"))).cast("long").alias("median_cents"),
+        F.max(F.when(F.col("rn") == pos(3), F.col("c"))).cast("long").alias("q3_cents"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "q1_cents",
+        "median_cents",
+        "q3_cents",
+        (F.col("q3_cents") - F.col("q1_cents")).cast("long").alias("iqr_cents"),
+        F.expr(
+            "CAST(CASE WHEN q3_cents + q1_cents > 0 THEN"
+            " (10000 * (q3_cents - q1_cents)) div (q3_cents + q1_cents)"
+            " END AS BIGINT)"
+        ).alias("disp_bp"),
+    )

@@ -500,3 +500,31 @@ def sink_census(findings: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def cwe_mix(triples: DataFrame) -> DataFrame:
+    """WEAKNESS-CLASS mix — the headline CWE distribution over the
+    HAS_VULN edges: per CWE, affected-file count (each file counts
+    once per class — the subject IS the file URI) and the exact bp
+    share of all class taggings. The executive-summary pie behind
+    kg_blast_radius's audit-scoping detail.
+
+    Output: (cwe, n_files, share_bp).
+
+    Scale shape: one filter + distinct + bounded groupBy (CWE
+    vocabulary is catalog-bounded); shares window over the mix only.
+    """
+    per = (
+        triples.filter(F.col("pred") == "HAS_VULN")
+        .select(F.col("subj"), F.col("obj").alias("cwe"))
+        .distinct()
+        .groupBy("cwe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+    return per.select(
+        "cwe",
+        "n_files",
+        F.expr(
+            "CAST((10000 * n_files) div (sum(n_files) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
