@@ -13906,6 +13906,71 @@ FROM a
 """
 
 
+def _customer_first_value_matrix(spark, sf_dir):
+    # first-order-value vs lifetime quartile contingency
+    # (operators/mining.py::first_value_matrix): does a big first
+    # order predict a big lifetime? Both quartiled by the RFM exact
+    # rank-quantile convention (ties pinned on custkey; first order
+    # pinned by (date, orderkey)); a dominating diagonal = predictive.
+    # Rank windows run over the per-customer aggregate only.
+    from dr_source_spark.operators.mining import first_value_matrix
+
+    return first_value_matrix(_t(spark, sf_dir, "orders"))
+
+
+_FIRST_VALUE_MATRIX_SQL = """
+WITH base AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM base),
+per AS (SELECT o_custkey, max(CASE WHEN rn = 1 THEN c END) AS first_c,
+               CAST(sum(c) AS BIGINT) AS life_c
+        FROM r GROUP BY 1),
+s AS (SELECT CAST(1 + ((row_number() OVER (ORDER BY first_c, o_custkey) - 1)
+                       * 4) // (count(*) OVER ()) AS BIGINT) AS first_q,
+             CAST(1 + ((row_number() OVER (ORDER BY life_c, o_custkey) - 1)
+                       * 4) // (count(*) OVER ()) AS BIGINT) AS lifetime_q
+      FROM per),
+cells AS (SELECT first_q, lifetime_q, CAST(count(*) AS BIGINT) AS n_customers
+          FROM s GROUP BY 1, 2)
+SELECT first_q, lifetime_q, n_customers,
+       CAST((10000 * n_customers) // (sum(n_customers) OVER ()) AS BIGINT)
+         AS share_bp
+FROM cells
+"""
+
+
+def _part_brand_suppliers(spark, sf_dir):
+    # brand-exclusivity histogram
+    # (operators/relational.py::brand_supplier_histogram):
+    # dual_source_risk lifted to the brand level — brands bucketed by
+    # distinct observed suppliers, bp shares; the single-supplier
+    # bucket is the brand-level procurement exposure.
+    from dr_source_spark.operators.relational import brand_supplier_histogram
+
+    return brand_supplier_histogram(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_BRAND_SUPPLIERS_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+per AS (SELECT pt.p_brand,
+               CAST(count(DISTINCT p.l_suppkey) AS BIGINT)
+                 AS n_suppliers_per_brand
+        FROM pairs p JOIN part pt ON pt.p_partkey = p.l_partkey
+        GROUP BY 1),
+h AS (SELECT n_suppliers_per_brand, CAST(count(*) AS BIGINT) AS n_brands
+      FROM per GROUP BY 1)
+SELECT n_suppliers_per_brand, n_brands,
+       CAST((10000 * n_brands) // (sum(n_brands) OVER ()) AS BIGINT)
+         AS share_bp
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -14288,6 +14353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_volatility": _customer_spend_volatility,
         "kg_cwe_mix": _kg_cwe_mix,
         "customer_segment_dispersion": _customer_segment_dispersion,
+        "customer_first_value_matrix": _customer_first_value_matrix,
+        "part_brand_suppliers": _part_brand_suppliers,
     }
 
 
@@ -14658,4 +14725,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_spend_volatility": _SPEND_VOLATILITY_SQL,
         "kg_cwe_mix": _kg_cwe_mix_sql(),
         "customer_segment_dispersion": _SEGMENT_DISPERSION_SQL,
+        "customer_first_value_matrix": _FIRST_VALUE_MATRIX_SQL,
+        "part_brand_suppliers": _BRAND_SUPPLIERS_SQL,
     }

@@ -568,3 +568,63 @@ def spend_volatility(
         )
         .withColumn("volatile", F.col("cv2_x1e8") > int(volatile_cv2_fp))
     )
+
+
+def first_value_matrix(orders: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Does a big FIRST order predict a big LIFETIME? The
+    cohort-quality contingency every acquisition team wants: each
+    customer's first-order value (earliest order, ties broken by
+    orderkey — deterministic) and lifetime revenue are quartiled
+    independently (score = 1 + (rank−1)·bins div n, rank tie-broken
+    by custkey — the RFM exact-quantile convention), and the 4×4 cell
+    counts with exact bp shares say whether the diagonal dominates
+    (first value predicts) or the matrix is flat (it doesn't).
+
+    Output: (first_q, lifetime_q, n_customers, share_bp), ≤ bins²
+    rows.
+
+    Scale shape: one per-customer window for the first order + one
+    aggregate; the quartile rank windows run over the per-CUSTOMER
+    table (orders of magnitude below the fact table — the RFM
+    precedent), cells are a bounded aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents.alias("c")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    per = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("c"))).alias("first_c"),
+            F.sum("c").cast("long").alias("life_c"),
+        )
+    )
+    b = int(n_bins)
+
+    def _q(order_sql: str) -> "F.Column":
+        return F.expr(
+            f"1 + (((row_number() over (order by {order_sql}, o_custkey asc))"
+            f" - 1) * {b}) div (count(1) over ())"
+        ).cast("long")
+
+    scored = per.withColumn("first_q", _q("first_c asc")).withColumn(
+        "lifetime_q", _q("life_c asc")
+    )
+    cells = scored.groupBy("first_q", "lifetime_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return cells.select(
+        "first_q",
+        "lifetime_q",
+        "n_customers",
+        F.expr(
+            "CAST((10000 * n_customers) div (sum(n_customers) over ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )

@@ -1571,3 +1571,42 @@ def catalog_breadth(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         ),
         "n_brands",
     )
+
+
+def brand_supplier_histogram(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """BRAND-EXCLUSIVITY histogram — dual_source_risk lifted to the
+    brand level and inverted into a distribution: brands bucketed by
+    how many distinct suppliers ship them (from observed shipments),
+    with exact bp shares. The single-supplier bucket is the
+    brand-level procurement exposure; a long right tail is commodity
+    supply.
+
+    Output: (n_suppliers_per_brand, n_brands, share_bp).
+
+    Scale shape: one distinct (part, supplier) projection, the part
+    dim broadcast in, one per-brand distinct count, one bounded
+    histogram.
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    per = (
+        pairs.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            pairs["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias(
+                "n_suppliers_per_brand"
+            )
+        )
+    )
+    hist = per.groupBy("n_suppliers_per_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands")
+    )
+    return hist.select(
+        "n_suppliers_per_brand",
+        "n_brands",
+        F.expr(
+            "CAST((10000 * n_brands) div (sum(n_brands) over ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
