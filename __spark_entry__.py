@@ -13971,6 +13971,91 @@ FROM h
 """
 
 
+def _orders_weekend_effect(spark, sf_dir):
+    # weekend-vs-weekday order profile
+    # (operators/stats.py::weekend_effect): counts, exact-cent
+    # revenue, both bp shares, mean order value — on the dow_hour
+    # weekday() pin (0=Monday) so the calendar reports agree. One
+    # 2-ary groupBy.
+    from dr_source_spark.operators.stats import weekend_effect
+
+    return weekend_effect(_t(spark, sf_dir, "orders"))
+
+
+_WEEKEND_EFFECT_SQL = """
+WITH per AS (SELECT (isodow(CAST(o_orderdate AS DATE)) - 1) >= 5
+               AS is_weekend,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1)
+SELECT is_weekend, n_orders, rev_cents,
+       CAST((10000 * n_orders) // (sum(n_orders) OVER ()) AS BIGINT)
+         AS order_share_bp,
+       CAST((10000 * rev_cents) // (sum(rev_cents) OVER ()) AS BIGINT)
+         AS rev_share_bp,
+       CAST(rev_cents // n_orders AS BIGINT) AS avg_order_cents
+FROM per
+"""
+
+
+def _dedup_rep_quality(spark, sf_dir):
+    # canonical-representative quality audit
+    # (training/dedup.py::rep_quality): over exact-dup families ≥ 2,
+    # does the kept min-doc_id copy carry the family's max RAW length
+    # (families share the normalized fingerprint, so raw lengths can
+    # differ by whitespace/case artifacts)? The raw corpus has no
+    # exact families, so the query rides the curation-precedent
+    # augmentation: byte-identical dups of every 7th doc (rep IS
+    # longest) plus one planted whitespace-inflated family that
+    # exercises the shortfall branch — both branches oracle-gated.
+    from dr_source_spark.training.dedup import rep_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    planted = spark.createDataFrame(
+        [(3_000_001, "rq alpha beta"), (3_000_002, "RQ  ALPHA  BETA")],
+        "doc_id long, text string",
+    )
+    return rep_quality(docs.union(dups).union(planted))
+
+
+_REP_QUALITY_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (3000001, 'rq alpha beta'),
+    (3000002, 'RQ  ALPHA  BETA')) v(doc_id, text)
+),
+docs AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+           AS fp,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS len
+  FROM corpus),
+fam AS (SELECT fp, count(*) AS n, min(doc_id) AS canon,
+               CAST(max(len) AS BIGINT) AS max_len
+        FROM docs GROUP BY 1),
+rep AS (SELECT d.len, f.max_len
+        FROM docs d JOIN fam f ON f.fp = d.fp AND f.n >= 2
+        WHERE d.doc_id = f.canon)
+SELECT CAST(count(*) AS BIGINT) AS n_families,
+       CAST(sum(CASE WHEN len = max_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rep_is_longest,
+       CASE WHEN count(*) > 0 THEN
+         CAST((10000 * sum(CASE WHEN len = max_len THEN 1 ELSE 0 END))
+              // count(*) AS BIGINT)
+       END AS rep_longest_bp,
+       CAST(coalesce(sum(max_len - len), 0) AS BIGINT) AS total_len_lost
+FROM rep
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records the FIRST
     # 50 dict entries only. Every query here has been oracle-verified, but a
@@ -14355,6 +14440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_segment_dispersion": _customer_segment_dispersion,
         "customer_first_value_matrix": _customer_first_value_matrix,
         "part_brand_suppliers": _part_brand_suppliers,
+        "orders_weekend_effect": _orders_weekend_effect,
+        "dedup_rep_quality": _dedup_rep_quality,
     }
 
 
@@ -14727,4 +14814,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_dispersion": _SEGMENT_DISPERSION_SQL,
         "customer_first_value_matrix": _FIRST_VALUE_MATRIX_SQL,
         "part_brand_suppliers": _BRAND_SUPPLIERS_SQL,
+        "orders_weekend_effect": _WEEKEND_EFFECT_SQL,
+        "dedup_rep_quality": _REP_QUALITY_SQL,
     }

@@ -3656,3 +3656,40 @@ def segment_balance_dispersion(customer: DataFrame) -> DataFrame:
             " END AS BIGINT)"
         ).alias("disp_bp"),
     )
+
+
+def weekend_effect(orders: DataFrame) -> DataFrame:
+    """WEEKEND-vs-WEEKDAY order profile — the staffing/promo question
+    in one table: order count, exact-cent revenue, each side's bp
+    share of both, and the truncated mean order value. The weekday
+    convention is the dow_hour pin (weekday(): 0 = Monday; weekend =
+    5, 6) so the two calendar reports cannot disagree.
+
+    Output: (is_weekend, n_orders, rev_cents, order_share_bp,
+    rev_share_bp, avg_order_cents), 2 rows.
+
+    Scale shape: a 2-column projection + one 2-ary groupBy; shares
+    window over the 2-row aggregate.
+    """
+    per = orders.select(
+        (F.expr("weekday(CAST(o_orderdate AS DATE))") >= 5).alias("is_weekend"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).groupBy("is_weekend").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("c").cast("long").alias("rev_cents"),
+    )
+    return per.select(
+        "is_weekend",
+        "n_orders",
+        "rev_cents",
+        F.expr(
+            "CAST((10000 * n_orders) div (sum(n_orders) over ()) AS BIGINT)"
+        ).alias("order_share_bp"),
+        F.expr(
+            "CAST((10000 * rev_cents) div (sum(rev_cents) over ())"
+            " AS BIGINT)"
+        ).alias("rev_share_bp"),
+        F.expr("CAST(rev_cents div n_orders AS BIGINT)").alias(
+            "avg_order_cents"
+        ),
+    )

@@ -1291,3 +1291,55 @@ def simhash_jaccard_agreement(documents: DataFrame) -> DataFrame:
             "CAST((10000 * n_pairs) div (sum(n_pairs) over ()) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+def rep_quality(documents: DataFrame) -> DataFrame:
+    """CANONICAL-REPRESENTATIVE quality audit — when exact dedup keeps
+    min-doc_id per fingerprint family, is the kept doc the best copy?
+    Families share a whitespace/case-NORMALIZED fingerprint, so raw
+    lengths inside a family can still differ (whitespace runs, case
+    artifacts); over families of ≥ 2 this reports how many
+    representatives carry the family's MAX raw length and the total
+    raw characters the min-doc_id policy forfeits. A high
+    rep_is_longest share says min-doc_id is safe; a low one argues
+    for a pick-longest policy.
+
+    Output: 1 row (n_families, n_rep_is_longest, rep_longest_bp,
+    total_len_lost).
+
+    Scale shape: the exact-dedup fingerprint groupBy (text reduces to
+    digest + length in-stage), one equi-join back on the digest, one
+    1-row aggregate.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.regexp_replace(F.lower(txt), r"\s+", " ")
+    docs = documents.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("_fp"),
+        F.length(txt).cast("long").alias("_len"),
+    )
+    fam = docs.groupBy("_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("doc_id").alias("_canon"),
+        F.max("_len").cast("long").alias("max_len"),
+    )
+    rep = docs.join(
+        fam.filter(F.col("n") >= 2).select("_fp", "_canon", "max_len"), "_fp"
+    ).filter(F.col("doc_id") == F.col("_canon"))
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        F.sum((F.col("_len") == F.col("max_len")).cast("long"))
+        .cast("long")
+        .alias("n_rep_is_longest"),
+        F.sum(F.col("max_len") - F.col("_len")).cast("long").alias(
+            "total_len_lost"
+        ),
+    ).select(
+        "n_families",
+        "n_rep_is_longest",
+        F.expr(
+            "CAST(CASE WHEN n_families > 0 THEN"
+            " (10000 * n_rep_is_longest) div n_families END AS BIGINT)"
+        ).alias("rep_longest_bp"),
+        "total_len_lost",
+    )
