@@ -59,8 +59,34 @@ def pagerank_fixed_point(
     (round 5). Pass ``driver_max_edges=0`` to force the distributed
     path, which remains the design for billions-edge graphs."""
     # e and deg feed EVERY iteration's join — checkpoint once or each
-    # iteration re-runs the distinct/groupBy shuffles from the raw edges
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # iteration re-runs the distinct/groupBy shuffles from the raw edges.
+    # The edge count rides the checkpoint's own materialization as an
+    # observe metric, so the driver-vs-distributed route is decided after
+    # ONE job (the former flow built deg/nodes checkpoints — 4 more fixed
+    # -cost jobs — before the driver path threw them away; round-6
+    # measurement: 4.0 s for kg_pagerank over 180 k cached edge rows, of
+    # which the rank loop itself was under 0.5 s).
+    cutoff = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    obs = Observation(f"pagerank_edges_{next(_OBS_SEQ)}")
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    m = int(obs.get["m"])
+    if 0 < m <= cutoff:
+        out_schema = (
+            e.select(F.col("src").alias("node")).withColumn("rank", F.lit(0).cast("long")).schema
+        )
+        edge_rows = _collect_pairs(e)
+        e.unpersist()
+        ranks = _driver_pagerank_rows(edge_rows, iterations, scale, damping_pct)
+        import pandas as pd
+
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(ranks, columns=["node", "rank"]), out_schema
+        )
     deg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     # nodes carry a static `dang` flag (no out-edges) so the per-iteration
     # dangling-mass sum is a plain conditional aggregate over ranks itself
@@ -82,30 +108,6 @@ def pagerank_fixed_point(
             f"pagerank scale {scale} too small for {n} nodes — use scale >= n * 1000"
         )
     base = (scale * (100 - damping_pct)) // (100 * n)
-
-    # adaptive small-graph path (same principle as the component
-    # short-circuit above): every quantity is 64-bit integer arithmetic
-    # with order-free integer sums, so the driver loop reproduces the
-    # distributed result BIT-EXACTLY (pytest parity gate) while replacing
-    # `iterations` fixed-cost Spark jobs with milliseconds of driver CPU.
-    # The distributed loop below remains the design for billions-edge
-    # graphs; this is the small-input escape hatch.
-    m = e.count()
-    cutoff = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
-    if 0 < m <= cutoff:
-        import pandas as pd
-
-        edge_rows = [(r[0], r[1]) for r in e.collect()]
-        ranks_pdf = pd.DataFrame(
-            _driver_pagerank(edge_rows, iterations, scale, damping_pct, n, base),
-            columns=["node", "rank"],
-        )
-        out_schema = nodes.select("node").withColumn(
-            "rank", F.lit(0).cast("long")
-        ).schema
-        for df in (e, deg, nodes):
-            df.unpersist()
-        return edges.sparkSession.createDataFrame(ranks_pdf, out_schema)
 
     def _ckpt(df: DataFrame):
         obs = Observation(f"pagerank_dangling_{next(_OBS_SEQ)}")
@@ -145,6 +147,17 @@ def pagerank_fixed_point(
     return ranks.select("node", "rank")
 
 
+def _collect_pairs(df: DataFrame) -> list:
+    """Collect a 2-column DataFrame to the driver as a list of (a, b)
+    tuples via the Arrow path (`toPandas`) — row-based ``collect()`` builds
+    one Row object per record and measured ~4x slower at the 10^5-10^6-row
+    sizes the graph driver paths handle (round 6). Null-free inputs only
+    (edge lists are); pandas would surface NULLs as NaN/None unchanged."""
+    pdf = df.toPandas()
+    a, b = pdf.columns[0], pdf.columns[1]
+    return list(zip(pdf[a].tolist(), pdf[b].tolist()))
+
+
 # Below this many distinct edges the component computation runs as a
 # driver-side union-find instead of ~O(log n) alternating-star rounds:
 # 20 tiny Spark jobs of pure fixed cost (measured 8.2 s at sf0.1's 83 k
@@ -157,6 +170,66 @@ def pagerank_fixed_point(
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
+def _driver_pagerank_rows(
+    edge_rows, iterations: int, scale: int, damping_pct: int
+) -> list:
+    """Driver-path entry: derive nodes/degrees from the collected (distinct)
+    edge rows, validate the fixed-point headroom exactly like the
+    distributed path, and run the rank loop — vectorized in int64 numpy
+    when every intermediate provably fits (rank*damping_pct <= ~2*scale*100
+    must stay under 2^63, so any scale <= 10^15 qualifies; the default is
+    10^12), else the pure-Python integer loop. Both loops floor-divide
+    nonnegative integers, so numpy's int64 ``//`` is bit-identical to
+    Python's — gated by tests/test_training_ops parity tests."""
+    node_list = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    n = len(node_list)
+    if scale < n * 1000:
+        # fixed-point starvation: with < ~3 decimal digits of headroom per
+        # node the floored shares collapse to 0 and ranks stop moving
+        raise ValueError(
+            f"pagerank scale {scale} too small for {n} nodes — use scale >= n * 1000"
+        )
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    if scale * 100 * 2 < 2**63:
+        return _driver_pagerank_np(
+            edge_rows, node_list, iterations, scale, damping_pct, n, base
+        )
+    return _driver_pagerank(edge_rows, iterations, scale, damping_pct, n, base)
+
+
+def _driver_pagerank_np(
+    edge_rows, node_list, iterations: int, scale: int, damping_pct: int, n: int, base: int
+) -> list:
+    """The fixed-point loop over int64 numpy arrays: the per-edge floored
+    contribution is computed vectorized and summed per destination with
+    ``np.add.reduceat`` over a dst-sorted edge order (precomputed once —
+    the edge structure is iteration-invariant). ~20x the pure-Python
+    loop's throughput at 10^5-10^6 edges (round-6 measurement) with
+    identical integer arithmetic."""
+    import numpy as np
+
+    idx = {v: i for i, v in enumerate(node_list)}
+    src = np.fromiter((idx[s] for s, _ in edge_rows), dtype=np.int64, count=len(edge_rows))
+    dst = np.fromiter((idx[d] for _, d in edge_rows), dtype=np.int64, count=len(edge_rows))
+    deg = np.bincount(src, minlength=n)
+    dangling_mask = deg == 0
+    order = np.argsort(dst, kind="stable")
+    src_ord, dst_ord = src[order], dst[order]
+    deg_ord = deg[src_ord]
+    dst_unique, starts = np.unique(dst_ord, return_index=True)
+    dp = np.int64(damping_pct)
+    rank = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        dangling = int(rank[dangling_mask].sum())
+        share = (dangling * damping_pct) // (100 * n)
+        vals = (rank[src_ord] * dp) // (100 * deg_ord)
+        contrib = np.zeros(n, dtype=np.int64)
+        if len(starts):
+            contrib[dst_unique] = np.add.reduceat(vals, starts)
+        rank = (base + share) + contrib
+    return [(v, int(rank[idx[v]])) for v in node_list]
+
+
 def _driver_pagerank(
     edge_rows, iterations: int, scale: int, damping_pct: int, n: int, base: int
 ) -> list:
@@ -165,7 +238,9 @@ def _driver_pagerank(
     (100*out_deg) along each out-edge, dangling mass redistributes as a
     floored even share, every node adds the (1-d) base. Integer sums are
     associative, so partition order cannot make the two paths diverge —
-    identical `iterations`, identical floors, identical output."""
+    identical `iterations`, identical floors, identical output. Kept as
+    the reference implementation (and the arbitrary-precision fallback
+    for scales past the int64 headroom of the numpy loop)."""
     from collections import Counter, defaultdict
 
     deg = Counter(s for s, _ in edge_rows)
@@ -289,7 +364,7 @@ def alternating_star_components(
         import pandas as pd
 
         schema = cur.schema
-        pairs = _driver_union_find([(r[0], r[1]) for r in cur.collect()])
+        pairs = _driver_union_find(_collect_pairs(cur))
         cur.unpersist()
         if not pairs:
             return edges.sparkSession.createDataFrame([], schema)
@@ -1107,7 +1182,7 @@ def personalized_pagerank(
     if 0 < m <= cutoff:
         import pandas as pd
 
-        edge_rows = [(r[0], r[1]) for r in e.collect()]
+        edge_rows = _collect_pairs(e)
         seed_set = {r[0] for r in nodes.filter(F.col("seed")).select("node").collect()}
         ranks_pdf = pd.DataFrame(
             _driver_ppr(edge_rows, seed_set, iterations, scale, damping_pct),

@@ -1564,6 +1564,37 @@ def test_pagerank_driver_path_bit_equal_to_distributed(spark):
     assert fast == slow and len(fast) == 6
 
 
+def test_pagerank_numpy_loop_bit_equal_to_python_reference():
+    """The vectorized int64 driver loop (round-6 optimization) must equal
+    the pure-Python integer reference bit-for-bit on a random multigraph
+    with dangling nodes, hubs, and self-loops — and on string node ids
+    (the KG edge shape). No Spark session needed."""
+    import random
+
+    from dr_source_spark.operators.graph import _driver_pagerank, _driver_pagerank_rows
+
+    random.seed(13)
+    edges = list({(random.randrange(500), random.randrange(500)) for _ in range(3000)})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n, scale, dp = len(nodes), 10**12, 85
+    base = (scale * (100 - dp)) // (100 * n)
+    assert _driver_pagerank_rows(edges, 10, scale, dp) == _driver_pagerank(
+        edges, 10, scale, dp, n, base
+    )
+    sedges = [(f"n{s}", f"n{d}") for s, d in edges]
+    sn = sorted({a for a, _ in sedges} | {b for _, b in sedges})
+    sbase = (scale * (100 - dp)) // (100 * len(sn))
+    assert _driver_pagerank_rows(sedges, 10, scale, dp) == _driver_pagerank(
+        sedges, 10, scale, dp, len(sn), sbase
+    )
+    # past the int64 headroom the rows entry must fall back to the
+    # arbitrary-precision loop and still validate the scale floor
+    big = 10**17
+    assert _driver_pagerank_rows(edges, 3, big, dp) == _driver_pagerank(
+        edges, 3, big, dp, n, (big * (100 - dp)) // (100 * n)
+    )
+
+
 def test_bfs_driver_path_identical_to_distributed(spark):
     """The adaptive driver BFS and the distributed frontier loop must
     return the identical (node, hops) set — min-hop labels are order-free
