@@ -354,6 +354,53 @@ def test_duplicate_clusters_matches_union_find(docs):
     assert got == {d: find(d) if d in parent else d for d in all_ids}
 
 
+def test_verified_pairs_restructured_path_row_identical(docs):
+    """The round-6 fused verify pipeline (one tokenize/signature pass,
+    size-bound candidate pruning, union size via na+nb-|A∩B|) must return
+    EXACTLY the rows of the composed form it replaces — and the default
+    duplicate_clusters must equal the explicit-pairs path built from the
+    composed form."""
+    from dr_source_spark.training.dedup import (
+        _verified_near_dup_pairs,
+        duplicate_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    composed = ngram_jaccard(docs, minhash_lsh_candidates(docs)).filter(
+        F.col("jaccard") >= 0.9
+    )
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in composed.collect()}
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in _verified_near_dup_pairs(docs, 0.9).collect()}
+    assert got == want and len(want) > 0
+    want_c = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(docs, pairs=composed).collect()}
+    got_c = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(docs).collect()}
+    assert got_c == want_c
+
+
+def test_union_find_numpy_variant_matches_dict_reference():
+    """The numpy min-label-propagation CC (kept for reference; the dict
+    loop measured faster and stays the driver path) must produce the
+    identical (node, component-min) set on ints and strings."""
+    import random
+
+    from dr_source_spark.operators.graph import (
+        _driver_union_find_dict,
+        _driver_union_find_np,
+    )
+
+    random.seed(5)
+    edges = [(random.randrange(300), random.randrange(300)) for _ in range(900)]
+    d = sorted(_driver_union_find_dict(edges))
+    n = sorted((int(a), int(b)) for a, b in _driver_union_find_np(edges))
+    assert d == n
+    sedges = [(f"v{a}", f"v{b}") for a, b in edges]
+    ds = sorted(_driver_union_find_dict(sedges))
+    ns = sorted((str(a), str(b)) for a, b in _driver_union_find_np(sedges))
+    assert ds == ns
+    assert _driver_union_find_np([]) == []
+
+
 def test_duplicate_clusters_chain_converges_logarithmically(spark):
     """A 64-node path graph (diameter 63 — label propagation's worst case)
     must fully merge within the star algorithm's O(log n) round budget."""
