@@ -111,6 +111,31 @@ def _estimated_splits(df: DataFrame) -> int:
     return max(1, (size + max_bytes - 1) // max_bytes)
 
 
+# analyzed-plan nodes that preserve their child's partitioning — the
+# upstream-repartition walk below may look through these
+_PARTITION_PRESERVING = {"Project", "Filter", "CollectMetrics", "SubqueryAlias"}
+
+
+def _upstream_repartition_width(df: DataFrame) -> int:
+    """numPartitions of a user repartition reachable from the plan root
+    through partition-preserving nodes, else 0. Analysis-only (no
+    optimizer run, no RDD conversion, no job): lets a producer that
+    already widened its output (e.g. synth_code_corpus) skip a second
+    content-carrying shuffle here."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(64):
+            cls = node.getClass().getSimpleName()
+            if cls in ("RepartitionByExpression", "Repartition"):
+                return int(node.numPartitions())
+            if cls not in _PARTITION_PRESERVING or node.children().size() != 1:
+                return 0
+            node = node.children().apply(0)
+    except Exception:
+        return 0
+    return 0
+
+
 def ensure_min_parallelism(
     df: DataFrame, key_cols=("repo", "path"), factor: int = 1, target: Optional[int] = None
 ) -> DataFrame:
@@ -144,8 +169,15 @@ def ensure_min_parallelism(
       ACTUAL planned split count, and only ever repartition UP — an input
       that already arrives wider than the target (e.g. 128 natural parquet
       splits) is never collapsed."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
     if target is None:
-        target = factor * df.sparkSession.sparkContext.defaultParallelism
+        target = factor * cores
+    # a full-width repartition already in the plan makes a second shuffle
+    # pure waste; only trusted at target >= cores so the bytes-aware
+    # narrow targets (build_symbol_index at small corpora) keep their
+    # measured optimum of coalescing BELOW an already-wide input
+    if target >= cores and _upstream_repartition_width(df) >= target:
+        return df
     if _estimated_splits(df) >= target:
         return df
     size = _plan_size_bytes(df)

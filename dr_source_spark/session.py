@@ -21,10 +21,10 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
     if shuffle_partitions is None:
         # local mode: match core count; on a real cluster callers pass
         # ~2-3x total executor cores.
-        cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
 
     builder = (
@@ -46,6 +46,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # scan-parallelism floor (guide §6.1): the local SF tables are
+        # single parquet files, so with only maxPartitionBytes the busiest
+        # scans plan 1-2 tasks on a 32-core master (sf1 lineitem: 2 splits
+        # for 6 row groups). A floor of defaultParallelism derives from
+        # cluster size — scale-adaptive by construction: at corpus scale
+        # natural splits far exceed core count and the floor is a no-op.
+        # Split granularity is still bounded by row groups; override via
+        # SPARK_GRAFT_MIN_PARTITION_NUM for clusters where even the floor
+        # should be pinned (e.g. very wide dynamic-allocation ranges).
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM")
+            or ("32" if cores == "*" else str(max(int(cores), 8))),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

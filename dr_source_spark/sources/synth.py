@@ -434,6 +434,25 @@ def synth_code_corpus(
     rounds even as the full corpus (default: all templates, incl. the
     heavier inter-file/framework ones) grows."""
     n_templates = templates or len(_TEMPLATES)
+    # Widen BEFORE content expansion (round 6): the documents parquet is a
+    # single row group at every local SF, so the scan stage is 1-2 tasks —
+    # and everything Catalyst computes below the exchange runs there,
+    # single-threaded, on EVERY kg_extract/detector_scan materialization.
+    # Two consequences drive the shape below:
+    #   * the narrow (doc_id, text, path) rows are repartitioned by doc_id
+    #     (stable, uniform key — deterministic under retries, guide §2.5)
+    #     so the heavy per-row content concat runs at full width, and
+    #     downstream ensure_min_parallelism recognizes the existing width
+    #     instead of paying a second content-carrying shuffle;
+    #   * ``path`` is materialized as a real column BEFORE the exchange:
+    #     downstream ignore/lang filters reference only the path, and
+    #     Catalyst pushes such filters below a repartition — against the
+    #     struct form it re-derived the whole template CASE inside each
+    #     pushed predicate on the narrow scan side (measured ~0.85 s
+    #     single-threaded at sf1); against a materialized cheap column the
+    #     pushed filters cost two regexes over 50 k short strings.
+    sc = documents.sparkSession.sparkContext
+    documents = documents.select("doc_id", "text")
     if copies > 1:
         documents = documents.select(
             "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_copy")
@@ -453,27 +472,31 @@ def synth_code_corpus(
                  for piece in _marker.split(tpl) if piece != ""]
         return F.concat(*parts)
 
-    branches = None
+    def _case(exprs):
+        out = None
+        for i, e in enumerate(exprs):
+            cond = F.pmod(F.col("doc_id"), F.lit(n_templates)) == i
+            out = F.when(cond, e) if out is None else out.when(cond, e)
+        return out
+
     # only the selected templates: unreachable when-branches for templates
     # >= n_templates would still be compiled into the generated code (10
     # large concat expressions instead of 6), measurably slowing the fused
     # corpus→detector stage (the round-3 detector_scan regression)
-    for i, (_lang, path_tpl, content_tpl) in enumerate(_TEMPLATES[:n_templates]):
-        path_expr = _tpl_expr(path_tpl)
-        content_expr = _tpl_expr(content_tpl)
-        cond = F.pmod(F.col("doc_id"), F.lit(n_templates)) == i
-        branch = F.when(cond, F.struct(path_expr.alias("path"), content_expr.alias("content")))
-        branches = branch if branches is None else branches.when(cond, F.struct(path_expr.alias("path"), content_expr.alias("content")))
-
+    selected = _TEMPLATES[:n_templates]
+    path_case = _case([_tpl_expr(p) for _lang, p, _c in selected])
+    pre = documents.select("doc_id", "text", path_case.alias("path")).repartition(
+        sc.defaultParallelism, "doc_id"
+    )
+    content_case = _case([_tpl_expr(c) for _lang, _p, c in selected])
     # heavy-tailed repos: repo k owns ~2k+1 files (k = floor(sqrt(doc_id)))
     repo = F.concat(F.lit("repo_"), F.floor(F.sqrt(F.col("doc_id"))).cast("string"))
-    picked = documents.select(F.col("doc_id"), repo.alias("repo"), branches.alias("pc"))
-    return picked.select(
-        "repo",
-        F.col("pc.path").alias("path"),
+    return pre.select(
+        repo.alias("repo"),
+        "path",
         F.lit(commit).alias("commit"),
         F.lit(None).cast("string").alias("lang"),
-        F.col("pc.content").alias("content"),
+        content_case.alias("content"),
     )
 
 
