@@ -166,7 +166,11 @@ SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0
 def _a10_latest(spark, sf_dir):
     from dr_source_spark.operators.relational import latest_per_group
 
-    ev = _t(spark, sf_dir, "events")
+    # project the three consumed columns BEFORE the rank-1 operator: the
+    # max_by fast path carries the full row struct through its aggregate,
+    # which defeats Catalyst's nested-column pruning at the scan (round 6
+    # plan audit: ReadSchema listed all six event columns)
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     out = latest_per_group(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")])
     return out.select("user_id", F.col("event_id").alias("latest_event"), F.col("ts").alias("latest_ts"))
 

@@ -407,7 +407,13 @@ def alternating_star_components(
         return df, (m["n"], m["h"])
 
     batch = max(1, batch)
-    cur, prev_fp = _ckpt_with_fp(edges.select("src", "dst").distinct())
+    # no up-front .distinct(): the driver union-find dedups implicitly,
+    # every star round ends in .distinct() anyway, and the fingerprint
+    # only drives convergence detection (a raw-vs-round-1 false match
+    # would need identical counts AND xor — impossible when dups were
+    # dropped, astronomically unlikely otherwise). Saves one full shuffle
+    # of the edge list per call (round 6).
+    cur, prev_fp = _ckpt_with_fp(edges.select("src", "dst"))
     # adaptive small-graph path: the edge count is already in hand from
     # the fingerprint observe — no extra job decides the route
     if 0 < prev_fp[0] <= driver_max_edges:

@@ -66,7 +66,17 @@ def severity_histogram(findings: DataFrame) -> DataFrame:
 
 def latest_per_group(df: DataFrame, group: Sequence[str], order: List) -> DataFrame:
     """A10 — latest-scan-per-project pattern (reference db.py:253-297):
-    row_number over a window, keep rank 1."""
+    row_number over a window, keep rank 1.
+
+    Round-6 optimization note: two alternatives were built, measured
+    equal, and REVERTED — max_by over the row struct plans as
+    SortAggregate (it sorts the full input, saving nothing over the
+    window), and a chained per-key extreme-aggregate + join-back form
+    that re-scans the input once per sort key. At sf1 all three cost
+    ~0.85 s: the floor is the single-row-group scan plus one pass of
+    every row through a shuffle, which no rank-1 formulation removes.
+    The window form stays because it is the simplest at the same cost;
+    callers should project the consumed columns first (see _a10_latest)."""
     w = Window.partitionBy(*group).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

@@ -45,21 +45,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # maxPartitionBytes kept at the 128m default. MEASURED AND
+        # REJECTED (round 6): a spark.sql.files.minPartitionNum floor of
+        # defaultParallelism — the guide §6.1 shape for the single-file
+        # local SF tables — was consistently SLOWER on the scan-bound
+        # relational queries (sf1, in-session A/B best-of-5: q1 0.92 s vs
+        # 0.80 s off, join_region 1.57 vs 1.29, ann 0.71 vs 0.61): split
+        # granularity is bounded by the 6 row groups anyway, and 26 empty
+        # splits pay per-task footer/open overhead for nothing. A
+        # maxPartitionBytes sweep (128m/32m/16m) moved nothing beyond
+        # noise for the same reason.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # scan-parallelism floor (guide §6.1): the local SF tables are
-        # single parquet files, so with only maxPartitionBytes the busiest
-        # scans plan 1-2 tasks on a 32-core master (sf1 lineitem: 2 splits
-        # for 6 row groups). A floor of defaultParallelism derives from
-        # cluster size — scale-adaptive by construction: at corpus scale
-        # natural splits far exceed core count and the floor is a no-op.
-        # Split granularity is still bounded by row groups; override via
-        # SPARK_GRAFT_MIN_PARTITION_NUM for clusters where even the floor
-        # should be pinned (e.g. very wide dynamic-allocation ranges).
-        .config(
-            "spark.sql.files.minPartitionNum",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM")
-            or ("32" if cores == "*" else str(max(int(cores), 8))),
-        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -500,17 +500,20 @@ def _verified_near_dup_pairs(
     num_hashes: int = 112,
     bands: int = 14,
     max_cluster: int = 1000,
+    _ckpt_sink: list | None = None,
 ) -> DataFrame:
     """``ngram_jaccard(documents, minhash_lsh_candidates(documents))
     .filter(jaccard >= threshold)`` — same rows, restructured for the
     clustering consumer (round-6 optimization, ~2x at sf1):
 
-    * tokenize ONCE into a checkpoint reused by the signature pass and
-      both sides of the verify join (the composed form re-tokenized 4x);
     * checkpoint the band signatures so the viral-cap count pre-pass and
       the pair groupBy share one minhash evaluation (the composed form
       evaluates the 112-aggregate pipeline twice — guide §2.4: two
-      operations keyed the same way share one computation);
+      operations keyed the same way share one computation). A caller
+      that materializes the result eagerly can pass ``_ckpt_sink`` (a
+      list) to receive the checkpointed frame and unpersist it once the
+      pairs are consumed — long sessions running many dedups otherwise
+      accumulate checkpoint blocks until the context cleaner catches up;
     * carry each doc's distinct-word COUNT (a free ``count(*)`` in the
       signature aggregate) through the band explode and drop candidate
       pairs that PROVABLY fail the jaccard threshold inside the pair-
@@ -565,6 +568,8 @@ def _verified_near_dup_pairs(
         .select("doc_id", "nw", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
         .localCheckpoint(eager=True)
     )
+    if _ckpt_sink is not None:
+        _ckpt_sink.append(band_sigs)
     counts = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
     if max_cluster:
         oversized = F.col("_n") > max_cluster
@@ -638,14 +643,19 @@ def duplicate_clusters(
     candidates (pytest-gated equivalence). Components via alternating
     large-star/small-star — O(log n) rounds, edge-list-bounded
     intermediates (see ``operators.graph.alternating_star_components``)."""
+    ckpts: list = []
     if pairs is None:
-        pairs = _verified_near_dup_pairs(documents, jaccard_threshold)
+        pairs = _verified_near_dup_pairs(documents, jaccard_threshold, _ckpt_sink=ckpts)
     from ..operators.graph import alternating_star_components
 
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
     )
     stars = alternating_star_components(edges, max_rounds=max_rounds)
+    # alternating_star materializes the pair graph into its own checkpoint
+    # eagerly, so the signature checkpoint is dead weight from here on
+    for df in ckpts:
+        df.unpersist()
     # min-agg is a no-op on a converged star (one row per non-root node) but
     # keeps the join 1:1 even if max_rounds cut convergence short
     labels = stars.groupBy(F.col("src").alias("doc_id")).agg(
