@@ -597,13 +597,14 @@ def _verified_near_dup_pairs(
         "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.nw AS na, y.nw AS nb)), "
         f"p -> least(p.na, p.nb) >= greatest(p.na, p.nb) * {jmin!r})))"
     )
-    # na/nb are functions of the ids, so carrying them through the distinct
-    # does not change its cardinality — and lets the verify compute the
-    # union size as na + nb - |A∩B| (set identity over distinct arrays),
-    # halving the per-pair hash-set work vs array_union
+    # na/nb exist only inside the pair-generation filter; the distinct
+    # shuffles bare (doc_a, doc_b) ids — half the row width — and the
+    # verify recovers the sizes for free from the joined arrays, computing
+    # the union as |A| + |B| - |A∩B| (set identity over distinct arrays)
+    # instead of a second array_union hash-set build
     cand = (
         groups.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
@@ -615,7 +616,7 @@ def _verified_near_dup_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(isect / (F.col("na") + F.col("nb") - isect), 4).alias("jaccard"),
+            F.round(isect / (F.size("wa") + F.size("wb") - isect), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
