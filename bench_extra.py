@@ -110,10 +110,18 @@ def stages_dedup(spark, runs=3):
     timed(spark, "dd.lsh_candidates_noop", lambda: _noop(minhash_lsh_candidates(docs)), runs)
     timed(
         spark,
-        "dd.jaccard_verified_noop",
+        "dd.jaccard_verified_composed_noop",
         lambda: _noop(
             ngram_jaccard(docs, minhash_lsh_candidates(docs)).filter("jaccard >= 0.9")
         ),
+        runs,
+    )
+    from dr_source_spark.training.dedup import _verified_near_dup_pairs
+
+    timed(
+        spark,
+        "dd.verified_pairs_fused_noop",
+        lambda: _noop(_verified_near_dup_pairs(docs, 0.9)),
         runs,
     )
     timed(spark, "dd.clusters_noop", lambda: _noop(duplicate_clusters(docs)), runs)
