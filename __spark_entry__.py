@@ -247,7 +247,18 @@ FROM documents, rules WHERE regexp_matches(text, pattern)
 
 
 def _join_region_revenue(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    from dr_source_spark.operators.analyze import ensure_min_parallelism
+
+    # widen the fact side when its scan is narrower than the cluster: the
+    # single-file local orders table scans as ONE task, which ran every
+    # broadcast probe and the decimal(28,4) partial aggregation single-
+    # threaded (round 6: 1.38 s -> 0.75 s at sf1; ensure_min_parallelism
+    # is a no-op at corpus scale where the scan is already wide). The
+    # projection keeps the shuffle to the two consumed fact columns.
+    o = ensure_min_parallelism(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        key_cols=("o_custkey",),
+    )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -1600,9 +1611,16 @@ GROUP BY user_id
 
 
 def _dedup_exact(spark, sf_dir):
+    from dr_source_spark.operators.analyze import ensure_min_parallelism
     from dr_source_spark.training.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    # widen the single-row-group local scan so the sha256 fingerprint and
+    # the partial aggregate run cluster-wide instead of inside the one
+    # scan task (round 6: 0.99 -> 0.84 s at sf1; no-op at corpus scale)
+    docs = ensure_min_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), key_cols=("doc_id",)
+    )
+    return exact_duplicates(docs)
 
 
 _DEDUP_EXACT_SQL = r"""
