@@ -79,6 +79,12 @@ def extract(
     ckb = compiled_kb_cached(explicit_path=kb_path)
 
     files = ingest_source_files(source_files)
+    # persist only what the index/detector jobs consume: the ingest
+    # invariants (content_sha256, size_bytes) are not read by the default
+    # extraction path, and materializing them into the cache hashed every
+    # file for nothing (round 6; content_dedup derives its own key when
+    # the column is absent)
+    files = files.select("repo", "path", "commit", "ext", "lang", "content")
     # content-length skew stats ride the index pass's action (zero extra
     # jobs); straggler_factor_from reads them non-blockingly below
     from .operators.skew import attach_length_observation, straggler_factor_from
