@@ -1611,16 +1611,15 @@ GROUP BY user_id
 
 
 def _dedup_exact(spark, sf_dir):
-    from dr_source_spark.operators.analyze import ensure_min_parallelism
     from dr_source_spark.training.dedup import exact_duplicates
 
-    # widen the single-row-group local scan so the sha256 fingerprint and
-    # the partial aggregate run cluster-wide instead of inside the one
-    # scan task (round 6: 0.99 -> 0.84 s at sf1; no-op at corpus scale)
-    docs = ensure_min_parallelism(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), key_cols=("doc_id",)
-    )
-    return exact_duplicates(docs)
+    # round 6: an ensure_min_parallelism widening (shuffle the text so the
+    # sha256 fingerprint runs cluster-wide) won an isolated A/B
+    # (0.99 -> 0.84 s at sf1) but measured flat-to-worse inside the bench
+    # suite (0.58-0.63 vs 0.57 un-widened) — the 15 MB text shuffle buys
+    # back what the parallel hash saves at this scale. Reverted; the
+    # fingerprint is a single narrow scan-stage pass as before.
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
 _DEDUP_EXACT_SQL = r"""
