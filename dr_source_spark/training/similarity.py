@@ -757,48 +757,68 @@ def nn_margin_stats(
     candidate generator swaps to the IVF/LSH bucket path exactly as
     ann_cosine_topk → ann_ivf_topk does.
     """
+    # Round-6 restructure, output bit-identical (oracle + row-level
+    # equivalence gated):
+    #   * each vector's norm is computed ONCE in its own projection and
+    #     carried through the join — the composed cosine_col re-derived
+    #     BOTH 64-step norm folds per PAIR, tripling the dominant
+    #     interpreted-HOF cost of the n² pass (sf1 census: the query ran
+    #     past 300 s; hoisting is exact — same fold over the same vector,
+    #     and den = a_n * b_n is the same multiply);
+    #   * per-anchor top-1 via min(struct(-sim, b_id)) — lexicographic
+    #     struct order = sim DESC, b_id ASC, exactly the old row_number
+    #     window's frame — which partial-aggregates map-side to one row
+    #     per anchor instead of shuffling and SORTING all n² scored rows
+    #     twice. Double negation is sign-exact (-0.0 round-trips), so the
+    #     recovered sim is bit-identical.
     a = embeddings.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
         F.col(label_col).alias("a_lbl"),
+        _norm(F.col(vec_col)).alias("a_n"),
     )
     sc = embeddings.sparkSession.sparkContext
     b = embeddings.repartition(sc.defaultParallelism, id_col).select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         F.col(label_col).alias("b_lbl"),
+        _norm(F.col(vec_col)).alias("b_n"),
     )
+    den = F.col("a_n") * F.col("b_n")
     scored = (
         b.join(F.broadcast(a), F.col("b_id") != F.col("a_id"))
-        .withColumn("sim", F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(F.when(den > 0, _dot(F.col("a_vec"), F.col("b_vec")) / den), 6),
+        )
         .filter(F.col("sim").isNotNull())
         .select("a_id", "a_lbl", "b_id", "b_lbl", "sim")
     )
-    wsame = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
-    pos = (
-        scored.filter(F.col("a_lbl") == F.col("b_lbl"))
-        .withColumn("_r", F.row_number().over(wsame))
-        .filter(F.col("_r") == 1)
-        .select(
-            "a_id",
-            F.col("b_id").alias("pos_id"),
-            F.col("sim").alias("sim_pos"),
-        )
-    )
-    neg = (
-        scored.filter(F.col("a_lbl") != F.col("b_lbl"))
-        .withColumn("_r", F.row_number().over(wsame))
-        .filter(F.col("_r") == 1)
-        .select(
-            "a_id",
-            F.col("b_id").alias("neg_id"),
-            F.col("sim").alias("sim_neg"),
-        )
+
+    # ... and BOTH top-1s ride ONE aggregate pass via conditional mins
+    # (min ignores the NULLed-out rows of the other branch) — the
+    # two-branch form re-executed the n² join+scoring subplan once per
+    # branch. An anchor with candidates on only one side gets a NULL
+    # struct for the other, exactly the old left-join miss.
+    key = F.struct((-F.col("sim")).alias("_ns"), F.col("b_id").alias("_b"))
+    same = F.col("a_lbl") == F.col("b_lbl")
+    best = scored.groupBy("a_id").agg(
+        F.min(F.when(same, key)).alias("_tp"),
+        F.min(F.when(~same, key)).alias("_tn"),
     )
     return (
         embeddings.select(F.col(id_col).alias("a_id"), F.col(label_col).alias("label"))
-        .join(pos, "a_id", "left")
-        .join(neg, "a_id", "left")
+        .join(best, "a_id", "left")
+        # struct-field access on a NULL struct yields NULL — identical to
+        # the old per-branch left-join miss
+        .select(
+            "a_id",
+            "label",
+            F.col("_tp._b").alias("pos_id"),
+            (-F.col("_tp._ns")).alias("sim_pos"),
+            F.col("_tn._b").alias("neg_id"),
+            (-F.col("_tn._ns")).alias("sim_neg"),
+        )
         .withColumn(
             "margin_e6",
             (

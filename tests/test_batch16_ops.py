@@ -147,6 +147,66 @@ class TestNnMargin:
         # hard negative of anchor 0 is the mislabeled lookalike
         assert out[0]["neg_id"] == 4
 
+    def test_agg_form_matches_window_reference(self, spark):
+        # round-6 restructure gate: hoisted norms + conditional
+        # min(struct(-sim, b_id)) must reproduce the row_number-window
+        # top-1 (sim DESC, b_id ASC) bit-for-bit, including ties (the
+        # duplicated vectors below tie on sim and must resolve to the
+        # LOWEST b_id) and one-sided/NULL anchors
+        from pyspark.sql.window import Window
+
+        from dr_source_spark.training.similarity import cosine_col, nn_margin_stats
+
+        rows = []
+        for i in range(60):
+            # deterministic vectors with planted exact duplicates (ties)
+            base = [(i * 7 + d * 13) % 17 - 8.0 for d in range(4)]
+            rows.append((i, [float(x) for x in (base if i % 5 else [1.0, 2.0, 3.0, 4.0])], i % 3))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+        a = df.select(
+            F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), F.col("label").alias("a_lbl")
+        )
+        b = df.select(
+            F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), F.col("label").alias("b_lbl")
+        )
+        scored = (
+            b.join(F.broadcast(a), F.col("b_id") != F.col("a_id"))
+            .withColumn("sim", F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 6))
+            .filter(F.col("sim").isNotNull())
+        )
+        w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+
+        def top1(matched, oid, osim):
+            return (
+                matched.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("a_id", F.col("b_id").alias(oid), F.col("sim").alias(osim))
+            )
+
+        ref = (
+            df.select(F.col("vec_id").alias("a_id"), "label")
+            .join(top1(scored.filter(F.col("a_lbl") == F.col("b_lbl")), "pos_id", "sim_pos"), "a_id", "left")
+            .join(top1(scored.filter(F.col("a_lbl") != F.col("b_lbl")), "neg_id", "sim_neg"), "a_id", "left")
+            .withColumn(
+                "margin_e6",
+                (F.round(F.col("sim_pos") * 1e6) - F.round(F.col("sim_neg") * 1e6)).cast("long"),
+            )
+            .withColumn(
+                "correct_1nn",
+                F.when(
+                    F.col("sim_pos").isNull() | F.col("sim_neg").isNull(), F.lit(False)
+                ).otherwise(F.col("sim_pos") > F.col("sim_neg")),
+            )
+            .withColumnRenamed("a_id", "vec_id")
+        )
+        got = nn_margin_stats(df)
+        ref_rows = sorted(ref.collect(), key=lambda r: r["vec_id"])
+        got_rows = sorted(got.collect(), key=lambda r: r["vec_id"])
+        assert [tuple(r) for r in got_rows] == [
+            tuple(r[c] for c in got.columns) for r in ref_rows
+        ]
+
     def test_single_label_corpus_has_null_negatives(self, spark):
         from dr_source_spark.training.similarity import nn_margin_stats
 
