@@ -93,6 +93,50 @@ def test_simhash_hamming_column_matches_python(spark):
     assert row.d == bin(int(row.sa, 16) ^ int(row.sb, 16)).count("1")
 
 
+def test_simhash_pairs_match_nibblewise_reference(spark):
+    # round-6 restructure gate: the narrow-join + half-XOR shape of
+    # simhash_near_dup_pairs must reproduce the pre-restructure result —
+    # banded self-join carrying signatures, nibble-wise simhash_hamming,
+    # distinct over (doc_a, doc_b, hamming) — row for row
+    from dr_source_spark.training.dedup import (
+        simhash, simhash_hamming, simhash_near_dup_pairs,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 4 + i % 3)))
+        for i in range(40)
+    ]
+    rows += [(100, rows[3][1]), (101, rows[3][1])]  # planted exact dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = simhash(df)
+    bands, width = 4, 4
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.substring("simhash", 1 + i * width, width).alias("band_sig"))
+            for i in range(bands)
+        ])).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ref = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                simhash_hamming(F.col("a.simhash"), F.col("b.simhash")).cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+    got = simhash_near_dup_pairs(df)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # planted exact dups must surface at hamming 0
+    got_map = {(r.doc_a, r.doc_b): r.hamming for r in got.collect()}
+    assert got_map.get((100, 101)) == 0 and got_map.get((3, 100)) == 0
+
+
 def test_lsh_cluster_cap_drops_viral_group_observably(spark):
     from dr_source_spark.training.dedup import lsh_oversized_clusters, minhash_lsh_candidates
 
