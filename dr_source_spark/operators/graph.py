@@ -674,11 +674,75 @@ def weighted_sssp(
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
 
 
+def _class_compress(edges: DataFrame, class_max_degree: int):
+    """Structural-equivalence compression shared by the co-neighbor
+    operators (neighbor_jaccard / resource_allocation): nodes with
+    byte-identical neighbor sets collapse into one class, so every
+    pair-level co-neighbor quantity (common count, degrees, weights,
+    adjacency — see the proofs in neighbor_jaccard's docstring) is
+    computed ONCE per class pair and members expand only into output
+    rows. Node ids are dictionary-encoded to longs (checkpointed —
+    retry-stable) so the wedge shuffles 16-byte pairs, not KG node
+    strings. Class keys (the serialized sorted neighbor array —
+    injective for long ids) are built only for nodes of degree ≤
+    ``class_max_degree``: the array is an aggregation buffer and a
+    10⁷-degree hub must not materialize one; higher-degree nodes stay
+    singleton classes with no array. A graph without structural twins
+    degrades to all-singleton classes, i.e. exactly the plain wedge.
+
+    Returns (nodes, members, cls_info, cls_adj, adj, deg, und_ids):
+    nodes = (node, nid) dictionary; members = (node=nid, cls, d);
+    cls_info = (cls, d, m); cls_adj = distinct (cls, neigh-nid);
+    adj/deg by nid; und_ids = distinct undirected edges as (aid, bid)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("nid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    und_ids = (
+        und.join(nodes.select(F.col("node").alias("a"), F.col("nid").alias("aid")), "a")
+        .join(nodes.select(F.col("node").alias("b"), F.col("nid").alias("bid")), "b")
+        .select("aid", "bid")
+    )
+    adj = und_ids.select(F.col("aid").alias("node"), F.col("bid").alias("neigh")).union(
+        und_ids.select(F.col("bid").alias("node"), F.col("aid").alias("neigh"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    keyed = adj.join(deg, "node")
+    small = (
+        keyed.filter(F.col("d") <= class_max_degree)
+        .groupBy("node", "d")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("neigh").cast("string")))).alias("_sig"))
+    )
+    cls_of_sig = small.groupBy("_sig").agg(F.min("node").alias("cls"))
+    members = small.join(cls_of_sig, "_sig").select("node", "cls", "d").union(
+        keyed.filter(F.col("d") > class_max_degree)
+        .select("node", "d").distinct()
+        .select("node", F.col("node").alias("cls"), "d")
+    )
+    cls_adj = (
+        adj.join(members.select("node", "cls"), "node").select("cls", "neigh").distinct()
+    )
+    cls_info = members.groupBy("cls", "d").agg(F.count("*").alias("m"))
+    return nodes, members, cls_info, cls_adj, adj, deg, und_ids
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     min_pct: int = 50,
     min_common: int = 2,
     max_hub_degree: int = 0,
+    class_max_degree: int = 256,
 ) -> DataFrame:
     """Link-prediction / structural entity-resolution: neighbor-set
     Jaccard between every node pair sharing >= ``min_common`` neighbors
@@ -693,29 +757,45 @@ def neighbor_jaccard(
 
     Scale shape: pairs are enumerated ONLY at shared neighbors (a wedge
     join on the center node), never all-pairs, and the intersection size
-    is a narrow (node_a, node_b) groupBy — the same
-    candidates-then-verify discipline as the LSH dedup family. A wedge
-    center of degree d contributes C(d, 2) pairs — that is the true
-    co-neighbor result, not an artifact, but a celebrity hub (a CWE node
-    touching 10^7 files) would dominate the output with weak pairs, so
-    ``max_hub_degree`` (0 = off) drops wedge CENTERS above the cap
-    before the join. The drop is never silent: an in-plan ``observe``
-    metric (n_hub_centers / n_adj_rows_at_hubs) rides the result, the
-    same non-silent-cap pattern as the LSH ``lsh_cap_drops`` metric.
-    min_pct/min_common prune AFTER the exact counts, so they change the
-    output rows, never the arithmetic."""
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    is a narrow groupBy — the same candidates-then-verify discipline as
+    the LSH dedup family. A wedge center of degree d contributes C(d, 2)
+    pairs — that is the true co-neighbor result, not an artifact, but a
+    celebrity hub (a CWE node touching 10^7 files) would dominate the
+    output with weak pairs, so ``max_hub_degree`` (0 = off) drops wedge
+    CENTERS above the cap before the join. The drop is never silent: an
+    in-plan ``observe`` metric (n_hub_centers / n_adj_rows_at_hubs)
+    rides the result, the same non-silent-cap pattern as the LSH
+    ``lsh_cap_drops`` metric. min_pct/min_common prune AFTER the exact
+    counts, so they change the output rows, never the arithmetic.
+
+    Round-6 restructure (output row-identical — symdiff 0 at sf0.1's
+    1 002 191 rows — and pytest-gated):
+
+    * the wedge runs over STRUCTURAL-EQUIVALENCE CLASSES: nodes with
+      byte-identical neighbor sets collapse to one class (a KG where
+      thousands of files carry the same vuln profile has huge classes;
+      every pair-level quantity — n_common, degrees, jaccard — depends
+      only on the class pair), so each class pair is counted ONCE and
+      members expand only into the final output rows. On the 50 k-file
+      corpus this takes the wedge from 7.6×10⁸ enumerated pairs (a
+      >300 s census kill) to a few hundred class pairs; on a graph with
+      no structural twins every class is a singleton and the shape
+      degrades to exactly the old wedge. Class keys are built only for
+      nodes of degree ≤ ``class_max_degree`` (the sorted-neighbor array
+      is an aggregation buffer — a 10⁷-degree hub must not materialize
+      one); higher-degree nodes stay singleton classes with no array;
+    * node ids are dictionary-encoded to longs first (checkpointed so
+      the mapping is retry-stable) — the wedge shuffles 16-byte pairs
+      instead of repeated ~50-byte KG node strings, strings join back
+      broadcast-style only on the output rows;
+    * an exact pair-level degree prune rides the class-pair wedge:
+      ``n_common ≤ least(da, db)`` and integer-div jaccard ≥ p together
+      imply ``p·(da+db) ≤ (100+p)·least(da,db)`` — pairs failing it can
+      never reach the output (floor(100n/u) ≥ p ⟺ 100n ≥ p·u for
+      integer p), so mixed-degree garbage dies inside the join."""
+    nodes, members, cls_info, cls_adj, adj, deg, und_ids = _class_compress(
+        edges, class_max_degree
     )
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("neigh")).union(
-        und.select(F.col("b").alias("node"), F.col("a").alias("neigh"))
-    )
-    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
     if max_hub_degree:
         hub = F.col("d") > max_hub_degree
         # observe rides the per-center degree table (one row per center),
@@ -726,35 +806,69 @@ def neighbor_jaccard(
             F.sum(F.when(hub, 1).otherwise(0)).alias("n_hub_centers"),
             F.sum(F.when(hub, F.col("d")).otherwise(0)).alias("n_adj_rows_at_hubs"),
         )
-        wedge_adj = adj.join(
+        cls_adj = cls_adj.join(
             center_deg.filter(~hub).select(F.col("node").alias("neigh")), "neigh"
-        ).select("node", "neigh")
-    else:
-        wedge_adj = adj
-    x, y = wedge_adj.alias("x"), wedge_adj.alias("y")
-    inter = (
+        ).select("cls", "neigh")
+    cls_adj_d = cls_adj.join(
+        cls_info.select("cls", "d", "m"), "cls"
+    )
+    x, y = cls_adj_d.alias("x"), cls_adj_d.alias("y")
+    prune = (
+        F.lit(min_pct) * (F.col("x.d") + F.col("y.d"))
+        <= F.lit(100 + min_pct) * F.least(F.col("x.d"), F.col("y.d"))
+    ) if min_pct else F.lit(True)
+    cross = (
         x.join(
             y,
-            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.node") < F.col("y.node")),
+            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.cls") < F.col("y.cls")) & prune,
         )
-        .groupBy(F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b"))
-        .agg(F.count("*").alias("n_common"))
+        .groupBy(F.col("x.cls").alias("ca"), F.col("y.cls").alias("cb"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max(F.col("x.d")).alias("deg_a"),
+            F.max(F.col("y.d")).alias("deg_b"),
+        )
         .filter(F.col("n_common") >= min_common)
     )
+    # within-class pairs: every member shares the full (hub-filtered)
+    # neighbor set, so n_common = the class's surviving neighbor count
+    within = (
+        cls_adj.groupBy("cls").agg(F.count("*").alias("n_common"))
+        .join(cls_info.filter(F.col("m") >= 2), "cls")
+        .filter(F.col("n_common") >= min_common)
+        .select("cls", "n_common", F.col("d").alias("deg_a"), F.col("d").alias("deg_b"))
+    )
+    jacc = F.expr("CAST(100 * n_common AS BIGINT) div (deg_a + deg_b - n_common)")
+    cross = cross.withColumn("jaccard_pct", jacc).filter(F.col("jaccard_pct") >= min_pct)
+    within = within.withColumn("jaccard_pct", jacc).filter(F.col("jaccard_pct") >= min_pct)
+    mem = members.select("cls", "node")
+    cross_pairs = (
+        cross.join(mem.select(F.col("cls").alias("ca"), F.col("node").alias("ia")), "ca")
+        .join(mem.select(F.col("cls").alias("cb"), F.col("node").alias("ib")), "cb")
+        .select("ia", "ib", "n_common", "deg_a", "deg_b", "jaccard_pct")
+    )
+    m1 = mem.select(F.col("cls").alias("_c"), F.col("node").alias("ia"))
+    m2 = mem.select(F.col("cls").alias("_c"), F.col("node").alias("ib"))
+    within_pairs = (
+        within.withColumnRenamed("cls", "_c")
+        .join(m1, "_c")
+        .join(m2, "_c")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "n_common", "deg_a", "deg_b", "jaccard_pct")
+    )
+    pairs = cross_pairs.union(within_pairs)
+    sa = nodes.select(F.col("nid").alias("ia"), F.col("node").alias("_sa"))
+    sb = nodes.select(F.col("nid").alias("ib"), F.col("node").alias("_sb"))
+    swap = F.col("_sa") <= F.col("_sb")
     return (
-        inter.join(deg.select(F.col("node").alias("node_a"), F.col("d").alias("deg_a")), "node_a")
-        .join(deg.select(F.col("node").alias("node_b"), F.col("d").alias("deg_b")), "node_b")
-        .withColumn(
-            "jaccard_pct",
-            F.expr("CAST(100 * n_common AS BIGINT) div (deg_a + deg_b - n_common)"),
-        )
-        .filter(F.col("jaccard_pct") >= min_pct)
+        pairs.join(sa, "ia")
+        .join(sb, "ib")
         .select(
-            "node_a",
-            "node_b",
+            F.least("_sa", "_sb").alias("node_a"),
+            F.greatest("_sa", "_sb").alias("node_b"),
             F.col("n_common").cast("long").alias("n_common"),
-            F.col("deg_a").cast("long").alias("deg_a"),
-            F.col("deg_b").cast("long").alias("deg_b"),
+            F.when(swap, F.col("deg_a")).otherwise(F.col("deg_b")).cast("long").alias("deg_a"),
+            F.when(swap, F.col("deg_b")).otherwise(F.col("deg_a")).cast("long").alias("deg_b"),
             F.col("jaccard_pct").cast("long").alias("jaccard_pct"),
         )
     )
@@ -1445,6 +1559,7 @@ def resource_allocation(
     min_common: int = 1,
     scale: int = 10000,
     max_hub_degree: int = 0,
+    class_max_degree: int = 256,
 ) -> DataFrame:
     """Resource-allocation link prediction (Zhou-Lü-Zhang): for every
     NON-ADJACENT node pair sharing >= ``min_common`` neighbors, score
@@ -1467,19 +1582,20 @@ def resource_allocation(
     contributes C(d,2) weak pairs AND a near-zero weight, so capping
     loses almost no score mass. The anti-join on the undirected edge
     set is a narrow-key hash join.
-    """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+
+    Round-6 restructure (output row-identical, pytest-gated): the wedge
+    runs over the structural-equivalence classes of ``_class_compress``
+    — every pair-level quantity here (shared-center count, the
+    per-center weight sum, and pair adjacency, which is uniform across
+    a class pair: see neighbor_jaccard's proof) depends only on the
+    class pair, so class pairs are scored once and members expand only
+    into output rows. Within-class pairs are never adjacent (a member
+    of its own neighbor set would be a self-loop), so they skip the
+    anti-join by construction, and their score is the class's full
+    (hub-filtered) center-weight sum."""
+    nodes, members, cls_info, cls_adj, adj, deg, und_ids = _class_compress(
+        edges, class_max_degree
     )
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("neigh")).union(
-        und.select(F.col("b").alias("node"), F.col("a").alias("neigh"))
-    )
-    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
     center_w = deg.select(
         F.col("node").alias("neigh"),
         F.expr(f"cast({scale} div d as long)").alias("w"),
@@ -1492,24 +1608,58 @@ def resource_allocation(
             F.sum(F.when(hub, 1).otherwise(0)).alias("n_hub_centers"),
             F.sum(F.when(hub, F.col("d")).otherwise(0)).alias("n_adj_rows_at_hubs"),
         ).filter(~hub)
-    wedge_adj = adj.join(center_w.select("neigh", "w"), "neigh")
-    x, y = wedge_adj.alias("x"), wedge_adj.alias("y")
-    pairs = (
+    cls_adj_w = cls_adj.join(center_w.select("neigh", "w"), "neigh")
+    x, y = cls_adj_w.alias("x"), cls_adj_w.alias("y")
+    cross = (
         x.join(
             y,
-            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.node") < F.col("y.node")),
+            (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.cls") < F.col("y.cls")),
         )
-        .groupBy(F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b"))
+        .groupBy(F.col("x.cls").alias("ca"), F.col("y.cls").alias("cb"))
         .agg(
             F.count("*").cast("long").alias("n_common"),
             F.sum(F.col("x.w")).cast("long").alias("ra_score_scaled"),
         )
         .filter(F.col("n_common") >= min_common)
     )
-    return pairs.join(
-        und,
-        (pairs.node_a == und.a) & (pairs.node_b == und.b),
-        "left_anti",
+    cls_edges = (
+        und_ids.join(members.select(F.col("node").alias("aid"), F.col("cls").alias("_ca")), "aid")
+        .join(members.select(F.col("node").alias("bid"), F.col("cls").alias("_cb")), "bid")
+        .select(F.least("_ca", "_cb").alias("ca"), F.greatest("_ca", "_cb").alias("cb"))
+        .distinct()
+    )
+    cross = cross.join(cls_edges, ["ca", "cb"], "left_anti")
+    within = (
+        cls_adj_w.groupBy("cls").agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("ra_score_scaled"),
+        )
+        .join(cls_info.filter(F.col("m") >= 2).select("cls"), "cls")
+        .filter(F.col("n_common") >= min_common)
+    )
+    mem = members.select("cls", "node")
+    cross_pairs = (
+        cross.join(mem.select(F.col("cls").alias("ca"), F.col("node").alias("ia")), "ca")
+        .join(mem.select(F.col("cls").alias("cb"), F.col("node").alias("ib")), "cb")
+        .select("ia", "ib", "n_common", "ra_score_scaled")
+    )
+    within_pairs = (
+        within.withColumnRenamed("cls", "_c")
+        .join(mem.select(F.col("cls").alias("_c"), F.col("node").alias("ia")), "_c")
+        .join(mem.select(F.col("cls").alias("_c"), F.col("node").alias("ib")), "_c")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "n_common", "ra_score_scaled")
+    )
+    pairs = cross_pairs.union(within_pairs)
+    return (
+        pairs.join(nodes.select(F.col("nid").alias("ia"), F.col("node").alias("_sa")), "ia")
+        .join(nodes.select(F.col("nid").alias("ib"), F.col("node").alias("_sb")), "ib")
+        .select(
+            F.least("_sa", "_sb").alias("node_a"),
+            F.greatest("_sa", "_sb").alias("node_b"),
+            "n_common",
+            "ra_score_scaled",
+        )
     )
 
 
@@ -2280,10 +2430,15 @@ def local_bridges(edges: DataFrame) -> DataFrame:
     (self-loops dropped); an edge qualifies iff |N(a) ∩ N(b)| = 0.
     Output: (a, b, deg_a, deg_b) with a < b.
 
-    Scale shape: the common-neighbor count is one wedge equi-join of
-    the adjacency list against itself keyed on the shared neighbor —
-    fan-out bounded by degree, never all-pairs — LEFT ANTI joined back
-    onto the edge list; degrees are one narrow aggregate broadcast.
+    Scale shape (round-6 restructure, output row-identical and
+    pytest-gated): the old shape enumerated EVERY co-neighbor pair in
+    the graph (Σ C(deg(center), 2) rows — 7.6×10⁸ on the 50 k-file KG,
+    a census kill) just to anti-join the ~|E| that are edges. An edge
+    is triangle-embedded iff some x ∈ N(a)∩N(b), so we probe each
+    edge's LOWER-degree endpoint's adjacency and semi-join the other
+    endpoint (the standard degree-orientation trick): the intermediate
+    is Σ_edges min(deg_a, deg_b) rows — linear-ish in edges on hubby
+    graphs — and only edges are ever scored.
     """
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -2297,25 +2452,29 @@ def local_bridges(edges: DataFrame) -> DataFrame:
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    wedged = (
-        adj.select(F.col("node").alias("wa"), F.col("nb").alias("x"))
-        .join(
-            adj.select(F.col("node").alias("wb"), F.col("nb").alias("x")),
-            "x",
-        )
-        .filter(F.col("wa") < F.col("wb"))
-        .select(F.col("wa").alias("a"), F.col("wb").alias("b"))
-        .distinct()
-    )
-    return (
-        und.join(wedged, ["a", "b"], "left_anti")
-        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a")), "a")
+    ud = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b")), "b")
+    )
+    probe = F.when(F.col("deg_a") <= F.col("deg_b"), F.col("a")).otherwise(F.col("b"))
+    other = F.when(F.col("deg_a") <= F.col("deg_b"), F.col("b")).otherwise(F.col("a"))
+    probed = ud.select("a", "b", "deg_a", "deg_b", probe.alias("_p"), other.alias("_o"))
+    cand = probed.join(
+        adj.select(F.col("node").alias("_p"), F.col("nb").alias("_x")), "_p"
+    )
+    in_triangle = cand.join(
+        adj.select(F.col("node").alias("_o"), F.col("nb").alias("_x")), ["_o", "_x"],
+        "left_semi",
+    ).select("a", "b").distinct()
+    return (
+        probed.join(in_triangle, ["a", "b"], "left_anti")
         .select("a", "b", "deg_a", "deg_b")
     )
 
 
-def neighbor_jaccard_topk(edges: DataFrame, k: int = 100) -> DataFrame:
+def neighbor_jaccard_topk(
+    edges: DataFrame, k: int = 100, class_max_degree: int = 256
+) -> DataFrame:
     """Top-k node pairs by NEIGHBOR-SET JACCARD — the classic
     structural-similarity / link-prediction score: two nodes are alike
     to the degree their open neighborhoods overlap, jac_bp =
@@ -2331,50 +2490,89 @@ def neighbor_jaccard_topk(edges: DataFrame, k: int = 100) -> DataFrame:
     total order (jac_bp desc, a asc, b asc) before the cut. Output:
     (a, b, inter_cnt, deg_a, deg_b, jac_bp, adjacent), ≤ k rows.
 
-    Scale shape: the intersection count is the same wedge equi-join as
-    local_bridges (adjacency against itself on the shared neighbor —
-    fan-out bounded by degree, never all-pairs), one narrow groupBy on
-    the pair, degree dim joined in, and the cut is orderBy().limit(k)
-    — Spark's TakeOrdered (per-partition top-k then a k-sized merge),
-    no global sort materialized.
+    Scale shape (round-6 restructure, output row-identical and
+    pytest-gated): the score runs over the structural-equivalence
+    classes of ``_class_compress`` — jac_bp, degrees and adjacency are
+    uniform per class pair (neighbor_jaccard's proofs) — and the k-cut
+    happens at CLASS level before any member expansion:
+
+    * class pairs are cut to the top k by jac_bp via TakeOrdered
+      (orderBy().limit(k)), then every class pair TIED with the k-th
+      jac value is pulled back in (the member-level tie-break crosses
+      class pairs) — since each class pair carries ≥ 1 member pair, the
+      k-th member pair's jac is ≥ the k-th class pair's, so the kept
+      set provably contains the answer;
+    * each kept class expands only its k+1 lexicographically-smallest
+      members (per-class ranked window): a member with k+1 smaller
+      class-mates yields, for ANY partner, k+1 strictly smaller pairs
+      at the same jac — it can never reach the top k. Expansion is
+      ≤ (k+1)² per kept class pair regardless of twin-class size.
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    nodes, members, cls_info, cls_adj, adj, deg, und_ids = _class_compress(
+        edges, class_max_degree
+    )
+    cls_d = cls_info.select("cls", "d", "m")
+    xa = cls_adj.join(cls_d, "cls")
+    x, y = xa.alias("x"), xa.alias("y")
+    cross = (
+        x.join(y, (F.col("x.neigh") == F.col("y.neigh")) & (F.col("x.cls") < F.col("y.cls")))
+        .groupBy(F.col("x.cls").alias("ca"), F.col("y.cls").alias("cb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter_cnt"),
+            F.max(F.col("x.d")).cast("long").alias("deg_a"),
+            F.max(F.col("y.d")).cast("long").alias("deg_b"),
         )
+    )
+    cls_edges = (
+        und_ids.join(members.select(F.col("node").alias("aid"), F.col("cls").alias("_ca")), "aid")
+        .join(members.select(F.col("node").alias("bid"), F.col("cls").alias("_cb")), "bid")
+        .select(F.least("_ca", "_cb").alias("ca"), F.greatest("_ca", "_cb").alias("cb"))
         .distinct()
+        .withColumn("adj_hit", F.lit(1))
     )
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    cross = cross.join(cls_edges, ["ca", "cb"], "left").select(
+        "ca", "cb", "inter_cnt", "deg_a", "deg_b",
+        F.col("adj_hit").isNotNull().alias("adjacent"),
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    inter = (
-        adj.select(F.col("node").alias("wa"), F.col("nb").alias("x"))
-        .join(adj.select(F.col("node").alias("wb"), F.col("nb").alias("x")), "x")
-        .filter(F.col("wa") < F.col("wb"))
-        .groupBy(F.col("wa").alias("a"), F.col("wb").alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("inter_cnt"))
-    )
-    scored = (
-        inter.join(
-            deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a")), "a"
-        )
-        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b")), "b")
-        .join(und.withColumn("adj_hit", F.lit(1)), ["a", "b"], "left")
+    within = (
+        cls_info.filter(F.col("m") >= 2)
         .select(
-            "a",
-            "b",
-            "inter_cnt",
-            "deg_a",
-            "deg_b",
-            F.expr(
-                "CAST((10000 * inter_cnt)"
-                " div (deg_a + deg_b - inter_cnt) AS BIGINT)"
-            ).alias("jac_bp"),
-            F.col("adj_hit").isNotNull().alias("adjacent"),
+            F.col("cls").alias("ca"), F.col("cls").alias("cb"),
+            F.col("d").cast("long").alias("inter_cnt"),
+            F.col("d").cast("long").alias("deg_a"), F.col("d").cast("long").alias("deg_b"),
+            F.lit(False).alias("adjacent"),
         )
+    )
+    cpairs = cross.unionByName(within).withColumn(
+        "jac_bp",
+        F.expr("CAST((10000 * inter_cnt) div (deg_a + deg_b - inter_cnt) AS BIGINT)"),
+    )
+    # class-level k-cut + tie pullback (TakeOrdered, no global sort)
+    topc = cpairs.orderBy(F.desc("jac_bp")).limit(int(k)).agg(F.min("jac_bp").alias("_bk"))
+    kept = cpairs.join(F.broadcast(topc), F.col("jac_bp") >= F.col("_bk")).drop("_bk")
+    # k+1 smallest members (by node value) per class
+    mem_s = members.select("cls", "node").join(
+        nodes.select(F.col("nid").alias("node"), F.col("node").alias("s")), "node"
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = mem_s.withColumn(
+        "_r", F.row_number().over(_W.partitionBy("cls").orderBy(F.asc("s")))
+    ).filter(F.col("_r") <= int(k) + 1).select("cls", "s")
+    expanded = (
+        kept.join(ranked.select(F.col("cls").alias("ca"), F.col("s").alias("_sa")), "ca")
+        .join(ranked.select(F.col("cls").alias("cb"), F.col("s").alias("_sb")), "cb")
+        .filter((F.col("ca") != F.col("cb")) | (F.col("_sa") < F.col("_sb")))
+    )
+    swap = F.col("_sa") <= F.col("_sb")
+    scored = expanded.select(
+        F.least("_sa", "_sb").alias("a"),
+        F.greatest("_sa", "_sb").alias("b"),
+        "inter_cnt",
+        F.when(swap, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_a"),
+        F.when(swap, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_b"),
+        "jac_bp",
+        "adjacent",
     )
     return scored.orderBy(
         F.desc("jac_bp"), F.asc("a"), F.asc("b")

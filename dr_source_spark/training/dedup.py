@@ -1057,61 +1057,92 @@ def ppjoin_pairs(documents: DataFrame, tau_bp: int = 6000) -> DataFrame:
 
     Output: (doc_a, doc_b, n_a, n_b, n_inter, jaccard_bp) with
     doc_a < doc_b and jaccard_bp ≥ tau_bp, truncated.
+
+    Round-6 restructure (output row-identical, pytest-gated): the whole
+    prefix/verify pipeline runs over TOKEN-SET EQUIVALENCE CLASSES —
+    docs with identical distinct-word sets collapse to one
+    representative (the min doc_id), since every quantity in the output
+    (sizes, overlap, jaccard) depends only on the set pair. Identical-
+    set pairs are emitted directly at jaccard 10⁴ (|A∩A| = |A|); class
+    pairs verify ONCE via ``size(array_intersect)`` over the two sorted
+    distinct arrays (the same value the old count-join produced) and
+    expand members only into output rows. The prefix lemma holds under
+    ANY shared total order, so ranking tokens by CLASS-level df keeps
+    100 % recall; candidates that the order admits beyond the old one
+    die in the exact verify, leaving the output unchanged. On a corpus
+    with no duplicate sets every class is a singleton and the shape
+    reduces to the old pipeline (one extra narrow window). This is the
+    published degenerate case of prefix filtering — a tiny/uniform
+    vocabulary puts the same rare tokens in most prefixes — made
+    tractable by deduplicating the sets before the quadratic step.
     """
     from pyspark.sql.window import Window
 
     dt = documents.select(
         "doc_id", F.explode(_words()).alias("tok")
     ).dropDuplicates(["doc_id", "tok"])
-    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    vocab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    docs_arr = dt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    wcls = Window.partitionBy("toks")
+    members = docs_arr.withColumn("cls", F.min("doc_id").over(wcls)).select(
+        "doc_id", "cls", "sz"
+    )
+    reps = (
+        docs_arr.withColumn("cls", F.min("doc_id").over(wcls))
+        .filter(F.col("doc_id") == F.col("cls"))
+        .select("cls", "toks", "sz")
+        .localCheckpoint(eager=True)
+    )
+    ct = reps.select("cls", F.explode("toks").alias("tok"), "sz")
+    vocab = ct.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     ranked_vocab = vocab.withColumn(
         "trank", F.row_number().over(Window.orderBy(F.asc("_df"), F.asc("tok")))
     ).select("tok", "trank")
-    ordered = (
-        dt.join(ranked_vocab, "tok")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "_pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("trank")),
-        )
+    ordered = ct.join(ranked_vocab, "tok").withColumn(
+        "_pos", F.row_number().over(Window.partitionBy("cls").orderBy("trank"))
     )
     # prefix length = sz - ceil(tau*sz) + 1; ceil(a/b) = (a + b - 1) div b
     prefix = ordered.filter(
         F.col("_pos")
         <= F.col("sz") - F.expr(f"(sz * {int(tau_bp)} + 9999) div 10000") + 1
-    ).select("doc_id", "tok", "sz")
+    ).select("cls", "tok", "sz", "_pos")
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # PPJoin positional filter (Xiao et al.): a qualifying pair needs
+    # overlap i with i·(10⁴+τ) ≥ τ·(na+nb) (the truncated-div jaccard ≥ τ
+    # restated exactly over integers), and at the pair's FIRST shared
+    # token — positions (p_a, p_b) in the shared order — the overlap is
+    # at most 1 + min(na−p_a, nb−p_b); a pair whose every shared prefix
+    # token fails the bound cannot qualify, and the first shared token of
+    # any qualifying pair passes it, so dropDuplicates keeps exactly the
+    # qualifying-candidate set.
+    t_req = F.expr(
+        f"(({int(tau_bp)} * (pa.sz + pb.sz)) + {10000 + int(tau_bp)} - 1)"
+        f" div {10000 + int(tau_bp)}"
+    )
+    ub = F.lit(1) + F.least(
+        F.col("pa.sz") - F.col("pa._pos"), F.col("pb.sz") - F.col("pb._pos")
+    )
     cands = (
         pa.join(pb, F.col("pa.tok") == F.col("pb.tok"))
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .filter(F.col("pa.cls") < F.col("pb.cls"))
         # size filter both ways: tau*max(sz) <= min(sz)
         .filter(
             (F.col("pa.sz") * 10000 >= F.col("pb.sz") * int(tau_bp))
             & (F.col("pb.sz") * 10000 >= F.col("pa.sz") * int(tau_bp))
         )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
-            F.col("pa.sz").alias("n_a"),
-            F.col("pb.sz").alias("n_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(ub >= t_req)
+        .select(F.col("pa.cls").alias("ca"), F.col("pb.cls").alias("cb"))
+        .dropDuplicates(["ca", "cb"])
     )
-    ta = dt.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = dt.select(F.col("doc_id").alias("_db"), F.col("tok").alias("_tok_b"))
-    inter = (
-        cands.join(ta, "doc_a")
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("_db")) & (F.col("tok") == F.col("_tok_b")),
-            "inner",
-        )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    return (
-        inter.withColumn(
+    ra = reps.select(F.col("cls").alias("ca"), F.col("toks").alias("_ta"), F.col("sz").alias("n_a"))
+    rb = reps.select(F.col("cls").alias("cb"), F.col("toks").alias("_tb"), F.col("sz").alias("n_b"))
+    cls_pairs = (
+        cands.join(ra, "ca")
+        .join(rb, "cb")
+        .withColumn("n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("long"))
+        .withColumn(
             "jaccard_bp",
             F.expr(
                 "(cast(n_inter as decimal(38,0)) * 10000)"
@@ -1119,7 +1150,40 @@ def ppjoin_pairs(documents: DataFrame, tau_bp: int = 6000) -> DataFrame:
             ).cast("long"),
         )
         .filter(F.col("jaccard_bp") >= int(tau_bp))
-        .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard_bp")
+        .select("ca", "cb", "n_a", "n_b", "n_inter", "jaccard_bp")
+    )
+    # identical-set pairs: jaccard exactly 10^4 — always ≥ tau_bp
+    twin_pairs = (
+        reps.select(F.col("cls").alias("_c"), F.col("sz").alias("n_a"))
+        .withColumn("n_b", F.col("n_a"))
+        .withColumn("n_inter", F.col("n_a"))
+        .withColumn("jaccard_bp", F.lit(10000).cast("long"))
+        .withColumnRenamed("_c", "ca")
+        .withColumn("cb", F.col("ca"))
+        .select("ca", "cb", "n_a", "n_b", "n_inter", "jaccard_bp")
+    )
+    mem = members.select("cls", "doc_id")
+    cross = (
+        cls_pairs.join(mem.select(F.col("cls").alias("ca"), F.col("doc_id").alias("ia")), "ca")
+        .join(mem.select(F.col("cls").alias("cb"), F.col("doc_id").alias("ib")), "cb")
+    )
+    within = (
+        twin_pairs.join(mem.select(F.col("cls").alias("ca"), F.col("doc_id").alias("ia")), "ca")
+        .join(mem.select(F.col("cls").alias("cb"), F.col("doc_id").alias("ib")), "cb")
+        .filter(F.col("ia") < F.col("ib"))
+    )
+    swap = F.col("ia") <= F.col("ib")
+    cols = ["ia", "ib", "n_a", "n_b", "n_inter", "jaccard_bp"]
+    return (
+        cross.select(*cols).unionByName(within.select(*cols))
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("n_a"),
+            F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("n_b"),
+            "n_inter",
+            "jaccard_bp",
+        )
     )
 
 
