@@ -159,9 +159,16 @@ def er_verified_pairs(
     blocking, where high-frequency grams destroy bucket selectivity; at
     scoring time they contribute valid overlap evidence like any other
     gram."""
-    sizes = grams.groupBy("mention_id").agg(F.count("*").alias("_sz"))
-    ga = grams.select(F.col("mention_id").alias("ia"), "h")
-    gb = grams.select(F.col("mention_id").alias("ib"), "h")
+    # every join side here scales with the corpus (gram table, per-
+    # mention sizes) — broadcast is never the intended strategy, but
+    # Catalyst's size estimate undershoots at mid scale and the
+    # resulting broadcast build OOM'd the driver at the 450 k-mention
+    # census (round 6: "Not enough memory to build and broadcast the
+    # table", reproduced twice). SHUFFLE_HASH pins the scale-correct
+    # strategy; locally it is a hash join either way.
+    sizes = grams.groupBy("mention_id").agg(F.count("*").alias("_sz")).hint("shuffle_hash")
+    ga = grams.select(F.col("mention_id").alias("ia"), "h").hint("shuffle_hash")
+    gb = grams.select(F.col("mention_id").alias("ib"), "h").hint("shuffle_hash")
     inter = (
         pairs.join(ga, "ia")
         .join(gb, ["ib", "h"])
@@ -330,9 +337,11 @@ def er_fs_weights(
     """
     grams = mention_grams(mentions)
     cand = er_candidate_pairs(grams, b=b, df_cap_pct=df_cap_pct, max_bucket=max_bucket)
-    sizes = grams.groupBy("mention_id").agg(F.count("*").alias("_sz"))
-    ga = grams.select(F.col("mention_id").alias("ia"), "h")
-    gb = grams.select(F.col("mention_id").alias("ib"), "h")
+    # corpus-scaling join sides pinned to SHUFFLE_HASH — same driver-OOM
+    # rationale as er_verified_pairs (round 6)
+    sizes = grams.groupBy("mention_id").agg(F.count("*").alias("_sz")).hint("shuffle_hash")
+    ga = grams.select(F.col("mention_id").alias("ia"), "h").hint("shuffle_hash")
+    gb = grams.select(F.col("mention_id").alias("ib"), "h").hint("shuffle_hash")
     inter = (
         cand.join(ga, "ia")
         .join(gb, ["ib", "h"])
@@ -343,7 +352,7 @@ def er_fs_weights(
         F.col("mention_id"),
         F.col("name").alias("_name"),
         truth.alias("_ent"),
-    )
+    ).hint("shuffle_hash")
     ia_info = info.select(
         F.col("mention_id").alias("ia"),
         F.col("_name").alias("_na"),

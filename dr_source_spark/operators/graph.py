@@ -2547,7 +2547,11 @@ def neighbor_jaccard_topk(
         "jac_bp",
         F.expr("CAST((10000 * inter_cnt) div (deg_a + deg_b - inter_cnt) AS BIGINT)"),
     )
-    # class-level k-cut + tie pullback (TakeOrdered, no global sort)
+    # class-level k-cut + tie pullback (TakeOrdered, no global sort). The
+    # one-row boundary value attaches as a broadcast scalar — the plan
+    # gate in tests/test_plans.py allows exactly this one-row-aggregate
+    # nested-loop attach (the same sanctioned shape the scalar-total
+    # queries use) while still forbidding any pair-level BNLJ.
     topc = cpairs.orderBy(F.desc("jac_bp")).limit(int(k)).agg(F.min("jac_bp").alias("_bk"))
     kept = cpairs.join(F.broadcast(topc), F.col("jac_bp") >= F.col("_bk")).drop("_bk")
     # k+1 smallest members (by node value) per class

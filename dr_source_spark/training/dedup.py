@@ -1152,9 +1152,12 @@ def ppjoin_pairs(documents: DataFrame, tau_bp: int = 6000) -> DataFrame:
         .filter(F.col("jaccard_bp") >= int(tau_bp))
         .select("ca", "cb", "n_a", "n_b", "n_inter", "jaccard_bp")
     )
-    # identical-set pairs: jaccard exactly 10^4 — always ≥ tau_bp
+    # identical-set pairs: jaccard exactly 10^4 — ≥ tau_bp for every
+    # valid threshold; the explicit filter keeps even a degenerate
+    # tau_bp > 10^4 output-identical to the verify path (empty)
     twin_pairs = (
-        reps.select(F.col("cls").alias("_c"), F.col("sz").alias("n_a"))
+        reps.filter(F.lit(10000) >= F.lit(int(tau_bp)))
+        .select(F.col("cls").alias("_c"), F.col("sz").alias("n_a"))
         .withColumn("n_b", F.col("n_a"))
         .withColumn("n_inter", F.col("n_a"))
         .withColumn("jaccard_bp", F.lit(10000).cast("long"))

@@ -798,12 +798,19 @@ def test_batch49_50_plans_topk_and_no_cartesian(spark):
     import __spark_entry__ as E
 
     # top-k cuts must plan as TakeOrderedAndProject (per-partition
-    # top-k + k-merge), never a global Sort over the full pair table
+    # top-k + k-merge), never a global Sort over the full pair table.
+    # The round-6 class-level k-cut attaches its ONE-ROW boundary
+    # aggregate as a broadcast scalar, which plans as a nested-loop
+    # attach (the sanctioned scalar-total shape, O(n)); any OTHER
+    # nested-loop join — i.e. a pair-level one — stays forbidden, so
+    # every BNLJ line must carry the boundary column in its condition.
     for name in ("kg_neighbor_jaccard_topk",):
         plan = _plan(E.queries()[name](spark, SF))
         assert "TakeOrderedAndProject" in plan, name
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "_bk" in line, (name, line)
     # both extremes sides of the norm screen take the TakeOrdered path
     plan = _plan(E.queries()["emb_norm_extremes"](spark, SF))
     assert plan.count("TakeOrderedAndProject") == 2

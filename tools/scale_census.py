@@ -55,17 +55,21 @@ def main() -> None:
         timer = threading.Timer(TIMEOUT, cancel)
         timer.start()
         t0 = time.monotonic()
+        err = None
         try:
             n = fn(spark, SF).count()
             status, rows = "ok", n
         except Exception as ex:  # noqa: BLE001 — census must survive failures
             status = "timeout" if timed_out.is_set() else f"error:{type(ex).__name__}"
             rows = None
+            err = " ".join(str(ex).split())[:300]
         finally:
             timer.cancel()
             sc.setJobGroup(None, None)
         wall = round(time.monotonic() - t0, 2)
         rec = {"query": name, "status": status, "rows": rows, "sec": wall}
+        if err:
+            rec["err"] = err
         results.append(rec)
         print(json.dumps(rec), flush=True)
     ok = [r for r in results if r["status"] == "ok"]
