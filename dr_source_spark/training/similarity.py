@@ -274,14 +274,32 @@ def quantize_embeddings(
     candidate generation at 100 TB — rank by quantized similarity, rescore
     survivors on the float vectors. Returns (id, scale, qvec); all
     JVM-side array ops (zero-vector guard: scale falls back to 1.0)."""
+    # widen the scan first: a local embeddings table is a single parquet
+    # row group, so the per-row HOF chain below (absmax fold + two
+    # transforms) and every consumer's posexplode would otherwise run in
+    # ONE task — the sf1 census clocked the 64-group dimension_stats at
+    # 30 s single-threaded vs ~2 s wide (round 6; adaptive no-op at real
+    # scale where the scan is already wide)
+    from ..operators.analyze import ensure_min_parallelism
+
+    embeddings = ensure_min_parallelism(
+        embeddings.select(id_col, vec_col), key_cols=(id_col,)
+    )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     df = embeddings.select(F.col(id_col), v.alias("_v"))
     absmax = F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
     scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    # evaluate the per-row scale ONCE via array_repeat and divide with
+    # zip_with: a transform lambda referencing `scale` directly embeds
+    # the whole absmax FOLD into every element's expression — O(d²)
+    # fold-steps per row (the sf1 census clocked the downstream
+    # dimension_stats at 30 s for 20 k × 64 floats; round 6). Same
+    # values bit-for-bit: one fold, one division per element.
+    scale_arr = F.array_repeat(scale, F.size(F.col("_v")))
     return df.select(
         id_col,
         scale.alias("scale"),
-        F.transform(F.col("_v"), lambda x: F.round(x / scale).cast("int")).alias("qvec"),
+        F.zip_with(F.col("_v"), scale_arr, lambda x, s: F.round(x / s).cast("int")).alias("qvec"),
         F.col("_v").alias("_fvec"),
     )
 

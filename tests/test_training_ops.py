@@ -519,6 +519,23 @@ def test_quantization_error_bound_and_range(emb):
     assert bad == 0
 
 
+def test_quantize_zero_vector_scale_fallback(spark):
+    # round-6 zip_with restructure gate: the zero-vector guard
+    # (scale -> 1.0) and empty vectors must survive the hoisted-scale
+    # form unchanged
+    from dr_source_spark.training.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5]), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert rows[0].scale == 1.0 and rows[0].qvec == [0, 0, 0]
+    assert rows[1].scale == pytest.approx(2.0 / 127.0)
+    assert rows[1].qvec == [64, -127, 32]
+    assert rows[2].qvec == []
+
+
 def test_quantized_search_recall_vs_float(emb):
     """Top-k over DEQUANTIZED int8 vectors must recover >= 0.9 of the exact
     float top-k — the falsifiability gate for the 4x-memory ANN path."""
